@@ -1,0 +1,123 @@
+"""Content hashing + similarity sketches (deterministic, stdlib+numpy).
+
+- sha256 content hash mirrors the reference (llm_food/app.py:456,488).
+- MinHash / SimHash / shingle helpers back the dedup stages
+  (``stages/dedup.py``) — standard public constructions (Broder '97
+  minwise hashing; Charikar '02 simhash), seeded deterministically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+MERSENNE_PRIME = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def stable_hash64(text: str) -> int:
+    """First 8 bytes of md5 as unsigned 64-bit int (portable, matches
+    DuckDB's md5 for oracle cross-checks on the hex prefix)."""
+    return struct.unpack(">Q", hashlib.md5(text.encode("utf-8")).digest()[:8])[0]
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique 32-bit shingle hashes (sorted) for minhash/jaccard."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.array([stable_hash64(s) & _MAX_HASH for s in sh], dtype=np.uint64)
+    return np.unique(arr)
+
+
+class MinHasher:
+    """num_perm universal-hash minhash ((a*x + b) mod p mod 2^32), fixed
+    seed → identical signatures across workers/runs."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        # (num_perm, n) — vectorized over both permutations and shingles
+        vals = (np.outer(self.a, hashes) + self.b[:, None]) % MERSENNE_PRIME & _MAX_HASH
+        return vals.min(axis=1).astype(np.uint64)
+
+    def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:
+        """LSH banding: hash each band of the signature to a bucket key."""
+        rows = self.num_perm // num_bands
+        keys = []
+        for band in range(num_bands):
+            chunk = sig[band * rows:(band + 1) * rows]
+            digest = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            keys.append(f"{band}:{digest}")
+        return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over word features (Charikar '02): sum of +/-1 per
+    bit weighted by term frequency, threshold at 0."""
+    toks = text.split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    freq: dict[str, int] = {}
+    for t in toks:
+        freq[t] = freq.get(t, 0) + 1
+    for t, w in freq.items():
+        h = stable_hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), w, -w)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al. '03): rolling set
+    of k-gram hash minima over a sliding window; returns the sorted unique
+    selected hashes."""
+    hashes = [stable_hash64(s) & _MAX_HASH for s in word_shingles(text, k)]
+    if not hashes:
+        return []
+    if len(hashes) <= window:
+        return sorted({min(hashes)})
+    picked: set[int] = set()
+    for i in range(len(hashes) - window + 1):
+        picked.add(min(hashes[i:i + window]))
+    return sorted(picked)

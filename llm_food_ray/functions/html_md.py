@@ -1,0 +1,370 @@
+"""HTML → markdown main-content extraction (from scratch, stdlib only).
+
+Re-implements the *operator contract* of the reference's HTML leg
+(``llm_food/app.py:252-259``: ``trafilatura.extract(html, output_format=
+"markdown")``, ``None`` → ``""``, bytes decoded utf-8 ``errors="ignore"``)
+without the library: an ``html.parser`` DOM, readability/trafilatura-style
+candidate scoring (text density, link density, tag/class hints), then a
+deterministic markdown serializer that also emits per-block character
+spans into the final string.
+
+Everything is deterministic: fixed heuristic tables, no wall-clock, no
+randomness — required for byte-identity under parallelism.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+from typing import Optional
+
+# ---------------------------------------------------------------- DOM ----
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Subtrees never contributing content (always dropped).
+DROP_TAGS = frozenset(
+    "script style noscript template iframe svg form button select option "
+    "object applet canvas audio video map head".split()
+)
+# Structural boilerplate: dropped during serialization of the selected
+# candidate (they may *contain* the candidate, but never appear inside it
+# as content).
+BOILERPLATE_TAGS = frozenset("nav footer aside menu dialog".split())
+
+BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 ul ol li pre blockquote table tr td th div "
+    "article section main body header footer nav aside figure figcaption "
+    "details summary dl dt dd".split()
+)
+
+NEGATIVE_RE = re.compile(
+    r"nav|navbar|menu|footer|footnote|sidebar|side-bar|comment|promo|advert|"
+    r"\bad\b|ad-|-ad\b|ads\b|banner|breadcrumb|share|social|sponsor|shopping|"
+    r"widget|related|pager|pagination|popup|cookie|subscribe|masthead",
+    re.I,
+)
+POSITIVE_RE = re.compile(
+    r"article|\bbody\b|content|entry|hentry|\bmain\b|page|post|text|blog|story",
+    re.I,
+)
+
+CANDIDATE_TAGS = frozenset("article main body div section td".split())
+
+
+@dataclass
+class Node:
+    tag: str                      # "" for text nodes
+    attrs: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)   # list[Node]
+    text: str = ""                # only for text nodes (tag == "")
+
+    @property
+    def is_text(self) -> bool:
+        return self.tag == ""
+
+
+class _TreeBuilder(HTMLParser):
+    """Lenient DOM builder: unmatched closes ignored, void tags auto-closed,
+    DROP_TAGS subtrees skipped entirely at parse time."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack = [self.root]
+        self._drop_depth = 0
+        self._drop_tag_stack: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth:
+            if tag in DROP_TAGS or tag == self._drop_tag_stack[-1]:
+                # nested droppable opens tracked so the matching close
+                # doesn't prematurely end the drop region
+                if tag == self._drop_tag_stack[-1]:
+                    self._drop_tag_stack.append(tag)
+            return
+        if tag in DROP_TAGS:
+            self._drop_depth = 1
+            self._drop_tag_stack = [tag]
+            return
+        node = Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth or tag in DROP_TAGS:
+            return
+        self.stack[-1].children.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        if self._drop_depth:
+            if tag == self._drop_tag_stack[-1]:
+                self._drop_tag_stack.pop()
+                if not self._drop_tag_stack:
+                    self._drop_depth = 0
+            return
+        # pop to the matching open tag if present; ignore otherwise
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        self.stack[-1].children.append(Node("", text=data))
+
+    def handle_comment(self, data):   # comments dropped
+        return
+
+
+def parse_html(html_text: str) -> Node:
+    builder = _TreeBuilder()
+    builder.feed(html_text)
+    builder.close()
+    return builder.root
+
+
+# ----------------------------------------------------------- scoring ----
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+def _class_id(node: Node) -> str:
+    return f"{node.attrs.get('class', '') or ''} {node.attrs.get('id', '') or ''}"
+
+
+def _is_negative(node: Node) -> bool:
+    if node.is_text:
+        return False
+    if node.tag in BOILERPLATE_TAGS:
+        return True
+    ci = _class_id(node)
+    return bool(ci.strip()) and bool(NEGATIVE_RE.search(ci)) and not POSITIVE_RE.search(ci)
+
+
+def _text_and_link_len(node: Node, in_link: bool = False) -> tuple[int, int]:
+    """(total normalized text chars, chars inside <a>) under `node`,
+    skipping negative subtrees."""
+    if node.is_text:
+        n = len(_norm(node.text))
+        return n, (n if in_link else 0)
+    if _is_negative(node):
+        return 0, 0
+    total = link = 0
+    child_in_link = in_link or node.tag == "a"
+    for child in node.children:
+        t, l = _text_and_link_len(child, child_in_link)
+        total += t
+        link += l
+    return total, link
+
+
+def _candidates(node: Node, out: list) -> None:
+    if node.is_text:
+        return
+    if node.tag in CANDIDATE_TAGS and not _is_negative(node):
+        out.append(node)
+    for child in node.children:
+        _candidates(child, out)
+
+
+def score_candidate(node: Node) -> float:
+    """Deterministic content score: text mass discounted by link density,
+    boosted for semantic containers / positive class hints."""
+    text_len, link_len = _text_and_link_len(node)
+    if text_len == 0:
+        return 0.0
+    link_density = link_len / text_len
+    score = text_len * (1.0 - link_density)
+    if node.tag in ("article", "main"):
+        score *= 1.5
+    ci = _class_id(node)
+    if ci.strip() and POSITIVE_RE.search(ci):
+        score *= 1.3
+    if node.tag == "body":
+        score *= 0.8   # prefer a tighter container over whole-body
+    return score
+
+
+def select_main(root: Node) -> Optional[Node]:
+    cands: list[Node] = []
+    _candidates(root, cands)
+    best, best_score = None, 0.0
+    for c in cands:   # document order → deterministic tie-break (first wins)
+        s = score_candidate(c)
+        if s > best_score:
+            best, best_score = c, s
+    return best
+
+
+# -------------------------------------------------------- serializer ----
+
+
+def _inline_text(node: Node) -> str:
+    """Serialize inline content of a block to markdown-ish text."""
+    if node.is_text:
+        return node.text
+    if _is_negative(node) or node.tag in DROP_TAGS:
+        return ""
+    inner = "".join(_inline_text(c) for c in node.children)
+    tag = node.tag
+    if tag == "br":
+        return " "
+    if tag == "a":
+        href = node.attrs.get("href") or ""
+        label = _norm(inner)
+        if not label:
+            return ""
+        if href and not href.startswith(("#", "javascript:")):
+            return f"[{label}]({href})"
+        return label
+    if tag in ("strong", "b"):
+        t = _norm(inner)
+        return f"**{t}**" if t else ""
+    if tag in ("em", "i"):
+        t = _norm(inner)
+        return f"*{t}*" if t else ""
+    if tag == "code":
+        t = _norm(inner)
+        return f"`{t}`" if t else ""
+    return inner
+
+
+@dataclass
+class Block:
+    kind: str   # heading|paragraph|list|code|quote|table
+    text: str
+
+
+def _emit_blocks(node: Node, out: list[Block], list_depth: int = 0) -> None:
+    if node.is_text:
+        t = _norm(node.text)
+        if t:
+            out.append(Block("paragraph", t))
+        return
+    tag = node.tag
+    if _is_negative(node) or tag in DROP_TAGS:
+        return
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        t = _norm(_inline_text(node))
+        if t:
+            out.append(Block("heading", "#" * int(tag[1]) + " " + t))
+        return
+    if tag == "p" or tag in ("figcaption", "summary", "dt", "dd"):
+        t = _norm(_inline_text(node))
+        if t:
+            out.append(Block("paragraph", t))
+        return
+    if tag in ("ul", "ol"):
+        items: list[str] = []
+        ordered = tag == "ol"
+        n = 0
+        for child in node.children:
+            if not child.is_text and child.tag == "li":
+                t = _norm(_inline_text(child))
+                if t:
+                    n += 1
+                    items.append(f"{n}. {t}" if ordered else f"- {t}")
+        if items:
+            out.append(Block("list", "\n".join(items)))
+        return
+    if tag == "pre":
+        raw = "".join(_raw_text(c) for c in node.children)
+        raw = raw.strip("\n")
+        if raw.strip():
+            out.append(Block("code", f"```\n{raw}\n```"))
+        return
+    if tag == "blockquote":
+        t = _norm(_inline_text(node))
+        if t:
+            out.append(Block("quote", "> " + t))
+        return
+    if tag == "table":
+        rows: list[str] = []
+        _table_rows(node, rows)
+        if rows:
+            out.append(Block("table", "\n".join(rows)))
+        return
+    # container: recurse, grouping stray inline content into paragraphs
+    inline_run: list[Node] = []
+
+    def flush() -> None:
+        if not inline_run:
+            return
+        t = _norm("".join(_inline_text(c) for c in inline_run))
+        inline_run.clear()
+        if t:
+            out.append(Block("paragraph", t))
+
+    for child in node.children:
+        if not child.is_text and (child.tag in BLOCK_TAGS or child.tag in DROP_TAGS):
+            flush()
+            _emit_blocks(child, out, list_depth)
+        else:
+            inline_run.append(child)
+    flush()
+
+
+def _raw_text(node: Node) -> str:
+    if node.is_text:
+        return node.text
+    return "".join(_raw_text(c) for c in node.children)
+
+
+def _table_rows(node: Node, out: list[str]) -> None:
+    for child in node.children:
+        if child.is_text:
+            continue
+        if child.tag == "tr":
+            cells = [
+                _norm(_inline_text(c))
+                for c in child.children
+                if not c.is_text and c.tag in ("td", "th")
+            ]
+            if any(cells):
+                out.append("| " + " | ".join(cells) + " |")
+        else:
+            _table_rows(child, out)
+
+
+# ------------------------------------------------------------- public ----
+
+
+def extract_markdown(html_bytes: bytes) -> tuple[str, list[dict]]:
+    """bytes → (markdown, spans).
+
+    Contract mirrors the reference HTML leg (app.py:252-259): decode utf-8
+    errors="ignore"; no extractable main content → ("", []).  Spans are
+    ordered, non-overlapping ``{"start","end","kind"}`` char offsets of each
+    emitted block in the returned markdown (north_rule addition).
+    """
+    text = html_bytes.decode("utf-8", errors="ignore")
+    if not text.strip():
+        return "", []
+    root = parse_html(text)
+    main = select_main(root)
+    if main is None:
+        return "", []
+    blocks: list[Block] = []
+    _emit_blocks(main, blocks)
+    if not blocks:
+        return "", []
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    for i, b in enumerate(blocks):
+        if i:
+            pos += 2   # "\n\n" joiner
+        spans.append({"start": pos, "end": pos + len(b.text), "kind": b.kind})
+        parts.append(b.text)
+        pos += len(b.text)
+    return "\n\n".join(parts), spans

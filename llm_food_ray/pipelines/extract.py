@@ -1,0 +1,155 @@
+"""End-to-end extraction pipeline: read → dispatch+extract → partitioned
+Parquet + lineage manifests, resumable.
+
+Replaces the whole of the reference's async batch path (llm_food/app.py:
+588-763 + background workers 886-1319): uploads → Parquet shards,
+BackgroundTasks → Ray Data streaming executor, DuckDB job rows →
+per-partition manifests, polling endpoints → reading manifests.
+
+Scale design (SURVEY.md §4.3):
+- Input shards are grouped into ``num_groups`` resume units; each group is
+  one Dataset execution writing ``out/part={g}/`` atomically, manifest
+  last.  A killed run re-processes only groups without manifests.  At
+  100 TB, groups are hundreds of shards each; the streaming executor
+  pipelines read → extract → write inside a group with backpressure.
+- Skew defusal: rows whose payload exceeds ``big_doc_threshold`` run on a
+  dedicated whale leg with ``batch_size=1`` so a 2,000-page PDF cannot
+  stall a 256-row batch (two cheap filter passes over the columnar read;
+  the union preserves no order — output order is never semantic, the key
+  is ``url``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..config import ExtractConfig
+from ..stages.extract import ExtractStage
+from ..state import manifest as mf
+
+
+def config_fingerprint(cfg: ExtractConfig) -> str:
+    return hashlib.md5(repr(sorted(asdict(cfg).items())).encode()).hexdigest()[:12]
+
+
+def _payload_len_mask(batch: pa.Table, threshold: int, keep_big: bool) -> pa.Table:
+    lens = pc.binary_length(pc.fill_null(batch.column("html"), b""))
+    mask = pc.greater(lens, threshold) if keep_big else pc.less_equal(lens, threshold)
+    return batch.filter(mask)
+
+
+def extract_dataset(pages_ds, cfg: ExtractConfig | None = None, *,
+                    whale_leg: bool = True, concurrency=None):
+    """pages Dataset → extracted Dataset (lazy).
+
+    `concurrency=None` → stateless tasks sized by the executor (right for
+    the common case); pass an int/tuple to pin an actor pool.
+    """
+    cfg = cfg or ExtractConfig()
+    stage_kwargs: dict = {}
+    if concurrency is not None:
+        # actor pool → pass the CLASS so per-actor init runs once
+        stage_kwargs.update(
+            fn_constructor_kwargs={"cfg": cfg}, concurrency=concurrency
+        )
+        stage_fn: object = ExtractStage
+    else:
+        stage_fn = ExtractStage(cfg)   # stateless tasks (init is cheap)
+    if not whale_leg:
+        return pages_ds.map_batches(stage_fn, batch_format="pyarrow", **stage_kwargs)
+    thr = cfg.big_doc_threshold
+    small = pages_ds.map_batches(
+        lambda b: _payload_len_mask(b, thr, keep_big=False), batch_format="pyarrow"
+    ).map_batches(stage_fn, batch_format="pyarrow", **stage_kwargs)
+    big = pages_ds.map_batches(
+        lambda b: _payload_len_mask(b, thr, keep_big=True), batch_format="pyarrow"
+    ).map_batches(
+        ExtractStage, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 4), num_cpus=1,
+    )
+    return small.union(big)
+
+
+def _group_paths(paths: list[str], num_groups: int) -> list[list[str]]:
+    groups: list[list[str]] = [[] for _ in range(num_groups)]
+    for i, p in enumerate(sorted(paths)):
+        groups[i % num_groups].append(p)
+    return [g for g in groups if g]
+
+
+def run_extract(input_paths: list[str], out_dir: str,
+                cfg: ExtractConfig | None = None, *,
+                num_groups: int | None = None,
+                pages_from=None) -> dict:
+    """Resumable driver loop: one Dataset execution per shard group.
+
+    `pages_from(paths) -> Dataset` lets callers synthesize pages from other
+    tables (tests/bench); default reads the paths as a pages Parquet table.
+    Returns overall counters {"ok": n, "failed": m, "skipped_groups": k}.
+    """
+    import ray.data as rd
+
+    cfg = cfg or ExtractConfig()
+    fp = config_fingerprint(cfg)
+    num_groups = num_groups or min(cfg.num_partitions, len(input_paths)) or 1
+    groups = _group_paths(input_paths, num_groups)
+    totals = {"ok": 0, "failed": 0, "skipped_groups": 0}
+    done = mf.completed_partitions(out_dir)
+    for gid, paths in enumerate(groups):
+        if gid in done:
+            totals["skipped_groups"] += 1
+            m = mf.load_manifest(out_dir, gid)
+            for k in ("ok", "failed"):
+                totals[k] += m["counters"].get(k, 0)
+            continue
+        mf.clean_partial(out_dir, gid)
+        t0 = time.perf_counter()
+        ds = pages_from(paths) if pages_from else rd.read_parquet(paths)
+        extracted = extract_dataset(ds, cfg)
+        part_dir = mf.partition_dir(out_dir, gid)
+        # avoid tiny-file explosion: one worker task per block would write
+        # a file per block; coalesce to >=100k rows per file
+        extracted.write_parquet(part_dir, min_rows_per_file=100_000)
+        counters = _count_status(part_dir)
+        mf.write_manifest(
+            out_dir, gid, input_paths=paths, counters=counters,
+            config_fingerprint=fp, wall_time_s=time.perf_counter() - t0,
+        )
+        for k in ("ok", "failed"):
+            totals[k] += counters.get(k, 0)
+    return totals
+
+
+def _count_status(part_dir: str) -> dict:
+    """Cheap columnar scan of just the status column of one partition."""
+    dataset = pads.dataset(
+        [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+         if f.endswith(".parquet")],
+        format="parquet",
+    )
+    table = dataset.to_table(columns=["status"])
+    counts = pc.value_counts(table.column("status"))
+    out = {"ok": 0, "failed": 0, "rows": table.num_rows}
+    for entry in counts.to_pylist():
+        out[entry["values"]] = entry["counts"]
+    return out
+
+
+def read_extracted(out_dir: str):
+    """Read all completed partitions back as one Dataset."""
+    import ray.data as rd
+
+    paths = []
+    for gid in sorted(mf.completed_partitions(out_dir)):
+        d = mf.partition_dir(out_dir, gid)
+        paths.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+    return rd.read_parquet(paths)

@@ -1,0 +1,152 @@
+"""Dispatch + extract stage: the heart of the engine (one map_batches).
+
+Mirrors the reference's request path ``_read_and_validate_upload →
+sha256 → _process_file_content`` (llm_food/app.py:382-403, 354-379, 456)
+as a vectorized-per-batch Arrow transform:
+
+- content-type sniffing from bytes replaces extension dispatch (M1,
+  app.py:354-379): ``%PDF-`` magic → pdf, tag-bearing payload → html,
+  empty payload + text column → text passthrough, else unknown.
+- size guard (S1, config.py:31-44): oversize rows become
+  ``status='failed'`` instead of HTTP 413.
+- sha256 content hash (M11, app.py:456).
+- row-level error isolation (M12, app.py:215-276, 915-935): an extractor
+  exception marks that row failed; it never drops the row or kills the
+  batch. Errors live in proper columns, not in-band sentinel strings.
+- PDF auto mode runs the text/scanned classifier (M6) and routes
+  structured-markdown vs plain-text extraction.
+
+Used as ``ds.map_batches(ExtractStage(cfg), batch_format="pyarrow",
+concurrency=N)`` — a callable class so per-worker setup (config, hasher
+tables) happens once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import ExtractConfig
+from ..functions import html_md, pdf_classify, pdf_md
+from ..functions.hashing import sha256_hex
+from ..schema import EXTRACTED_SCHEMA, PAGE_JOINER
+
+_HTML_MARKERS = (b"<html", b"<!doctype", b"<body", b"<div", b"<p", b"<article",
+                 b"<head", b"<span", b"<a ", b"<h1", b"<table", b"<ul")
+
+
+def sniff_doc_type(payload: bytes, text: str) -> str:
+    """Byte-sniffing dispatch replacing extension dispatch (M1)."""
+    if payload.startswith(b"%PDF-"):
+        return "pdf"
+    if payload:
+        head = payload[:4096].lower()
+        if any(m in head for m in _HTML_MARKERS):
+            return "html"
+        return "unknown"
+    if text:
+        return "text"
+    return "empty"
+
+
+def _spans_from_blocks(pages_blocks: list[list[str]]) -> tuple[str, list[str], list[dict]]:
+    """Join per-page block lists into final markdown + spans.
+
+    Pages joined with PAGE_JOINER ("\\n\\n---\\n\\n", app.py:938); blocks
+    within a page joined "\\n\\n". Span kind derived from block shape."""
+    texts = ["\n\n".join(blocks) for blocks in pages_blocks]
+    markdown = PAGE_JOINER.join(texts)
+    spans: list[dict] = []
+    pos = 0
+    for pi, blocks in enumerate(pages_blocks):
+        if pi:
+            pos += len(PAGE_JOINER)
+        for bi, b in enumerate(blocks):
+            if bi:
+                pos += 2
+            kind = (
+                "heading" if b.startswith("#")
+                else "list" if b.startswith(("- ", "1. "))
+                else "code" if b.startswith("```")
+                else "quote" if b.startswith("> ")
+                else "table" if b.startswith("| ")
+                else "paragraph"
+            )
+            spans.append({"start": pos, "end": pos + len(b), "kind": kind})
+            pos += len(b)
+    return markdown, texts, spans
+
+
+class ExtractStage:
+    """Callable class for ``map_batches`` (actor pool when concurrency is
+    set; also valid as stateless tasks). Arrow in / Arrow out."""
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def extract_row(self, url: str, payload: bytes, text: str) -> dict:
+        cfg = self.cfg
+        doc_type = sniff_doc_type(payload, text)
+        content_hash = sha256_hex(payload if payload else text.encode("utf-8"))
+        base = {
+            "url": url,
+            "content_hash": content_hash,
+            "doc_type": doc_type if doc_type not in ("empty",) else "unknown",
+            "markdown": "",
+            "texts": [],
+            "spans": [],
+            "status": "ok",
+            "error": "",
+        }
+        if payload and len(payload) > cfg.max_payload_bytes:
+            base["status"] = "failed"
+            base["error"] = "File size exceeds limit"   # S1 → 413 analogue
+            return base
+        try:
+            if doc_type == "html":
+                md, spans = html_md.extract_markdown(payload)
+                # single-element texts list mirrors the HTML leg, app.py:257
+                base["markdown"] = md
+                base["texts"] = [md]
+                base["spans"] = spans
+            elif doc_type == "pdf":
+                structured = True
+                if cfg.pdf_backend == "plain":
+                    structured = False
+                elif cfg.pdf_backend == "auto":
+                    counts = pdf_md.pdf_pages_word_counts(payload)
+                    structured = pdf_classify.is_text_based(counts, cfg.classifier)
+                pages = pdf_md.pdf_pages_markdown(payload, structured=structured)
+                blocks = [([b for b in p.split("\n\n") if b] if p else []) for p in pages]
+                md, texts, spans = _spans_from_blocks(blocks)
+                base["markdown"] = md
+                base["texts"] = texts
+                base["spans"] = spans
+            elif doc_type == "text":
+                base["markdown"] = text
+                base["texts"] = [text]
+                base["spans"] = (
+                    [{"start": 0, "end": len(text), "kind": "paragraph"}] if text else []
+                )
+            elif doc_type == "empty":
+                base["status"] = "failed"
+                base["error"] = "Empty content"        # app.py:480-483 analogue
+            else:
+                base["status"] = "failed"
+                base["error"] = "Unsupported file type"  # M1 else-branch, app.py:378
+        except Exception as exc:  # M12: row-level isolation, never raise
+            base["status"] = "failed"
+            base["error"] = f"Error processing {url}: {exc}"
+            base["markdown"] = ""
+            base["texts"] = []
+            base["spans"] = []
+        return base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts_col = batch.column("text").to_pylist()
+        rows = [
+            self.extract_row(u, p or b"", t or "")
+            for u, p, t in zip(urls, payloads, texts_col)
+        ]
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

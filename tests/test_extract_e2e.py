@@ -1,0 +1,199 @@
+"""End-to-end extraction pipeline tests over the synthesized pages table:
+dispatch (M1), hashing (M11), error isolation (M12), byte-identity vs the
+single-threaded oracle at two parallelism levels, and resume (§4.3)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from llm_food_ray.config import ExtractConfig
+from llm_food_ray.functions.pdf_build import simple_pdf
+from llm_food_ray.pipelines.extract import read_extracted, run_extract
+from llm_food_ray.schema import PAGES_SCHEMA
+from llm_food_ray.sources.pages import PagesFromDocuments, synth_page_record
+from llm_food_ray.stages.extract import ExtractStage, sniff_doc_type
+
+
+# ------------------------------------------------------------ dispatch ----
+
+
+def test_sniff_doc_type():
+    assert sniff_doc_type(b"%PDF-1.4\nxx", "") == "pdf"
+    assert sniff_doc_type(b"<html><body>x</body></html>", "") == "html"
+    assert sniff_doc_type(b"<!DOCTYPE html><p>hi", "") == "html"
+    assert sniff_doc_type(b"\x00\x01binary", "") == "unknown"
+    assert sniff_doc_type(b"", "plain text here") == "text"
+    assert sniff_doc_type(b"", "") == "empty"
+
+
+def _stage_rows(rows: list[dict], cfg: ExtractConfig | None = None) -> list[dict]:
+    batch = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    return ExtractStage(cfg)(batch).to_pylist()
+
+
+def _page_row(url: str, html: bytes = b"", text: str = "") -> dict:
+    import datetime
+
+    return {"url": url, "warc_ts": datetime.datetime(2024, 1, 1),
+            "html": html, "text": text, "lang": "en"}
+
+
+def test_stage_error_isolation_never_drops_rows():
+    rows = [
+        _page_row("u1", html=b"<div><p>good content words here</p></div>"),
+        _page_row("u2", html=b"%PDF-1.4 broken"),
+        _page_row("u3", html=b"\xde\xad\xbe\xef garbage"),
+        _page_row("u4"),   # empty
+        _page_row("u5", text="plain passthrough"),
+    ]
+    out = _stage_rows(rows)
+    assert [r["url"] for r in out] == ["u1", "u2", "u3", "u4", "u5"]
+    by = {r["url"]: r for r in out}
+    assert by["u1"]["status"] == "ok" and by["u1"]["markdown"]
+    assert by["u2"]["status"] == "failed" and by["u2"]["error"].startswith("Error processing")
+    assert by["u3"]["status"] == "failed" and by["u3"]["error"] == "Unsupported file type"
+    assert by["u4"]["status"] == "failed" and by["u4"]["error"] == "Empty content"
+    assert by["u5"]["status"] == "ok" and by["u5"]["markdown"] == "plain passthrough"
+    # failed rows carry empty results, errors never in-band (M12)
+    assert by["u2"]["markdown"] == "" and by["u2"]["texts"] == []
+
+
+def test_content_hash_sha256_of_payload():
+    payload = b"<div><p>hash me properly words</p></div>"
+    out = _stage_rows([_page_row("u", html=payload)])
+    assert out[0]["content_hash"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_size_guard_marks_failed():
+    cfg = ExtractConfig(max_payload_bytes=100)
+    out = _stage_rows([_page_row("u", html=b"<p>" + b"x" * 200 + b"</p>")], cfg)
+    assert out[0]["status"] == "failed"
+    assert out[0]["error"] == "File size exceeds limit"
+
+
+def test_pdf_auto_routes_by_classifier():
+    rich_words = [f"word{i}" for i in range(400)]   # >75 words/page
+    rich = simple_pdf("Rich Doc", rich_words, words_per_line=10, lines_per_page=50)
+    sparse = simple_pdf("Sparse", ["few", "words"], words_per_line=10)
+    out = _stage_rows([
+        _page_row("rich", html=rich), _page_row("sparse", html=sparse),
+    ])
+    by = {r["url"]: r for r in out}
+    assert by["rich"]["markdown"].startswith("# Rich Doc")      # structured
+    assert by["sparse"]["markdown"].startswith("Sparse\n")      # plain mode
+    assert by["sparse"]["status"] == "ok"
+
+
+def test_multipage_pdf_texts_and_joiner():
+    words = [f"w{i}" for i in range(1000)]
+    pdf = simple_pdf("Multi", words, words_per_line=10, lines_per_page=20)
+    out = _stage_rows([_page_row("m", html=pdf)])
+    r = out[0]
+    assert len(r["texts"]) > 1
+    assert r["markdown"] == "\n\n---\n\n".join(r["texts"])   # app.py:938 joiner
+    for s in r["spans"]:
+        assert r["markdown"][s["start"]:s["end"]] != ""
+
+
+# ---------------------------------------------------------------- e2e ----
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(tmp_path_factory):
+    """Synthesized pages table written as 4 shards."""
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    rows = [
+        synth_page_record(d, t, l)
+        for d, t, l in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            docs.column("lang").to_pylist(),
+        )
+    ]
+    out = tmp_path_factory.mktemp("pages")
+    n = len(rows)
+    paths = []
+    for shard in range(4):
+        t = pa.Table.from_pylist(rows[shard * n // 4:(shard + 1) * n // 4],
+                                 schema=PAGES_SCHEMA)
+        p = str(out / f"shard-{shard}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths, rows
+
+
+def _oracle(rows: list[dict], cfg: ExtractConfig) -> dict[str, dict]:
+    """Single-threaded oracle: the same semantics run without Ray."""
+    stage = ExtractStage(cfg)
+    return {
+        r["url"]: stage.extract_row(r["url"], r["html"] or b"", r["text"] or "")
+        for r in rows
+    }
+
+
+def test_e2e_byte_identity_and_resume(ray_session, pages_parquet, tmp_path):
+    paths, rows = pages_parquet
+    cfg = ExtractConfig()
+    out_dir = str(tmp_path / "out")
+    totals = run_extract(paths, out_dir, cfg, num_groups=4)
+    assert totals["skipped_groups"] == 0
+    assert totals["ok"] + totals["failed"] == len(rows)
+
+    got = read_extracted(out_dir).to_pandas().set_index("url")
+    # no dropped rows: url-set identity
+    assert set(got.index) == {r["url"] for r in rows}
+
+    oracle = _oracle(rows, cfg)
+    for url, expect in oracle.items():
+        row = got.loc[url]
+        assert row["markdown"] == expect["markdown"], url
+        assert list(row["texts"]) == expect["texts"], url
+        assert row["content_hash"] == expect["content_hash"], url
+        assert row["status"] == expect["status"], url
+        got_spans = [dict(s) for s in row["spans"]]
+        assert got_spans == expect["spans"], url
+
+    # ---- resume: delete one manifest → only that group recomputes ----
+    victim = os.path.join(out_dir, "part=2", "manifest.json")
+    os.remove(victim)
+    before = {p: os.path.getmtime(os.path.join(out_dir, p, "manifest.json"))
+              for p in ("part=0", "part=1", "part=3")}
+    totals2 = run_extract(paths, out_dir, cfg, num_groups=4)
+    assert totals2["skipped_groups"] == 3
+    assert totals2["ok"] == totals["ok"] and totals2["failed"] == totals["failed"]
+    after = {p: os.path.getmtime(os.path.join(out_dir, p, "manifest.json"))
+             for p in ("part=0", "part=1", "part=3")}
+    assert before == after   # untouched partitions not rewritten
+    # recomputed partition byte-identical to oracle again
+    got2 = read_extracted(out_dir).to_pandas().set_index("url")
+    assert set(got2.index) == set(got.index)
+    for url in got2.index:
+        assert got2.loc[url, "markdown"] == oracle[url]["markdown"]
+
+
+def test_parallelism_invariance(ray_session, pages_parquet, tmp_path):
+    """Same input at different group counts → identical per-url results."""
+    paths, rows = pages_parquet
+    cfg = ExtractConfig()
+    out1 = str(tmp_path / "p1")
+    run_extract(paths, out1, cfg, num_groups=1)
+    a = read_extracted(out1).to_pandas().set_index("url").sort_index()
+    oracle = _oracle(rows, cfg)
+    for url, expect in oracle.items():
+        assert a.loc[url, "markdown"] == expect["markdown"]
+
+
+def test_pages_from_documents_stage(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.sources.pages import pages_dataset
+
+    ds = pages_dataset("/root/testdata/sf0.001")
+    assert ds.count() == 500
+    schema = ds.schema()
+    assert schema.names == ["url", "warc_ts", "html", "text", "lang"]

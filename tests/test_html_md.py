@@ -1,0 +1,111 @@
+"""HTML → markdown extractor unit tests (operator M2 contract,
+reference llm_food/app.py:252-259)."""
+
+from __future__ import annotations
+
+from llm_food_ray.functions.html_md import extract_markdown
+
+
+def _page(body: str) -> bytes:
+    return f"<html><head><title>t</title></head><body>{body}</body></html>".encode()
+
+
+def test_main_content_selected_over_boilerplate():
+    html = _page(
+        '<nav><a href="/a">home</a> <a href="/b">about</a></nav>'
+        '<div class="sidebar"><a href="/x">spam</a><a href="/y">links</a></div>'
+        "<article><h1>Title</h1><p>real content with enough words to win scoring</p></article>"
+        "<footer>copyright</footer>"
+    )
+    md, spans = extract_markdown(html)
+    assert md == "# Title\n\nreal content with enough words to win scoring"
+    assert [s["kind"] for s in spans] == ["heading", "paragraph"]
+
+
+def test_empty_and_no_content_yield_empty_string():
+    # mirrors trafilatura None-extract → "" (app.py:257)
+    assert extract_markdown(b"") == ("", [])
+    assert extract_markdown(b"   \n ") == ("", [])
+    md, spans = extract_markdown(
+        b'<html><body><nav><a href="/a">only links here</a></nav></body></html>'
+    )
+    assert md == "" and spans == []
+
+
+def test_decode_errors_ignore():
+    # invalid utf-8 bytes are dropped, not fatal (app.py:256 errors="ignore")
+    html = b"<div><p>caf\xff\xfe content words here for scoring</p></div>"
+    md, _ = extract_markdown(html)
+    assert "caf content words" in md
+
+
+def test_malformed_unclosed_tags():
+    md, _ = extract_markdown(b"<div><p>hello world unclosed <b>bold")
+    assert md == "hello world unclosed **bold**"
+
+
+def test_lists_links_code_quote():
+    html = _page(
+        "<article><p>intro paragraph with some words</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<ol><li>first</li><li>second</li></ol>"
+        '<p>see <a href="https://x.example/p">the docs</a> and <code>fn()</code></p>'
+        "<pre>line1\nline2</pre>"
+        "<blockquote>quoted words</blockquote></article>"
+    )
+    md, spans = extract_markdown(html)
+    assert "- one\n- two" in md
+    assert "1. first\n2. second" in md
+    assert "[the docs](https://x.example/p)" in md
+    assert "`fn()`" in md
+    assert "```\nline1\nline2\n```" in md
+    assert "> quoted words" in md
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["paragraph", "list", "list", "paragraph", "code", "quote"]
+
+
+def test_spans_index_into_markdown():
+    html = _page(
+        "<article><h1>Head</h1><p>para one words</p><p>para two words</p></article>"
+    )
+    md, spans = extract_markdown(html)
+    # ordered, non-overlapping, exact offsets
+    prev_end = -1
+    for s in spans:
+        assert s["start"] > prev_end
+        assert s["end"] > s["start"]
+        prev_end = s["end"]
+    assert md[spans[0]["start"]:spans[0]["end"]] == "# Head"
+    assert md[spans[1]["start"]:spans[1]["end"]] == "para one words"
+
+
+def test_whitespace_normalization_deterministic():
+    html = _page("<article><p>a   b\n\t c</p></article>")
+    md1, _ = extract_markdown(html)
+    md2, _ = extract_markdown(html)
+    assert md1 == "a b c" and md1 == md2
+
+
+def test_scripts_styles_comments_dropped():
+    html = _page(
+        "<script>var x = '<p>fake</p>';</script><style>p{color:red}</style>"
+        "<!-- comment --><article><p>visible body words here</p></article>"
+    )
+    md, _ = extract_markdown(html)
+    assert md == "visible body words here"
+
+
+def test_headings_levels():
+    html = _page("<article><h2>Two</h2><h3>Three</h3><p>body words here</p></article>")
+    md, _ = extract_markdown(html)
+    assert md.startswith("## Two\n\n### Three")
+
+
+def test_table_serialization():
+    html = _page(
+        "<article><p>intro words for scoring mass</p>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table></article>"
+    )
+    md, spans = extract_markdown(html)
+    assert "| a | b |\n| 1 | 2 |" in md
+    assert spans[-1]["kind"] == "table"
