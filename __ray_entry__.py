@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Correctness design note: the engine's north input (Common-Crawl-style
+``pages``) is synthesized as a *pure deterministic function* of the
+driver's ``documents`` table (``llm_food_ray/sources/pages.py``), chosen
+so the extraction results are reconstructible in ANSI SQL — which is what
+lets the driver's DuckDB oracle check the extraction pipeline end-to-end,
+not just relational ops.
 """
 
 from __future__ import annotations
@@ -18,27 +21,619 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from llm_food_ray.config import ChunkConfig, ExtractConfig
+from llm_food_ray.pipelines.extract import extract_dataset
+from llm_food_ray.sources.pages import pages_dataset
+from llm_food_ray.stages.chunk import ChunkStage
+from llm_food_ray.stages.dedup import (
+    dedup_exact,
+    drop_set_from_pairs,
+    embedding_candidate_pairs,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from llm_food_ray.stages.multimodal import MediaProbeStage
+from llm_food_ray.stages.similarity import IvfAssign, brute_topk, ivf_topk, train_centroids
+from llm_food_ray.stages.textstats import TextStatsStage
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# Reference citations: extraction semantics llm_food/app.py:354-460,
+# chunking llm_food/app.py:406-446, dedup llm_food/cli.py:206-218.
+
+_STRUCTURED = ExtractConfig(pdf_backend="structured")
+_AUTO = ExtractConfig(pdf_backend="auto")
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    """Fixed ANN query = embedding of vec_id 0 (tiny driver-side read)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=(pads.field("vec_id") == 0)
+    )
+    return t.column("embedding")[0].as_py()
+
+
+def _augmented_docs(sf_dir: str):
+    """documents + injected exact duplicates: every doc_id % 7 == 0 row is
+    copied with key doc_id + 1000000 (same rule in the oracle SQL)."""
+    def dup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy()
+        dups = batch.filter(pa.array(ids % 7 == 0))
+        dups = dups.set_column(
+            dups.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(dups.column("doc_id"), 1000000),
+        )
+        return pa.concat_tables([batch, dups])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(dup, batch_format="pyarrow")
+
+
+def _augmented_embeddings(sf_dir: str):
+    """embeddings + exact duplicate vectors for vec_id % 9 == 0."""
+    def dup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("vec_id").to_numpy()
+        dups = batch.filter(pa.array(ids % 9 == 0))
+        dups = dups.set_column(
+            dups.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(dups.column("vec_id"), 1000000),
+        )
+        return pa.concat_tables([batch, dups])
+
+    return _embeddings(sf_dir).map_batches(dup, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- entry ----
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 pages → dispatch+extract (whale leg on) →
+    extracted Dataset (url, content_hash, doc_type, markdown, texts,
+    spans, status, error)."""
+    pages = pages_dataset(SF_DEFAULT)
+    return extract_dataset(pages, _AUTO, whale_leg=True)
+
+
+# ------------------------------------------------------------- queries ----
+
+
+def q_extract_pages(sf_dir: str):
+    """M1/M2/M3/M11/M12/S1/S4: full extraction, structured PDF mode."""
+    ds = extract_dataset(pages_dataset(sf_dir), _STRUCTURED, whale_leg=False)
+    return ds.select_columns(["url", "doc_type", "status", "error", "markdown"])
+
+
+def q_extract_auto(sf_dir: str):
+    """M6 classifier routing (auto backend): sparse PDFs fall back to
+    plain-text mode, rich ones get structured markdown."""
+    ds = extract_dataset(pages_dataset(sf_dir), _AUTO, whale_leg=False)
+    return ds.select_columns(["url", "doc_type", "status", "markdown"])
+
+
+def q_extract_hash(sf_dir: str):
+    """M11: sha256 content hash (html + text rows — PDF bytes are not
+    reconstructible in SQL)."""
+    import pyarrow.compute as pc
+
+    ds = extract_dataset(pages_dataset(sf_dir), _STRUCTURED, whale_leg=False)
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_type"),
+                                    value_set=pa.array(["html", "text"]))),
+        batch_format="pyarrow",
+    ).select_columns(["url", "content_hash"])
+
+
+def q_extract_status_counts(sf_dir: str):
+    """F3/F4 job counters as a groupby rollup."""
+    from ray.data.aggregate import Count
+
+    ds = extract_dataset(pages_dataset(sf_dir), _STRUCTURED, whale_leg=False)
+    return ds.groupby(["status", "doc_type"]).aggregate(Count(alias_name="n"))
+
+
+def q_chunk_token(sf_dir: str):
+    """C1 token chunker (32/8) straight over documents.text."""
+    cfg = ChunkConfig(strategy="token", chunk_size=32, chunk_overlap=8)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        ChunkStage(cfg, text_column="text", key_column="doc_id"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "chunk_index", "chunk_text"])
+
+
+def q_extract_chunks(sf_dir: str):
+    """C5 convert-then-chunk fusion (/be, app.py:518-542): extraction
+    output feeds the token chunker."""
+    cfg = ChunkConfig(strategy="token", chunk_size=32, chunk_overlap=8)
+    import pyarrow.compute as pc
+
+    ds = extract_dataset(pages_dataset(sf_dir), _STRUCTURED, whale_leg=False)
+    ok = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), "ok")),
+        batch_format="pyarrow",
+    )
+    out = ok.map_batches(
+        ChunkStage(cfg, text_column="markdown", key_column="url"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["url", "chunk_index", "chunk_text"])
+
+
+def q_dedup_exact(sf_dir: str):
+    """F6 exact dedup at scale: hash-partition + per-group first over the
+    duplicate-augmented corpus."""
+    kept = dedup_exact(_augmented_docs(sf_dir), "doc_id", "text")
+    return kept.select_columns(["doc_id"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup dedup (exact-Jaccard verify, threshold 0.9)."""
+    aug = _augmented_docs(sf_dir)
+    pairs = minhash_candidate_pairs(
+        aug, "doc_id", "text", threshold=0.9, verify="exact",
+        num_perm=128, num_bands=32,
+    ).to_pandas()
+    drop = drop_set_from_pairs(list(zip(pairs["a"], pairs["b"])))
+    import pyarrow.compute as pc
+
+    drop_arr = pa.array(sorted(int(d) for d in drop), pa.int64())
+    return aug.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b.column("doc_id"),
+                                              value_set=drop_arr))),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs (LSH candidates → exact verify)."""
+    # 64 bands × 2 rows: recall at j=0.8 is 1-(1-0.8^2)^64 ≈ 1-3e-29 —
+    # candidate misses are numerically impossible, exact verify prunes
+    pairs = minhash_candidate_pairs(
+        _augmented_docs(sf_dir), "doc_id", "text", threshold=0.8,
+        verify="exact", num_perm=128, num_bands=64,
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [batch.column("a"), batch.column("b"),
+             pc.round(batch.column("sim"), 4)],
+            names=["a", "b", "jaccard"],
+        )
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (4×16-bit bands, hamming ≤ 3)."""
+    return simhash_candidate_pairs(_augmented_docs(sf_dir), "doc_id", "text",
+                                   max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup via SRP-LSH (threshold 0.99) over the
+    duplicate-augmented embeddings."""
+    pairs = embedding_candidate_pairs(
+        _augmented_embeddings(sf_dir), "vec_id", "embedding", threshold=0.99
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [batch.column("a"), batch.column("b"),
+             pc.round(batch.column("cosine"), 4)],
+            names=["a", "b", "cosine"],
+        )
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id-0 query vector."""
+    import pyarrow.compute as pc
+
+    q = _query_vec(sf_dir)
+    top = brute_topk(_embeddings(sf_dir), q, 10)
+    return top.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow",
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-10 (8 centroids, nprobe 4) — rows-only check;
+    recall vs brute force is pytest-verified."""
+    q = _query_vec(sf_dir)
+    emb = _embeddings(sf_dir)
+    sample = np.asarray(emb.limit(256).to_pandas()["embedding"].tolist())
+    cent = train_centroids(sample, 8)
+    assigned = emb.map_batches(IvfAssign(cent), batch_format="pyarrow")
+    return ivf_topk(assigned, cent, q, 10, nprobe=4, assigned=True)
+
+
+def q_lang_counts(sf_dir: str):
+    """Tiny groupby rollup on a dimension column."""
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting per document."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStatsStage(features=("tokens",)), batch_format="pyarrow"
+    )
+
+    def with_chars(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_chars", pc.utf8_length(batch.column("text")).cast(pa.int64())
+        )
+
+    return ds.map_batches(with_chars, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_chars"]
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    """Quality scoring per document (documented deterministic formula)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStatsStage(features=("quality",)), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_words", "mean_word_len", "stopword_ratio", "quality"]
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (stopword-profile n-gram) — rows-only."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStatsStage(features=("lang_id",)), batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "lang_id"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowing fingerprint minimum per doc, as fixed-width hex (the
+    global min of 5-gram hashes — SQL-reconstructible)."""
+    from llm_food_ray.functions.hashing import winnow_fingerprint
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        mins = [min(winnow_fingerprint(t, 5, 4), default=0) for t in texts]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array([format(m, "08x") for m in mins], pa.string())],
+            names=["doc_id", "fp8"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream table
+    (pre-aggregated per batch? no — groupby on (user_id, window) directly;
+    the window column is derived vectorized)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = batch.column("ts").cast(pa.int64())
+        win = pc.divide(us, 3600 * 1_000_000)
+        return batch.append_column("window", win)
+
+    ds = _events(sf_dir).map_batches(add_window, batch_format="pyarrow")
+    agg = ds.groupby(["user_id", "window"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(batch.column("sum_value"), 4))
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_multimodal_probe(sf_dir: str):
+    """Multimodal metadata probe: documents.text bytes as an opaque
+    payload through the actor-pool probe stage (deterministic FakeCodec)."""
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    probed = ds.map_batches(MediaProbeStage(), batch_format="pyarrow")
+    return probed.select_columns(
+        ["doc_id", "media_type", "n_bytes", "width", "height",
+         "duration_ms", "n_frames"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_pages": q_extract_pages,
+        "extract_auto": q_extract_auto,
+        "extract_hash": q_extract_hash,
+        "extract_status_counts": q_extract_status_counts,
+        "chunk_token": q_chunk_token,
+        "extract_chunks": q_extract_chunks,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "lang_counts": q_lang_counts,
+        "token_stats": q_token_stats,
+        "quality_stats": q_quality_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_window": q_events_window,
+        "multimodal_probe": q_multimodal_probe,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL ----
+
+_URL = "'https://site' || (doc_id % 100) || '.example.com/doc/' || doc_id"
+
+_HTML_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) || "
+    "'<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a> "
+    "<a href=\"/contact\">contact</a></nav>' || chr(10) || "
+    "'<div class=\"sidebar\"><a href=\"/l1\">promo one</a> <a href=\"/l2\">promo two</a> "
+    "<a href=\"/l3\">promo three</a></div>' || chr(10) || "
+    "'<article><h1>Document ' || doc_id || '</h1><p>' || text || '</p></article>' || chr(10) || "
+    "'<footer>copyright example site ' || (doc_id % 100) || '</footer>' || chr(10) || "
+    "'</body></html>'"
+)
+
+_DOC_TYPE_SQL = (
+    "CASE WHEN doc_id % 50 = 3 THEN 'pdf' "
+    "WHEN doc_id % 50 = 13 THEN 'unknown' "
+    "WHEN doc_id % 10 = 7 THEN 'text' "
+    "WHEN doc_id % 5 = 1 THEN 'pdf' ELSE 'html' END"
+)
+
+_STATUS_SQL = "CASE WHEN doc_id % 50 IN (3, 13) THEN 'failed' ELSE 'ok' END"
+
+_MARKDOWN_SQL = (
+    "CASE WHEN doc_id % 50 IN (3, 13) THEN '' "
+    "WHEN doc_id % 10 = 7 THEN text "
+    "ELSE '# Document ' || doc_id || chr(10) || chr(10) || text END"
+)
+
+_STOPLIST = ("'the','of','and','to','a','in','is','that','it','for','on',"
+             "'with','as','are','was','be','this','have','from','or','by'")
+
+_CHUNK_CTE = """
+WITH toks_t AS (
+  SELECT {key} AS k, string_split_regex({text_expr}, '\\s+') AS toks FROM {src}
+), n_t AS (
+  SELECT k, toks, len(toks) AS n FROM toks_t
+), c_t AS (
+  SELECT k, toks, n,
+         CASE WHEN n <= {size} THEN 1
+              ELSE 1 + CAST(ceil((n - {size}) / {step}.0) AS INT) END AS m
+  FROM n_t
+)
+SELECT k AS {key_out},
+       CAST(i AS INTEGER) AS chunk_index,
+       array_to_string(toks[(i * {step} + 1):LEAST(i * {step} + {size}, n)], ' ')
+         AS chunk_text
+FROM c_t, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) g
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ext_base = f"""
+SELECT {_URL} AS url,
+       {_DOC_TYPE_SQL} AS doc_type,
+       {_STATUS_SQL} AS status,
+       CASE WHEN doc_id % 50 = 3
+              THEN 'Error processing ' || {_URL} || ': no objects found'
+            WHEN doc_id % 50 = 13 THEN 'Unsupported file type'
+            ELSE '' END AS error,
+       {_MARKDOWN_SQL} AS markdown
+FROM documents
+"""
+    # auto mode: single-page PDF word count = 2 (title) + n body words;
+    # structured iff >= 75 words (classifier word_threshold, ratio 1/1)
+    auto_md = """
+CASE WHEN doc_id % 50 IN (3, 13) THEN ''
+     WHEN doc_id % 10 = 7 THEN text
+     WHEN doc_id % 5 = 1 THEN
+       CASE WHEN len(string_split_regex(text, '\\s+')) + 2 >= 75
+            THEN '# Document ' || doc_id || chr(10) || chr(10) || text
+            ELSE 'Document ' || doc_id || chr(10) ||
+                 (SELECT string_agg(
+                          array_to_string(t.toks[(i * 10 + 1):LEAST(i * 10 + 10, t.n)], ' '),
+                          chr(10) ORDER BY i)
+                  FROM (SELECT string_split_regex(d2.text, '\\s+') AS toks,
+                               len(string_split_regex(d2.text, '\\s+')) AS n) t,
+                       LATERAL (SELECT unnest(generate_series(0,
+                                 CAST(ceil(t.n / 10.0) AS INT) - 1)) AS i) g)
+       END
+     ELSE '# Document ' || doc_id || chr(10) || chr(10) || text END
+"""
+    quality = f"""
+WITH f AS (
+  SELECT doc_id,
+         string_split_regex(text, '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, n_chars, n_punct,
+         len(toks) AS n_words,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+           AS sum_len,
+         len(list_filter(toks, x -> lower(x) IN ({_STOPLIST}))) AS stop_hits
+  FROM f
+)
+SELECT doc_id,
+       n_words,
+       round(sum_len / n_words, 6) AS mean_word_len,
+       round(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       round(0.4 * LEAST(1.0, n_words / 100.0)
+           + 0.3 * LEAST(1.0, (CAST(stop_hits AS DOUBLE) / n_words) / 0.3)
+           + 0.2 * GREATEST(0.0, 1.0 - 4.0 * (CAST(n_punct AS DOUBLE) / n_chars))
+           + 0.1 * (CASE WHEN sum_len / n_words BETWEEN 3.0 AND 10.0 THEN 1.0
+                         WHEN sum_len / n_words > 0 THEN 0.5 ELSE 0.0 END), 6)
+         AS quality
+FROM g
+"""
+    return {
+        "extract_pages": ext_base,
+        "extract_auto": (
+            f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "
+            f"{_STATUS_SQL} AS status, ({auto_md}) AS markdown FROM documents AS d2"
+        ),
+        "extract_hash": f"""
+SELECT {_URL} AS url,
+       CASE WHEN doc_id % 10 = 7 THEN sha256(text)
+            ELSE sha256({_HTML_SQL}) END AS content_hash
+FROM documents
+WHERE doc_id % 50 NOT IN (3, 13) AND doc_id % 5 != 1
+""",
+        "extract_status_counts": f"""
+SELECT {_STATUS_SQL} AS status, {_DOC_TYPE_SQL} AS doc_type,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+        "chunk_token": _CHUNK_CTE.format(
+            key="doc_id", key_out="doc_id", text_expr="text",
+            src="documents", size=32, step=24,
+        ),
+        "extract_chunks": _CHUNK_CTE.format(
+            key=_URL, key_out="url",
+            text_expr=_MARKDOWN_SQL,
+            src="documents WHERE doc_id % 50 NOT IN (3, 13)",
+            size=32, step=24,
+        ),
+        "dedup_exact": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+""",
+        # dedup_minhash: kept-set needs union-find over near-dup clusters
+        # (not SQL-expressible) → rows-only; pair discovery is SQL-checked
+        # via ngram_jaccard_pairs below and pytest covers clustering.
+        "ngram_jaccard_pairs": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.8
+""",
+        "embedding_neardup": """
+SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
+FROM embeddings WHERE vec_id % 9 = 0
+""",
+        "ann_topk": """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4)
+         AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+         vec_id
+LIMIT 10
+""",
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "token_stats": """
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+        "quality_stats": quality,
+        "doc_fingerprint": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+)
+SELECT doc_id,
+       min(substr(md5(array_to_string(toks[(i + 1):(i + 5)], ' ')), 9, 8)) AS fp8
+FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 5)) AS i) g
+GROUP BY doc_id
+""",
+        "events_window": """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS window,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "multimodal_probe": """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
+       240 + octet_length(CAST(text AS BLOB)) % 240 AS height,
+       (octet_length(CAST(text AS BLOB)) % 1000) * 40 AS duration_ms,
+       octet_length(CAST(text AS BLOB)) % 32 AS n_frames
+FROM documents
+""",
+        # dedup_simhash, ann_ivf, lang_id: non-SQL-expressible
+        # (heuristic / approximate) → rows-only checks; pytest covers
+        # their semantics against brute-force oracles.
+    }

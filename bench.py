@@ -1,0 +1,188 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+sf0.1), one JSON line on stdout.
+
+    python bench.py              # single run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs →
+                                 # throughput at both + scaling efficiency
+
+Headline metric: end-to-end extraction seconds over a replicated
+Common-Crawl-style pages corpus (REPL × documents rows; HTML+PDF+text
+mix), read → dispatch+extract → partitioned parquet write.  Pages are
+materialized to /tmp once (untimed, cached) so the timed section
+measures the engine, not fixture synthesis; one untimed read warms the
+page cache first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("BENCH_REPLICATION", "10"))
+PAGES_CACHE = "/tmp/bench_pages"
+
+
+def prepare_pages(sf_dir: str, repl: int) -> str:
+    """Materialize the replicated pages table once (untimed, cached).
+
+    Replica r of doc d gets doc_id' = d + r * 10_000_000 → unique urls,
+    same text → exact-dup clusters of size `repl` (feeds the dedup bench).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.schema import PAGES_SCHEMA
+    from llm_food_ray.sources.pages import synth_page_record
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{PAGES_CACHE}_{tag}_x{repl}"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+
+    def synth(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t, l in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist(),
+                           batch.column("lang").to_pylist()):
+            for r in range(repl):
+                rows.append(synth_page_record(d + r * 10_000_000, t or "", l or ""))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "lang"])
+       .repartition(NCPU * 2)
+       .map_batches(synth, batch_format="pyarrow")
+       .write_parquet(tmp, min_rows_per_file=20_000))
+    os.rename(tmp, out)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from llm_food_ray.config import ChunkConfig, ExtractConfig
+    from llm_food_ray.pipelines.extract import extract_dataset
+    from llm_food_ray.stages.chunk import ChunkStage
+    from llm_food_ray.stages.dedup import dedup_exact, minhash_candidate_pairs
+    from llm_food_ray.stages.similarity import brute_topk
+
+    pages_dir = prepare_pages(SF_DIR, REPL)
+    # untimed warm read (page cache + ray warmup)
+    n_pages = rd.read_parquet(pages_dir).count()
+
+    queries: dict[str, float] = {}
+    out_dir = f"/tmp/bench_out_{NCPU}"
+
+    # --- headline: extraction end-to-end -------------------------------
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(pages_dir)
+    extracted = extract_dataset(ds, ExtractConfig(), whale_leg=False)
+    extracted.write_parquet(out_dir, min_rows_per_file=100_000)
+    extract_sec = time.perf_counter() - t0
+    queries["extract"] = round(extract_sec, 3)
+
+    # --- chunk: token chunker over the extracted markdown ---------------
+    t0 = time.perf_counter()
+    chunks = rd.read_parquet(out_dir, columns=["url", "markdown"]).map_batches(
+        ChunkStage(ChunkConfig(strategy="token", chunk_size=512, chunk_overlap=128)),
+        batch_format="pyarrow",
+    )
+    n_chunks = chunks.count()
+    queries["chunk"] = round(time.perf_counter() - t0, 3)
+
+    # --- dedup: exact (replication → clusters of REPL) ------------------
+    docs = rd.read_parquet(pages_dir, columns=["url", "text", "html"])
+    t0 = time.perf_counter()
+    ext_txt = rd.read_parquet(out_dir, columns=["url", "markdown"])
+    kept = dedup_exact(ext_txt, "url", "markdown")
+    n_kept = kept.count()
+    queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    # --- dedup: minhash-LSH estimate over extracted markdown ------------
+    t0 = time.perf_counter()
+    pairs = minhash_candidate_pairs(
+        rd.read_parquet(out_dir, columns=["url", "markdown"]),
+        "url", "markdown", threshold=0.9, verify="estimate",
+        num_perm=128, num_bands=16,
+    )
+    n_pairs = pairs.count()
+    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    # --- ann: brute-force cosine top-10 ---------------------------------
+    import pyarrow.dataset as pads
+
+    qvec = pads.dataset(f"{SF_DIR}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") == 0),
+    ).column("embedding")[0].as_py()
+    t0 = time.perf_counter()
+    top = brute_topk(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), qvec, 10)
+    top.to_pandas()
+    queries["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end extraction seconds over replicated pages corpus "
+                  "(read -> dispatch+extract -> parquet write)",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / extract_sec, 1),
+        "n_chunks": n_chunks,
+        "n_kept": n_kept,
+        "n_dup_pairs": n_pairs,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job in fresh processes at 8 and 32 CPUs → efficiency.
+
+    Proxy for the north rule's N-vs-4N cluster-size criterion (no real
+    cluster in this sandbox): efficiency = (t_8 / t_32) / (32 / 8)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus (same input, fresh processes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -77,6 +77,8 @@ def quality_score(text: str) -> float:
     rewards mid-length docs, real words, some stopwords, low punctuation
     noise. Deterministic; documented formula, not a model."""
     f = quality_features(text)
+    if f["n_words"] == 0:
+        return 0.0
     length_term = min(1.0, f["n_words"] / 100.0)
     stop_term = min(1.0, f["stopword_ratio"] / 0.3)
     punct_pen = max(0.0, 1.0 - 4.0 * f["punct_ratio"])

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the baseline — each ``map_batches`` task
+  computes scores against a broadcast query matrix (numpy matmul), emits
+  its per-batch top-k, and a tiny global sort+limit finishes. The query
+  vectors are shipped once via the task closure/``ray.put``, never
+  per-batch.
+- IVF variant (the scale path): deterministic k-means centroids trained
+  on a driver-side sample, broadcast; an assign stage adds a cluster id;
+  a query probes the ``nprobe`` nearest centroids and brute-forces only
+  those partitions. At cluster scale the assignment column doubles as
+  the partition key for the vector Parquet layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class BruteForceTopK:
+    """Per-batch cosine top-k against a fixed query vector."""
+
+    def __init__(self, query_vec, k: int, key_column: str = "vec_id",
+                 vec_column: str = "embedding"):
+        q = np.asarray(query_vec, dtype=np.float64)
+        self.q = q / (np.linalg.norm(q) or 1.0)
+        self.k = k
+        self.key_column = key_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(self.key_column).to_pylist())
+        mat = np.asarray(batch.column(self.vec_column).to_pylist(), dtype=np.float64)
+        scores = _unit(mat) @ self.q
+        if len(keys) > self.k:
+            idx = np.argpartition(-scores, self.k)[: self.k]
+        else:
+            idx = np.arange(len(keys))
+        return pa.Table.from_arrays(
+            [pa.array(keys[idx].tolist()), pa.array(scores[idx], pa.float64())],
+            names=[self.key_column, "score"],
+        )
+
+
+def brute_topk(ds, query_vec, k: int, *, key_column: str = "vec_id",
+               vec_column: str = "embedding"):
+    """→ Dataset of exactly k rows (key, score), highest cosine first.
+
+    Per-batch top-k prunes before the global sort, so the sort input is
+    ~k × num_blocks rows, not the corpus."""
+    candidates = ds.map_batches(
+        BruteForceTopK(query_vec, k, key_column, vec_column),
+        batch_format="pyarrow",
+    )
+    return candidates.sort(["score", key_column], descending=[True, False]).limit(k)
+
+
+# ----------------------------------------------------------------- IVF ----
+
+
+def train_centroids(sample: np.ndarray, n_clusters: int, *, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (numpy only)."""
+    rng = np.random.RandomState(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+class IvfAssign:
+    """Adds the nearest-centroid id (the IVF partition key)."""
+
+    def __init__(self, centroids: np.ndarray, vec_column: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column(self.vec_column).to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1)
+        return batch.append_column("ivf_cluster", pa.array(d.argmin(1), pa.int32()))
+
+
+def ivf_topk(ds, centroids: np.ndarray, query_vec, k: int, *, nprobe: int = 4,
+             key_column: str = "vec_id", vec_column: str = "embedding",
+             assigned: bool = False):
+    """Approximate top-k: probe the `nprobe` nearest IVF partitions only.
+
+    `assigned=True` when `ds` already carries ``ivf_cluster`` (the usual
+    case — assignment is done once at ingest and persisted)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cd = ((centroids - q[None, :]) ** 2).sum(-1)
+    probe = set(int(c) for c in np.argsort(cd)[:nprobe])
+    if not assigned:
+        ds = ds.map_batches(IvfAssign(centroids, vec_column), batch_format="pyarrow")
+    probed = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_cluster"),
+                                    value_set=pa.array(sorted(probe), pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return brute_topk(probed, query_vec, k, key_column=key_column,
+                      vec_column=vec_column)

@@ -1,0 +1,74 @@
+"""Text-analysis stage: language ID, quality scoring, token counting,
+document fingerprinting — per-batch vectorized columns over a text table.
+
+These are the training-data-pipeline operators beyond the reference's own
+inventory (prompt requirement): each is deterministic and cheap enough to
+run as stateless ``map_batches`` tasks; the stopword tables / regexes are
+module-level constants compiled at import (once per worker process).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import md5_hex, simhash64, winnow_fingerprint
+from ..functions.textstats import (
+    detect_lang,
+    bpe_ish_token_count,
+    quality_features,
+    quality_score,
+    token_count,
+)
+
+
+class TextStatsStage:
+    """Adds lang_id / quality / token-count / fingerprint columns.
+
+    `features` selects the computed columns (all by default) so queries
+    only pay for what they project.
+    """
+
+    ALL = ("lang_id", "quality", "tokens", "fingerprint")
+
+    def __init__(self, text_column: str = "text", features=ALL):
+        self.text_column = text_column
+        self.features = tuple(features)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(self.text_column).to_pylist()]
+        cols: dict[str, pa.Array] = {}
+        if "lang_id" in self.features:
+            cols["lang_id"] = pa.array([detect_lang(t) for t in texts], pa.string())
+        if "tokens" in self.features:
+            cols["n_tokens"] = pa.array([token_count(t) for t in texts], pa.int64())
+            cols["n_tokens_bpe"] = pa.array(
+                [bpe_ish_token_count(t) for t in texts], pa.int64()
+            )
+        if "quality" in self.features:
+            feats = [quality_features(t) for t in texts]
+            cols["n_words"] = pa.array([f["n_words"] for f in feats], pa.int64())
+            cols["mean_word_len"] = pa.array(
+                [round(f["mean_word_len"], 6) for f in feats], pa.float64()
+            )
+            cols["stopword_ratio"] = pa.array(
+                [round(f["stopword_ratio"], 6) for f in feats], pa.float64()
+            )
+            cols["quality"] = pa.array([quality_score(t) for t in texts], pa.float64())
+        if "fingerprint" in self.features:
+            cols["content_md5"] = pa.array([md5_hex(t) for t in texts], pa.string())
+            cols["simhash"] = pa.array(
+                [simhash64(t) for t in texts], pa.uint64()
+            )
+            cols["fingerprint_min"] = pa.array(
+                [min(winnow_fingerprint(t), default=0) for t in texts], pa.uint64()
+            )
+        out = batch
+        for name, arr in cols.items():
+            out = out.append_column(name, arr)
+        return out
+
+
+def text_stats_dataset(ds, text_column: str = "text", features=TextStatsStage.ALL):
+    return ds.map_batches(
+        TextStatsStage(text_column, features), batch_format="pyarrow"
+    )

@@ -1,0 +1,147 @@
+"""Dedup stage tests: exact, minhash+LSH (vs brute-force Jaccard oracle),
+simhash, embedding near-dup, union-find clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from llm_food_ray.functions.hashing import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    shingle_hashes,
+    simhash64,
+)
+from llm_food_ray.stages.dedup import (
+    clusters_from_pairs,
+    dedup_exact,
+    drop_set_from_pairs,
+    embedding_candidate_pairs,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+
+
+def _docs():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest where tall trees grow").split()
+    docs = []
+    for i in range(20):
+        words = [f"doc{i}w{j}" for j in range(30)]
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    # near-dup family: 20/21/22 share almost all shingles
+    docs.append({"doc_id": 20, "text": " ".join(base)})
+    near = list(base)
+    near[5] = "leaps"
+    docs.append({"doc_id": 21, "text": " ".join(near)})
+    docs.append({"doc_id": 22, "text": " ".join(base)})       # exact dup of 20
+    # exact dup of 5
+    docs.append({"doc_id": 23, "text": docs[5]["text"]})
+    return docs
+
+
+def test_minhash_estimator_accuracy():
+    h = MinHasher(256)
+    a = shingle_hashes("a b c d e f g h i j k l m n o p", 3)
+    b = shingle_hashes("a b c d e f g h i j k l m n o X", 3)
+    true_j = jaccard(a, b)
+    est = float((h.signature(a) == h.signature(b)).mean())
+    assert abs(est - true_j) < 0.15
+    assert jaccard(a, a) == 1.0
+
+
+def test_simhash_properties():
+    s1 = simhash64("the quick brown fox jumps over the lazy dog")
+    s2 = simhash64("the quick brown fox jumps over the lazy cat")
+    s3 = simhash64("completely different words entirely unrelated content")
+    assert hamming64(s1, s1) == 0
+    assert hamming64(s1, s2) < hamming64(s1, s3)
+
+
+def test_union_find_clusters():
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    roots = clusters_from_pairs(pairs)
+    assert roots[1] == roots[2] == roots[3] == 1
+    assert roots[10] == roots[11] == 10
+    assert drop_set_from_pairs(pairs) == {2, 3, 11}
+
+
+def test_dedup_exact_ray(ray_session):
+    from helpers import dataset_from_items
+
+    ds = dataset_from_items(_docs())
+    kept = dedup_exact(ds, "doc_id", "text").to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # 22 dups 20, 23 dups 5 → dropped; 21 is near-dup (kept by exact)
+    assert 20 in kept_ids and 22 not in kept_ids
+    assert 5 in kept_ids and 23 not in kept_ids
+    assert 21 in kept_ids
+    assert len(kept_ids) == 22
+
+
+@pytest.mark.parametrize("verify", ["exact", "estimate"])
+def test_minhash_pairs_vs_bruteforce(ray_session, verify):
+    from helpers import dataset_from_items
+
+    docs = _docs()
+    threshold = 0.7
+    ds = dataset_from_items(docs)
+    pairs = minhash_candidate_pairs(
+        ds, "doc_id", "text", threshold=threshold, verify=verify,
+        num_perm=128, num_bands=32,   # 32 bands of 4 rows → recalls j>=0.7 reliably
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    # brute-force oracle on exact jaccard
+    sh = {d["doc_id"]: shingle_hashes(d["text"], 3) for d in docs}
+    expect = set()
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(sh[ids[i]], sh[ids[j]]) >= threshold:
+                expect.add((ids[i], ids[j]))
+    assert expect, "fixture must contain true near-dups"
+    if verify == "exact":
+        assert got == expect
+    else:
+        # estimator: full recall of exact dups, no wildly-false positives
+        assert expect <= got | expect
+        assert (20, 22) in got
+        for a, b in got:
+            assert jaccard(sh[a], sh[b]) >= 0.4
+
+
+def test_simhash_pairs_ray(ray_session):
+    from helpers import dataset_from_items
+
+    docs = _docs()
+    pairs = simhash_candidate_pairs(
+        dataset_from_items(docs), "doc_id", "text", max_hamming=3
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (20, 22) in got          # identical text → hamming 0
+    assert (5, 23) in got
+    # unrelated random docs must not pair up
+    for a, b in got:
+        assert {a, b} <= {20, 21, 22} or {a, b} == {5, 23}
+
+
+def test_embedding_pairs_ray(ray_session):
+    from helpers import dataset_from_items
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # 30/31 near-identical to 0
+    base = np.asarray(rows[0]["embedding"])
+    rows.append({"vec_id": 30, "embedding": (base + 0.01).tolist()})
+    rows.append({"vec_id": 31, "embedding": base.tolist()})
+    pairs = embedding_candidate_pairs(
+        dataset_from_items(rows), "vec_id", "embedding", threshold=0.99
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 30) in got and (0, 31) in got and (30, 31) in got
+    for a, b in got:
+        assert {a, b} <= {0, 30, 31}

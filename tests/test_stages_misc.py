@@ -1,0 +1,97 @@
+"""Chunk-stage and multimodal-stage plumbing tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from llm_food_ray.config import ChunkConfig
+from llm_food_ray.stages.chunk import ChunkStage, chunk_dataset
+from llm_food_ray.stages.multimodal import (
+    FakeCodec,
+    FrameSampleStage,
+    MediaProbeStage,
+    MediaResizeStage,
+    RealCodec,
+    media_probe_dataset,
+)
+
+
+def test_chunk_stage_flat_map(ray_session):
+    from helpers import dataset_from_items
+
+    ds = dataset_from_items([
+        {"url": "u1", "markdown": " ".join(f"w{i}" for i in range(20))},
+        {"url": "u2", "markdown": "short text"},
+        {"url": "u3", "markdown": ""},
+    ])
+    cfg = ChunkConfig(strategy="token", chunk_size=8, chunk_overlap=0)
+    out = chunk_dataset(ds, cfg).to_pandas()
+    assert set(out["url"]) == {"u1", "u2"}            # empty doc → no chunks
+    u1 = out[out["url"] == "u1"].sort_values("chunk_index")
+    assert list(u1["chunk_index"]) == [0, 1, 2]
+    assert u1["chunk_text"].iloc[0] == " ".join(f"w{i}" for i in range(8))
+    assert (out["strategy"] == "token").all()
+
+
+def test_chunk_stage_texts_column_joiner():
+    # /be semantics: pages joined with "\n" before chunking (app.py:530)
+    batch = pa.table({
+        "url": ["u"],
+        "texts": [[" ".join(f"a{i}" for i in range(6)),
+                   " ".join(f"b{i}" for i in range(6))]],
+    })
+    cfg = ChunkConfig(strategy="token", chunk_size=12, chunk_overlap=0)
+    out = ChunkStage(cfg, text_column="texts")(batch).to_pylist()
+    assert len(out) == 1
+    assert out[0]["chunk_text"].split() == [f"a{i}" for i in range(6)] + [f"b{i}" for i in range(6)]
+
+
+def test_media_probe_deterministic_metadata(ray_session):
+    from helpers import dataset_from_items
+
+    ds = dataset_from_items([
+        {"url": "png", "payload": b"\x89PNG\r\n" + b"x" * 100},
+        {"url": "jpg", "payload": b"\xff\xd8\xff\xe0" + b"y" * 50},
+        {"url": "wav", "payload": b"RIFF1234WAVEdata" + b"z" * 10},
+        {"url": "mp4", "payload": b"\x00\x00\x00\x18ftypmp42" + b"q" * 30},
+        {"url": "other", "payload": b"hello"},
+    ])
+    out = media_probe_dataset(ds).to_pandas().set_index("url")
+    assert out.loc["png", "media_type"] == "image/png"
+    assert out.loc["jpg", "media_type"] == "image/jpeg"
+    assert out.loc["wav", "media_type"] == "audio/wav"
+    assert out.loc["mp4", "media_type"] == "video/mp4"
+    assert out.loc["other", "media_type"] == "application/octet-stream"
+    n = int(out.loc["other", "n_bytes"])
+    assert n == 5
+    assert int(out.loc["other", "width"]) == 320 + (n % 320)
+    assert int(out.loc["other", "height"]) == 240 + (n % 240)
+
+
+def test_media_resize_fake_codec():
+    batch = pa.table({"url": ["a"], "payload": [b"imagebytes"]})
+    out = MediaResizeStage(64, 48)(batch).to_pylist()[0]
+    assert len(out["resized"]) == 24          # 16-byte hash + 2×4-byte dims
+    # deterministic
+    again = MediaResizeStage(64, 48)(batch).to_pylist()[0]
+    assert out["resized"] == again["resized"]
+
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        RealCodec().probe(b"x")
+    with pytest.raises(NotImplementedError):
+        RealCodec().resize(b"x", 1, 1)
+
+
+def test_frame_sampling_evenly_spaced():
+    payload = b"v" * 100          # fake codec → n_frames = 100 % 32 = 4
+    batch = pa.table({"url": ["v1"], "payload": [payload]})
+    out = FrameSampleStage(2)(batch).to_pylist()
+    n_frames = FakeCodec().probe(payload)["n_frames"]
+    assert n_frames == 4
+    assert [r["frame_index"] for r in out] == [0, 2]   # int(i*4/2)
+    # zero-frame payloads produce no rows
+    empty = FrameSampleStage(2)(pa.table({"url": ["e"], "payload": [b"v" * 32]}))
+    assert empty.num_rows == 0
