@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("BENCH_REPLICATION", "10"))
+REPL = int(os.environ.get("BENCH_REPLICATION", "100"))
 PAGES_CACHE = "/tmp/bench_pages"
 
 
@@ -60,7 +60,7 @@ def prepare_pages(sf_dir: str, repl: int) -> str:
                      columns=["doc_id", "text", "lang"])
        .repartition(NCPU * 2)
        .map_batches(synth, batch_format="pyarrow")
-       .write_parquet(tmp, min_rows_per_file=20_000))
+       .write_parquet(tmp, min_rows_per_file=1000))
     os.rename(tmp, out)
     return out
 
@@ -84,8 +84,16 @@ def run_bench() -> dict:
     from llm_food_ray.stages.similarity import brute_topk
 
     pages_dir = prepare_pages(SF_DIR, REPL)
+    # read parallelism: decouple block count from file layout so the map
+    # stages get ~3 tasks per core regardless of shard sizes
+    nblocks = NCPU * 3
+
+    def read_pages(columns=None):
+        return rd.read_parquet(pages_dir, columns=columns,
+                               override_num_blocks=nblocks)
+
     # untimed warm read (page cache + ray warmup)
-    n_pages = rd.read_parquet(pages_dir).count()
+    n_pages = read_pages().count()
 
     queries: dict[str, float] = {}
     out_dir = f"/tmp/bench_out_{NCPU}"
@@ -93,15 +101,16 @@ def run_bench() -> dict:
     # --- headline: extraction end-to-end -------------------------------
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = rd.read_parquet(pages_dir)
+    ds = read_pages()
     extracted = extract_dataset(ds, ExtractConfig(), whale_leg=False)
-    extracted.write_parquet(out_dir, min_rows_per_file=100_000)
+    extracted.write_parquet(out_dir)
     extract_sec = time.perf_counter() - t0
     queries["extract"] = round(extract_sec, 3)
 
     # --- chunk: token chunker over the extracted markdown ---------------
     t0 = time.perf_counter()
-    chunks = rd.read_parquet(out_dir, columns=["url", "markdown"]).map_batches(
+    chunks = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                             override_num_blocks=nblocks).map_batches(
         ChunkStage(ChunkConfig(strategy="token", chunk_size=512, chunk_overlap=128)),
         batch_format="pyarrow",
     )
@@ -109,9 +118,9 @@ def run_bench() -> dict:
     queries["chunk"] = round(time.perf_counter() - t0, 3)
 
     # --- dedup: exact (replication → clusters of REPL) ------------------
-    docs = rd.read_parquet(pages_dir, columns=["url", "text", "html"])
     t0 = time.perf_counter()
-    ext_txt = rd.read_parquet(out_dir, columns=["url", "markdown"])
+    ext_txt = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                              override_num_blocks=nblocks)
     kept = dedup_exact(ext_txt, "url", "markdown")
     n_kept = kept.count()
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
@@ -119,9 +128,10 @@ def run_bench() -> dict:
     # --- dedup: minhash-LSH estimate over extracted markdown ------------
     t0 = time.perf_counter()
     pairs = minhash_candidate_pairs(
-        rd.read_parquet(out_dir, columns=["url", "markdown"]),
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks),
         "url", "markdown", threshold=0.9, verify="estimate",
-        num_perm=128, num_bands=16,
+        num_perm=128, num_bands=16, pair_mode="star",
     )
     n_pairs = pairs.count()
     queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)

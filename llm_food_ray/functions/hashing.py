@@ -38,30 +38,67 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (public-domain avalanche)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Unique 32-bit shingle hashes (sorted) for minhash/jaccard."""
-    sh = word_shingles(text, k)
-    if not sh:
+    """Unique 60-bit shingle hashes (sorted) for minhash/jaccard.
+
+    Hot path: one crc32 per token (C speed) + a vectorized polynomial
+    combine over the k-window, NOT a Python md5 per shingle — at 10^5+
+    docs the per-shingle hashlib calls dominate the whole dedup stage.
+    60-bit width makes in-pair collisions (which would skew exact-Jaccard
+    verification vs a string-set oracle) negligible (~1e-14 per pair)."""
+    import zlib
+
+    toks = text.split()
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    arr = np.array([stable_hash64(s) & _MAX_HASH for s in sh], dtype=np.uint64)
-    return np.unique(arr)
+    th = _mix64(
+        np.fromiter((zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64, count=len(toks)) + _GOLDEN
+    )
+    n = len(th)
+    if n < k:
+        h = np.uint64(0)
+        for v in th:
+            h = _mix64(h * _FNV_PRIME + v)
+        arr = np.array([h], dtype=np.uint64)
+    else:
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _FNV_PRIME + th[j:j + m]
+        arr = _mix64(acc)
+    return np.unique(arr >> np.uint64(4))   # 60-bit (< Mersenne prime 2^61-1)
 
 
 class MinHasher:
-    """num_perm universal-hash minhash ((a*x + b) mod p mod 2^32), fixed
-    seed → identical signatures across workers/runs."""
+    """num_perm universal-hash minhash ((a*x + b) mod p, p = 2^61-1), fixed
+    seed → identical signatures across workers/runs.  a is drawn < 2^31 so
+    a*x (x masked to 32 bits) + b stays below 2^64 — no silent uint64
+    wraparound inside the modular hash."""
 
     def __init__(self, num_perm: int = 128, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+        self.a = rng.randint(1, 2**31, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
 
     def signature(self, hashes: np.ndarray) -> np.ndarray:
         if hashes.size == 0:
             return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        x = hashes & np.uint64(_MAX_HASH)   # 32-bit inputs keep a*x+b < 2^64
         # (num_perm, n) — vectorized over both permutations and shingles
-        vals = (np.outer(self.a, hashes) + self.b[:, None]) % MERSENNE_PRIME & _MAX_HASH
+        vals = (np.outer(self.a, x) + self.b[:, None]) % MERSENNE_PRIME & _MAX_HASH
         return vals.min(axis=1).astype(np.uint64)
 
     def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:

@@ -397,22 +397,41 @@ def _lines_from_runs(runs: list[TextRun]) -> list[tuple[float, str]]:
 
 def page_plain_text(content: bytes) -> str:
     """Plain-text mode (M4, app.py:271-276): lines joined by newline."""
-    lines = _lines_from_runs(extract_runs(content))
-    return "\n".join(t for _s, t in lines if t.strip())
+    return _lines_to_plain(_lines_from_runs(extract_runs(content)))
 
 
 def page_markdown(content: bytes) -> str:
     """Structured mode (M3, pdf_utils.py:71-75): heading detection by font
     size relative to the page's modal body size (>=1.7x → #, >=1.4x → ##,
-    >=1.15x → ###); consecutive body lines merge into one paragraph joined
-    by spaces; blocks joined by blank lines."""
-    lines = [(s, t) for s, t in _lines_from_runs(extract_runs(content)) if t.strip()]
+    >=1.15x → ###; modal ties → smaller size, body text dominates);
+    consecutive body lines merge into one paragraph joined by spaces;
+    blocks joined by blank lines."""
+    return _lines_to_markdown(_lines_from_runs(extract_runs(content)))
+
+
+def pdf_pages_markdown(data: bytes, structured: bool = True) -> list[str]:
+    """Whole document → list of per-page markdown (models.py:17 `texts`)."""
+    doc = parse_pdf(data)
+    fn = page_markdown if structured else page_plain_text
+    return [fn(stream) for stream in doc.page_streams()]
+
+
+def pdf_pages_word_counts(data: bytes) -> list[int]:
+    """Word count per page — input to the text/scanned classifier (M6)."""
+    doc = parse_pdf(data)
+    return [len(page_plain_text(s).split()) for s in doc.page_streams()]
+
+
+def _lines_to_plain(lines: list[tuple[float, str]]) -> str:
+    return "\n".join(t for _s, t in lines if t.strip())
+
+
+def _lines_to_markdown(lines: list[tuple[float, str]]) -> str:
+    lines = [(s, t) for s, t in lines if t.strip()]
     if not lines:
         return ""
-    sizes = sorted(s for s, _t in lines)
-    # modal size = most frequent; ties → smaller (body text dominates)
     freq: dict[float, int] = {}
-    for s in sizes:
+    for s, _t in lines:
         freq[s] = freq.get(s, 0) + 1
     body = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
     blocks: list[str] = []
@@ -435,14 +454,24 @@ def page_markdown(content: bytes) -> str:
     return "\n\n".join(blocks)
 
 
-def pdf_pages_markdown(data: bytes, structured: bool = True) -> list[str]:
-    """Whole document → list of per-page markdown (models.py:17 `texts`)."""
-    doc = parse_pdf(data)
-    fn = page_markdown if structured else page_plain_text
-    return [fn(stream) for stream in doc.page_streams()]
+def pdf_extract(data: bytes, backend: str = "auto",
+                classifier=None) -> tuple[list[str], bool]:
+    """One-parse extraction: (per-page markdown, structured_used).
 
+    Parses the document and runs the content streams ONCE; the
+    text/scanned classifier (M6) consumes the same per-page lines that
+    the serializer uses (the two-pass pdf_pages_word_counts +
+    pdf_pages_markdown path parses every object twice)."""
+    from .pdf_classify import is_text_based
 
-def pdf_pages_word_counts(data: bytes) -> list[int]:
-    """Word count per page — input to the text/scanned classifier (M6)."""
     doc = parse_pdf(data)
-    return [len(page_plain_text(s).split()) for s in doc.page_streams()]
+    page_lines = [_lines_from_runs(extract_runs(s)) for s in doc.page_streams()]
+    if backend == "structured":
+        structured = True
+    elif backend == "plain":
+        structured = False
+    else:
+        counts = [len(_lines_to_plain(lines).split()) for lines in page_lines]
+        structured = is_text_based(counts, classifier)
+    fn = _lines_to_markdown if structured else _lines_to_plain
+    return [fn(lines) for lines in page_lines], structured

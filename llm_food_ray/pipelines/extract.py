@@ -114,9 +114,10 @@ def run_extract(input_paths: list[str], out_dir: str,
         ds = pages_from(paths) if pages_from else rd.read_parquet(paths)
         extracted = extract_dataset(ds, cfg)
         part_dir = mf.partition_dir(out_dir, gid)
-        # avoid tiny-file explosion: one worker task per block would write
-        # a file per block; coalesce to >=100k rows per file
-        extracted.write_parquet(part_dir, min_rows_per_file=100_000)
+        # NOTE: min_rows_per_file would coalesce the write into one task
+        # and operator fusion then serializes the whole extract stage
+        # behind it — file size is governed by block size instead
+        extracted.write_parquet(part_dir)
         counters = _count_status(part_dir)
         mf.write_manifest(
             out_dir, gid, input_paths=paths, counters=counters,

@@ -6,8 +6,9 @@ The reference's only dedup is exact input dedup before submission
 training-data scale dedup is a first-class pipeline stage, so the family
 is implemented here as Ray Data shuffle patterns:
 
-- exact:   hash column per batch → ``groupby(hash).map_groups(first)``
-           (one shuffle keyed on content hash; keep = min key per group)
+- exact:   hash column per batch → ONE shuffle into coarse hash buckets
+           → vectorized pandas ``groupby(hash).first()`` per bucket
+           (keep = min key per distinct content hash)
 - minhash: shingle→signature per batch → explode to (band_key, ...) rows
            → ``groupby(band_key)`` buckets → in-bucket candidate pairs
            verified right in the group (no second join) → union-find on
@@ -33,12 +34,15 @@ import pyarrow as pa
 
 from ..functions.hashing import (
     MinHasher,
+    _mix64 as _mix_u64,
     hamming64,
     jaccard,
     md5_hex,
     shingle_hashes,
     simhash64,
 )
+
+_FNV_PRIME_64 = np.uint64(1099511628211)
 
 # ------------------------------------------------------------- exact ----
 
@@ -51,17 +55,36 @@ def add_content_hash(ds, text_column: str = "text", out_column: str = "content_m
     return ds.map_batches(_hash, batch_format="pyarrow")
 
 
-def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text"):
-    """Keep the min-key row per distinct content hash.
+def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
+                num_buckets: int = 64):
+    """Keep the min-key row per distinct content hash (F6's scale form).
 
-    One all-to-all shuffle keyed on the content hash (hash-partition +
-    per-group first — F6's scale form)."""
-    hashed = add_content_hash(ds, text_column)
+    Plan: hash each row's content, bucket on ``hash % num_buckets``, ONE
+    shuffle into coarse buckets, then a *vectorized* pandas
+    ``groupby(hash).first()`` inside each bucket.  Coarse buckets keep
+    the per-group Python overhead O(num_buckets) instead of O(distinct
+    hashes) — a ``map_groups(head(1))`` over millions of singleton hash
+    groups pays pandas per group and crawls.  (``Dataset.join`` in this
+    Ray release spawns per-partition aggregator actors that can starve a
+    small CPU budget, so the bucket plan is also the safer scale path.)"""
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(key_column).head(1)
+    def hash_and_bucket(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_column).to_pylist()]
+        hashes = [md5_hex(t) for t in texts]
+        buckets = [int(h[:8], 16) % num_buckets for h in hashes]
+        return batch.append_column(
+            "content_md5", pa.array(hashes, pa.string())
+        ).append_column("__bucket", pa.array(buckets, pa.int32()))
 
-    return hashed.groupby("content_md5").map_groups(first_row, batch_format="pandas")
+    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.sort_values(key_column)
+                    .groupby("content_md5", as_index=False, sort=False)
+                    .first())
+        return out.drop(columns=["content_md5", "__bucket"])
+
+    return (ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(first_per_hash, batch_format="pandas"))
 
 
 # ----------------------------------------------------------- minhash ----
@@ -118,56 +141,161 @@ def _band_explode(key_column: str, hasher: MinHasher, num_bands: int,
     return _explode
 
 
+def _coarse_bucket_pairs(banded, bucket_pairs_fn, sim_col: str = None, *,
+                         num_coarse: int = 256, key_column: str = None):
+    """Run `bucket_pairs_fn` per band bucket WITHOUT paying Ray map_groups
+    overhead per bucket.
+
+    Most band buckets are singletons (unique docs) — grouping the Dataset
+    directly on band_key makes one pandas group per bucket and crawls.
+    Instead: ONE shuffle into `num_coarse` buckets of band keys, then per
+    coarse group (i) drop singleton band keys with a vectorized
+    duplicated() mask, (ii) iterate only the real (multi-member) buckets
+    via pandas groupby.  `band_key` may be a string or a uint64 hash."""
+    import zlib
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        col = batch.column("band_key")
+        if pa.types.is_unsigned_integer(col.type) or pa.types.is_integer(col.type):
+            vals = np.asarray(col.combine_chunks(), dtype=np.uint64)
+            cb = (vals % np.uint64(num_coarse)).astype(np.int32)
+            return batch.append_column("__cb", pa.array(cb))
+        keys = col.to_pylist()
+        cb = [zlib.crc32(k.encode()) % num_coarse for k in keys]
+        return batch.append_column("__cb", pa.array(cb, pa.int32()))
+
+    cols = ["a", "b"] + ([sim_col] if sim_col else [])
+    empty = pd.DataFrame({c: [] for c in cols})
+
+    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("band_key", keep=False)]
+        if not len(df):
+            return empty
+        outs = [bucket_pairs_fn(g) for _bk, g in df.groupby("band_key", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (banded.map_batches(add_cb, batch_format="pyarrow")
+                  .groupby("__cb")
+                  .map_groups(per_coarse, batch_format="pandas"))
+
+
+def _dedup_pairs(pairs, sim_col: str):
+    """Collapse the same (a, b) pair surfacing from multiple bands: a
+    native vectorized aggregate (sim is identical across bands), NOT a
+    per-pair map_groups — millions of singleton groups would pay Python
+    overhead per pair."""
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["a", "b"]).aggregate(Max(sim_col, alias_name=sim_col))
+
+
 def minhash_candidate_pairs(ds, key_column: str = "doc_id",
                             text_column: str = "text", *,
                             num_perm: int = 128, num_bands: int = 16,
                             k_shingle: int = 3, threshold: float = 0.8,
-                            verify: str = "estimate", seed: int = 42):
+                            verify: str = "estimate", seed: int = 42,
+                            pair_mode: str = "all"):
     """→ Dataset of confirmed near-dup pairs (a, b, sim), a < b.
 
+    Two-phase plan (the banded shuffle carries ONLY (band_hash, key) —
+    8+8 bytes/row — never the 1 KB signature; shipping signatures through
+    the band explode is what makes the naive plan crawl):
+
+      1. signatures per batch (vectorized crc/splitmix shingles) →
+         numeric band hashes → coarse-bucket shuffle → candidate pairs
+         (pair_mode="star": (bucket-min, member) only — linear in cluster
+         size, enough for union-find connectivity; "all": every in-bucket
+         pair, for exact pair listings).
+      2. verify: fetch ONLY the candidate keys' signatures (or shingle
+         sets, verify="exact") with a broadcast key-set filter and score
+         pairs vectorized on the driver.
+
     verify="estimate": sim = fraction of agreeing minhash components
-    (unbiased Jaccard estimator; only signatures shuffled — scale path).
-    verify="exact": sim = exact shingle-set Jaccard (shingle sets ride
-    through the band shuffle — small-scale / oracle-check path).
+    (unbiased Jaccard estimator). verify="exact": sim = exact shingle-set
+    Jaccard.
+
+    Documented scale assumption (same one the union-find step already
+    makes): the *candidate pair* set is a small fraction of the corpus —
+    LSH at a sane threshold guarantees it unless the corpus is mostly
+    duplicates. If candidates outgrow the driver, replace step 2 with a
+    bucketed semi-join on candidate keys; step 1 is unchanged.
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify={verify!r}")
-    hasher = MinHasher(num_perm, seed)
-    sig_ds = ds.map_batches(
-        MinHashSignatures(key_column, text_column, num_perm, k_shingle,
-                          keep_shingles=(verify == "exact"), seed=seed),
-        batch_format="pyarrow",
-    )
-    carry = ["minhash_sig"] + (["shingles"] if verify == "exact" else [])
-    banded = sig_ds.map_batches(
-        _band_explode(key_column, hasher, num_bands, carry),
-        batch_format="pyarrow",
-    )
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode={pair_mode!r}")
+    import ray.data as rd
+
+    sig_stage = MinHashSignatures(key_column, text_column, num_perm, k_shingle,
+                                  keep_shingles=(verify == "exact"), seed=seed)
+    # materialized: read twice (banding + candidate fetch) without
+    # recomputing shingles; blocks spill to disk if they outgrow memory
+    sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+
+    rows_per_band = num_perm // num_bands
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig_col = batch.column("minhash_sig")
+        flat = np.asarray(sig_col.combine_chunks().flatten(), dtype=np.uint64)
+        sigs = flat.reshape(n, num_perm)
+        keys = batch.column(key_column)
+        out_hash = np.empty(n * num_bands, dtype=np.uint64)
+        for b in range(num_bands):
+            chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
+            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * _FNV_PRIME_64 + chunk[:, j]
+            out_hash[b::num_bands] = _mix_u64(acc)
+        idx = np.repeat(np.arange(n), num_bands)
+        return pa.Table.from_arrays(
+            [pa.array(out_hash), keys.take(pa.array(idx))],
+            names=["band_key", key_column],
+        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[key_column]).sort_values(key_column)
-        keys = rows[key_column].tolist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in rows["minhash_sig"]]
-        shing = (
-            [np.asarray(s, dtype=np.uint64) for s in rows["shingles"]]
-            if "shingles" in rows.columns else None
-        )
-        a_out, b_out, sim_out = [], [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                if shing is not None:
-                    sim = jaccard(shing[i], shing[j])
-                else:
-                    sim = float((sigs[i] == sigs[j]).mean())
-                if sim >= threshold:
-                    a_out.append(keys[i]); b_out.append(keys[j]); sim_out.append(sim)
-        return pd.DataFrame({"a": a_out, "b": b_out, "sim": sim_out})
+        keys = np.sort(group[key_column].unique())
+        if len(keys) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        if pair_mode == "star":
+            return pd.DataFrame({"a": np.repeat(keys[0], len(keys) - 1),
+                                 "b": keys[1:]})
+        iu, ju = np.triu_indices(len(keys), k=1)
+        return pd.DataFrame({"a": keys[iu], "b": keys[ju]})
 
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands → dedup on (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    banded = sig_ds.map_batches(explode_keys, batch_format="pyarrow")
+    pairs_ds = _coarse_bucket_pairs(banded, bucket_pairs, key_column=key_column)
+    pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"])   # small (assumption above)
+    if not len(pairs):
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64()),
+                                       "sim": pa.array([], pa.float64())}))
+
+    # ---- phase 2: fetch candidate payloads, verify vectorized ----------
+    import pyarrow.compute as pc
+
+    cand_keys = pa.array(sorted(set(pairs["a"]) | set(pairs["b"])))
+    cols = [key_column, "shingles" if verify == "exact" else "minhash_sig"]
+    cand = (sig_ds.map_batches(
+                lambda b: b.filter(pc.is_in(b.column(key_column),
+                                            value_set=cand_keys)),
+                batch_format="pyarrow")
+            .select_columns(cols)
+            .to_pandas())
+    payload = dict(zip(cand[key_column], cand[cols[1]]))
+    sims = np.empty(len(pairs), dtype=np.float64)
+    if verify == "exact":
+        cache = {k: np.asarray(v, dtype=np.uint64) for k, v in payload.items()}
+        for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
+            sims[i] = jaccard(cache[a], cache[b])
+    else:
+        mat = {k: np.asarray(v, dtype=np.uint64) for k, v in payload.items()}
+        for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
+            sims[i] = float((mat[a] == mat[b]).mean())
+    pairs = pairs.assign(sim=sims)
+    pairs = pairs[pairs["sim"] >= threshold].reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
 
 
 # ----------------------------------------------------------- simhash ----
@@ -216,15 +344,10 @@ def simhash_candidate_pairs(ds, key_column: str = "doc_id",
                     a_out.append(keys[i]); b_out.append(keys[j]); d_out.append(d)
         return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
 
-    pairs = (
-        ds.map_batches(sign, batch_format="pyarrow")
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    banded = (ds.map_batches(sign, batch_format="pyarrow")
+                .map_batches(explode, batch_format="pyarrow"))
+    pairs = _coarse_bucket_pairs(banded, bucket_pairs, "hamming")
+    return _dedup_pairs(pairs, "hamming")
 
 
 # ------------------------------------------------- embedding near-dup ----
@@ -286,14 +409,9 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
                     c_out.append(float(sims[i, j]))
         return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
 
-    pairs = (
-        ds.map_batches(Sign(), batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    banded = ds.map_batches(Sign(), batch_format="pyarrow")
+    pairs = _coarse_bucket_pairs(banded, bucket_pairs, "cosine")
+    return _dedup_pairs(pairs, "cosine")
 
 
 # ------------------------------------------------------- union-find ----

@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import ExtractConfig
-from ..functions import html_md, pdf_classify, pdf_md
+from ..functions import html_md, pdf_md
 from ..functions.hashing import sha256_hex
 from ..schema import EXTRACTED_SCHEMA, PAGE_JOINER
 
@@ -109,13 +109,10 @@ class ExtractStage:
                 base["texts"] = [md]
                 base["spans"] = spans
             elif doc_type == "pdf":
-                structured = True
-                if cfg.pdf_backend == "plain":
-                    structured = False
-                elif cfg.pdf_backend == "auto":
-                    counts = pdf_md.pdf_pages_word_counts(payload)
-                    structured = pdf_classify.is_text_based(counts, cfg.classifier)
-                pages = pdf_md.pdf_pages_markdown(payload, structured=structured)
+                # one-parse path: classify + extract share the parsed runs
+                pages, _structured = pdf_md.pdf_extract(
+                    payload, cfg.pdf_backend, cfg.classifier
+                )
                 blocks = [([b for b in p.split("\n\n") if b] if p else []) for p in pages]
                 md, texts, spans = _spans_from_blocks(blocks)
                 base["markdown"] = md
