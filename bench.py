@@ -56,11 +56,14 @@ def prepare_pages(sf_dir: str, repl: int) -> str:
 
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    # 128 shards: write runs one task per block (NO min_rows_per_file —
+    # it coalesces the write into a handful of tasks and files, which
+    # then caps read parallelism for every timed run)
     (rd.read_parquet(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text", "lang"])
-       .repartition(NCPU * 2)
+       .repartition(128)
        .map_batches(synth, batch_format="pyarrow")
-       .write_parquet(tmp, min_rows_per_file=1000))
+       .write_parquet(tmp))
     os.rename(tmp, out)
     return out
 
