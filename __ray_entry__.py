@@ -281,6 +281,166 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(assigned, cent, q, 10, nprobe=4, assigned=True)
 
 
+def q_extract_spans(sf_dir: str):
+    """north_rule spans column: per-document block offsets into
+    ``markdown``, exploded to one row per span (url, span_index, start,
+    end, kind) — SQL-reconstructible for the structured backend."""
+    ds = extract_dataset(pages_dataset(sf_dir), _STRUCTURED, whale_leg=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, idxs, starts, ends, kinds = [], [], [], [], []
+        for url, spans in zip(batch.column("url").to_pylist(),
+                              batch.column("spans").to_pylist()):
+            for i, s in enumerate(spans or []):
+                urls.append(url)
+                idxs.append(i)
+                starts.append(s["start"])
+                ends.append(s["end"])
+                kinds.append(s["kind"])
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(idxs, pa.int64()),
+             pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+             pa.array(kinds, pa.string())],
+            names=["url", "span_index", "start", "end", "kind"],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _pdf_pages_input(sf_dir: str):
+    """Deterministic multi-page PDF corpus: every document becomes a PDF
+    (title line + body flowed 10 words/line, 5 lines/page → page 1 holds
+    40 body words, later pages 50)."""
+    from llm_food_ray.functions.pdf_build import simple_pdf
+    from llm_food_ray.sources.pages import url_for
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            urls.append(url_for(d))
+            payloads.append(simple_pdf(f"Document {d}", (t or "").split(),
+                                       words_per_line=10, lines_per_page=5))
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(payloads, pa.binary())],
+            names=["url", "html"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(build, batch_format="pyarrow")
+
+
+def q_pdf_pages_explode(sf_dir: str):
+    """F1 page-explode leg (app.py:1044-1114 shape): one row per PDF page
+    with per-page markdown, 1-based page_number."""
+    from llm_food_ray.stages.pages_explode import ExplodePdfPages
+
+    ds = _pdf_pages_input(sf_dir).map_batches(
+        ExplodePdfPages(structured=True), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(["url", "page_number", "page_markdown"])
+
+
+def q_pdf_reaggregate(sf_dir: str):
+    """F2 re-aggregation (app.py:1243-1277): exploded pages →
+    groupby(url) → ORDER BY page_number → join with the page joiner —
+    the url-keyed shuffle leg for whale PDFs."""
+    from llm_food_ray.stages.pages_explode import explode_extract_reaggregate
+
+    ds = explode_extract_reaggregate(_pdf_pages_input(sf_dir), structured=True)
+    return ds.select_columns(["url", "markdown"])
+
+
+def _punct_docs(sf_dir: str):
+    """documents.text with a period appended to every 8th token (and the
+    last) — gives the sentence splitter real boundaries while staying a
+    pure SQL-reconstructible function of the text."""
+    def punct(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            n = len(toks)
+            out.append(" ".join(
+                tok + "." if ((i + 1) % 8 == 0 or i + 1 == n) else tok
+                for i, tok in enumerate(toks)
+            ))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(punct, batch_format="pyarrow")
+
+
+def q_chunk_sentence(sf_dir: str):
+    """C2 sentence chunker (greedy whole-sentence packing, 32/8) over
+    punctuated text — with 8-token sentences the packing stride is
+    exactly 3 sentences, which the SQL oracle reproduces."""
+    cfg = ChunkConfig(strategy="sentence", chunk_size=32, chunk_overlap=8)
+    out = _punct_docs(sf_dir).map_batches(
+        ChunkStage(cfg, text_column="text", key_column="doc_id"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "chunk_index", "chunk_text"])
+
+
+def q_chunk_recursive(sf_dir: str):
+    """C3 recursive chunker (paragraph → line → sentence → token window,
+    greedy merge, no overlap, size 32) over punctuated text."""
+    cfg = ChunkConfig(strategy="recursive", chunk_size=32, chunk_overlap=0)
+    out = _punct_docs(sf_dir).map_batches(
+        ChunkStage(cfg, text_column="text", key_column="doc_id"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "chunk_index", "chunk_text"])
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Multimodal resize stage through the codec seam (FakeCodec:
+    sha256[:16] + packed target dims), payload = text bytes; output
+    hex-encoded so the DuckDB oracle can rebuild it."""
+    from llm_food_ray.stages.multimodal import MediaResizeStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    resized = ds.map_batches(MediaResizeStage(width=224, height=168),
+                             batch_format="pyarrow", batch_size=32)
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        hexes = [r.hex() for r in batch.column("resized").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(hexes, pa.string())],
+            names=["doc_id", "resized_hex"],
+        )
+
+    return resized.map_batches(to_hex, batch_format="pyarrow")
+
+
+def q_frame_sample(sf_dir: str):
+    """Frame-sampling flat-map (evenly-spaced indices, the reference's
+    PDF page-sampling rule pdf_utils.py:33-38): one row per sampled
+    frame; FakeCodec derives n_frames from payload size."""
+    from llm_food_ray.stages.multimodal import FrameSampleStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        FrameSampleStage(n_samples=4, key_column="doc_id"),
+        batch_format="pyarrow", batch_size=32,
+    )
+
+
 def q_lang_counts(sf_dir: str):
     """Tiny groupby rollup on a dimension column."""
     from ray.data.aggregate import Count
@@ -394,6 +554,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_counts": q_extract_status_counts,
         "chunk_token": q_chunk_token,
         "extract_chunks": q_extract_chunks,
+        "chunk_sentence": q_chunk_sentence,
+        "chunk_recursive": q_chunk_recursive,
+        "extract_spans": q_extract_spans,
+        "pdf_pages_explode": q_pdf_pages_explode,
+        "pdf_reaggregate": q_pdf_reaggregate,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -549,6 +716,137 @@ FROM documents GROUP BY 1, 2
             src="documents WHERE doc_id % 50 NOT IN (3, 13)",
             size=32, step=24,
         ),
+        "chunk_sentence": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), p AS (
+  SELECT doc_id,
+         list_transform(toks, (x, i) ->
+           CASE WHEN i % 8 = 0 OR i = len(toks) THEN x || '.' ELSE x END)
+           AS ptoks
+  FROM t
+), n_t AS (
+  SELECT doc_id, ptoks, len(ptoks) AS n,
+         CAST(ceil(len(ptoks) / 8.0) AS INT) AS ns
+  FROM p
+), c_t AS (
+  SELECT doc_id, ptoks, n,
+         CASE WHEN ns <= 4 THEN 1
+              ELSE 1 + CAST(ceil((ns - 4) / 3.0) AS INT) END AS m
+  FROM n_t
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+       array_to_string(ptoks[(i * 24 + 1):LEAST(i * 24 + 32, n)], ' ')
+         AS chunk_text
+FROM c_t, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) g
+""",
+        "chunk_recursive": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), p AS (
+  SELECT doc_id,
+         list_transform(toks, (x, i) ->
+           CASE WHEN i % 8 = 0 OR i = len(toks) THEN x || '.' ELSE x END)
+           AS ptoks
+  FROM t
+), n_t AS (
+  SELECT doc_id, ptoks, len(ptoks) AS n,
+         CAST(ceil(len(ptoks) / 8.0) AS INT) AS ns
+  FROM p
+), c_t AS (
+  SELECT doc_id, ptoks, n,
+         CAST(ceil(ns / 4.0) AS INT) AS m
+  FROM n_t
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+       array_to_string(ptoks[(i * 32 + 1):LEAST(i * 32 + 32, n)], ' ')
+         AS chunk_text
+FROM c_t, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) g
+""",
+        "extract_spans": f"""
+WITH ok AS (
+  SELECT doc_id, text,
+         length('# Document ' || doc_id) AS hlen,
+         length(text) AS tlen,
+         {_DOC_TYPE_SQL} AS doc_type
+  FROM documents
+  WHERE doc_id % 50 NOT IN (3, 13)
+)
+SELECT {_URL} AS url, CAST(0 AS BIGINT) AS span_index,
+       CAST(0 AS BIGINT) AS start,
+       CAST(CASE WHEN doc_type = 'text' THEN tlen ELSE hlen END AS BIGINT)
+         AS "end",
+       CASE WHEN doc_type = 'text' THEN 'paragraph' ELSE 'heading' END AS kind
+FROM ok
+UNION ALL
+SELECT {_URL} AS url, CAST(1 AS BIGINT) AS span_index,
+       CAST(hlen + 2 AS BIGINT) AS start,
+       CAST(hlen + 2 + tlen AS BIGINT) AS "end",
+       'paragraph' AS kind
+FROM ok WHERE doc_type != 'text'
+""",
+        "pdf_pages_explode": f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), pp AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 40 THEN 1
+              ELSE 1 + CAST(ceil((n - 40) / 50.0) AS INT) END AS np
+  FROM n_t
+)
+SELECT {_URL} AS url, CAST(p AS BIGINT) AS page_number,
+       CASE WHEN p = 1
+            THEN '# Document ' || doc_id || chr(10) || chr(10) ||
+                 array_to_string(toks[1:LEAST(40, n)], ' ')
+            ELSE array_to_string(
+                   toks[(40 + (p - 2) * 50 + 1):LEAST(40 + (p - 1) * 50, n)], ' ')
+       END AS page_markdown
+FROM pp, LATERAL (SELECT unnest(generate_series(1, np)) AS p) g
+""",
+        "pdf_reaggregate": f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), pp AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 40 THEN 1
+              ELSE 1 + CAST(ceil((n - 40) / 50.0) AS INT) END AS np
+  FROM n_t
+), pages AS (
+  SELECT doc_id, p,
+         CASE WHEN p = 1
+              THEN '# Document ' || doc_id || chr(10) || chr(10) ||
+                   array_to_string(toks[1:LEAST(40, n)], ' ')
+              ELSE array_to_string(
+                     toks[(40 + (p - 2) * 50 + 1):LEAST(40 + (p - 1) * 50, n)], ' ')
+         END AS page_markdown
+  FROM pp, LATERAL (SELECT unnest(generate_series(1, np)) AS p) g
+)
+SELECT {_URL} AS url,
+       string_agg(page_markdown,
+                  chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                  ORDER BY p) AS markdown
+FROM pages JOIN documents USING (doc_id)
+GROUP BY doc_id
+""",
+        "multimodal_resize": """
+SELECT doc_id,
+       substr(sha256(text), 1, 32)
+         || printf('%08x', 224) || printf('%08x', 168) AS resized_hex
+FROM documents
+""",
+        "frame_sample": """
+WITH b AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) % 32 AS nf FROM documents
+), s AS (
+  SELECT doc_id, nf, LEAST(4, nf) AS n FROM b WHERE nf > 0
+)
+SELECT DISTINCT doc_id, CAST((i * nf) // n AS BIGINT) AS frame_index
+FROM s, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+""",
         "dedup_exact": """
 WITH aug AS (
   SELECT doc_id, text FROM documents
