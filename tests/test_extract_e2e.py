@@ -197,3 +197,33 @@ def test_pages_from_documents_stage(ray_session):
     assert ds.count() == 500
     schema = ds.schema()
     assert schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_whale_leg_routes_fat_rows(ray_session):
+    """Skew defusal (SURVEY §7.4): a deliberately fat PDF row crosses
+    big_doc_threshold, runs on the batch_size=1 whale leg, and the union
+    output is identical (per url) to the single-leg pipeline."""
+    import pandas as pd
+
+    from llm_food_ray.pipelines.extract import extract_dataset
+    from tests.helpers import dataset_from_items
+
+    whale_pdf = simple_pdf("Whale", [f"w{i}" for i in range(20000)],
+                           words_per_line=10, lines_per_page=50)
+    rows = [synth_page_record(i, f"body words {i} " * 5, "en") for i in range(20)]
+    rows.append({"url": "https://example.com/whale", "warc_ts": rows[0]["warc_ts"],
+                 "html": whale_pdf, "text": "", "lang": "en"})
+    cfg = ExtractConfig(big_doc_threshold=len(whale_pdf) - 1,
+                        pdf_backend="structured")
+    ds = dataset_from_items(rows)
+
+    def run(whale_leg: bool) -> pd.DataFrame:
+        out = extract_dataset(dataset_from_items(rows), cfg, whale_leg=whale_leg)
+        return (out.select_columns(["url", "markdown", "status"])
+                   .to_pandas().set_index("url").sort_index())
+
+    a, b = run(True), run(False)
+    assert len(a) == len(rows)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc["https://example.com/whale", "status"] == "ok"
+    assert a.loc["https://example.com/whale", "markdown"].startswith("# Whale")
