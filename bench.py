@@ -58,12 +58,15 @@ def prepare_pages(sf_dir: str, repl: int) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     # 128 shards: write runs one task per block (NO min_rows_per_file —
     # it coalesces the write into a handful of tasks and files, which
-    # then caps read parallelism for every timed run)
+    # then caps read parallelism for every timed run).  Small row groups
+    # (1000 rows) let override_num_blocks split WITHIN files, so timed
+    # reads can balance blocks finely (row-group granularity is the read
+    # split limit).
     (rd.read_parquet(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text", "lang"])
        .repartition(128)
        .map_batches(synth, batch_format="pyarrow")
-       .write_parquet(tmp))
+       .write_parquet(tmp, row_group_size=1000))
     os.rename(tmp, out)
     return out
 
@@ -87,9 +90,10 @@ def run_bench() -> dict:
     from llm_food_ray.stages.similarity import brute_topk
 
     pages_dir = prepare_pages(SF_DIR, REPL)
-    # read parallelism: decouple block count from file layout so the map
-    # stages get ~3 tasks per core regardless of shard sizes
-    nblocks = NCPU * 3
+    # read parallelism: fine-grained fixed block count (independent of
+    # NCPU so both scaling runs execute the same plan); many small waves
+    # smooth per-task skew from uneven document lengths
+    nblocks = 256
 
     def read_pages(columns=None):
         return rd.read_parquet(pages_dir, columns=columns,
@@ -174,11 +178,20 @@ def run_scaling() -> dict:
     Proxy for the north rule's N-vs-4N cluster-size criterion (no real
     cluster in this sandbox): efficiency = (t_8 / t_32) / (32 / 8)."""
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
+        # 2× corpus for scaling runs: amortizes the fixed pipeline-launch
+        # cost so the efficiency number reflects steady-state throughput
+        # (the regime that matters at 100 TB), not startup.
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPLICATION=os.environ.get("BENCH_REPLICATION",
+                                                    str(REPL * 2)))
+        # pin the whole process tree to ncpu physical cores: ray's
+        # num_cpus only caps concurrent TASKS, while pyarrow IO/compression
+        # threadpools would otherwise spill onto all cores and flatter the
+        # small run — taskset makes "N cpus" mean N cores, like a node count
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+               os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = one(8), one(32)

@@ -366,28 +366,39 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
             self.planes = None   # lazily sized to the vector dim
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column(key_column).to_pylist()
-            vecs = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float64)
+            from ..stages.similarity import vectors_to_matrix
+
+            keys = batch.column(key_column)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            vecs = vectors_to_matrix(batch.column(vec_column))
+            n, dim = vecs.shape
             if self.planes is None:
                 rng = np.random.RandomState(seed)
-                self.planes = rng.standard_normal((vecs.shape[1], num_bits))
+                self.planes = rng.standard_normal((dim, num_bits))
             proj = vecs @ self.planes > 0
-            sigs = np.zeros(len(keys), dtype=np.uint64)
+            sigs = np.zeros(n, dtype=np.uint64)
             for b in range(num_bits):
                 sigs |= proj[:, b].astype(np.uint64) << np.uint64(b)
-            out_band, out_key, out_vec = [], [], []
             bits_per_band = num_bits // num_bands
-            mask = (1 << bits_per_band) - 1
-            for i, k in enumerate(keys):
-                s = int(sigs[i])
-                for band in range(num_bands):
-                    val = (s >> (bits_per_band * band)) & mask
-                    out_band.append(f"{band}:{val}")
-                    out_key.append(k)
-                    out_vec.append(vecs[i].tolist())
+            mask = np.uint64((1 << bits_per_band) - 1)
+            # vectorized explode: n × num_bands band rows, vectors carried
+            # via a zero-copy ListArray over the repeated matrix
+            band_ids = np.arange(num_bands)
+            vals = (sigs[:, None] >> (np.uint64(bits_per_band) * band_ids[None, :]
+                                      ).astype(np.uint64)) & mask
+            band_strs = np.char.add(
+                np.char.add(band_ids.astype(str), ":"),
+                vals.astype(np.int64).astype(str),
+            ).ravel()
+            idx = np.repeat(np.arange(n), num_bands)
+            rep = vecs[idx]
+            offsets = pa.array(np.arange(len(idx) + 1, dtype=np.int32) * dim)
+            vec_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(rep.ravel(), pa.float64()))
             return pa.Table.from_arrays(
-                [pa.array(out_band, pa.string()), pa.array(out_key),
-                 pa.array(out_vec, pa.list_(pa.float64()))],
+                [pa.array(band_strs.tolist(), pa.string()),
+                 keys.take(pa.array(idx)), vec_arr],
                 names=["band_key", key_column, vec_column],
             )
 

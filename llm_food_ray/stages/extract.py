@@ -23,6 +23,8 @@ tables) happens once per actor, not per batch.
 
 from __future__ import annotations
 
+import gc
+
 import pyarrow as pa
 
 from ..config import ExtractConfig
@@ -32,6 +34,19 @@ from ..schema import EXTRACTED_SCHEMA, PAGE_JOINER
 
 _HTML_MARKERS = (b"<html", b"<!doctype", b"<body", b"<div", b"<p", b"<article",
                  b"<head", b"<span", b"<a ", b"<h1", b"<table", b"<ul")
+
+_GC_TUNED = False
+
+
+def _tune_gc_once() -> None:
+    """Per-worker-process GC tuning (runs in __call__, not __init__ —
+    stateless map_batches pickles the instance built on the driver).  The
+    extractors allocate acyclic trees reclaimed by refcount; raising the
+    gen-0 threshold cuts collector passes over them (~6% per-core)."""
+    global _GC_TUNED
+    if not _GC_TUNED:
+        gc.set_threshold(100_000, 50, 50)
+        _GC_TUNED = True
 
 
 def sniff_doc_type(payload: bytes, text: str) -> str:
@@ -139,6 +154,7 @@ class ExtractStage:
         return base
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _tune_gc_once()
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         texts_col = batch.column("text").to_pylist()

@@ -24,6 +24,19 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def vectors_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix without a Python-object
+    hop: flatten the Arrow list buffer (zero-copy) and reshape.  Requires
+    uniform vector length (validated)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if n and flat.size % n:
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
 class BruteForceTopK:
     """Per-batch cosine top-k against a fixed query vector."""
 
@@ -37,7 +50,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch.column(self.key_column).to_pylist())
-        mat = np.asarray(batch.column(self.vec_column).to_pylist(), dtype=np.float64)
+        mat = vectors_to_matrix(batch.column(self.vec_column))
         scores = _unit(mat) @ self.q
         if len(keys) > self.k:
             idx = np.argpartition(-scores, self.k)[: self.k]
@@ -90,8 +103,9 @@ class IvfAssign:
         self.vec_column = vec_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column(self.vec_column).to_pylist(), dtype=np.float64)
-        d = ((mat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1)
+        mat = vectors_to_matrix(batch.column(self.vec_column))
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c drops ||x||²
+        d = -2.0 * (mat @ self.centroids.T) + (self.centroids ** 2).sum(-1)[None, :]
         return batch.append_column("ivf_cluster", pa.array(d.argmin(1), pa.int32()))
 
 
