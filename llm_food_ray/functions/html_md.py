@@ -122,7 +122,104 @@ class _TreeBuilder(HTMLParser):
         return
 
 
+# Raw-text elements: content is opaque text until the matching close tag
+# (html.parser's CDATA content mode, html/parser.py set_cdata_mode).
+_RAWTEXT_TAGS = frozenset(("script", "style"))
+_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.I) for t in _RAWTEXT_TAGS}
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"                                   # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"                         # CDATA section
+    r"|<![^>]*(?:>|\Z)"                                    # doctype/declaration
+    r"|<\?[^>]*(?:>|\Z)"                                   # processing instr
+    r"|</\s*([a-zA-Z][-.\w:]*)[^>]*(?:>|\Z)"               # end tag
+    r"|<([a-zA-Z][-.\w:]*)"                                # start tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^\"'>])*)(?:>|\Z)",          # ...attrs
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"([^\s/=>]+)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+
+_AMP_RE = re.compile(r"&")
+
+
+def _unescape(text: str) -> str:
+    # html.unescape is regex-heavy; most text has no entities — skip it
+    return unescape(text) if "&" in text else text
+
+
+def _parse_attrs(raw: str) -> tuple[dict, bool]:
+    """Attr string → ({name: value}, self_closing). Names lowercased,
+    values entity-unescaped (mirrors html.parser)."""
+    self_closing = raw.endswith("/")
+    if self_closing:
+        raw = raw[:-1]
+    attrs: dict = {}
+    if raw and not raw.isspace():
+        for m in _ATTR_RE.finditer(raw):
+            name = m.group(1).lower()
+            if m.group(2) is None:
+                val = None          # bare attr, html.parser yields None
+            elif m.group(3) is not None:
+                val = m.group(3)
+            elif m.group(4) is not None:
+                val = m.group(4)
+            else:
+                val = m.group(5) or ""
+            attrs[name] = _unescape(val) if val else val   # last wins, like dict(attrs)
+    return attrs, self_closing
+
+
+def _fast_feed(builder: _TreeBuilder, text: str) -> None:
+    """Single-pass lexer emitting the same handler calls html.parser would
+    (for the subset that matters to the extractor: tags, text, comments,
+    raw-text script/style, entity unescaping)."""
+    pos = 0
+    n = len(text)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(text, pos)
+        if m is None:
+            builder.handle_data(_unescape(text[pos:]))
+            break
+        start = m.start()
+        if start > pos:
+            builder.handle_data(_unescape(text[pos:start]))
+        pos = m.end()
+        end_name, start_name = m.group(1), m.group(2)
+        if start_name is not None:
+            tag = start_name.lower()
+            attrs, self_closing = _parse_attrs(m.group(3) or "")
+            if self_closing:
+                builder.handle_startendtag(tag, list(attrs.items()))
+            else:
+                builder.handle_starttag(tag, list(attrs.items()))
+                if tag in _RAWTEXT_TAGS:
+                    # opaque content until the matching close tag
+                    m2 = _RAWTEXT_CLOSE[tag].search(text, pos)
+                    if m2 is None:
+                        builder.handle_endtag(tag)
+                        break
+                    gt = text.find(">", m2.start())
+                    pos = n if gt < 0 else gt + 1
+                    builder.handle_endtag(tag)
+        elif end_name is not None:
+            builder.handle_endtag(end_name.lower())
+        # else: comment/doctype/PI/CDATA — dropped
+
+
 def parse_html(html_text: str) -> Node:
+    builder = _TreeBuilder()
+    _fast_feed(builder, html_text)
+    return builder.root
+
+
+def parse_html_stdlib(html_text: str) -> Node:
+    """Reference path: the stdlib html.parser tokenizer driving the same
+    tree builder — kept as the differential-test oracle for the fast
+    lexer (tests/test_html_md.py)."""
     builder = _TreeBuilder()
     builder.feed(html_text)
     builder.close()
@@ -177,10 +274,32 @@ def _candidates(node: Node, out: list) -> None:
         _candidates(child, out)
 
 
-def score_candidate(node: Node) -> float:
+def _tl_bottom_up(node: Node, cache: dict) -> tuple[int, int]:
+    """One post-order pass computing every node's (text, link) lengths —
+    O(tree) total, vs re-walking each candidate's subtree top-down.
+    link = text under any <a> descendant-or-self; negative subtrees are
+    zeroed exactly as in _text_and_link_len."""
+    if node.is_text:
+        n = len(_norm(node.text))
+        return n, 0
+    if _is_negative(node):
+        cache[id(node)] = (0, 0)
+        return 0, 0
+    total = link = 0
+    for child in node.children:
+        t, l = _tl_bottom_up(child, cache)
+        total += t
+        link += l
+    if node.tag == "a":
+        link = total
+    cache[id(node)] = (total, link)
+    return total, link
+
+
+def score_candidate(node: Node, tl: tuple[int, int] | None = None) -> float:
     """Deterministic content score: text mass discounted by link density,
     boosted for semantic containers / positive class hints."""
-    text_len, link_len = _text_and_link_len(node)
+    text_len, link_len = tl if tl is not None else _text_and_link_len(node)
     if text_len == 0:
         return 0.0
     link_density = link_len / text_len
@@ -198,9 +317,11 @@ def score_candidate(node: Node) -> float:
 def select_main(root: Node) -> Optional[Node]:
     cands: list[Node] = []
     _candidates(root, cands)
+    cache: dict = {}
+    _tl_bottom_up(root, cache)
     best, best_score = None, 0.0
     for c in cands:   # document order → deterministic tie-break (first wins)
-        s = score_candidate(c)
+        s = score_candidate(c, cache.get(id(c)))
         if s > best_score:
             best, best_score = c, s
     return best

@@ -3,6 +3,7 @@ reference llm_food/app.py:252-259)."""
 
 from __future__ import annotations
 
+from llm_food_ray.functions import html_md
 from llm_food_ray.functions.html_md import extract_markdown
 
 
@@ -109,3 +110,59 @@ def test_table_serialization():
     md, spans = extract_markdown(html)
     assert "| a | b |\n| 1 | 2 |" in md
     assert spans[-1]["kind"] == "table"
+
+
+# ------------------------------------------------- fast lexer vs stdlib ----
+
+_DIFF_CASES = [
+    "<html><body><article><h1>T</h1><p>hello &amp; goodbye</p></article></body></html>",
+    "<div class=\"content\"><p>a<br>b</p><ul><li>x</li><li></li></ul></div>",
+    "<p>unclosed <b>bold <i>italic</p><p>next",
+    "<P CLASS=MAIN><A HREF='/x'>Link</A> text</P>",
+    "<script>var a = '<p>not a tag</p>';</script><p>after</p>",
+    "<SCRIPT>x</SCRIPT><style>.a{content:'</div>'}</style><p>t</p>",
+    "<!-- comment <p>hidden</p> --><p>shown</p>",
+    "<!DOCTYPE html><?php echo 1 ?><p>x</p>",
+    "<p>a &lt; b &gt; c &#65; &nbsp; d</p>",
+    "<div data-x='1' data-x=\"2\" disabled>text</div>",
+    "<img src=a.png alt='pic'/><input disabled><br/>",
+    "<p>text with < stray and <3 hearts</p>",
+    "<table><tr><td>1</td><TD>2</TD></tr></table>",
+    "<article><iframe><p>dropped</p></iframe><p>kept</p></article>",
+    "<div><form><input><p>in form</p></form><p>out</p></div>",
+    "truncated <b",
+    "<p attr=>empty</p>",
+    "<a href=\"x\" title='y &quot;z'>t</a>",
+    "",
+    "no tags at all",
+    "<p>élève &eacute;</p>",
+    "<pre>  raw\n  text  </pre>",
+    "<blockquote>q</blockquote><h3>h</h3>",
+]
+
+
+def _md_via(parse_fn, text: str):
+    root = parse_fn(text)
+    main = html_md.select_main(root)
+    if main is None:
+        return "", []
+    blocks = []
+    html_md._emit_blocks(main, blocks)
+    return [(b.kind, b.text) for b in blocks]
+
+
+def test_fast_lexer_matches_stdlib_parser():
+    """The regex lexer must produce the same extraction as html.parser on
+    well-formed and malformed inputs (it replaced the stdlib tokenizer for
+    ~2x parse speed; parse_html_stdlib is kept as the oracle)."""
+    from llm_food_ray.sources.pages import synth_page_record
+
+    cases = list(_DIFF_CASES)
+    # synthesized corpus pages (the bench/driver input)
+    for i in range(60):
+        r = synth_page_record(i, f"body text {i} " * (i % 9 + 1), "en")
+        if r["html"].startswith(b"<html"):
+            cases.append(r["html"].decode())
+    for c in cases:
+        assert _md_via(html_md.parse_html, c) == \
+            _md_via(html_md.parse_html_stdlib, c), c[:80]
