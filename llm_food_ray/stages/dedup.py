@@ -59,32 +59,53 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
                 num_buckets: int = 64):
     """Keep the min-key row per distinct content hash (F6's scale form).
 
-    Plan: hash each row's content, bucket on ``hash % num_buckets``, ONE
-    shuffle into coarse buckets, then a *vectorized* pandas
-    ``groupby(hash).first()`` inside each bucket.  Coarse buckets keep
-    the per-group Python overhead O(num_buckets) instead of O(distinct
-    hashes) — a ``map_groups(head(1))`` over millions of singleton hash
-    groups pays pandas per group and crawls.  (``Dataset.join`` in this
-    Ray release spawns per-partition aggregator actors that can starve a
-    small CPU budget, so the bucket plan is also the safer scale path.)"""
+    Two-phase plan so the shuffle never carries document payloads:
 
-    def hash_and_bucket(batch: pa.Table) -> pa.Table:
+    1. map → ONLY ``(key, content_md5, bucket)`` (32 B/row, not the text)
+       → ONE shuffle into coarse hash buckets → vectorized pandas
+       ``groupby(hash).min(key)`` per bucket → the kept key set.  Coarse
+       buckets keep per-group Python overhead O(num_buckets), not
+       O(distinct hashes) — ``map_groups`` over millions of singleton
+       hash groups pays pandas per group and crawls.  (``Dataset.join``
+       in this Ray release spawns per-partition aggregator actors that
+       can starve a small CPU budget, so the bucket plan is also the
+       safer scale path.)
+    2. broadcast the kept keys once via the object store and filter the
+       original dataset — a second streaming pass over the input instead
+       of an all-to-all exchange of the full payload bytes.
+
+    Documented scale assumption: the kept-key set fits in the object
+    store (keys only — at 10^12 docs partition the keep-filter by key
+    range and broadcast per-range chunks instead)."""
+    import ray as _ray
+
+    def hash_keys(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(text_column).to_pylist()]
         hashes = [md5_hex(t) for t in texts]
         buckets = [int(h[:8], 16) % num_buckets for h in hashes]
-        return batch.append_column(
-            "content_md5", pa.array(hashes, pa.string())
-        ).append_column("__bucket", pa.array(buckets, pa.int32()))
+        return pa.Table.from_arrays(
+            [batch.column(key_column), pa.array(hashes, pa.string()),
+             pa.array(buckets, pa.int32())],
+            names=[key_column, "content_md5", "__bucket"],
+        )
 
-    def first_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        out = (group.sort_values(key_column)
-                    .groupby("content_md5", as_index=False, sort=False)
-                    .first())
-        return out.drop(columns=["content_md5", "__bucket"])
+    def min_key_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        kept = group.groupby("content_md5", sort=False)[key_column].min()
+        return pd.DataFrame({key_column: kept.to_numpy()})
 
-    return (ds.map_batches(hash_and_bucket, batch_format="pyarrow")
-              .groupby("__bucket")
-              .map_groups(first_per_hash, batch_format="pandas"))
+    kept_keys = (ds.map_batches(hash_keys, batch_format="pyarrow")
+                   .groupby("__bucket")
+                   .map_groups(min_key_per_hash, batch_format="pandas")
+                   .to_pandas())[key_column].to_numpy()
+    keys_ref = _ray.put(pa.array(np.sort(kept_keys)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column(key_column),
+                                     value_set=_ray.get(keys_ref)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- minhash ----
