@@ -84,6 +84,10 @@ def _group_paths(paths: list[str], num_groups: int) -> list[list[str]]:
     return [g for g in groups if g]
 
 
+_DONE_DIR = "__leg=done"
+_DEFER_DIR = "__leg=deferred"
+
+
 def run_extract(input_paths: list[str], out_dir: str,
                 cfg: ExtractConfig | None = None, *,
                 num_groups: int | None = None,
@@ -93,7 +97,16 @@ def run_extract(input_paths: list[str], out_dir: str,
     `pages_from(paths) -> Dataset` lets callers synthesize pages from other
     tables (tests/bench); default reads the paths as a pages Parquet table.
     Returns overall counters {"ok": n, "failed": m, "skipped_groups": k}.
+
+    Whale handling is SINGLE-READ: phase 1 extracts every row whose payload
+    is under ``big_doc_threshold`` and routes bigger rows (payload carried
+    in ``deferred_payload``) into a ``__leg=deferred`` partition via the
+    hive write; phase 2 reads ONLY that tiny partition and finishes it on a
+    ``batch_size=1`` actor pool, appending its files to ``__leg=done``.
+    The lazy two-branch ``extract_dataset(whale_leg=True)`` scans the input
+    twice; this path never does.
     """
+    import pyarrow as _pa
     import ray.data as rd
 
     cfg = cfg or ExtractConfig()
@@ -112,12 +125,51 @@ def run_extract(input_paths: list[str], out_dir: str,
         mf.clean_partial(out_dir, gid)
         t0 = time.perf_counter()
         ds = pages_from(paths) if pages_from else rd.read_parquet(paths)
-        extracted = extract_dataset(ds, cfg)
         part_dir = mf.partition_dir(out_dir, gid)
+        # phase 1: extract small rows, defer whales — one pass over input.
+        # __leg is a routing column consumed by the hive write (dropped
+        # from file contents); status stays a real column in the files.
+        phase1 = ds.map_batches(
+            ExtractStage(cfg, defer_over=cfg.big_doc_threshold),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: b.append_column(
+                "__leg",
+                pc.if_else(pc.equal(b.column("status"), "deferred"),
+                           _pa.scalar("deferred"), _pa.scalar("done")),
+            ),
+            batch_format="pyarrow",
+        )
         # NOTE: min_rows_per_file would coalesce the write into one task
         # and operator fusion then serializes the whole extract stage
         # behind it — file size is governed by block size instead
-        extracted.write_parquet(part_dir)
+        phase1.write_parquet(part_dir, partition_cols=["__leg"])
+        # phase 2: whale pool over the deferred partition only (tiny)
+        defer_dir = os.path.join(part_dir, _DEFER_DIR)
+        if os.path.isdir(defer_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(defer_dir)):
+            whales = rd.read_parquet(defer_dir,
+                                     columns=["url", "deferred_payload"])
+            whales = whales.map_batches(
+                lambda b: _pa.Table.from_arrays(
+                    [b.column("url"), b.column("deferred_payload"),
+                     _pa.nulls(b.num_rows, _pa.string())],
+                    names=["url", "html", "text"],
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                ExtractStage, fn_constructor_kwargs={"cfg": cfg},
+                batch_format="pyarrow", batch_size=1,
+                concurrency=(1, 4), num_cpus=1,
+            ).map_batches(
+                lambda b: b.append_column(
+                    "deferred_payload", _pa.nulls(b.num_rows, _pa.binary())),
+                batch_format="pyarrow",
+            )
+            whales.write_parquet(os.path.join(part_dir, _DONE_DIR))
+            import shutil as _shutil
+
+            _shutil.rmtree(defer_dir)   # payload copies not kept in output
         counters = _count_status(part_dir)
         mf.write_manifest(
             out_dir, gid, input_paths=paths, counters=counters,
@@ -128,13 +180,17 @@ def run_extract(input_paths: list[str], out_dir: str,
     return totals
 
 
+def _done_files(part_dir: str) -> list[str]:
+    d = os.path.join(part_dir, _DONE_DIR)
+    if not os.path.isdir(d):
+        return []
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")]
+
+
 def _count_status(part_dir: str) -> dict:
     """Cheap columnar scan of just the status column of one partition."""
-    dataset = pads.dataset(
-        [os.path.join(part_dir, f) for f in os.listdir(part_dir)
-         if f.endswith(".parquet")],
-        format="parquet",
-    )
+    dataset = pads.dataset(_done_files(part_dir), format="parquet")
     table = dataset.to_table(columns=["status"])
     counts = pc.value_counts(table.column("status"))
     out = {"ok": 0, "failed": 0, "rows": table.num_rows}
@@ -143,14 +199,14 @@ def _count_status(part_dir: str) -> dict:
     return out
 
 
-def read_extracted(out_dir: str):
-    """Read all completed partitions back as one Dataset."""
+def read_extracted(out_dir: str, *, columns: list[str] | None = None):
+    """Read all completed partitions back as one Dataset (EXTRACTED_SCHEMA
+    columns; the internal deferred_payload carrier column is dropped)."""
     import ray.data as rd
+
+    from ..schema import EXTRACTED_SCHEMA
 
     paths = []
     for gid in sorted(mf.completed_partitions(out_dir)):
-        d = mf.partition_dir(out_dir, gid)
-        paths.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-        )
-    return rd.read_parquet(paths)
+        paths.extend(_done_files(mf.partition_dir(out_dir, gid)))
+    return rd.read_parquet(paths, columns=columns or EXTRACTED_SCHEMA.names)

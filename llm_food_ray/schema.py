@@ -40,6 +40,13 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
+# Phase-1 schema of the deferred-whale pipeline (pipelines/extract.py):
+# EXTRACTED_SCHEMA plus the raw payload carried only on rows whose
+# extraction is deferred to the whale pool (status="deferred").
+EXTRACTED_DEFER_SCHEMA = EXTRACTED_SCHEMA.append(
+    pa.field("deferred_payload", pa.binary())
+)
+
 CHUNKS_SCHEMA = pa.schema(
     [
         ("url", pa.string()),

@@ -93,10 +93,19 @@ def _spans_from_blocks(pages_blocks: list[list[str]]) -> tuple[str, list[str], l
 
 class ExtractStage:
     """Callable class for ``map_batches`` (actor pool when concurrency is
-    set; also valid as stateless tasks). Arrow in / Arrow out."""
+    set; also valid as stateless tasks). Arrow in / Arrow out.
 
-    def __init__(self, cfg: ExtractConfig | None = None):
+    ``defer_over``: payloads larger than this many bytes are NOT extracted
+    here — the row is emitted with ``status="deferred"`` carrying the raw
+    payload in ``deferred_payload`` (EXTRACTED_DEFER_SCHEMA), for a
+    dedicated whale pool to finish in a second, tiny pass.  This keeps the
+    pipeline single-read: the alternative (two filter branches over the
+    input) scans the whole corpus twice."""
+
+    def __init__(self, cfg: ExtractConfig | None = None,
+                 defer_over: int | None = None):
         self.cfg = cfg or ExtractConfig()
+        self.defer_over = defer_over
 
     def extract_row(self, url: str, payload: bytes, text: str) -> dict:
         cfg = self.cfg
@@ -158,8 +167,28 @@ class ExtractStage:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         texts_col = batch.column("text").to_pylist()
-        rows = [
-            self.extract_row(u, p or b"", t or "")
-            for u, p, t in zip(urls, payloads, texts_col)
-        ]
-        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        if self.defer_over is None:
+            rows = [
+                self.extract_row(u, p or b"", t or "")
+                for u, p, t in zip(urls, payloads, texts_col)
+            ]
+            return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        from ..schema import EXTRACTED_DEFER_SCHEMA
+
+        rows = []
+        for u, p, t in zip(urls, payloads, texts_col):
+            p = p or b""
+            if len(p) > self.defer_over and len(p) <= self.cfg.max_payload_bytes:
+                rows.append({
+                    "url": u,
+                    "content_hash": sha256_hex(p),
+                    "doc_type": sniff_doc_type(p, t or ""),
+                    "markdown": "", "texts": [], "spans": [],
+                    "status": "deferred", "error": "",
+                    "deferred_payload": p,
+                })
+            else:
+                row = self.extract_row(u, p, t or "")
+                row["deferred_payload"] = None
+                rows.append(row)
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_DEFER_SCHEMA)

@@ -227,3 +227,40 @@ def test_whale_leg_routes_fat_rows(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a.loc["https://example.com/whale", "status"] == "ok"
     assert a.loc["https://example.com/whale", "markdown"].startswith("# Whale")
+
+
+def test_run_extract_defers_whales_single_read(ray_session, tmp_path):
+    """run_extract's whale handling: fat payload rows are deferred into
+    __leg=deferred by phase 1 (payload carried, not extracted), finished
+    by the batch_size=1 pool in phase 2, and land in __leg=done with the
+    deferred partition cleaned up — identical output to plain
+    extraction."""
+    whale_pdf = simple_pdf("Whale", [f"w{i}" for i in range(5000)],
+                           words_per_line=10, lines_per_page=50)
+    rows = [synth_page_record(i, f"body words {i} " * 5, "en") for i in range(30)]
+    rows.append({"url": "https://example.com/whale", "warc_ts": rows[0]["warc_ts"],
+                 "html": whale_pdf, "text": "", "lang": "en"})
+    src = tmp_path / "pages"
+    src.mkdir()
+    tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    pq.write_table(tbl, str(src / "shard-0.parquet"))
+
+    cfg = ExtractConfig(big_doc_threshold=len(whale_pdf) - 1,
+                        pdf_backend="structured")
+    out = str(tmp_path / "out")
+    totals = run_extract([str(src / "shard-0.parquet")], out, cfg, num_groups=1)
+    assert totals["ok"] == len(rows) - 2   # 2 deterministic failures (i=3,13)
+    # deferred partition cleaned up after the whale pass
+    assert not os.path.isdir(os.path.join(out, "part=0", "__leg=deferred"))
+
+    got = read_extracted(out).to_pandas().set_index("url")
+    assert len(got) == len(rows)
+    whale = got.loc["https://example.com/whale"]
+    assert whale["status"] == "ok"
+    assert whale["markdown"].startswith("# Whale")
+    # byte-identity vs the single-threaded oracle for every row
+    stage = ExtractStage(cfg)
+    for r in rows:
+        o = stage.extract_row(r["url"], r["html"], r["text"])
+        assert got.loc[r["url"], "markdown"] == o["markdown"]
+        assert got.loc[r["url"], "content_hash"] == o["content_hash"]
