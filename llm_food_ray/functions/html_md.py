@@ -90,7 +90,9 @@ class _TreeBuilder(HTMLParser):
             self._drop_depth = 1
             self._drop_tag_stack = [tag]
             return
-        node = Node(tag, dict(attrs))
+        # attrs arrives as a pair list from html.parser and as a ready
+        # dict from the fast lexer
+        node = Node(tag, attrs if isinstance(attrs, dict) else dict(attrs))
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
@@ -98,7 +100,8 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if self._drop_depth or tag in DROP_TAGS:
             return
-        self.stack[-1].children.append(Node(tag, dict(attrs)))
+        self.stack[-1].children.append(
+            Node(tag, attrs if isinstance(attrs, dict) else dict(attrs)))
 
     def handle_endtag(self, tag):
         if self._drop_depth:
@@ -193,9 +196,9 @@ def _fast_feed(builder: _TreeBuilder, text: str) -> None:
             tag = start_name.lower()
             attrs, self_closing = _parse_attrs(m.group(3) or "")
             if self_closing:
-                builder.handle_startendtag(tag, list(attrs.items()))
+                builder.handle_startendtag(tag, attrs)
             else:
-                builder.handle_starttag(tag, list(attrs.items()))
+                builder.handle_starttag(tag, attrs)
                 if tag in _RAWTEXT_TAGS:
                     # opaque content until the matching close tag
                     m2 = _RAWTEXT_CLOSE[tag].search(text, pos)

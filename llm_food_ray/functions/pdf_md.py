@@ -31,6 +31,10 @@ class PdfError(ValueError):
     pass
 
 
+_NUM_TOKEN_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_TAIL_RE = re.compile(rb"\s+(\d+)\s+R\b")
+
+
 # ------------------------------------------------------------- lexer ----
 
 
@@ -100,22 +104,29 @@ def _parse_value(data: bytes, pos: int):
     if data.startswith(b"null", pos):
         return None, pos + 4
     # number or indirect reference "N G R"
-    m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", data[pos:pos + 32])
+    m = _NUM_TOKEN_RE.match(data, pos)
     if not m:
         raise PdfError(f"cannot parse value at {pos}: {data[pos:pos+16]!r}")
     tok = m.group(0)
-    end = pos + len(tok)
+    end = m.end()
     if b"." not in tok:
         # lookahead for "G R"
-        m2 = re.match(rb"\s+(\d+)\s+R\b", data[end:end + 16])
+        m2 = _REF_TAIL_RE.match(data, end, end + 16)
         if m2:
-            return ("ref", int(tok)), end + m2.end()
+            return ("ref", int(tok)), m2.end()
         return int(tok), end
     return float(tok), end
 
 
 def _parse_literal_string(data: bytes, pos: int):
     assert data[pos] == 0x28
+    # fast path: no escapes and no nested parens (the overwhelmingly
+    # common case) → one find + slice instead of a per-byte loop
+    end = data.find(b")", pos + 1)
+    if end > 0:
+        seg = data[pos + 1:end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, end + 1
     pos += 1
     out = bytearray()
     depth = 1
