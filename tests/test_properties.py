@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): the invariants SURVEY.md §5 pins —
+extraction determinism, span integrity, chunker coverage, and a
+differential fuzz of the fast HTML lexer against the stdlib tokenizer.
+
+Example counts are bounded so the suite stays fast; deadline disabled
+because first-call regex compilation can spike."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from llm_food_ray.config import ChunkConfig
+from llm_food_ray.functions import html_md
+from llm_food_ray.functions.chunk import chunk_text, tokenize
+from llm_food_ray.functions.html_md import extract_markdown
+from llm_food_ray.functions.pdf_build import simple_pdf
+from llm_food_ray.functions.pdf_md import pdf_pages_markdown
+from llm_food_ray.stages.extract import ExtractStage
+
+# --------------------------------------------------------------- html ----
+
+_tag_names = st.sampled_from(
+    ["p", "div", "article", "span", "a", "b", "ul", "li", "h1", "h2",
+     "nav", "footer", "script", "style", "table", "tr", "td", "pre",
+     "blockquote", "img", "br", "main", "section", "form", "iframe"])
+_text_chunk = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=40)
+
+
+@st.composite
+def _html_soup(draw):
+    """Random tag soup: well-formed-ish fragments with deliberate nesting
+    errors, entities, attributes, comments."""
+    parts = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 6))
+        tag = draw(_tag_names)
+        if kind == 0:
+            parts.append(draw(_text_chunk))
+        elif kind == 1:
+            attrs = ""
+            if draw(st.booleans()):
+                attrs = f' class="{draw(_text_chunk)}"'.replace('"', "")
+                attrs = f' class="{attrs[8:20]}"'
+            parts.append(f"<{tag}{attrs}>")
+        elif kind == 2:
+            parts.append(f"</{tag}>")
+        elif kind == 3:
+            parts.append(f"<{tag}/>")
+        elif kind == 4:
+            parts.append(f"<!-- {draw(_text_chunk)} -->")
+        elif kind == 5:
+            parts.append("&amp; &lt; &#65; &unknown;")
+        else:
+            parts.append(f"<{tag} data-x='{draw(st.integers(0, 99))}'>")
+    return "".join(parts)
+
+
+def _blocks_via(parse_fn, text):
+    root = parse_fn(text)
+    main = html_md.select_main(root)
+    if main is None:
+        return None
+    blocks = []
+    html_md._emit_blocks(main, blocks)
+    return [(b.kind, b.text) for b in blocks]
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_soup())
+def test_fast_lexer_differential_fuzz(soup):
+    """Fast lexer and stdlib html.parser must extract identical blocks on
+    arbitrary tag soup."""
+    assert _blocks_via(html_md.parse_html, soup) == \
+        _blocks_via(html_md.parse_html_stdlib, soup)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_html_soup())
+def test_extraction_deterministic_and_spans_valid(soup):
+    payload = f"<html><body><article>{soup}</article></body></html>".encode()
+    md1, spans1 = extract_markdown(payload)
+    md2, spans2 = extract_markdown(payload)
+    assert md1 == md2 and spans1 == spans2   # determinism
+    pos = -1
+    for s in spans1:
+        assert 0 <= s["start"] <= s["end"] <= len(md1)
+        assert s["start"] > pos              # ordered, non-overlapping
+        pos = s["end"] - 1
+        assert md1[s["start"]:s["end"]]     # spans index real block text
+
+
+# ------------------------------------------------------------- chunkers ----
+
+_words = st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=8),
+                  min_size=0, max_size=120)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_words, st.integers(2, 40), st.integers(0, 20))
+def test_token_chunker_coverage(words, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    text = " ".join(words)
+    cfg = ChunkConfig(strategy="token", chunk_size=size, chunk_overlap=overlap)
+    chunks = chunk_text(text, cfg)
+    toks = tokenize(text)
+    if not toks:
+        assert chunks == []
+        return
+    step = size - overlap
+    for i, c in enumerate(chunks):
+        ct = tokenize(c)
+        assert len(ct) <= size                       # window bound
+        assert ct == toks[i * step:i * step + size]  # exact window content
+    assert tokenize(chunks[-1])[-1] == toks[-1]      # reaches the end
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words, st.integers(2, 40))
+def test_sentence_and_recursive_chunkers_cover_all_tokens(words, size):
+    text = ". ".join(" ".join(words[i:i + 5]) for i in range(0, len(words), 5))
+    for strategy in ("sentence", "recursive"):
+        cfg = ChunkConfig(strategy=strategy, chunk_size=size, chunk_overlap=0)
+        chunks = chunk_text(text, cfg)
+        # with no overlap, no token is lost or duplicated
+        assert sorted(tokenize(" ".join(chunks))) == sorted(tokenize(text))
+
+
+# ------------------------------------------------------------ pdf + e2e ----
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                min_size=1, max_size=80),
+       st.integers(2, 8), st.integers(2, 6))
+def test_pdf_roundtrip_fuzz(words, per_line, per_page):
+    pdf = simple_pdf("Title", words, words_per_line=per_line,
+                     lines_per_page=per_page)
+    pages = pdf_pages_markdown(pdf, structured=False)
+    got = " ".join(" ".join(p.split()) for p in pages).split()
+    assert got == ["Title"] + words          # nothing lost, order kept
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=200))
+def test_extract_row_never_raises(payload):
+    """M12 row-level isolation: arbitrary bytes must produce a row, never
+    an exception."""
+    stage = ExtractStage()
+    row = stage.extract_row("u", payload, "")
+    assert row["status"] in ("ok", "failed")
+    assert isinstance(row["markdown"], str)
