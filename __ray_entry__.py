@@ -350,6 +350,61 @@ def q_pdf_reaggregate(sf_dir: str):
     return ds.select_columns(["url", "markdown"])
 
 
+def _office_pages(sf_dir: str, fmt: str):
+    """documents → pages whose payload is a deterministic DOCX/RTF/PPTX
+    built from the text (M8/M9/M10 parity inputs)."""
+    from llm_food_ray.functions.office_build import (
+        build_docx, build_pptx, build_rtf)
+    from llm_food_ray.sources.pages import url_for
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            urls.append(url_for(d))
+            t = t or ""
+            if fmt == "docx":
+                payloads.append(build_docx([("h1", f"Document {d}"), ("p", t)]))
+            elif fmt == "rtf":
+                payloads.append(build_rtf([t]))
+            else:   # pptx: 20 words per slide, one paragraph each
+                toks = t.split()
+                slides = [[" ".join(toks[i:i + 20])]
+                          for i in range(0, len(toks), 20)] or [[]]
+                payloads.append(build_pptx(slides))
+        return pa.Table.from_arrays(
+            [pa.array(urls, pa.string()), pa.array(payloads, pa.binary()),
+             pa.nulls(len(urls), pa.string())],
+            names=["url", "html", "text"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(build, batch_format="pyarrow")
+
+
+def _extract_office(sf_dir: str, fmt: str):
+    from llm_food_ray.stages.extract import ExtractStage
+
+    ds = _office_pages(sf_dir, fmt).map_batches(
+        ExtractStage(_STRUCTURED), batch_format="pyarrow")
+    return ds.select_columns(["url", "doc_type", "status", "markdown"])
+
+
+def q_extract_docx(sf_dir: str):
+    """M8 DOCX → markdown (mammoth+markdownify contract, app.py:215-222)."""
+    return _extract_office(sf_dir, "docx")
+
+
+def q_extract_rtf(sf_dir: str):
+    """M9 RTF → plain text (striprtf contract, app.py:225-229)."""
+    return _extract_office(sf_dir, "rtf")
+
+
+def q_extract_pptx(sf_dir: str):
+    """M10 PPTX → per-slide texts joined with the page joiner
+    (app.py:232-249 + 938)."""
+    return _extract_office(sf_dir, "pptx")
+
+
 def _punct_docs(sf_dir: str):
     """documents.text with a period appended to every 8th token (and the
     last) — gives the sentence splitter real boundaries while staying a
@@ -554,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_counts": q_extract_status_counts,
         "chunk_token": q_chunk_token,
         "extract_chunks": q_extract_chunks,
+        "extract_docx": q_extract_docx,
+        "extract_rtf": q_extract_rtf,
+        "extract_pptx": q_extract_pptx,
         "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
         "extract_spans": q_extract_spans,
@@ -716,6 +774,34 @@ FROM documents GROUP BY 1, 2
             src="documents WHERE doc_id % 50 NOT IN (3, 13)",
             size=32, step=24,
         ),
+        "extract_docx": f"""
+SELECT {_URL} AS url, 'docx' AS doc_type, 'ok' AS status,
+       '# Document ' || doc_id || chr(10) || chr(10) || text AS markdown
+FROM documents
+""",
+        "extract_rtf": f"""
+SELECT {_URL} AS url, 'rtf' AS doc_type, 'ok' AS status,
+       text AS markdown
+FROM documents
+""",
+        "extract_pptx": f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         GREATEST(1, CAST(ceil(len(toks) / 20.0) AS INT)) AS ns
+  FROM t
+), slides AS (
+  SELECT doc_id, s,
+         array_to_string(toks[(s * 20 + 1):LEAST(s * 20 + 20, n)], ' ') AS slide
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS s) g
+)
+SELECT {_URL} AS url, 'pptx' AS doc_type, 'ok' AS status,
+       string_agg(slide, chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                  ORDER BY s) AS markdown
+FROM slides JOIN documents USING (doc_id)
+GROUP BY doc_id
+""",
         "chunk_sentence": """
 WITH t AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents

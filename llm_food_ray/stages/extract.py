@@ -50,9 +50,20 @@ def _tune_gc_once() -> None:
 
 
 def sniff_doc_type(payload: bytes, text: str) -> str:
-    """Byte-sniffing dispatch replacing extension dispatch (M1)."""
+    """Byte-sniffing dispatch replacing extension dispatch (M1,
+    app.py:354-379 + config.py:47 extension list): pdf/html/docx/pptx/
+    rtf/text, else unknown (→ the reference's "Unsupported file type")."""
     if payload.startswith(b"%PDF-"):
         return "pdf"
+    if payload.startswith(b"PK\x03\x04"):
+        head = payload[:4096]
+        if b"word/" in head:
+            return "docx"
+        if b"ppt/" in head:
+            return "pptx"
+        return "unknown"
+    if payload.lstrip()[:5] == b"{\\rtf":
+        return "rtf"
     if payload:
         head = payload[:4096].lower()
         if any(m in head for m in _HTML_MARKERS):
@@ -139,6 +150,37 @@ class ExtractStage:
                 )
                 blocks = [([b for b in p.split("\n\n") if b] if p else []) for p in pages]
                 md, texts, spans = _spans_from_blocks(blocks)
+                base["markdown"] = md
+                base["texts"] = texts
+                base["spans"] = spans
+            elif doc_type == "docx":
+                # M8 contract: single-element texts (app.py:218-222)
+                from ..functions.office import docx_markdown
+
+                md = docx_markdown(payload)
+                blocks = [b for b in md.split("\n\n") if b]
+                md2, texts, spans = _spans_from_blocks([blocks])
+                base["markdown"] = md2
+                base["texts"] = texts
+                base["spans"] = spans
+            elif doc_type == "rtf":
+                # M9 contract: plain text, single element (app.py:225-229)
+                from ..functions.office import rtf_to_text
+
+                t = rtf_to_text(payload)
+                base["markdown"] = t
+                base["texts"] = [t]
+                base["spans"] = (
+                    [{"start": 0, "end": len(t), "kind": "paragraph"}] if t else []
+                )
+            elif doc_type == "pptx":
+                # M10 contract: one element per slide with text, [""] if
+                # none (app.py:232-249)
+                from ..functions.office import pptx_slide_texts
+
+                slides = pptx_slide_texts(payload)
+                md, texts, spans = _spans_from_blocks(
+                    [[s] if s else [] for s in slides])
                 base["markdown"] = md
                 base["texts"] = texts
                 base["spans"] = spans
