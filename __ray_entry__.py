@@ -557,28 +557,39 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour windowed aggregate over the events stream table
-    (pre-aggregated per batch? no — groupby on (user_id, window) directly;
-    the window column is derived vectorized)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour windowed aggregate over the events stream table.
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    Combiner pattern: each batch pre-aggregates (user_id, window) →
+    (partial count, partial sum) with a vectorized Arrow group_by BEFORE
+    the global shuffle, so the all-to-all exchange carries one row per
+    (user, window, batch) instead of one per event."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        us = batch.column("ts").cast(pa.int64())
-        win = pc.divide(us, 3600 * 1_000_000)
-        return batch.append_column("window", win)
+        win = pc.divide(batch.column("ts").cast(pa.int64()), 3600 * 1_000_000)
+        t = pa.Table.from_arrays(
+            [batch.column("user_id"), win, batch.column("value")],
+            names=["user_id", "window", "value"],
+        )
+        g = t.group_by(["user_id", "window"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["user_id", "window", "pn", "psum"])
 
-    ds = _events(sf_dir).map_batches(add_window, batch_format="pyarrow")
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
     agg = ds.groupby(["user_id", "window"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        Sum("pn", alias_name="n"), Sum("psum", alias_name="sum_value")
     )
 
     def fmt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         i = batch.schema.get_field_index("sum_value")
-        return batch.set_column(i, "sum_value", pc.round(batch.column("sum_value"), 4))
+        out = batch.set_column(i, "sum_value",
+                               pc.round(batch.column("sum_value"), 4))
+        j = out.schema.get_field_index("n")
+        return out.set_column(j, "n", out.column("n").cast(pa.int64()))
 
     return agg.map_batches(fmt, batch_format="pyarrow")
 

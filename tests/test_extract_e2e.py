@@ -264,3 +264,22 @@ def test_run_extract_defers_whales_single_read(ray_session, tmp_path):
         o = stage.extract_row(r["url"], r["html"], r["text"])
         assert got.loc[r["url"], "markdown"] == o["markdown"]
         assert got.loc[r["url"], "content_hash"] == o["content_hash"]
+
+
+def test_extract_actor_pool_path_identical(ray_session):
+    """extract_dataset(concurrency=N) runs the stage as an actor pool
+    (class + fn_constructor_kwargs); results must match stateless tasks."""
+    from llm_food_ray.pipelines.extract import extract_dataset
+    from tests.helpers import dataset_from_items
+
+    rows = [synth_page_record(i, f"pool text {i} " * 4, "en") for i in range(40)]
+    a = (extract_dataset(dataset_from_items(rows), ExtractConfig(), whale_leg=False)
+         .select_columns(["url", "markdown", "status"]).to_pandas()
+         .set_index("url").sort_index())
+    b = (extract_dataset(dataset_from_items(rows), ExtractConfig(),
+                         whale_leg=False, concurrency=2)
+         .select_columns(["url", "markdown", "status"]).to_pandas()
+         .set_index("url").sort_index())
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
