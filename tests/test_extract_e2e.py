@@ -283,3 +283,46 @@ def test_extract_actor_pool_path_identical(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_after_whale_phase_crash(ray_session, tmp_path, monkeypatch):
+    """A crash AFTER phase-1 wrote data but BEFORE the manifest (e.g. mid
+    whale pass) leaves a manifest-less partition; the rerun must clean it
+    and produce exactly the same output as an uninterrupted run."""
+    import llm_food_ray.state.manifest as mf
+
+    whale_pdf = simple_pdf("Whale", [f"w{i}" for i in range(3000)],
+                           words_per_line=10, lines_per_page=50)
+    rows = [synth_page_record(i, f"crash test {i} " * 4, "en") for i in range(20)]
+    rows.append({"url": "https://example.com/whale", "warc_ts": rows[0]["warc_ts"],
+                 "html": whale_pdf, "text": "", "lang": "en"})
+    src = tmp_path / "pages"; src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+                   str(src / "s0.parquet"))
+    cfg = ExtractConfig(big_doc_threshold=len(whale_pdf) - 1,
+                        pdf_backend="structured")
+    out = str(tmp_path / "out")
+
+    calls = {"n": 0}
+    real = mf.write_manifest
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before manifest")
+
+    monkeypatch.setattr(mf, "write_manifest", bomb)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        run_extract([str(src / "s0.parquet")], out, cfg, num_groups=1)
+    assert calls["n"] == 1
+    # partition has data but no manifest → not "completed"
+    assert mf.completed_partitions(out) == set()
+
+    monkeypatch.setattr(mf, "write_manifest", real)
+    totals = run_extract([str(src / "s0.parquet")], out, cfg, num_groups=1)
+    assert totals["skipped_groups"] == 0        # it re-ran, not skipped
+    got = read_extracted(out).to_pandas()
+    assert len(got) == len(rows)                # no duplicate rows
+    assert set(got["url"]) == {r["url"] for r in rows}
+    whale = got.set_index("url").loc["https://example.com/whale"]
+    assert whale["status"] == "ok" and whale["markdown"].startswith("# Whale")
