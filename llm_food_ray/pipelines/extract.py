@@ -91,6 +91,7 @@ _DEFER_DIR = "__leg=deferred"
 def run_extract(input_paths: list[str], out_dir: str,
                 cfg: ExtractConfig | None = None, *,
                 num_groups: int | None = None,
+                max_concurrent_groups: int = 1,
                 pages_from=None) -> dict:
     """Resumable driver loop: one Dataset execution per shard group.
 
@@ -115,13 +116,8 @@ def run_extract(input_paths: list[str], out_dir: str,
     groups = _group_paths(input_paths, num_groups)
     totals = {"ok": 0, "failed": 0, "skipped_groups": 0}
     done = mf.completed_partitions(out_dir)
-    for gid, paths in enumerate(groups):
-        if gid in done:
-            totals["skipped_groups"] += 1
-            m = mf.load_manifest(out_dir, gid)
-            for k in ("ok", "failed"):
-                totals[k] += m["counters"].get(k, 0)
-            continue
+
+    def run_group(gid: int, paths: list[str]) -> dict:
         mf.clean_partial(out_dir, gid)
         t0 = time.perf_counter()
         ds = pages_from(paths) if pages_from else rd.read_parquet(paths)
@@ -175,8 +171,53 @@ def run_extract(input_paths: list[str], out_dir: str,
             out_dir, gid, input_paths=paths, counters=counters,
             config_fingerprint=fp, wall_time_s=time.perf_counter() - t0,
         )
-        for k in ("ok", "failed"):
-            totals[k] += counters.get(k, 0)
+        return counters
+
+    pending: list[tuple[int, list[str]]] = []
+    for gid, paths in enumerate(groups):
+        if gid in done:
+            totals["skipped_groups"] += 1
+            m = mf.load_manifest(out_dir, gid)
+            for k in ("ok", "failed"):
+                totals[k] += m["counters"].get(k, 0)
+        else:
+            pending.append((gid, paths))
+
+    if max_concurrent_groups <= 1 or len(pending) <= 1:
+        for gid, paths in pending:
+            counters = run_group(gid, paths)
+            for k in ("ok", "failed"):
+                totals[k] += counters.get(k, 0)
+    else:
+        # overlap independent groups: each thread drives its own Dataset
+        # execution, hiding per-group pipeline-launch gaps.  Manifests are
+        # per-group, so resume semantics are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's read path lazily imports fsspec's HTTP filesystem and only
+        # handles the single-threaded ModuleNotFoundError (no aiohttp in
+        # this env); under concurrent first-imports the failure surfaces
+        # as a bare ImportError instead and kills a group.  Seed a sentinel
+        # module so the import resolves deterministically; the isinstance
+        # check in ray then just returns False (we never read http URLs).
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except ImportError:
+            import sys as _sys
+            import types as _types
+
+            _mod = _types.ModuleType("fsspec.implementations.http")
+
+            class _SentinelHTTPFileSystem:   # never instantiated
+                pass
+
+            _mod.HTTPFileSystem = _SentinelHTTPFileSystem
+            _sys.modules["fsspec.implementations.http"] = _mod
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_groups) as ex:
+            for counters in ex.map(lambda gp: run_group(*gp), pending):
+                for k in ("ok", "failed"):
+                    totals[k] += counters.get(k, 0)
     return totals
 
 

@@ -326,3 +326,20 @@ def test_resume_after_whale_phase_crash(ray_session, tmp_path, monkeypatch):
     assert set(got["url"]) == {r["url"] for r in rows}
     whale = got.set_index("url").loc["https://example.com/whale"]
     assert whale["status"] == "ok" and whale["markdown"].startswith("# Whale")
+
+
+def test_concurrent_groups_match_serial(ray_session, pages_parquet, tmp_path):
+    """max_concurrent_groups overlaps independent group executions;
+    results and manifests must be identical to the serial loop."""
+    paths, rows = pages_parquet
+    cfg = ExtractConfig()
+    out_s = str(tmp_path / "serial")
+    out_c = str(tmp_path / "conc")
+    t_s = run_extract(paths, out_s, cfg, num_groups=4)
+    t_c = run_extract(paths, out_c, cfg, num_groups=4, max_concurrent_groups=3)
+    assert t_s == t_c
+    a = read_extracted(out_s).to_pandas().set_index("url").sort_index()
+    b = read_extracted(out_c).to_pandas().set_index("url").sort_index()
+    assert list(a.index) == list(b.index)
+    assert (a["markdown"] == b["markdown"]).all()
+    assert (a["content_hash"] == b["content_hash"]).all()
