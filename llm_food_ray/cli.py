@@ -48,7 +48,8 @@ def cmd_extract(args) -> int:
         return 2
     _init_ray()
     cfg = ExtractConfig(pdf_backend=args.backend)
-    totals = run_extract(paths, args.out_dir, cfg, num_groups=args.groups)
+    totals = run_extract(paths, args.out_dir, cfg, num_groups=args.groups,
+                         max_concurrent_groups=args.concurrent_groups)
     print(json.dumps(totals))
     return 0
 
@@ -128,6 +129,9 @@ def main(argv=None) -> int:
     pe.add_argument("in_dir")
     pe.add_argument("out_dir")
     pe.add_argument("--groups", type=int, default=None)
+    pe.add_argument("--concurrent-groups", type=int, default=1,
+                    help="overlap this many group executions (resume "
+                         "granularity is unchanged)")
     pe.add_argument("--backend", default="auto",
                     choices=["auto", "structured", "plain"])
     pe.set_defaults(fn=cmd_extract)
