@@ -121,6 +121,21 @@ def run_bench() -> dict:
     extract_sec = time.perf_counter() - t0
     queries["extract"] = round(extract_sec, 3)
 
+    if os.environ.get("BENCH_ONLY") == "extract":
+        # scaling legs time only the headline pipeline
+        ray.shutdown()
+        return {
+            "metric": "end-to-end extraction seconds over replicated pages "
+                      "corpus (read -> dispatch+extract -> parquet write)",
+            "value": round(extract_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "n_pages": n_pages,
+            "docs_per_sec": round(n_pages / extract_sec, 1),
+        }
+
     # --- chunk: token chunker over the extracted markdown ---------------
     t0 = time.perf_counter()
     chunks = rd.read_parquet(out_dir, columns=["url", "markdown"],
@@ -197,6 +212,7 @@ def run_scaling() -> dict:
         # cost so the efficiency number reflects steady-state throughput
         # (the regime that matters at 100 TB), not startup.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_ONLY="extract",
                    BENCH_REPLICATION=os.environ.get("BENCH_REPLICATION",
                                                     str(REPL * 2)))
         # pin the whole process tree to ncpu physical cores: ray's
