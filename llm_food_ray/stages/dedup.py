@@ -56,47 +56,64 @@ def add_content_hash(ds, text_column: str = "text", out_column: str = "content_m
 
 
 def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
-                num_buckets: int = 64):
+                num_buckets: int = 64, reduce: str = "driver"):
     """Keep the min-key row per distinct content hash (F6's scale form).
 
-    Two-phase plan so the shuffle never carries document payloads:
+    Phase 1 computes the kept-key set while moving ONLY ``(content_md5,
+    min key)`` partials (32 B/row, never the text):
 
-    1. map → ONLY ``(key, content_md5, bucket)`` (32 B/row, not the text)
-       → ONE shuffle into coarse hash buckets → vectorized pandas
-       ``groupby(hash).min(key)`` per bucket → the kept key set.  Coarse
-       buckets keep per-group Python overhead O(num_buckets), not
-       O(distinct hashes) — ``map_groups`` over millions of singleton
-       hash groups pays pandas per group and crawls.  (``Dataset.join``
-       in this Ray release spawns per-partition aggregator actors that
-       can starve a small CPU budget, so the bucket plan is also the
-       safer scale path.)
-    2. broadcast the kept keys once via the object store and filter the
-       original dataset — a second streaming pass over the input instead
-       of an all-to-all exchange of the full payload bytes.
+    - ``reduce="driver"`` (default): each batch pre-reduces hash->min-key
+      with a vectorized Arrow group_by, partials stream to the driver and
+      merge there.  No shuffle at all -- and no NEW scale assumption: the
+      kept-key set already has to fit the driver/object store for the
+      phase-2 broadcast, and the merged partials are the same order of
+      size.
+    - ``reduce="shuffle"``: ONE groupby shuffle into ``num_buckets``
+      coarse hash buckets, vectorized ``groupby(hash).min(key)`` per
+      bucket.  For the 10^12-doc regime where the distinct-hash set
+      outgrows one machine: bucket outputs would feed a partitioned
+      keep-join instead of a driver merge.  (Coarse buckets, not
+      groupby(hash): ``map_groups`` over millions of singleton hash
+      groups pays pandas per group and crawls.)
 
-    Documented scale assumption: the kept-key set fits in the object
-    store (keys only — at 10^12 docs partition the keep-filter by key
-    range and broadcast per-range chunks instead)."""
+    Phase 2 broadcasts the kept keys once via the object store and
+    filters the original dataset in a second streaming pass -- never an
+    all-to-all exchange of payload bytes."""
     import ray as _ray
 
-    def hash_keys(batch: pa.Table) -> pa.Table:
+    def hash_partial(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(text_column).to_pylist()]
-        hashes = [md5_hex(t) for t in texts]
-        buckets = [int(h[:8], 16) % num_buckets for h in hashes]
-        return pa.Table.from_arrays(
-            [batch.column(key_column), pa.array(hashes, pa.string()),
-             pa.array(buckets, pa.int32())],
-            names=[key_column, "content_md5", "__bucket"],
-        )
+        hashes = pa.array([md5_hex(t) for t in texts], pa.string())
+        t = pa.Table.from_arrays([hashes, batch.column(key_column)],
+                                 names=["content_md5", key_column])
+        g = t.group_by(["content_md5"]).aggregate([(key_column, "min")])
+        return g.rename_columns(["content_md5", key_column])
 
-    def min_key_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-        kept = group.groupby("content_md5", sort=False)[key_column].min()
-        return pd.DataFrame({key_column: kept.to_numpy()})
+    if reduce == "driver":
+        parts = []
+        for b in (ds.map_batches(hash_partial, batch_format="pyarrow")
+                    .iter_batches(batch_size=65_536, batch_format="pandas")):
+            parts.append(b)
+        merged = pd.concat(parts, ignore_index=True)
+        kept_keys = (merged.groupby("content_md5", sort=False)[key_column]
+                     .min().to_numpy())
+    elif reduce == "shuffle":
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            buckets = [int(h[:8], 16) % num_buckets
+                       for h in batch.column("content_md5").to_pylist()]
+            return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
-    kept_keys = (ds.map_batches(hash_keys, batch_format="pyarrow")
-                   .groupby("__bucket")
-                   .map_groups(min_key_per_hash, batch_format="pandas")
-                   .to_pandas())[key_column].to_numpy()
+        def min_key_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+            kept = group.groupby("content_md5", sort=False)[key_column].min()
+            return pd.DataFrame({key_column: kept.to_numpy()})
+
+        kept_keys = (ds.map_batches(hash_partial, batch_format="pyarrow")
+                       .map_batches(add_bucket, batch_format="pyarrow")
+                       .groupby("__bucket")
+                       .map_groups(min_key_per_hash, batch_format="pandas")
+                       .to_pandas())[key_column].to_numpy()
+    else:
+        raise ValueError(f"reduce={reduce!r}")
     keys_ref = _ray.put(pa.array(np.sort(kept_keys)))
 
     def keep(batch: pa.Table) -> pa.Table:

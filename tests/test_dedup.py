@@ -145,3 +145,17 @@ def test_embedding_pairs_ray(ray_session):
     assert (0, 30) in got and (0, 31) in got and (30, 31) in got
     for a, b in got:
         assert {a, b} <= {0, 30, 31}
+
+
+def test_dedup_exact_shuffle_mode_matches_driver(ray_session):
+    """reduce='shuffle' (bucket groupby path) must keep the same rows as
+    the default driver merge."""
+    from llm_food_ray.stages.dedup import dedup_exact
+    from tests.helpers import dataset_from_items
+
+    rows = [{"doc_id": i, "text": f"content {i % 7}"} for i in range(50)]
+    a = sorted(dedup_exact(dataset_from_items(rows), "doc_id", "text",
+                           reduce="driver").to_pandas()["doc_id"])
+    b = sorted(dedup_exact(dataset_from_items(rows), "doc_id", "text",
+                           reduce="shuffle").to_pandas()["doc_id"])
+    assert a == b == list(range(7))
