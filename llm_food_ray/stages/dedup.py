@@ -90,13 +90,16 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
         return g.rename_columns(["content_md5", key_column])
 
     if reduce == "driver":
-        parts = []
-        for b in (ds.map_batches(hash_partial, batch_format="pyarrow")
-                    .iter_batches(batch_size=65_536, batch_format="pandas")):
-            parts.append(b)
-        merged = pd.concat(parts, ignore_index=True)
-        kept_keys = (merged.groupby("content_md5", sort=False)[key_column]
-                     .min().to_numpy())
+        # merge in Arrow end to end: a pandas concat+groupby here builds
+        # multi-hundred-MB object blocks, which this class of host handles
+        # pathologically slowly; the C++ group_by does not
+        parts = list(ds.map_batches(hash_partial, batch_format="pyarrow")
+                       .iter_batches(batch_size=65_536, batch_format="pyarrow"))
+        merged = pa.concat_tables(parts)
+        final = merged.group_by(["content_md5"]).aggregate(
+            [(key_column, "min")])
+        kept_keys = final.column(f"{key_column}_min").to_numpy(
+            zero_copy_only=False)
     elif reduce == "shuffle":
         def add_bucket(batch: pa.Table) -> pa.Table:
             buckets = [int(h[:8], 16) % num_buckets
