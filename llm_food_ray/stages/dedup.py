@@ -307,7 +307,13 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
 
     banded = sig_ds.map_batches(explode_keys, batch_format="pyarrow")
     pairs_ds = _coarse_bucket_pairs(banded, bucket_pairs, key_column=key_column)
-    pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"])   # small (assumption above)
+    # distinct in Arrow (group_by with no aggregates), pandas only at the
+    # final (deduped) size — big pandas object blocks crawl on this host
+    raw = pa.concat_tables(
+        list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    pairs = (raw.group_by(["a", "b"]).aggregate([]).to_pandas()
+             if raw.num_rows else pd.DataFrame({"a": [], "b": []}))
     if not len(pairs):
         return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                        "b": pa.array([], pa.int64()),
@@ -347,7 +353,7 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
         # zero Python-object hops (to_pandas on a big list column crawls),
         # then score every pair with one boolean matrix reduction
         key_parts, mat_parts = [], []
-        for b in cand_ds.iter_batches(batch_size=32_768, batch_format="pyarrow"):
+        for b in cand_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             key_parts.append(b.column(key_column).to_numpy(zero_copy_only=False))
             flat = np.asarray(b.column(cols[1]).combine_chunks().flatten(),
                               dtype=np.uint64)
