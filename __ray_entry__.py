@@ -1011,6 +1011,40 @@ SELECT doc_id,
 FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 5)) AS i) g
 GROUP BY doc_id
 """,
+        "lang_id": """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\\w+'), x -> lower(x)) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n,
+    len(list_filter(toks, x -> x IN ('the','of','and','to','a','in','is',
+      'that','it','for','on','with','as','are','was','be','this','have',
+      'from','or','by'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht',
+      'ein','eine','zu','den','von','mit','auf','für','im','sich','des',
+      'dem'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y',
+      'en','un','una','es','no','por','con','para','del','se','su','al',
+      'como'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','un',
+      'une','est','que','pour','dans','qui','au','du','sur','ne','pas',
+      'ce'))) AS h_fr,
+    len(list_filter(toks, x -> x IN ('bir','ve','bu','da','de','için',
+      'ile','olarak','çok','daha','en','gibi','sonra','kadar','ama',
+      'ben'))) AS h_tr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 'und'
+       WHEN GREATEST(h_en, h_de, h_es, h_fr, h_tr) * 1.0 / n <= 0.02 THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_tr THEN 'en'
+       WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_tr THEN 'de'
+       WHEN h_es >= h_fr AND h_es >= h_tr THEN 'es'
+       WHEN h_fr >= h_tr THEN 'fr'
+       ELSE 'tr' END AS lang_id
+FROM s
+""",
         "events_window": """
 SELECT user_id,
        epoch_us(ts) // 3600000000 AS window,
@@ -1028,7 +1062,7 @@ SELECT doc_id,
        octet_length(CAST(text AS BLOB)) % 32 AS n_frames
 FROM documents
 """,
-        # dedup_simhash, ann_ivf, lang_id: non-SQL-expressible
-        # (heuristic / approximate) → rows-only checks; pytest covers
-        # their semantics against brute-force oracles.
+        # dedup_simhash, ann_ivf: non-SQL-expressible (bitwise simhash /
+        # approximate index) → rows-only checks; pytest covers their
+        # semantics against brute-force oracles.
     }
