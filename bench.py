@@ -165,6 +165,25 @@ def run_bench() -> dict:
     n_pairs = pairs.count()
     queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
 
+    # --- textstats: lang-ID + quality over the extracted markdown -------
+    from llm_food_ray.stages.textstats import TextStatsStage
+
+    t0 = time.perf_counter()
+    stats = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                            override_num_blocks=nblocks).map_batches(
+        TextStatsStage(text_column="markdown", features=("lang_id", "quality")),
+        batch_format="pyarrow",
+    )
+    n_stats = stats.count()
+    queries["textstats"] = round(time.perf_counter() - t0, 3)
+
+    # --- windowed aggregate over the events table -----------------------
+    import __ray_entry__ as _entry
+
+    t0 = time.perf_counter()
+    n_windows = _entry.q_events_window(SF_DIR).count()
+    queries["events_window"] = round(time.perf_counter() - t0, 3)
+
     # --- ann: brute-force cosine top-10 ---------------------------------
     import pyarrow.dataset as pads
 
@@ -191,6 +210,8 @@ def run_bench() -> dict:
         "n_chunks": n_chunks,
         "n_kept": n_kept,
         "n_dup_pairs": n_pairs,
+        "n_stats": n_stats,
+        "n_windows": n_windows,
     }
 
 
