@@ -120,25 +120,27 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS)
+
+
 def simhash64(text: str) -> int:
     """64-bit simhash over word features (Charikar '02): sum of +/-1 per
-    bit weighted by term frequency, threshold at 0."""
+    bit weighted by term frequency, threshold at 0.  Bit accumulation is
+    one (terms, 64) matrix reduction, not a per-term loop."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
     freq: dict[str, int] = {}
     for t in toks:
         freq[t] = freq.get(t, 0) + 1
-    for t, w in freq.items():
-        h = stable_hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), w, -w)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hashes = np.fromiter((stable_hash64(t) for t in freq), dtype=np.uint64,
+                         count=len(freq))
+    weights = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))
+    bits = ((hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+    acc = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+    return int(_BIT_WEIGHTS[acc > 0].sum())
 
 
 def hamming64(a: int, b: int) -> int:
