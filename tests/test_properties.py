@@ -152,3 +152,20 @@ def test_extract_row_never_raises(payload):
     row = stage.extract_row("u", payload, "")
     assert row["status"] in ("ok", "failed")
     assert isinstance(row["markdown"], str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 255), st.integers(1, 64))
+def test_pdf_mutation_fuzz_never_raises_through_stage(offset, value, cut):
+    """Structured mutations of a valid PDF (byte flip + tail truncation)
+    must flow through the extract stage as rows, never exceptions; a
+    truncated-but-parsable prefix may still yield ok."""
+    base = simple_pdf("Fuzz Doc", [f"w{i}" for i in range(120)],
+                      words_per_line=8, lines_per_page=10)
+    data = bytearray(base[: max(5, len(base) - cut)])
+    if offset < len(data):
+        data[offset] = value
+    row = ExtractStage().extract_row("u", bytes(data), "")
+    assert row["status"] in ("ok", "failed")
+    assert isinstance(row["markdown"], str)
+    assert isinstance(row["texts"], list)
