@@ -496,6 +496,28 @@ def q_frame_sample(sf_dir: str):
     )
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """IVF index persisted as cluster-partitioned Parquet; the query
+    reads ONLY the nprobe probed partitions (I/O-level pruning — the
+    scale path). Rows-only check (approximate); recall is
+    pytest-verified."""
+    import os
+    import shutil
+    import tempfile
+
+    from llm_food_ray.stages.similarity import ivf_query_index, ivf_write_index
+
+    q = _query_vec(sf_dir)
+    emb = _embeddings(sf_dir)
+    sample = np.asarray(emb.limit(256).to_pandas()["embedding"].tolist())
+    cent = train_centroids(sample, 8)
+    out = os.path.join(tempfile.gettempdir(),
+                       f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ivf_write_index(emb, cent, out)
+    return ivf_query_index(out, q, 10, nprobe=4)
+
+
 def q_lang_counts(sf_dir: str):
     """Tiny groupby rollup on a dimension column."""
     from ray.data.aggregate import Count
@@ -637,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,

@@ -109,6 +109,56 @@ class IvfAssign:
         return batch.append_column("ivf_cluster", pa.array(d.argmin(1), pa.int32()))
 
 
+def ivf_write_index(ds, centroids: np.ndarray, out_dir: str, *,
+                    vec_column: str = "embedding") -> None:
+    """Persist the IVF index as cluster-partitioned Parquet: one
+    ``ivf_cluster=<c>/`` directory per partition plus a centroids sidecar.
+    Queries then read ONLY the probed partitions — pruning at the I/O
+    layer, which is what makes IVF the scale path (a brute-force scan
+    reads the whole corpus per query; this reads nprobe/n_clusters of
+    it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    assigned = ds.map_batches(IvfAssign(centroids, vec_column),
+                              batch_format="pyarrow")
+    assigned.write_parquet(out_dir, partition_cols=["ivf_cluster"])
+    cent = np.asarray(centroids, dtype=np.float64)
+    pq.write_table(
+        pa.table({"cluster": np.arange(len(cent)),
+                  "centroid": list(cent)}),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+
+
+def ivf_query_index(out_dir: str, query_vec, k: int, *, nprobe: int = 4,
+                    key_column: str = "vec_id", vec_column: str = "embedding"):
+    """Query a persisted IVF index: load the centroid sidecar, pick the
+    ``nprobe`` nearest partitions, and read only those directories."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent_tbl = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+    order = np.argsort(cent_tbl.column("cluster").to_numpy())
+    cent = np.asarray(cent_tbl.column("centroid").to_pylist(),
+                      dtype=np.float64)[order]
+    q = np.asarray(query_vec, dtype=np.float64)
+    cd = ((cent - q[None, :]) ** 2).sum(-1)
+    probe = [int(c) for c in np.argsort(cd)[:nprobe]]
+    paths = []
+    for c in probe:
+        d = os.path.join(out_dir, f"ivf_cluster={c}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    ds = rd.read_parquet(paths, columns=[key_column, vec_column])
+    return brute_topk(ds, query_vec, k, key_column=key_column,
+                      vec_column=vec_column)
+
+
 def ivf_topk(ds, centroids: np.ndarray, query_vec, k: int, *, nprobe: int = 4,
              key_column: str = "vec_id", vec_column: str = "embedding",
              assigned: bool = False):

@@ -70,3 +70,39 @@ def test_centroids_deterministic():
     a = train_centroids(sample, 4)
     b = train_centroids(sample, 4)
     assert np.array_equal(a, b)
+
+
+def test_ivf_partitioned_index_roundtrip(ray_session, tmp_path):
+    """Persisted IVF index: cluster-partitioned parquet + centroid
+    sidecar; querying reads only the probed partitions and recalls the
+    brute-force top-k when probing all clusters."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import (
+        brute_topk, ivf_query_index, ivf_write_index, train_centroids)
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((400, 16))
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(400)]
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.Table.from_pylist(items))
+    cent = train_centroids(vecs[:128], 8)
+    out = str(tmp_path / "ivf")
+    ivf_write_index(ds, cent, out)
+    # layout: one dir per non-empty cluster + sidecar
+    dirs = [d for d in os.listdir(out) if d.startswith("ivf_cluster=")]
+    assert len(dirs) >= 2
+    assert os.path.exists(os.path.join(out, "centroids.parquet"))
+
+    q = vecs[7]
+    exact = brute_topk(ds, q, 5).to_pandas()
+    # probing every cluster must reproduce brute force exactly
+    full = ivf_query_index(out, q, 5, nprobe=8).to_pandas()
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    # low-probe query returns k rows and includes the query's own vector
+    approx = ivf_query_index(out, q, 5, nprobe=2).to_pandas()
+    assert len(approx) == 5
+    assert 7 in set(approx["vec_id"])
