@@ -634,6 +634,24 @@ def q_multimodal_probe(sf_dir: str):
     )
 
 
+def q_multimodal_features(sf_dir: str):
+    """Feature-extract stage through the codec seam: 16-bin nibble
+    histogram + byte entropy per payload (deterministic; rows-only —
+    per-byte histograms aren't practical in SQL, pytest pins values)."""
+    from llm_food_ray.stages.multimodal import MediaFeatureStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(MediaFeatureStage(), batch_format="pyarrow", batch_size=64)
+    return out.select_columns(["doc_id", "features", "byte_entropy"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": q_extract_pages,
@@ -651,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_pages_explode": q_pdf_pages_explode,
         "pdf_reaggregate": q_pdf_reaggregate,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,

@@ -106,6 +106,46 @@ class MediaProbeStage:
         return out
 
 
+class MediaFeatureStage:
+    """Actor-pool feature extraction: payload → fixed-width numeric
+    feature vector through the codec seam.  FakeCodec emits a
+    deterministic 16-bin byte-nibble histogram (L1-normalized) plus a
+    byte-entropy scalar, so the downstream contract — a dense
+    ``list<float>`` feature column feeding the similarity/dedup stages —
+    is real and tested; a real codec would put decoded-image embeddings
+    here."""
+
+    def __init__(self, payload_column: str = "payload",
+                 codec: MediaCodec | None = None):
+        self.payload_column = payload_column
+        self.codec = codec or FakeCodec()
+
+    @staticmethod
+    def _features(payload: bytes) -> tuple[list[float], float]:
+        import math
+
+        n = len(payload)
+        if n == 0:
+            return [0.0] * 16, 0.0
+        counts = [0] * 16
+        byte_counts: dict[int, int] = {}
+        for b in payload:
+            counts[b >> 4] += 1
+            byte_counts[b] = byte_counts.get(b, 0) + 1
+        hist = [round(c / n, 6) for c in counts]
+        ent = -sum((c / n) * math.log2(c / n) for c in byte_counts.values())
+        return hist, round(ent, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch.column(self.payload_column).to_pylist()]
+        feats = [self._features(p) for p in payloads]
+        return batch.append_column(
+            "features", pa.array([f[0] for f in feats], pa.list_(pa.float64()))
+        ).append_column(
+            "byte_entropy", pa.array([f[1] for f in feats], pa.float64())
+        )
+
+
 class MediaResizeStage:
     def __init__(self, width: int, height: int,
                  payload_column: str = "payload",

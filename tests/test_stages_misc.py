@@ -95,3 +95,34 @@ def test_frame_sampling_evenly_spaced():
     # zero-frame payloads produce no rows
     empty = FrameSampleStage(2)(pa.table({"url": ["e"], "payload": [b"v" * 32]}))
     assert empty.num_rows == 0
+
+
+def test_media_feature_stage(ray_session):
+    """Feature extraction through the codec seam: 16-bin nibble histogram
+    (sums to ~1) + byte entropy, deterministic."""
+    import math
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.multimodal import MediaFeatureStage
+    from tests.helpers import dataset_from_items
+
+    rows = [{"k": 0, "payload": b"\x00" * 64},
+            {"k": 1, "payload": bytes(range(256))},
+            {"k": 2, "payload": b""}]
+    out = (dataset_from_items(rows)
+           .map_batches(MediaFeatureStage(), batch_format="pyarrow")
+           .to_pandas().set_index("k"))
+    # uniform payload: all mass in one bin, zero entropy
+    assert out.loc[0, "features"][0] == 1.0
+    assert out.loc[0, "byte_entropy"] == 0.0
+    # all 256 byte values once: uniform histogram, entropy 8 bits
+    assert all(abs(v - 1 / 16) < 1e-9 for v in out.loc[1, "features"])
+    assert math.isclose(out.loc[1, "byte_entropy"], 8.0)
+    # empty payload: zero vector
+    assert list(out.loc[2, "features"]) == [0.0] * 16
+    # determinism
+    out2 = (dataset_from_items(rows)
+            .map_batches(MediaFeatureStage(), batch_format="pyarrow")
+            .to_pandas().set_index("k"))
+    assert (out["byte_entropy"] == out2["byte_entropy"]).all()
