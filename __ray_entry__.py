@@ -66,6 +66,21 @@ def _events(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def _centroid_sample(emb, size: int = 256) -> np.ndarray:
+    """Deterministic strided sample for IVF centroid training: vectors
+    whose ``vec_id % (n // size) == 0``.  Unlike ``limit(size)`` (the first
+    rows in storage order — biased if vectors cluster by write order) the
+    stride covers the whole key range, stays seed-free deterministic, and
+    reads only the sampled rows' columns."""
+    n = emb.count()
+    stride = max(1, n // size)
+    sample = emb.map_batches(
+        lambda b: b.filter(pa.array(b.column("vec_id").to_numpy() % stride == 0)),
+        batch_format="pyarrow",
+    ).limit(size)
+    return np.asarray(sample.to_pandas()["embedding"].tolist())
+
+
 def _query_vec(sf_dir: str) -> list[float]:
     """Fixed ANN query = embedding of vec_id 0 (tiny driver-side read)."""
     import pyarrow.dataset as pads
@@ -275,10 +290,28 @@ def q_ann_ivf(sf_dir: str):
     recall vs brute force is pytest-verified."""
     q = _query_vec(sf_dir)
     emb = _embeddings(sf_dir)
-    sample = np.asarray(emb.limit(256).to_pandas()["embedding"].tolist())
-    cent = train_centroids(sample, 8)
+    cent = train_centroids(_centroid_sample(emb), 8)
     assigned = emb.map_batches(IvfAssign(cent), batch_format="pyarrow")
     return ivf_topk(assigned, cent, q, 10, nprobe=4, assigned=True)
+
+
+def q_ann_ivf_full(sf_dir: str):
+    """IVF with nprobe = n_clusters: probes every partition, so the result
+    is provably identical to brute force — this pins the IVF machinery
+    (assign → probe → in-partition top-k) to ann_topk's SQL oracle, while
+    ann_ivf/ann_ivf_partitioned keep their approximate recall pytest."""
+    import pyarrow.compute as pc
+
+    q = _query_vec(sf_dir)
+    emb = _embeddings(sf_dir)
+    cent = train_centroids(_centroid_sample(emb), 8)
+    assigned = emb.map_batches(IvfAssign(cent), batch_format="pyarrow")
+    top = ivf_topk(assigned, cent, q, 10, nprobe=8, assigned=True)
+    return top.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow",
+    )
 
 
 def q_extract_spans(sf_dir: str):
@@ -509,8 +542,7 @@ def q_ann_ivf_partitioned(sf_dir: str):
 
     q = _query_vec(sf_dir)
     emb = _embeddings(sf_dir)
-    sample = np.asarray(emb.limit(256).to_pandas()["embedding"].tolist())
-    cent = train_centroids(sample, 8)
+    cent = train_centroids(_centroid_sample(emb), 8)
     out = os.path.join(tempfile.gettempdir(),
                        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(out, ignore_errors=True)
@@ -678,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
         "token_stats": q_token_stats,
@@ -1024,6 +1057,18 @@ SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
 FROM embeddings WHERE vec_id % 9 = 0
 """,
         "ann_topk": """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4)
+         AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+         vec_id
+LIMIT 10
+""",
+        # full-probe IVF == brute force by construction → same oracle
+        "ann_ivf_full": """
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[],
              (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4)

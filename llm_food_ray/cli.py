@@ -83,12 +83,15 @@ def _slug(url: str) -> str:
 
 
 def cmd_save(args) -> int:
+    import hashlib
+
     from .pipelines.extract import read_extracted
     from .schema import CLI_JOINER
 
     _init_ray()
     os.makedirs(args.dest_dir, exist_ok=True)
     n = 0
+    seen: set[str] = set()
     ds = read_extracted(args.out_dir)
     for batch in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
         for url, texts, status in zip(batch.column("url").to_pylist(),
@@ -98,7 +101,14 @@ def cmd_save(args) -> int:
                 continue
             # CLI saver joins pages with "\n\n" (llm_food/cli.py:114)
             body = CLI_JOINER.join(texts or [])
-            path = os.path.join(args.dest_dir, f"{_slug(url)}.md")
+            name = f"{_slug(url)}.md"
+            if name in seen:
+                # distinct urls sharing a basename (e.g. */index.html) must
+                # not overwrite each other: disambiguate with a url hash
+                h = hashlib.sha256(url.encode("utf-8")).hexdigest()[:8]
+                name = f"{_slug(url)}-{h}.md"
+            seen.add(name)
+            path = os.path.join(args.dest_dir, name)
             with open(path, "w") as f:
                 f.write(body)
             n += 1

@@ -101,16 +101,6 @@ class MinHasher:
         vals = (np.outer(self.a, x) + self.b[:, None]) % MERSENNE_PRIME & _MAX_HASH
         return vals.min(axis=1).astype(np.uint64)
 
-    def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:
-        """LSH banding: hash each band of the signature to a bucket key."""
-        rows = self.num_perm // num_bands
-        keys = []
-        for band in range(num_bands):
-            chunk = sig[band * rows:(band + 1) * rows]
-            digest = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            keys.append(f"{band}:{digest}")
-        return keys
-
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     if a.size == 0 and b.size == 0:

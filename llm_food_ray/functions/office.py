@@ -116,19 +116,30 @@ def rtf_to_text(payload: bytes) -> str:
     skip_depth = 0       # >0 → inside a skipped destination group
     depth = 0
     pending_skip = False  # \* seen: next destination group is skipped
+    uc = 1               # \ucN: ANSI fallback chars after each \uN (striprtf honors this; default 1)
+    uc_stack: list[int] = []
+    skip_fb = 0          # fallback chars still to consume after a \uN
     while pos < n:
         m = _RTF_TOKEN.search(data, pos)
         if m is None:
             if not skip_depth:
-                out.append(data[pos:].decode("latin-1"))
+                tail = data[pos:].decode("latin-1")
+                out.append(tail[skip_fb:])
+                skip_fb = 0
             break
         if m.start() > pos and not skip_depth:
-            out.append(data[pos:m.start()].decode("latin-1"))
+            text = data[pos:m.start()].decode("latin-1")
+            if skip_fb:
+                drop = min(skip_fb, len(text))
+                text = text[drop:]
+                skip_fb -= drop
+            out.append(text)
         pos = m.end()
         hex_esc, uni, word, arg, sym, brace = m.groups()
         if brace is not None:
             if brace == b"{":
                 depth += 1
+                uc_stack.append(uc)
                 if pending_skip:
                     skip_depth = skip_depth or depth
                     pending_skip = False
@@ -136,16 +147,26 @@ def rtf_to_text(payload: bytes) -> str:
                 if skip_depth and depth == skip_depth:
                     skip_depth = 0
                 depth -= 1
+                if uc_stack:
+                    uc = uc_stack.pop()
+            skip_fb = 0
             continue
         if skip_depth:
             continue
         if hex_esc is not None:
-            out.append(bytes([int(hex_esc, 16)]).decode("latin-1"))
+            if skip_fb:          # \'xx counts as ONE fallback char
+                skip_fb -= 1
+            else:
+                out.append(bytes([int(hex_esc, 16)]).decode("latin-1"))
         elif uni is not None:
             code = int(uni)
             out.append(chr(code + 65536 if code < 0 else code))
+            skip_fb = uc         # consume the ANSI fallback that follows
         elif word is not None:
-            if word in _RTF_DESTINATIONS:
+            skip_fb = 0          # a control word ends the fallback region
+            if word == b"uc" and arg is not None:
+                uc = max(0, int(arg))
+            elif word in _RTF_DESTINATIONS:
                 skip_depth = depth or 1
             elif word in _RTF_NEWLINE_WORDS:
                 out.append("\n")
@@ -153,6 +174,7 @@ def rtf_to_text(payload: bytes) -> str:
                 out.append("\t")
             # other control words: formatting — dropped
         elif sym is not None:
+            skip_fb = 0
             if sym in (b"\\", b"{", b"}"):
                 out.append(sym.decode("latin-1"))
             elif sym == b"~":

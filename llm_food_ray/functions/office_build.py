@@ -70,7 +70,9 @@ def build_rtf(paragraphs: list[str]) -> bytes:
             if ch in "\\{}":
                 out.append("\\" + ch)
             elif ord(ch) > 127:
-                out.append(f"\\u{ord(ch)} ")
+                # \uc1 is in force (writer default): emit one '?' ANSI
+                # fallback char after each \uN, per the RTF spec
+                out.append(f"\\u{ord(ch)} ?")
             else:
                 out.append(ch)
         return "".join(out)

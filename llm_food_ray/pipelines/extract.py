@@ -110,15 +110,20 @@ def run_extract(input_paths: list[str], out_dir: str,
     import pyarrow as _pa
     import ray.data as rd
 
+    import shutil
+
     cfg = cfg or ExtractConfig()
     fp = config_fingerprint(cfg)
     num_groups = num_groups or min(cfg.num_partitions, len(input_paths)) or 1
     groups = _group_paths(input_paths, num_groups)
     totals = {"ok": 0, "failed": 0, "skipped_groups": 0}
-    done = mf.completed_partitions(out_dir)
 
     def run_group(gid: int, paths: list[str]) -> dict:
-        mf.clean_partial(out_dir, gid)
+        # Any group reaching here is stale or incomplete: drop whatever is
+        # on disk (incl. outputs under a valid manifest written with a
+        # DIFFERENT config — skipping on manifest presence alone would
+        # silently mix outputs extracted under the old config).
+        shutil.rmtree(mf.partition_dir(out_dir, gid), ignore_errors=True)
         t0 = time.perf_counter()
         ds = pages_from(paths) if pages_from else rd.read_parquet(paths)
         part_dir = mf.partition_dir(out_dir, gid)
@@ -175,9 +180,12 @@ def run_extract(input_paths: list[str], out_dir: str,
 
     pending: list[tuple[int, list[str]]] = []
     for gid, paths in enumerate(groups):
-        if gid in done:
+        m = mf.load_manifest(out_dir, gid)
+        # resume-skip only when the manifest matches THIS run: same config
+        # fingerprint and same input shard set — otherwise re-process
+        if (m is not None and m.get("config_fingerprint") == fp
+                and m.get("input_paths") == sorted(paths)):
             totals["skipped_groups"] += 1
-            m = mf.load_manifest(out_dir, gid)
             for k in ("ok", "failed"):
                 totals[k] += m["counters"].get(k, 0)
         else:

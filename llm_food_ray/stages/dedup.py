@@ -158,30 +158,6 @@ class MinHashSignatures:
         return pa.Table.from_arrays(arrays, names=names)
 
 
-def _band_explode(key_column: str, hasher: MinHasher, num_bands: int,
-                  carry: list[str]):
-    def _explode(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_pylist()
-        sigs = batch.column("minhash_sig").to_pylist()
-        carried = {c: batch.column(c).to_pylist() for c in carry}
-        out_band, out_key = [], []
-        out_carry: dict[str, list] = {c: [] for c in carry}
-        for i, (k, sig) in enumerate(zip(keys, sigs)):
-            for bk in hasher.band_keys(np.array(sig, dtype=np.uint64), num_bands):
-                out_band.append(bk)
-                out_key.append(k)
-                for c in carry:
-                    out_carry[c].append(carried[c][i])
-        arrays = [pa.array(out_band, pa.string()), pa.array(out_key)]
-        names = ["band_key", key_column]
-        for c in carry:
-            arrays.append(pa.array(out_carry[c]))
-            names.append(c)
-        return pa.Table.from_arrays(arrays, names=names)
-
-    return _explode
-
-
 def _coarse_bucket_pairs(banded, bucket_pairs_fn, sim_col: str = None, *,
                          num_coarse: int = 256, key_column: str = None):
     """Run `bucket_pairs_fn` per band bucket WITHOUT paying Ray map_groups
@@ -525,8 +501,11 @@ def clusters_from_pairs(pairs: list[tuple]) -> dict:
     for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
-            # min root wins → deterministic cluster ids
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # min root wins → deterministic cluster ids.  Native comparison
+            # (keys are homogeneous per pipeline): str() ordering would make
+            # 1000000 < 9 lexicographically and drop the original instead of
+            # its injected duplicate.
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
     return {k: find(k) for k in parent}
 

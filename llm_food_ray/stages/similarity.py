@@ -135,7 +135,9 @@ def ivf_write_index(ds, centroids: np.ndarray, out_dir: str, *,
 def ivf_query_index(out_dir: str, query_vec, k: int, *, nprobe: int = 4,
                     key_column: str = "vec_id", vec_column: str = "embedding"):
     """Query a persisted IVF index: load the centroid sidecar, pick the
-    ``nprobe`` nearest partitions, and read only those directories."""
+    ``nprobe`` nearest NON-EMPTY partitions (k-means can leave clusters
+    with no members — empty directories don't count against nprobe), and
+    read only those directories."""
     import os
 
     import pyarrow.parquet as pq
@@ -147,13 +149,20 @@ def ivf_query_index(out_dir: str, query_vec, k: int, *, nprobe: int = 4,
                       dtype=np.float64)[order]
     q = np.asarray(query_vec, dtype=np.float64)
     cd = ((cent - q[None, :]) ** 2).sum(-1)
-    probe = [int(c) for c in np.argsort(cd)[:nprobe]]
-    paths = []
-    for c in probe:
-        d = os.path.join(out_dir, f"ivf_cluster={c}")
-        if os.path.isdir(d):
-            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                         if f.endswith(".parquet"))
+    paths: list[str] = []
+    probed = 0
+    for c in np.argsort(cd):
+        d = os.path.join(out_dir, f"ivf_cluster={int(c)}")
+        files = ([os.path.join(d, f) for f in sorted(os.listdir(d))
+                  if f.endswith(".parquet")] if os.path.isdir(d) else [])
+        if files:
+            paths.extend(files)
+            probed += 1
+            if probed >= nprobe:
+                break
+    if not paths:   # index with zero data files → empty result, not a crash
+        return rd.from_arrow(pa.table({key_column: pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
     ds = rd.read_parquet(paths, columns=[key_column, vec_column])
     return brute_topk(ds, query_vec, k, key_column=key_column,
                       vec_column=vec_column)

@@ -176,6 +176,26 @@ def test_e2e_byte_identity_and_resume(ray_session, pages_parquet, tmp_path):
         assert got2.loc[url, "markdown"] == oracle[url]["markdown"]
 
 
+def test_resume_rejects_stale_config(ray_session, pages_parquet, tmp_path):
+    """A manifest written under a DIFFERENT ExtractConfig must not be
+    resume-skipped: rerunning into the same out_dir with a changed config
+    re-extracts every group instead of mixing stale outputs."""
+    paths, rows = pages_parquet
+    out_dir = str(tmp_path / "out")
+    run_extract(paths, out_dir, ExtractConfig(pdf_backend="plain"),
+                num_groups=4)
+    cfg2 = ExtractConfig(pdf_backend="structured")
+    totals = run_extract(paths, out_dir, cfg2, num_groups=4)
+    assert totals["skipped_groups"] == 0   # every group re-processed
+    got = read_extracted(out_dir).to_pandas().set_index("url")
+    oracle = _oracle(rows, cfg2)
+    for url, expect in oracle.items():
+        assert got.loc[url, "markdown"] == expect["markdown"], url
+    # and a rerun with the SAME config skips everything
+    totals2 = run_extract(paths, out_dir, cfg2, num_groups=4)
+    assert totals2["skipped_groups"] == 4
+
+
 def test_parallelism_invariance(ray_session, pages_parquet, tmp_path):
     """Same input at different group counts → identical per-url results."""
     paths, rows = pages_parquet

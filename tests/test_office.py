@@ -34,6 +34,16 @@ def test_rtf_paragraphs_escapes_unicode():
     assert rtf_to_text(r) == "first para\nsecond {braces} & \\slash\nüñïçødé"
 
 
+def test_rtf_uc_fallback_consumed():
+    # default \uc1: one ANSI fallback char after \uN is consumed
+    assert rtf_to_text(rb"{\rtf1 a\u246 ?b}") == "aöb"
+    # \'xx escape counts as ONE fallback char
+    assert rtf_to_text(rb"{\rtf1 a\u246 \'f6b}") == "aöb"
+    # \uc2 consumes two; \uc0 consumes none; group end restores outer value
+    assert rtf_to_text(rb"{\rtf1\uc2 a\u246 ??b}") == "aöb"
+    assert rtf_to_text(rb"{\rtf1 a{\uc0\u246 }b\u248 ?c}") == "aöbøc"
+
+
 def test_rtf_destinations_skipped():
     raw = (rb"{\rtf1{\fonttbl{\f0 Arial;}}{\*\generator x;}"
            rb"{\stylesheet{\s1 Normal;}}kept text\par more}")
