@@ -12,11 +12,13 @@ Scale design (SURVEY.md §4.3):
   last.  A killed run re-processes only groups without manifests.  At
   100 TB, groups are hundreds of shards each; the streaming executor
   pipelines read → extract → write inside a group with backpressure.
-- Skew defusal: rows whose payload exceeds ``big_doc_threshold`` run on a
-  dedicated whale leg with ``batch_size=1`` so a 2,000-page PDF cannot
-  stall a 256-row batch (two cheap filter passes over the columnar read;
-  the union preserves no order — output order is never semantic, the key
-  is ``url``).
+- Skew defusal: rows whose payload exceeds ``big_doc_threshold`` are NOT
+  extracted inline — phase 1 forwards their payload untouched and a
+  dedicated ``WhaleFinish`` actor pool finishes them, so a 2,000-page PDF
+  cannot stall a 256-row batch.  Single-read in both the lazy
+  (``extract_dataset``) and resumable (``run_extract``, via the
+  ``__leg=deferred`` hive partition) paths; output order is never
+  semantic, the key is ``url``.
 """
 
 from __future__ import annotations
@@ -39,10 +41,36 @@ def config_fingerprint(cfg: ExtractConfig) -> str:
     return hashlib.md5(repr(sorted(asdict(cfg).items())).encode()).hexdigest()[:12]
 
 
-def _payload_len_mask(batch: pa.Table, threshold: int, keep_big: bool) -> pa.Table:
-    lens = pc.binary_length(pc.fill_null(batch.column("html"), b""))
-    mask = pc.greater(lens, threshold) if keep_big else pc.less_equal(lens, threshold)
-    return batch.filter(mask)
+class WhaleFinish:
+    """Second stage of the single-read whale plan: rows already extracted
+    in phase 1 pass through as a zero-copy Arrow filter; rows phase 1
+    deferred (payload > big_doc_threshold, carried in ``deferred_payload``)
+    are extracted here one at a time.
+
+    Runs as an actor pool so the executor cannot fuse it back into the
+    phase-1 task (fusion would put the whale inline with its 256-row batch
+    again — the exact stall the leg exists to prevent). A whale only ever
+    delays the already-finished rows sharing its block, never their CPU."""
+
+    def __init__(self, cfg: ExtractConfig):
+        self.stage = ExtractStage(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schema import EXTRACTED_SCHEMA
+
+        mask = pc.equal(batch.column("status"), "deferred")
+        n_def = pc.sum(mask).as_py() or 0
+        done = batch.filter(pc.invert(mask)).drop_columns(["deferred_payload"])
+        if not n_def:
+            return done
+        deferred = batch.filter(mask)
+        rows = [
+            self.stage.extract_row(u, p or b"", "")
+            for u, p in zip(deferred.column("url").to_pylist(),
+                            deferred.column("deferred_payload").to_pylist())
+        ]
+        finished = pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+        return pa.concat_tables([done, finished], promote_options="default")
 
 
 def extract_dataset(pages_ds, cfg: ExtractConfig | None = None, *,
@@ -51,7 +79,13 @@ def extract_dataset(pages_ds, cfg: ExtractConfig | None = None, *,
 
     `concurrency=None` → stateless tasks sized by the executor (right for
     the common case); pass an int/tuple to pin an actor pool.
-    """
+
+    ``whale_leg=True`` is SINGLE-READ (same defer mechanism as
+    ``run_extract``): phase 1 extracts every row at or under
+    ``big_doc_threshold`` and forwards bigger payloads untouched in
+    ``deferred_payload``; the ``WhaleFinish`` actor pool finishes those —
+    one scan of the input, no two-branch re-read.  Output order is not
+    semantic (the key is ``url``)."""
     cfg = cfg or ExtractConfig()
     stage_kwargs: dict = {}
     if concurrency is not None:
@@ -64,17 +98,17 @@ def extract_dataset(pages_ds, cfg: ExtractConfig | None = None, *,
         stage_fn = ExtractStage(cfg)   # stateless tasks (init is cheap)
     if not whale_leg:
         return pages_ds.map_batches(stage_fn, batch_format="pyarrow", **stage_kwargs)
-    thr = cfg.big_doc_threshold
-    small = pages_ds.map_batches(
-        lambda b: _payload_len_mask(b, thr, keep_big=False), batch_format="pyarrow"
-    ).map_batches(stage_fn, batch_format="pyarrow", **stage_kwargs)
-    big = pages_ds.map_batches(
-        lambda b: _payload_len_mask(b, thr, keep_big=True), batch_format="pyarrow"
-    ).map_batches(
-        ExtractStage, fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow", batch_size=1, concurrency=(1, 4), num_cpus=1,
+    if concurrency is not None:
+        stage_kwargs["fn_constructor_kwargs"] = {
+            "cfg": cfg, "defer_over": cfg.big_doc_threshold}
+    else:
+        stage_fn = ExtractStage(cfg, defer_over=cfg.big_doc_threshold)
+    phase1 = pages_ds.map_batches(stage_fn, batch_format="pyarrow",
+                                  **stage_kwargs)
+    return phase1.map_batches(
+        WhaleFinish, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     )
-    return small.union(big)
 
 
 def _group_paths(paths: list[str], num_groups: int) -> list[list[str]]:
@@ -104,8 +138,8 @@ def run_extract(input_paths: list[str], out_dir: str,
     in ``deferred_payload``) into a ``__leg=deferred`` partition via the
     hive write; phase 2 reads ONLY that tiny partition and finishes it on a
     ``batch_size=1`` actor pool, appending its files to ``__leg=done``.
-    The lazy two-branch ``extract_dataset(whale_leg=True)`` scans the input
-    twice; this path never does.
+    Same defer mechanism as the lazy ``extract_dataset(whale_leg=True)``,
+    with the hive write as the phase boundary so resume works.
     """
     import pyarrow as _pa
     import ray.data as rd

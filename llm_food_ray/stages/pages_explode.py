@@ -61,25 +61,54 @@ class ExplodePdfPages:
         )
 
 
-def _join_pages(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("page_number")   # ORDER BY page_number, app.py:1250
-    ok = group[group["status"] == "ok"]
-    texts = ok["page_markdown"].tolist()
-    failed = group[group["status"] == "failed"]
+def _join_pages_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Re-aggregate EVERY url inside one coarse bucket with vectorized
+    pandas groupbys — one pandas frame per ~256th of the keyspace, not one
+    per url (map_groups over millions of singleton url groups pays pandas
+    overhead per document and crawls; same rationale as
+    dedup._coarse_bucket_pairs)."""
+    df = df.sort_values(["url", "page_number"],
+                        kind="mergesort")   # ORDER BY page_number, app.py:1250
+    urls = pd.Index(df["url"].unique())
+    ok = df[df["status"] == "ok"]
+    texts = (ok.groupby("url", sort=False)["page_markdown"].agg(list)
+               .reindex(urls))
+    texts = texts.apply(lambda v: v if isinstance(v, list) else [])
+    failed = df[df["status"] == "failed"]
+    err = (failed.groupby("url", sort=False)["error"].first()
+                 .reindex(urls).fillna(""))
+    has_fail = failed["url"].unique()
+    status = pd.Series("ok", index=urls)
+    status[status.index.isin(has_fail)] = "failed"
     return pd.DataFrame({
-        "url": [group["url"].iloc[0]],
-        "markdown": [PAGE_JOINER.join(texts)],
-        "texts": [texts],
-        "status": ["failed" if len(failed) else "ok"],
-        "error": [failed["error"].iloc[0] if len(failed) else ""],
+        "url": urls,
+        "markdown": texts.map(PAGE_JOINER.join).to_numpy(),
+        "texts": texts.to_numpy(),
+        "status": status.to_numpy(),
+        "error": err.to_numpy(),
     })
 
 
-def explode_extract_reaggregate(pdf_pages_ds, structured: bool = True):
+def explode_extract_reaggregate(pdf_pages_ds, structured: bool = True, *,
+                                num_coarse: int = 256):
     """pages Dataset (pdf rows only) → exploded per-page extraction →
-    groupby(url) re-aggregation. Output matches the default leg's
-    (url, markdown, texts, status, error) for the same input."""
+    url-keyed re-aggregation. Output matches the default leg's
+    (url, markdown, texts, status, error) for the same input.
+
+    ONE shuffle into ``num_coarse`` buckets of url hashes (all pages of a
+    url land in the same bucket), then a vectorized within-bucket join —
+    never a pandas group per url."""
+    import zlib
+
     exploded = pdf_pages_ds.map_batches(
         ExplodePdfPages(structured), batch_format="pyarrow", batch_size=4
     )
-    return exploded.groupby("url").map_groups(_join_pages, batch_format="pandas")
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        cb = [zlib.crc32(u.encode()) % num_coarse
+              for u in batch.column("url").to_pylist()]
+        return batch.append_column("__cb", pa.array(cb, pa.int32()))
+
+    return (exploded.map_batches(add_cb, batch_format="pyarrow")
+                    .groupby("__cb")
+                    .map_groups(_join_pages_bucket, batch_format="pandas"))
