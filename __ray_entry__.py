@@ -30,7 +30,6 @@ from llm_food_ray.sources.pages import pages_dataset
 from llm_food_ray.stages.chunk import ChunkStage
 from llm_food_ray.stages.dedup import (
     dedup_exact,
-    drop_set_from_pairs,
     embedding_candidate_pairs,
     minhash_candidate_pairs,
     simhash_candidate_pairs,
@@ -209,21 +208,22 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup dedup (exact-Jaccard verify, threshold 0.9)."""
+    """MinHash+LSH near-dup kept-set, fully distributed end to end:
+    bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
+    min-label-propagation connected components → LEFT ANTI drop-join.
+    Nothing pair-, signature- or cluster-shaped lands on the driver.
+
+    Oracle: recursive-CTE closure over the exact-Jaccard ≥ 0.9 pair graph
+    (LSH recall at 32 bands × 4 rows is 1−(1−j⁴)³² ≥ 1−2e-15 — candidate
+    misses are numerically impossible, so kept-set == SQL closure)."""
+    from llm_food_ray.stages.dedup import dedup_near_keep
+
     aug = _augmented_docs(sf_dir)
     pairs = minhash_candidate_pairs(
         aug, "doc_id", "text", threshold=0.9, verify="exact",
         num_perm=128, num_bands=32,
-    ).to_pandas()
-    drop = drop_set_from_pairs(list(zip(pairs["a"], pairs["b"])))
-    import pyarrow.compute as pc
-
-    drop_arr = pa.array(sorted(int(d) for d in drop), pa.int64())
-    return aug.map_batches(
-        lambda b: b.filter(pc.invert(pc.is_in(b.column("doc_id"),
-                                              value_set=drop_arr))),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id"])
+    )
+    return dedup_near_keep(aug.select_columns(["doc_id"]), "doc_id", pairs)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -1027,9 +1027,40 @@ WITH aug AS (
 )
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
-        # dedup_minhash: kept-set needs union-find over near-dup clusters
-        # (not SQL-expressible) → rows-only; pair discovery is SQL-checked
-        # via ngram_jaccard_pairs below and pytest covers clustering.
+        # dedup_minhash kept-set: connected-component closure over the
+        # exact-Jaccard>=0.9 pair graph, min key per component kept —
+        # expressible via a recursive CTE (clusters are tiny at sf0.01).
+        "dedup_minhash": """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+)
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT src FROM mins WHERE mn < src)
+""",
         "ngram_jaccard_pairs": """
 WITH aug AS (
   SELECT doc_id, text FROM documents

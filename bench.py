@@ -158,15 +158,22 @@ def run_bench() -> dict:
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
     # --- dedup: minhash-LSH estimate over extracted markdown ------------
-    t0 = time.perf_counter()
-    pairs = minhash_candidate_pairs(
-        rd.read_parquet(out_dir, columns=["url", "markdown"],
-                        override_num_blocks=nblocks),
-        "url", "markdown", threshold=0.9, verify="estimate",
-        num_perm=128, num_bands=16, pair_mode="star",
-    )
-    n_pairs = pairs.count()
-    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+    # measured in BOTH verify regimes: "distributed" (the default — fused
+    # bucketed semi-join, nothing pair- or signature-shaped on the
+    # driver; the plan that survives when signatures outgrow one machine)
+    # and "driver" (broadcast-filter + one vectorized driver pass — wins
+    # on a single node while the 500 MB signature matrix still fits).
+    for mode in ("distributed", "driver"):
+        t0 = time.perf_counter()
+        pairs = minhash_candidate_pairs(
+            rd.read_parquet(out_dir, columns=["url", "markdown"],
+                            override_num_blocks=nblocks),
+            "url", "markdown", threshold=0.9, verify="estimate",
+            num_perm=128, num_bands=16, pair_mode="star", verify_exec=mode,
+        )
+        n_pairs = pairs.count()
+        name = "dedup_minhash" if mode == "distributed" else "dedup_minhash_driver"
+        queries[name] = round(time.perf_counter() - t0, 3)
 
     # --- textstats: lang-ID + quality over the extracted markdown -------
     from llm_food_ray.stages.textstats import TextStatsStage

@@ -6,24 +6,27 @@ The reference's only dedup is exact input dedup before submission
 training-data scale dedup is a first-class pipeline stage, so the family
 is implemented here as Ray Data shuffle patterns:
 
-- exact:   hash column per batch → ONE shuffle into coarse hash buckets
-           → vectorized pandas ``groupby(hash).first()`` per bucket
-           (keep = min key per distinct content hash)
-- minhash: shingle→signature per batch → explode to (band_key, ...) rows
-           → ``groupby(band_key)`` buckets → in-bucket candidate pairs
-           verified right in the group (no second join) → union-find on
-           the driver over the (small) confirmed-pair set
+- exact:   hash column per batch → partials (hash, min key) → driver
+           merge + broadcast keep-filter (``reduce="driver"``) or a
+           bucketed groupby + partitioned LEFT SEMI keep-join
+           (``reduce="shuffle"``, the scale path)
+- minhash: shingle→signature per batch → explode to (band_hash, key)
+           rows (16 B — payloads never ride the band explode) →
+           coarse-bucket shuffle → in-bucket candidate pairs → bucketed
+           semi-join verification (signatures hash-joined onto both pair
+           sides, scored in-partition) → min-label-propagation
+           connected components (``clusters_min_label``) → LEFT ANTI
+           drop-set join (``dedup_near_keep``)
 - simhash: 64-bit signature, banded into 4×16-bit chunks (exact for
            hamming distance ≤ 3 by pigeonhole) → same pair machinery
 - embedding: random-hyperplane signature (SRP-LSH) → banded buckets →
            exact cosine verify in-bucket
 
-Partitioning assumptions (documented per north_rule): bucket groups are
-small (LSH property); the *confirmed duplicate pair* set fits on the
-driver for union-find — at web scale replace the driver union-find with
-iterative min-label propagation (groupby rounds), same confirmed-pairs
-input. Carried payload per band row is the signature (estimate verify,
-default, 8 B/perm) or the shingle set (exact verify — small-scale/test).
+Partitioning assumptions (documented per north_rule): band bucket groups
+are small (LSH property).  The distributed verify/cluster path holds
+nothing pair- or signature-shaped on the driver; the driver-side twins
+(``verify_exec="driver"``, ``clusters_from_pairs``) exist for
+small-scale/debug runs and as pytest equality oracles.
 """
 
 from __future__ import annotations
@@ -68,17 +71,22 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
       kept-key set already has to fit the driver/object store for the
       phase-2 broadcast, and the merged partials are the same order of
       size.
-    - ``reduce="shuffle"``: ONE groupby shuffle into ``num_buckets``
-      coarse hash buckets, vectorized ``groupby(hash).min(key)`` per
-      bucket.  For the 10^12-doc regime where the distinct-hash set
-      outgrows one machine: bucket outputs would feed a partitioned
-      keep-join instead of a driver merge.  (Coarse buckets, not
-      groupby(hash): ``map_groups`` over millions of singleton hash
-      groups pays pandas per group and crawls.)
+    - ``reduce="shuffle"`` (the scale path): ONE groupby shuffle into
+      ``num_buckets`` coarse hash buckets, vectorized
+      ``groupby(hash).min(key)`` per bucket, then a partitioned LEFT SEMI
+      join of the corpus against the kept-key set (hash-partition both
+      sides on key, filter per partition).  Nothing lands on the driver
+      and nothing is broadcast — correct even when the distinct-hash set
+      outgrows one machine.  (Coarse buckets, not groupby(hash):
+      ``map_groups`` over millions of singleton hash groups pays pandas
+      per group and crawls.)
 
-    Phase 2 broadcasts the kept keys once via the object store and
-    filters the original dataset in a second streaming pass -- never an
-    all-to-all exchange of payload bytes."""
+    ``reduce="driver"`` phase 2 broadcasts the kept keys once via the
+    object store and filters the original dataset in a second streaming
+    pass -- no payload shuffle, but the kept-key set must fit one
+    machine.  Both paths are byte-equal (pytest-pinned); pick "driver"
+    when kept-keys fit comfortably (it avoids re-shuffling payload
+    bytes), "shuffle" beyond that."""
     import ray as _ray
 
     def hash_partial(batch: pa.Table) -> pa.Table:
@@ -110,11 +118,19 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
             kept = group.groupby("content_md5", sort=False)[key_column].min()
             return pd.DataFrame({key_column: kept.to_numpy()})
 
-        kept_keys = (ds.map_batches(hash_partial, batch_format="pyarrow")
-                       .map_batches(add_bucket, batch_format="pyarrow")
-                       .groupby("__bucket")
-                       .map_groups(min_key_per_hash, batch_format="pandas")
-                       .to_pandas())[key_column].to_numpy()
+        kept_ds = (ds.map_batches(hash_partial, batch_format="pyarrow")
+                     .map_batches(add_bucket, batch_format="pyarrow")
+                     .groupby("__bucket")
+                     .map_groups(min_key_per_hash, batch_format="pandas")
+                     .materialize())   # keep-set ready before the join plan
+        kept_ds = _nonempty_blocks(kept_ds)
+        if kept_ds is None:   # empty input → nothing to keep
+            return ds
+        # partitioned keep-join: both sides hash-partitioned on the key,
+        # matching rows kept per partition — never a driver merge or a
+        # broadcast key set
+        return ds.join(kept_ds, "left_semi", _join_partitions(num_buckets // 4),
+                       on=(key_column,), right_on=(key_column,))
     else:
         raise ValueError(f"reduce={reduce!r}")
     keys_ref = _ray.put(pa.array(np.sort(kept_keys)))
@@ -207,12 +223,209 @@ def _dedup_pairs(pairs, sim_col: str):
     return pairs.groupby(["a", "b"]).aggregate(Max(sim_col, alias_name=sim_col))
 
 
+def _nonempty_blocks(mat_ds):
+    """Rebuild a MATERIALIZED Dataset from only its non-empty blocks.
+
+    Ray's hash-shuffle operators (join/aggregate) emit zero-row blocks
+    with an EMPTY schema for empty partitions; map transforms skip empty
+    blocks, so the schema-less blocks survive and break key resolution in
+    any downstream join partition that receives only them.  Only block
+    METADATA touches the driver here — the data refs stay in the object
+    store (zero-copy)."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in mat_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    return rd.from_arrow_refs(refs) if refs else None
+
+
+def _join_partitions(requested: int | None) -> int:
+    """Hash-join partition count.  ``None`` → one partition per cluster
+    CPU (every partition is an aggregator actor; fewer under-parallelizes
+    the per-partition join finalize, more thrashes the scheduler — e.g. a
+    16-way join on a 4-CPU test session sits mostly idle).  An explicit
+    ``requested`` is still capped by the CPU count for the same reason;
+    on a real multi-node cluster pass the node×core product."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or (requested or 4)
+    except Exception:
+        cpus = requested or 4
+    if requested is None:
+        return max(2, cpus)
+    return max(2, min(requested, cpus))
+
+
+def _list_col_to_binary(col: pa.ChunkedArray | pa.Array,
+                        itemsize: int = 8) -> pa.Array:
+    """list<uint64> column → binary column (each value = the raw words),
+    built from the list buffers without a Python-object hop.
+    ``itemsize=4`` narrows to uint32 first — minhash components are
+    32-bit by construction (``MinHasher`` masks with 2^32-1), so packing
+    them as uint32 halves every downstream exchange losslessly."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.uint64)
+    if itemsize == 4:
+        flat = flat.astype(np.uint32)
+    offs32 = (col.offsets.to_numpy().astype(np.int64) * itemsize).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(col),
+        [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def _key_buckets(values, num_coarse: int) -> np.ndarray:
+    """Coarse int32 bucket ids for a key array (Arrow array, numpy array
+    or pandas Series; integer or string keys)."""
+    import zlib
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if pa.types.is_integer(values.type):
+            v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (_mix_u64(v) % np.uint64(num_coarse)).astype(np.int32)
+        values = values.to_pylist()
+    elif isinstance(values, pd.Series):
+        if pd.api.types.is_integer_dtype(values):
+            v = values.to_numpy().astype(np.uint64)
+            return (_mix_u64(v) % np.uint64(num_coarse)).astype(np.int32)
+        values = values.tolist()
+    return np.fromiter(
+        (zlib.crc32(str(x).encode()) % num_coarse for x in values),
+        dtype=np.int32, count=len(values))
+
+
+def _verify_pairs_distributed(pairs_ds, sig_ds, key_column: str, *,
+                              num_perm: int, threshold: float, verify: str,
+                              num_partitions: int | None = None):
+    """Bucketed semi-join verification — the scale path (no driver pair
+    materialization, no driver signature matrix):
+
+    - Pass 1 (bucket = hash(a) % C): raw candidate pairs and signature
+      rows shuffle into the same int32 coarse bucket; in-bucket, pairs
+      are made DISTINCT (band duplicates share ``a``, hence a bucket —
+      never a sort-aggregate keyed on the pair strings, which crawls)
+      and a vectorized merge attaches sig_a.
+    - Pass 2 (bucket = hash(b) % C): half-joined pairs meet the
+      signature rows again; an in-bucket merge attaches sig_b and the
+      similarity is scored immediately, emitting only confirmed
+      (a, b, sim) rows.
+
+    Two int32-keyed coarse shuffles total; each signature ships as ONE
+    binary value per pair side (uint32-packed for minhash), never
+    through the band explode and never to the driver.  Equivalent
+    hash-joins (``Dataset.join``) measured ~2× slower here — the
+    aggregator-actor exchange re-copies payload bytes more times than
+    the sort-shuffle does.  Returns a Dataset (a, b, sim)."""
+    exact = verify == "exact"
+    payload_col = "shingles" if exact else "minhash_sig"
+    dt = np.uint64 if exact else np.uint32
+    itemsize = 8 if exact else 4
+    num_coarse = num_partitions or 64
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n = b.num_rows
+        # b carries the key again rather than nulls: a null int column
+        # becomes float64 in the per-bucket pandas frame, which silently
+        # breaks both the bucket hash and the pandas merges on "b"
+        return pa.Table.from_arrays(
+            [pa.array(_key_buckets(keys, num_coarse)),
+             pa.array(np.ones(n, dtype=np.int8)),
+             keys, keys,
+             _list_col_to_binary(b.column(payload_col), itemsize)],
+            names=["__pb", "kind", "a", "b", "sig"],
+        )
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        a = b.column("a")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pa.array(_key_buckets(a, num_coarse)),
+             pa.array(np.zeros(n, dtype=np.int8)),
+             a, b.column("b"), pa.nulls(n, pa.binary())],
+            names=["__pb", "kind", "a", "b", "sig"],
+        )
+
+    sig_tag = sig_ds.map_batches(sig_rows, batch_format="pyarrow")
+    pr = pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+    cols = ["__pb", "kind", "a", "b", "sig"]
+
+    def _key_type(df: pd.DataFrame) -> pa.DataType:
+        return (pa.int64() if pd.api.types.is_integer_dtype(df["a"])
+                else pa.string())
+
+    # fns return ARROW tables with a pinned schema (the groupby sort
+    # cannot shuffle a union of pandas and Arrow blocks, and empty pandas
+    # frames would type the binary column as null)
+    def pass1(df: pd.DataFrame) -> pa.Table:
+        p = df[df["kind"] == 0]
+        s = df[df["kind"] == 1]
+        kt = _key_type(df)
+        if not len(p) or not len(s):
+            return pa.table({"__pb": pa.array([], pa.int32()),
+                             "kind": pa.array([], pa.int8()),
+                             "a": pa.array([], kt), "b": pa.array([], kt),
+                             "sig": pa.array([], pa.binary())})
+        p = p.drop_duplicates(subset=["a", "b"])
+        m = p[["a", "b"]].merge(s[["a", "sig"]], on="a", how="inner")
+        return pa.Table.from_arrays(
+            [pa.array(_key_buckets(m["b"], num_coarse)),
+             pa.array(np.zeros(len(m), dtype=np.int8)),
+             pa.array(m["a"], kt), pa.array(m["b"], kt),
+             pa.array(m["sig"].tolist(), pa.binary())],
+            names=cols)
+
+    half = (sig_tag.union(pr).groupby("__pb")
+                   .map_groups(pass1, batch_format="pandas"))
+
+    def pass2(df: pd.DataFrame) -> pa.Table:
+        p = df[df["kind"] == 0]
+        s = df[df["kind"] == 1]
+        kt = _key_type(df)
+        if not len(p) or not len(s):
+            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt),
+                             "sim": pa.array([], pa.float64())})
+        m = p[["a", "b", "sig"]].merge(
+            s[["a", "sig"]].rename(columns={"a": "b", "sig": "sig_b"}),
+            on="b", how="inner")
+        n = len(m)
+        sims = np.empty(n, dtype=np.float64)
+        if exact:
+            for i, (xa, xb) in enumerate(zip(m["sig"], m["sig_b"])):
+                sims[i] = jaccard(np.frombuffer(xa, dtype=dt),
+                                  np.frombuffer(xb, dtype=dt))
+        else:
+            A = np.frombuffer(b"".join(m["sig"]), dtype=dt).reshape(n, num_perm)
+            B = np.frombuffer(b"".join(m["sig_b"]), dtype=dt).reshape(n, num_perm)
+            sims = (A == B).mean(axis=1)
+        mk = sims >= threshold
+        return pa.table({"a": pa.array(m["a"].to_numpy()[mk], kt),
+                         "b": pa.array(m["b"].to_numpy()[mk], kt),
+                         "sim": pa.array(sims[mk], pa.float64())})
+
+    return (sig_tag.union(half).groupby("__pb")
+                   .map_groups(pass2, batch_format="pandas"))
+
+
 def minhash_candidate_pairs(ds, key_column: str = "doc_id",
                             text_column: str = "text", *,
                             num_perm: int = 128, num_bands: int = 16,
                             k_shingle: int = 3, threshold: float = 0.8,
                             verify: str = "estimate", seed: int = 42,
-                            pair_mode: str = "all"):
+                            pair_mode: str = "all",
+                            verify_exec: str = "distributed",
+                            num_partitions: int | None = None):
     """→ Dataset of confirmed near-dup pairs (a, b, sim), a < b.
 
     Two-phase plan (the banded shuffle carries ONLY (band_hash, key) —
@@ -222,26 +435,32 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
       1. signatures per batch (vectorized crc/splitmix shingles) →
          numeric band hashes → coarse-bucket shuffle → candidate pairs
          (pair_mode="star": (bucket-min, member) only — linear in cluster
-         size, enough for union-find connectivity; "all": every in-bucket
-         pair, for exact pair listings).
-      2. verify: fetch ONLY the candidate keys' signatures (or shingle
-         sets, verify="exact") with a broadcast key-set filter and score
-         pairs vectorized on the driver.
+         size, enough for connected-component connectivity; "all": every
+         in-bucket pair, for exact pair listings).
+      2. verify: score each candidate pair against the signatures (or
+         shingle sets, verify="exact") and keep sim ≥ threshold.
 
     verify="estimate": sim = fraction of agreeing minhash components
     (unbiased Jaccard estimator). verify="exact": sim = exact shingle-set
     Jaccard.
 
-    Documented scale assumption (same one the union-find step already
-    makes): the *candidate pair* set is a small fraction of the corpus —
-    LSH at a sane threshold guarantees it unless the corpus is mostly
-    duplicates. If candidates outgrow the driver, replace step 2 with a
-    bucketed semi-join on candidate keys; step 1 is unchanged.
+    ``verify_exec`` picks the phase-2 plan:
+    - "distributed" (default, the scale path): bucketed semi-join —
+      distinct pairs shuffled to ``num_partitions`` hash partitions,
+      signatures hash-joined onto both sides, scored in-partition.
+      Nothing pair- or signature-shaped ever lands on the driver; works
+      even when candidates are most of the corpus (duplicate-heavy input).
+    - "driver" (small-scale/debug): candidate payloads broadcast-filtered
+      and scored in one vectorized pass on the driver.  Assumes the
+      candidate pair set fits driver memory.
+    Both produce identical output (pytest-pinned).
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify={verify!r}")
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode={pair_mode!r}")
+    if verify_exec not in ("distributed", "driver"):
+        raise ValueError(f"verify_exec={verify_exec!r}")
     import ray.data as rd
 
     sig_stage = MinHashSignatures(key_column, text_column, num_perm, k_shingle,
@@ -283,6 +502,17 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
 
     banded = sig_ds.map_batches(explode_keys, batch_format="pyarrow")
     pairs_ds = _coarse_bucket_pairs(banded, bucket_pairs, key_column=key_column)
+    if verify_exec == "distributed":
+        # candidate pairs are tiny (16 B/row) — materializing lets the
+        # empty-guard count run without recomputing candidate generation
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() == 0:
+            return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                           "b": pa.array([], pa.int64()),
+                                           "sim": pa.array([], pa.float64())}))
+        return _verify_pairs_distributed(
+            pairs_ds, sig_ds, key_column, num_perm=num_perm,
+            threshold=threshold, verify=verify, num_partitions=num_partitions)
     # distinct in Arrow (group_by with no aggregates), pandas only at the
     # final (deduped) size — big pandas object blocks crawl on this host
     raw = pa.concat_tables(
@@ -479,16 +709,135 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
     return _dedup_pairs(pairs, "cosine")
 
 
+# ------------------------------------- clustering (connected components) ----
+
+
+def _labels_checksum(labels) -> int:
+    """Distributed order-free checksum of a (node, label) Dataset.  Labels
+    only move downward during propagation, so an unchanged checksum ⟺
+    converged (up to a ~2^-40 collision chance per round)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    def h(b: pa.Table) -> pa.Table:
+        col = b.column("label")
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            v = np.fromiter((zlib.crc32(str(x).encode()) for x in col.to_pylist()),
+                            dtype=np.uint64, count=len(col))
+        hv = (_mix_u64(v) >> np.uint64(24)).astype(np.int64)   # 40-bit terms
+        return pa.table({"h": pa.array(hv)})
+
+    res = labels.map_batches(h, batch_format="pyarrow").aggregate(Sum("h"))
+    return res["sum(h)"] or 0
+
+
+def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
+                       max_rounds: int = 50):
+    """Distributed connected components over a confirmed-pairs Dataset via
+    iterative min-label propagation — the scale replacement for the
+    driver union-find (``clusters_from_pairs``): nothing graph-shaped ever
+    lands on the driver.
+
+    → Dataset (node, label) covering every key that appears in a pair;
+    ``label`` = the minimum key reachable from ``node`` (identical to the
+    union-find's min-root by induction on merges).
+
+    Each round is one hash-join (edge ⋈ labels on the neighbor key) plus
+    one groupby-min — both over the 2×|pairs| edge list, fully streamed.
+    Rounds needed = component diameter: ≤2 for duplicate clusters (band
+    buckets make them near-cliques), O(log n) worst-case chains.  A
+    distributed checksum (labels are monotone non-increasing) detects the
+    fixpoint without materializing labels on the driver."""
+    from ray.data.aggregate import Min
+
+    num_partitions = _join_partitions(num_partitions)
+
+    # edge columns named (src, nbr) so the round join has ZERO column-name
+    # overlap with labels (node, label) — a shared "node" name on both
+    # sides confuses the hash-join key resolution
+    def sym(b: pa.Table) -> pa.Table:
+        t1 = pa.Table.from_arrays([b.column("a"), b.column("b")],
+                                  names=["src", "nbr"])
+        t2 = pa.Table.from_arrays([b.column("b"), b.column("a")],
+                                  names=["src", "nbr"])
+        return pa.concat_tables([t1, t2])
+
+    edges = (pairs_ds.select_columns(["a", "b"])
+                     .map_batches(sym, batch_format="pyarrow").materialize())
+    labels = edges.groupby("src").aggregate(Min("nbr", alias_name="label"))
+
+    def clamp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.min_element_wise(b.column("src"), b.column("label"))
+        return pa.Table.from_arrays([b.column("src"), lab],
+                                    names=["node", "label"])
+
+    labels = _nonempty_blocks(
+        labels.map_batches(clamp, batch_format="pyarrow").materialize())
+    if labels is None:   # no pairs → no labels
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
+    prev = _labels_checksum(labels)
+    for _ in range(max_rounds):
+        nbr_lab = edges.join(labels, "inner", num_partitions,
+                             on=("nbr",), right_on=("node",))
+        contrib = nbr_lab.map_batches(
+            lambda b: pa.Table.from_arrays([b.column("src"), b.column("label")],
+                                           names=["node", "label"]),
+            batch_format="pyarrow")
+        cand = contrib.union(labels.select_columns(["node", "label"]))
+        labels = _nonempty_blocks(
+            cand.groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .materialize())
+        cur = _labels_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def drop_nodes_min_label(labels):
+    """(node, label) → Dataset of the keys to DROP: every cluster member
+    except the (min) root.  Small by construction (only duplicates)."""
+    def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.equal(b.column("node"), b.column("label")))
+        return b.filter(mask).select(["node"])
+
+    return labels.map_batches(f, batch_format="pyarrow")
+
+
+def dedup_near_keep(ds, key_column: str, pairs_ds, *,
+                    num_partitions: int | None = None):
+    """Near-dup kept-set, fully distributed: cluster the confirmed pairs
+    with min-label propagation, then LEFT ANTI join the corpus against the
+    drop set (one hash shuffle keyed on ``key_column``) — no driver
+    union-find, no broadcast drop list."""
+    labels = clusters_min_label(pairs_ds, num_partitions=num_partitions)
+    drop = _nonempty_blocks(drop_nodes_min_label(labels).materialize())
+    if drop is None:   # no duplicates found → corpus unchanged
+        return ds
+    return ds.join(drop, "left_anti", _join_partitions(num_partitions),
+                   on=(key_column,), right_on=("node",))
+
+
 # ------------------------------------------------------- union-find ----
 
 
 def clusters_from_pairs(pairs: list[tuple]) -> dict:
     """Driver-side union-find over the confirmed pair set → {key: root}.
 
-    Assumption (documented): confirmed duplicate pairs are a small
-    fraction of the corpus. At 10^12-doc scale swap in iterative
-    min-label propagation over a pairs Dataset; the interface (pairs in,
-    key→root out) is unchanged."""
+    Small-scale/debug twin of ``clusters_min_label`` (same min-root
+    semantics, pytest-pinned equal); prefer the distributed form whenever
+    the pair set is worth distributing."""
     parent: dict = {}
 
     def find(x):

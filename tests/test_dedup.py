@@ -147,6 +147,55 @@ def test_embedding_pairs_ray(ray_session):
         assert {a, b} <= {0, 30, 31}
 
 
+@pytest.mark.parametrize("verify", ["exact", "estimate"])
+def test_minhash_distributed_verify_matches_driver(ray_session, verify):
+    """The bucketed semi-join verification (verify_exec='distributed')
+    must produce byte-identical pairs to the driver-side scorer."""
+    from helpers import dataset_from_items
+
+    docs = _docs()
+
+    def run(mode):
+        p = minhash_candidate_pairs(
+            dataset_from_items(docs), "doc_id", "text", threshold=0.7,
+            verify=verify, num_perm=128, num_bands=32, verify_exec=mode,
+        ).to_pandas()
+        return (p.sort_values(["a", "b"]).reset_index(drop=True)
+                 .astype({"a": "int64", "b": "int64"}).round({"sim": 12}))
+
+    assert run("distributed").equals(run("driver"))
+
+
+def test_min_label_clusters_match_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find, including
+    a chain component (diameter > 2, exercises multiple rounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (
+        clusters_min_label, dedup_near_keep, drop_nodes_min_label)
+
+    # chain 7-5-3-9-2 (min 2 at the far end), pair (10,11), singleton-free
+    pairs = [(7, 5), (5, 3), (3, 9), (9, 2), (10, 11)]
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    labels = clusters_min_label(pairs_ds, num_partitions=4).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    roots = clusters_from_pairs(pairs)
+    assert got == roots
+    assert all(got[n] == 2 for n in (7, 5, 3, 9, 2))
+    drop = set(drop_nodes_min_label(
+        clusters_min_label(pairs_ds, num_partitions=4)).to_pandas()["node"])
+    assert drop == drop_set_from_pairs(pairs) == {7, 5, 3, 9, 11}
+
+    # end-to-end kept-set: anti-join drops exactly the non-roots
+    corpus = rd.from_arrow(pa.table({"doc_id": pa.array(range(15), pa.int64())}))
+    kept = dedup_near_keep(corpus, "doc_id", pairs_ds, num_partitions=4)
+    assert set(kept.to_pandas()["doc_id"]) == set(range(15)) - drop
+
+
 def test_dedup_exact_shuffle_mode_matches_driver(ray_session):
     """reduce='shuffle' (bucket groupby path) must keep the same rows as
     the default driver merge."""
