@@ -272,6 +272,19 @@ def q_embedding_neardup(sf_dir: str):
     return pairs.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_dedup_embedding(sf_dir: str):
+    """Embedding near-dup KEPT-SET: SRP-LSH pairs (cosine ≥ 0.99) →
+    min-label-propagation clustering → LEFT ANTI drop-join — the same
+    fully-distributed tail as dedup_minhash, over the embeddings table.
+    Oracle: recursive closure over the exact-cosine ≥ 0.99 pair graph."""
+    from llm_food_ray.stages.dedup import dedup_near_keep
+
+    aug = _augmented_embeddings(sf_dir)
+    pairs = embedding_candidate_pairs(aug, "vec_id", "embedding",
+                                      threshold=0.99)
+    return dedup_near_keep(aug.select_columns(["vec_id"]), "vec_id", pairs)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id-0 query vector."""
     import pyarrow.compute as pc
@@ -667,9 +680,11 @@ def q_multimodal_probe(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Feature-extract stage through the codec seam: 16-bin nibble
-    histogram + byte entropy per payload (deterministic; rows-only —
-    per-byte histograms aren't practical in SQL, pytest pins values)."""
+    """Feature-extract stage through the codec seam: 16-bin high-nibble
+    histogram + byte entropy per payload.  The histogram list column is
+    exploded to one row per (doc_id, bin) so DuckDB can rebuild it with
+    generate_series + per-char byte grouping (the corpus is ASCII, so
+    char position == byte position)."""
     from llm_food_ray.stages.multimodal import MediaFeatureStage
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -681,7 +696,24 @@ def q_multimodal_features(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
     out = ds.map_batches(MediaFeatureStage(), batch_format="pyarrow", batch_size=64)
-    return out.select_columns(["doc_id", "features", "byte_entropy"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy()
+        feats = batch.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = np.asarray(feats.flatten(), dtype=np.float64).reshape(n, 16)
+        ent = batch.column("byte_entropy").to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, 16)),
+             pa.array(np.tile(np.arange(16, dtype=np.int64), n)),
+             pa.array(flat.ravel(), pa.float64()),
+             pa.array(np.repeat(ent, 16), pa.float64())],
+            names=["doc_id", "bin", "frac", "byte_entropy"],
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -705,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1087,6 +1120,28 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
 FROM embeddings WHERE vec_id % 9 = 0
 """,
+        "dedup_embedding": """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 9 = 0
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.99
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+)
+SELECT vec_id FROM aug
+WHERE vec_id NOT IN (SELECT src FROM mins WHERE mn < src)
+""",
         "ann_topk": """
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[],
@@ -1169,6 +1224,37 @@ SELECT user_id,
        count(*) AS n,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # nibble histogram + byte entropy: per-char byte stats over the
+        # ASCII corpus (char position == byte position)
+        "multimodal_features": """
+WITH n_t AS (
+  SELECT doc_id, length(text) AS n FROM documents
+), chars AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) AS c
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+  WHERE length(text) > 0
+), bytec AS (
+  SELECT doc_id, c, count(*) AS k FROM chars GROUP BY doc_id, c
+), ent AS (
+  SELECT doc_id,
+         round_even(-sum((k * 1.0 / n) * log2(k * 1.0 / n)), 6)
+           AS byte_entropy
+  FROM bytec JOIN n_t USING (doc_id) GROUP BY doc_id
+), nib AS (
+  SELECT doc_id, c // 16 AS bin, sum(k) AS k
+  FROM bytec GROUP BY doc_id, c // 16
+), bins AS (
+  SELECT doc_id, b AS bin
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+)
+SELECT bins.doc_id, CAST(bins.bin AS BIGINT) AS bin,
+       round_even(COALESCE(nib.k, 0) * 1.0 / n_t.n, 6) AS frac,
+       ent.byte_entropy
+FROM bins
+LEFT JOIN nib ON nib.doc_id = bins.doc_id AND nib.bin = bins.bin
+JOIN n_t ON n_t.doc_id = bins.doc_id
+JOIN ent ON ent.doc_id = bins.doc_id
 """,
         "multimodal_probe": """
 SELECT doc_id,
