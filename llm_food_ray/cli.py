@@ -143,7 +143,9 @@ def main(argv=None) -> int:
                     help="overlap this many group executions (resume "
                          "granularity is unchanged)")
     pe.add_argument("--backend", default="auto",
-                    choices=["auto", "structured", "plain"])
+                    choices=["auto", "structured", "structured_layout",
+                             "plain", "pdf_oxide", "pymupdf4llm", "pypdf2",
+                             "gemini"])
     pe.set_defaults(fn=cmd_extract)
 
     ps = sub.add_parser("status")

@@ -59,12 +59,32 @@ class ExtractConfig:
     # Output layout: number of url-hash partitions.
     num_partitions: int = 16
     classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
-    # PDF backend selector (reference PDF_BACKEND, llm_food/config.py:50-51):
-    # "auto" classifies then routes structured vs plain; "structured"/"plain"
-    # force a mode. (gemini/pymupdf legs are replaced by local extractors.)
+    # PDF backend selector (reference PDF_BACKEND, llm_food/config.py:50-51
+    # + registry app.py:78-91).  Canonical modes: "auto" classifies then
+    # routes structured vs plain; "structured" = reflowed markdown;
+    # "structured_layout" = line-preserving markdown (M5);
+    # "plain" = text only.  The reference's four backend names are
+    # accepted as aliases: pdf_oxide → structured, pymupdf4llm →
+    # structured_layout, pypdf2 → plain, gemini → structured (the OCR leg
+    # is replaced by the deterministic structured extractor, M7).
     pdf_backend: str = "auto"
 
+    # reference name → canonical mode (llm_food/app.py:78-91)
+    PDF_BACKEND_ALIASES = {
+        "pdf_oxide": "structured",
+        "pymupdf4llm": "structured_layout",
+        "pypdf2": "plain",
+        "gemini": "structured",
+    }
+    _PDF_MODES = ("auto", "structured", "structured_layout", "plain")
+
     def __post_init__(self) -> None:
-        if self.pdf_backend not in ("auto", "structured", "plain"):
+        if (self.pdf_backend not in self._PDF_MODES
+                and self.pdf_backend not in self.PDF_BACKEND_ALIASES):
             # startup ValueError mirrors app.py:90-91
             raise ValueError(f"invalid pdf_backend {self.pdf_backend!r}")
+
+    @property
+    def resolved_pdf_backend(self) -> str:
+        """Canonical mode after alias resolution."""
+        return self.PDF_BACKEND_ALIASES.get(self.pdf_backend, self.pdf_backend)

@@ -465,9 +465,54 @@ def _lines_to_markdown(lines: list[tuple[float, str]]) -> str:
     return "\n\n".join(blocks)
 
 
+def _lines_to_markdown_layout(lines: list[tuple[float, str]]) -> str:
+    """Layout-preserving markdown (M5, the pymupdf4llm-flavoured third
+    backend — ``to_markdown(page_chunks=True)`` keeps source line breaks
+    where pdf_oxide reflows paragraphs): heading detection identical to
+    ``_lines_to_markdown``, but body lines stay one-per-line inside a
+    block (joined "\\n") instead of being reflowed into one paragraph."""
+    lines = [(s, t) for s, t in lines if t.strip()]
+    if not lines:
+        return ""
+    freq: dict[float, int] = {}
+    for s, _t in lines:
+        freq[s] = freq.get(s, 0) + 1
+    body = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    blocks: list[str] = []
+    para: list[str] = []
+
+    def flush() -> None:
+        if para:
+            blocks.append("\n".join(para))
+            para.clear()
+
+    for s, t in lines:
+        ratio = s / body if body else 1.0
+        if ratio >= 1.15:
+            flush()
+            level = 1 if ratio >= 1.7 else (2 if ratio >= 1.4 else 3)
+            blocks.append("#" * level + " " + t.strip())
+        else:
+            para.append(t.strip())
+    flush()
+    return "\n\n".join(blocks)
+
+
+_SERIALIZERS = {
+    "structured": _lines_to_markdown,
+    "structured_layout": _lines_to_markdown_layout,
+    "plain": _lines_to_plain,
+}
+
+
 def pdf_extract(data: bytes, backend: str = "auto",
                 classifier=None) -> tuple[list[str], bool]:
     """One-parse extraction: (per-page markdown, structured_used).
+
+    ``backend`` is a canonical mode: "structured" (reflowed markdown),
+    "structured_layout" (line-preserving markdown, M5), "plain", or
+    "auto" (classifier routes structured vs plain).  Reference backend
+    names resolve to these in ``config.ExtractConfig``.
 
     Parses the document and runs the content streams ONCE; the
     text/scanned classifier (M6) consumes the same per-page lines that
@@ -477,12 +522,10 @@ def pdf_extract(data: bytes, backend: str = "auto",
 
     doc = parse_pdf(data)
     page_lines = [_lines_from_runs(extract_runs(s)) for s in doc.page_streams()]
-    if backend == "structured":
-        structured = True
-    elif backend == "plain":
-        structured = False
-    else:
+    if backend == "auto":
         counts = [len(_lines_to_plain(lines).split()) for lines in page_lines]
-        structured = is_text_based(counts, classifier)
-    fn = _lines_to_markdown if structured else _lines_to_plain
-    return [fn(lines) for lines in page_lines], structured
+        mode = "structured" if is_text_based(counts, classifier) else "plain"
+    else:
+        mode = backend
+    fn = _SERIALIZERS[mode]
+    return [fn(lines) for lines in page_lines], mode != "plain"

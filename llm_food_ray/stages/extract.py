@@ -146,7 +146,7 @@ class ExtractStage:
             elif doc_type == "pdf":
                 # one-parse path: classify + extract share the parsed runs
                 pages, _structured = pdf_md.pdf_extract(
-                    payload, cfg.pdf_backend, cfg.classifier
+                    payload, cfg.resolved_pdf_backend, cfg.classifier
                 )
                 blocks = [([b for b in p.split("\n\n") if b] if p else []) for p in pages]
                 md, texts, spans = _spans_from_blocks(blocks)

@@ -40,6 +40,34 @@ def test_plain_mode_no_markup():
     assert pdf_pages_markdown(pdf, structured=False) == ["Big\ntext line"]
 
 
+def test_layout_backend_preserves_line_breaks():
+    """M5 third backend (pymupdf4llm flavour): identical heading
+    detection, but body lines are NOT reflowed into one paragraph."""
+    from llm_food_ray.functions.pdf_md import pdf_extract
+
+    pdf = build_pdf([PageSpec([("h1", "Big"), ("body", "text line"),
+                               ("body", "more text")])])
+    reflow, _ = pdf_extract(pdf, "structured")
+    layout, _ = pdf_extract(pdf, "structured_layout")
+    assert reflow == ["# Big\n\ntext line more text"]
+    assert layout == ["# Big\n\ntext line\nmore text"]
+
+
+def test_backend_registry_aliases():
+    """Reference PDF_BACKEND names (app.py:78-91) resolve to canonical
+    modes; invalid values raise at build time (app.py:90-91)."""
+    from llm_food_ray.config import ExtractConfig
+
+    assert ExtractConfig(pdf_backend="pdf_oxide").resolved_pdf_backend == "structured"
+    assert (ExtractConfig(pdf_backend="pymupdf4llm").resolved_pdf_backend
+            == "structured_layout")
+    assert ExtractConfig(pdf_backend="pypdf2").resolved_pdf_backend == "plain"
+    assert ExtractConfig(pdf_backend="gemini").resolved_pdf_backend == "structured"
+    assert ExtractConfig(pdf_backend="auto").resolved_pdf_backend == "auto"
+    with pytest.raises(ValueError):
+        ExtractConfig(pdf_backend="docling")
+
+
 def test_uncompressed_stream():
     pdf = build_pdf([PageSpec([("body", "no flate here")])], compress=False)
     assert pdf_pages_markdown(pdf) == ["no flate here"]
