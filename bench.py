@@ -158,12 +158,14 @@ def run_bench() -> dict:
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
     # --- dedup: minhash-LSH estimate over extracted markdown ------------
-    # measured in BOTH verify regimes: "distributed" (the default — fused
-    # bucketed semi-join, nothing pair- or signature-shaped on the
-    # driver; the plan that survives when signatures outgrow one machine)
-    # and "driver" (broadcast-filter + one vectorized driver pass — wins
-    # on a single node while the 500 MB signature matrix still fits).
-    for mode in ("distributed", "driver"):
+    # measured in all three verify regimes: "broadcast" (the auto-picked
+    # default at this corpus size — signature index ray.put once, pairs
+    # scored in map_batches), "semijoin" (fp-space bucketed semi-join —
+    # the plan that survives when the index outgrows one machine), and
+    # "driver" (everything local — small-scale/debug twin).
+    names = {"broadcast": "dedup_minhash", "semijoin": "dedup_minhash_semijoin",
+             "driver": "dedup_minhash_driver"}
+    for mode, name in names.items():
         t0 = time.perf_counter()
         pairs = minhash_candidate_pairs(
             rd.read_parquet(out_dir, columns=["url", "markdown"],
@@ -172,7 +174,6 @@ def run_bench() -> dict:
             num_perm=128, num_bands=16, pair_mode="star", verify_exec=mode,
         )
         n_pairs = pairs.count()
-        name = "dedup_minhash" if mode == "distributed" else "dedup_minhash_driver"
         queries[name] = round(time.perf_counter() - t0, 3)
 
     # --- textstats: lang-ID + quality over the extracted markdown -------

@@ -171,6 +171,12 @@ class MinHashSignatures:
         if self.keep_shingles:
             arrays.append(pa.array([s.tolist() for s in shingles], pa.list_(pa.uint64())))
             names.append("shingles")
+        # 128-bit key fingerprints ride along from the start: every wide
+        # step downstream (banding, verification, clustering) exchanges
+        # these 16 bytes instead of the raw key
+        fh, fl = _fingerprint128(batch.column(self.key_column))
+        arrays += [pa.array(fh, pa.uint64()), pa.array(fl, pa.uint64())]
+        names += ["__fh", "__fl"]
         return pa.Table.from_arrays(arrays, names=names)
 
 
@@ -301,121 +307,761 @@ def _key_buckets(values, num_coarse: int) -> np.ndarray:
         dtype=np.int32, count=len(values))
 
 
-def _verify_pairs_distributed(pairs_ds, sig_ds, key_column: str, *,
-                              num_perm: int, threshold: float, verify: str,
-                              num_partitions: int | None = None):
-    """Bucketed semi-join verification — the scale path (no driver pair
-    materialization, no driver signature matrix):
+# ---------------------------------------------- 128-bit fingerprints ----
+# The minhash near-dup pipeline runs its wide exchanges in a NUMERIC key
+# space: every document key is mapped once to a 128-bit fingerprint
+# carried as two uint64 columns.  Shuffles then ship 16 B per pair side
+# instead of URL-sized strings, and every in-block join is a numpy
+# searchsorted over packed big-endian 16-byte views (memcmp order ==
+# numeric (hi, lo) order) instead of a pandas object merge — no Python
+# string object is ever materialized on the exchange path.  Integer keys
+# map injectively ((mix(v), v)) with ZERO collision risk and are restored
+# by direct inversion; string keys get two independent seeded vectorized
+# 64-bit hashes (polars/xxhash; pandas/siphash fallback) — collision odds
+# even at 10^12 docs ≈ (10^12)² / 2^129 ≈ 1.5e-15 — and are restored by a
+# bucketed (fp → key) join at the very end.  Fingerprints never persist:
+# computed, shuffled and resolved within one pipeline run, so hash
+# stability across library versions is not required.
 
-    - Pass 1 (bucket = hash(a) % C): raw candidate pairs and signature
-      rows shuffle into the same int32 coarse bucket; in-bucket, pairs
-      are made DISTINCT (band duplicates share ``a``, hence a bucket —
-      never a sort-aggregate keyed on the pair strings, which crawls)
-      and a vectorized merge attaches sig_a.
-    - Pass 2 (bucket = hash(b) % C): half-joined pairs meet the
-      signature rows again; an in-bucket merge attaches sig_b and the
-      similarity is scored immediately, emitting only confirmed
-      (a, b, sim) rows.
+_FP_SEED_HI = 0x517CC1B7
+_FP_SEED_LO = 0x27220A95
 
-    Two int32-keyed coarse shuffles total; each signature ships as ONE
-    binary value per pair side (uint32-packed for minhash), never
-    through the band explode and never to the driver.  Equivalent
-    hash-joins (``Dataset.join``) measured ~2× slower here — the
-    aggregator-actor exchange re-copies payload bytes more times than
-    the sort-shuffle does.  Returns a Dataset (a, b, sim)."""
+
+def _fingerprint128(values) -> tuple[np.ndarray, np.ndarray]:
+    """Key array (Arrow/numpy/pandas; integer or string) → (hi, lo)
+    uint64 fingerprint pair, fully vectorized."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pd.Series):
+        values = pa.array(values)
+    if isinstance(values, np.ndarray):
+        values = pa.array(values)
+    if pa.types.is_integer(values.type):
+        v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _mix_u64(v), v
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(values)
+        return (s.hash(seed=_FP_SEED_HI).to_numpy().astype(np.uint64),
+                s.hash(seed=_FP_SEED_LO).to_numpy().astype(np.uint64))
+    except ImportError:
+        from pandas.util import hash_array
+
+        obj = np.asarray(values.to_pylist(), dtype=object)
+        return (hash_array(obj, hash_key="llmfood-fp128-hi"),
+                hash_array(obj, hash_key="llmfood-fp128-lo"))
+
+
+def _fp_pack(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) uint64 arrays → 'S16' big-endian packed fingerprints;
+    memcmp order == numeric (hi, lo) order, so numpy sort / unique /
+    searchsorted give a consistent total order."""
+    b = np.empty((len(hi), 2), dtype=">u8")
+    b[:, 0] = hi
+    b[:, 1] = lo
+    return b.reshape(-1).view("S16")
+
+
+def _fp_unpack(fp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    v = np.ascontiguousarray(fp).view(">u8").reshape(-1, 2)
+    return v[:, 0].astype(np.uint64), v[:, 1].astype(np.uint64)
+
+
+def _pair_pack(ah, al, bh, bl) -> np.ndarray:
+    """Four uint64 arrays → 'S32' packed (a, b) fingerprint pairs."""
+    b = np.empty((len(ah), 4), dtype=">u8")
+    b[:, 0] = ah
+    b[:, 1] = al
+    b[:, 2] = bh
+    b[:, 3] = bl
+    return b.reshape(-1).view("S32")
+
+
+def _pair_unpack(p: np.ndarray):
+    v = np.ascontiguousarray(p).view(">u8").reshape(-1, 4)
+    return (v[:, 0].astype(np.uint64), v[:, 1].astype(np.uint64),
+            v[:, 2].astype(np.uint64), v[:, 3].astype(np.uint64))
+
+
+def _u64_col(b: pa.Table, name: str) -> np.ndarray:
+    col = b.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+
+
+def _binary_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column → (offsets int64[n+1], flat uint8[...]) views
+    over the Arrow buffers (no per-value Python objects).  Null values
+    read as empty — callers only gather non-null rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    off = raw[col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = (np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            if col.buffers()[2] is not None else np.empty(0, np.uint8))
+    return off, data
+
+
+def _ragged_gather(off: np.ndarray, flat: np.ndarray, idx: np.ndarray):
+    """Vectorized gather of variable-length rows from a ragged array:
+    → (new_off int64[len(idx)+1], new_flat) — same element dtype as
+    ``flat`` (uint8 for binary payloads, uint64 for shingle sets)."""
+    starts = off[idx]
+    lens = off[idx + 1] - starts
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    pos = (np.repeat(starts - new_off[:-1], lens)
+           + np.arange(total, dtype=np.int64))
+    return new_off, flat[pos]
+
+
+def _binary_from_ragged(new_off: np.ndarray, flat_u8: np.ndarray) -> pa.Array:
+    return pa.Array.from_buffers(
+        pa.binary(), len(new_off) - 1,
+        [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
+         pa.py_buffer(flat_u8.tobytes())])
+
+
+def _ordered_pair_columns(ka: pa.Array, kb: pa.Array):
+    """Normalize restored key pairs to (min, max) in ORIGINAL key order —
+    fingerprint order and key order differ, but the emitted contract is
+    a < b by key (matches the SQL oracles and the pre-fp behavior)."""
+    import pyarrow.compute as pc
+
+    swap = pc.greater(ka, kb)
+    return pc.if_else(swap, kb, ka), pc.if_else(swap, ka, kb)
+
+
+def _empty_pairs_table(key_type, sim_col: str = "sim") -> pa.Table:
+    return pa.table({"a": pa.array([], key_type), "b": pa.array([], key_type),
+                     sim_col: pa.array([], pa.float64())})
+
+
+# --------------------------------------- fp-space candidate generation ----
+
+
+def _coarse_pairs_fp(banded, pair_mode: str, num_coarse: int = 256):
+    """Band rows (band_key u64, __fh, __fl) → candidate pair Dataset
+    (ah, al, bh, bl): the fp-space twin of ``_coarse_bucket_pairs``.
+    ONE int32-keyed coarse shuffle of 24 B rows, then per coarse group a
+    pure-numpy sweep — sort by band_key, walk multi-member runs, emit
+    star ((min-fp, member), linear in bucket size — enough for
+    connected-component connectivity) or all (every in-bucket pair)
+    candidates over the deduped member fingerprints, distinct within the
+    group (full distinct happens at verification)."""
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        vals = _u64_col(batch, "band_key")
+        cb = (vals % np.uint64(num_coarse)).astype(np.int32)
+        return batch.append_column("__cb", pa.array(cb))
+
+    empty = pa.table({c: pa.array([], pa.uint64())
+                      for c in ("ah", "al", "bh", "bl")})
+
+    def per_coarse(t: pa.Table) -> pa.Table:
+        bk = _u64_col(t, "band_key")
+        fp = _fp_pack(_u64_col(t, "__fh"), _u64_col(t, "__fl"))
+        if pair_mode == "star":
+            packed = _star_pairs_vec(bk, fp)
+            if packed is None:
+                return empty
+            ah, al, bh, bl = _pair_unpack(np.unique(packed))
+            return pa.table({"ah": pa.array(ah), "al": pa.array(al),
+                             "bh": pa.array(bh), "bl": pa.array(bl)})
+        order = np.argsort(bk, kind="stable")
+        bk = bk[order]
+        fp = fp[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            members = np.unique(fp[s:e])
+            m = len(members)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            a = members[iu]
+            b = members[ju]
+            q = np.empty((len(a), 4), dtype=">u8")
+            q[:, :2] = a.view(">u8").reshape(-1, 2)
+            q[:, 2:] = b.view(">u8").reshape(-1, 2)
+            outs.append(q.reshape(-1).view("S32"))
+        if not outs:
+            return empty
+        ah, al, bh, bl = _pair_unpack(np.unique(np.concatenate(outs)))
+        return pa.table({"ah": pa.array(ah), "al": pa.array(al),
+                         "bh": pa.array(bh), "bl": pa.array(bl)})
+
+    return (banded.map_batches(add_cb, batch_format="pyarrow")
+                  .groupby("__cb")
+                  .map_groups(per_coarse, batch_format="pyarrow"))
+
+
+# ------------------------------------------------- signature index ----
+
+
+class _SigIndex:
+    """Fingerprint-sorted signature index: vectorized pair lookup,
+    scoring, and key restore.  Broadcast via ``ray.put`` (scoring tasks
+    read the numpy buffers zero-copy from the object store) or used
+    locally by the driver verify path."""
+
+    def __init__(self, fp16, keys: pa.Array, threshold: float,
+                 est_mat=None, sh_off=None, sh_flat=None):
+        self.fp16 = fp16
+        self.keys = keys
+        self.threshold = threshold
+        self.est_mat = est_mat
+        self.sh_off = sh_off
+        self.sh_flat = sh_flat
+
+    def lookup(self, ah, al, bh, bl):
+        ia = np.searchsorted(self.fp16, _fp_pack(ah, al))
+        ib = np.searchsorted(self.fp16, _fp_pack(bh, bl))
+        return ia, ib
+
+    def sims(self, ia, ib) -> np.ndarray:
+        if self.est_mat is not None:
+            return (self.est_mat[ia] == self.est_mat[ib]).mean(axis=1)
+        out = np.empty(len(ia), dtype=np.float64)
+        off, flat = self.sh_off, self.sh_flat
+        for i in range(len(ia)):
+            x, y = ia[i], ib[i]
+            out[i] = jaccard(flat[off[x]:off[x + 1]], flat[off[y]:off[y + 1]])
+        return out
+
+
+def _build_sig_index(sig_ds, key_column: str, verify: str, num_perm: int,
+                     threshold: float) -> _SigIndex:
+    """ONE streaming pass over the materialized signature Dataset →
+    fp-sorted index (≈ num_perm×4 + 16 B + key bytes per doc for
+    verify="estimate").  Size-gated by the caller (``verify_exec="auto"``
+    falls back to the semi-join path when the index would not fit)."""
+    exact = verify == "exact"
+    his, los, keys, mats, offs, flats = [], [], [], [], [], []
+    for b in sig_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        his.append(_u64_col(b, "__fh"))
+        los.append(_u64_col(b, "__fl"))
+        k = b.column(key_column)
+        keys.append(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+        col = b.column("shingles" if exact else "minhash_sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64)
+        if exact:
+            off = col.offsets.to_numpy().astype(np.int64)
+            offs.append(off - off[0])
+            flats.append(flat)
+        else:
+            mats.append(flat.astype(np.uint32).reshape(-1, num_perm))
+    fp = _fp_pack(np.concatenate(his), np.concatenate(los))
+    order = np.argsort(fp, kind="stable")
+    keys_arr = pa.concat_arrays(keys).take(pa.array(order))
+    if exact:
+        lens = np.concatenate([o[1:] - o[:-1] for o in offs])
+        off_all = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off_all[1:])
+        new_off, new_flat = _ragged_gather(off_all, np.concatenate(flats), order)
+        return _SigIndex(fp[order], keys_arr, threshold,
+                         sh_off=new_off, sh_flat=new_flat)
+    return _SigIndex(fp[order], keys_arr, threshold,
+                     est_mat=np.vstack(mats)[order])
+
+
+def _take_arr(col, idx: np.ndarray) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(idx))
+
+
+def _finalize_scored_fp(scored_fp, index_ref, key_type, num_coarse: int = 256):
+    """Scored fp-space pairs (ah, al, bh, bl, sim — possibly with band
+    duplicates) → distinct (a, b, sim) in key space: ONE numeric
+    bucketed exchange (same pair ⇒ same a ⇒ same bucket), per-group
+    numpy unique over packed 32-byte views, keys attached from the
+    broadcast index (zero-copy object-store read), normalized a < b by
+    key.  The string keys only materialize on the (small) post-threshold
+    survivors — never on the candidate exchange."""
+    import ray as _ray
+
+    Cu = np.uint64(num_coarse)
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__pb", pa.array((_u64_col(b, "ah") % Cu).astype(np.int32)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_pairs_table(key_type)
+        idx = _ray.get(index_ref)
+        packed, first = np.unique(
+            _pair_pack(_u64_col(t, "ah"), _u64_col(t, "al"),
+                       _u64_col(t, "bh"), _u64_col(t, "bl")),
+            return_index=True)
+        ah, al, bh, bl = _pair_unpack(packed)
+        ia, ib = idx.lookup(ah, al, bh, bl)
+        sims = (t.column("sim").combine_chunks()
+                if isinstance(t.column("sim"), pa.ChunkedArray)
+                else t.column("sim")).take(pa.array(first))
+        a, bb = _ordered_pair_columns(idx.keys.take(pa.array(ia)),
+                                      idx.keys.take(pa.array(ib)))
+        return pa.table({"a": a, "b": bb, "sim": sims})
+
+    return (scored_fp.map_batches(add_pb, batch_format="pyarrow")
+                     .groupby("__pb")
+                     .map_groups(finalize, batch_format="pyarrow"))
+
+
+def _verify_pairs_broadcast(pairs_fp, index_ref, key_type, threshold: float):
+    """Score candidate pairs against the broadcast signature index inside
+    ``map_batches`` — pairs never land on the driver; the index ships
+    once through the object store and every task reads it zero-copy.
+    Scoring duplicate candidates (the same pair surfacing from several
+    bands) is accepted as cheap vectorized waste; the DISTINCT runs
+    after the threshold filter in fingerprint space, when survivors are
+    small and still 32 B/row."""
+    import ray as _ray
+
+    empty = pa.table({c: pa.array([], pa.uint64())
+                      for c in ("ah", "al", "bh", "bl")}
+                     ).append_column("sim", pa.array([], pa.float64()))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        idx = _ray.get(index_ref)
+        ah, al = _u64_col(b, "ah"), _u64_col(b, "al")
+        bh, bl = _u64_col(b, "bh"), _u64_col(b, "bl")
+        ia, ib = idx.lookup(ah, al, bh, bl)
+        sims = idx.sims(ia, ib)
+        m = sims >= idx.threshold
+        return pa.table({"ah": pa.array(ah[m]), "al": pa.array(al[m]),
+                         "bh": pa.array(bh[m]), "bl": pa.array(bl[m]),
+                         "sim": pa.array(sims[m])})
+
+    scored = pairs_fp.map_batches(score, batch_format="pyarrow")
+    return _finalize_scored_fp(scored, index_ref, key_type)
+
+
+# ------------------------------------- identical-signature collapse ----
+
+
+def _sig_class_fp(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, num_perm) uint32 signature matrix → 128-bit signature-class
+    fingerprint per row (two independent splitmix folds).  Rows with
+    identical signatures — exact duplicates and estimator-sim-1.0 pairs
+    by construction — share a class."""
+    acc1 = np.full(len(mat), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    acc2 = np.full(len(mat), np.uint64(0xC2B2AE3D27D4EB4F), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        col = mat[:, j].astype(np.uint64)
+        acc1 = _mix_u64(acc1 * _FNV_PRIME_64 + col)
+        acc2 = _mix_u64(acc2 ^ (col + np.uint64(j + 1)) * _FNV_PRIME_64)
+    return acc1, acc2
+
+
+def _class_stars_local(fp16_sorted, keys_sorted: pa.Array, est_mat: np.ndarray):
+    """Local (index-side) identical-signature collapse: → (star_table,
+    rep_idx).  ``star_table`` holds one (rep=min-fp member, member,
+    sim=1.0) edge per non-representative row, already in key space;
+    ``rep_idx`` indexes one representative per class into the index
+    arrays.  O(index) local work — only run where the index itself fits
+    (the broadcast/driver gate)."""
+    sch, scl = _sig_class_fp(est_mat)
+    cls = _fp_pack(sch, scl)
+    order = np.argsort(cls, kind="stable")   # within ties: fp order = index order
+    cls_sorted = cls[order]
+    starts = np.flatnonzero(np.r_[True, cls_sorted[1:] != cls_sorted[:-1]])
+    sizes = np.diff(np.r_[starts, len(cls_sorted)])
+    # representative = min-fp member = first index-order member of the run
+    rep_idx = order[starts]
+    member_mask = np.ones(len(cls_sorted), dtype=bool)
+    member_mask[starts] = False
+    members = order[member_mask]              # all non-representative rows
+    rep_for_member = np.repeat(rep_idx, sizes - 1)
+    if len(members):
+        a, bb = _ordered_pair_columns(keys_sorted.take(pa.array(rep_for_member)),
+                                      keys_sorted.take(pa.array(members)))
+        stars = pa.table({"a": a, "b": bb,
+                          "sim": pa.array(np.ones(len(members)))})
+    else:
+        stars = None
+    return stars, np.sort(rep_idx)
+
+
+def _band_hashes(mat: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n, num_perm) uint32 → (n, num_bands) uint64 band hashes (same
+    FNV/splitmix fold the distributed band explode uses)."""
+    n, num_perm = mat.shape
+    rows_per_band = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for b in range(num_bands):
+        chunk = mat[:, b * rows_per_band:(b + 1) * rows_per_band]
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+        for j in range(rows_per_band):
+            acc = acc * _FNV_PRIME_64 + chunk[:, j].astype(np.uint64)
+        out[:, b] = _mix_u64(acc)
+    return out
+
+
+def _star_pairs_vec(bk: np.ndarray, fp: np.ndarray) -> np.ndarray | None:
+    """(bucket_key, member_fp) rows → packed 'S32' star pairs
+    (bucket-min-fp member → every other member), fully vectorized:
+    lexsort by (bucket, fp), find run starts, repeat each run's first
+    (= min) fp over the rest of the run.  Assumes each (bucket, member)
+    combination appears at most once; self-pairs from stray duplicates
+    are masked out."""
+    order = np.lexsort((fp, bk))
+    bks = bk[order]
+    fps = fp[order]
+    starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+    sizes = np.diff(np.r_[starts, len(bks)])
+    multi = sizes >= 2
+    if not multi.any():
+        return None
+    is_start = np.zeros(len(bks), dtype=bool)
+    is_start[starts] = True
+    a = np.repeat(fps[starts[multi]], sizes[multi] - 1)
+    b = fps[~is_start]
+    keep = a != b
+    a = a[keep]
+    b = b[keep]
+    if not len(a):
+        return None
+    q = np.empty((len(a), 4), dtype=">u8")
+    q[:, :2] = a.view(">u8").reshape(-1, 2)
+    q[:, 2:] = b.view(">u8").reshape(-1, 2)
+    return q.reshape(-1).view("S32")
+
+
+def _rep_star_candidates_local(index: "_SigIndex", rep_idx: np.ndarray,
+                               num_bands: int):
+    """Band the class representatives locally (they are the post-collapse
+    working set) and emit distinct per-band-bucket star candidates as
+    (ia, ib) POSITIONS into the index arrays, or None.
+
+    Works entirely in positions — the min-position member of a bucket IS
+    its min-fp member (the index is fp-sorted), pairs pack into single
+    uint64s, and every sort/unique runs on native integers (byte-string
+    dtypes sort ~5× slower)."""
+    mat = index.est_mat[rep_idx]
+    bands = _band_hashes(mat, num_bands)
+    n = len(rep_idx)
+    N = np.uint64(n)
+    outs = []
+    for b in range(num_bands):
+        bk = bands[:, b]
+        order = np.argsort(bk, kind="stable")   # within a run: ascending pos = ascending fp
+        bks = bk[order]
+        starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+        sizes = np.diff(np.r_[starts, len(bks)])
+        multi = sizes >= 2
+        if not multi.any():
+            continue
+        is_start = np.zeros(len(bks), dtype=bool)
+        is_start[starts] = True
+        a_pos = np.repeat(order[starts[multi]].astype(np.uint64), sizes[multi] - 1)
+        b_pos = order[~is_start].astype(np.uint64)
+        outs.append(a_pos * N + b_pos)
+    if not outs:
+        return None
+    packed = np.unique(np.concatenate(outs))
+    pa_pos = (packed // N).astype(np.int64)
+    pb_pos = (packed % N).astype(np.int64)
+    return rep_idx[pa_pos], rep_idx[pb_pos]
+
+
+def _score_pos_pairs(index_ref, ia: np.ndarray, ib: np.ndarray,
+                     key_type):
+    """Score pre-distinct (position, position) candidate pairs against
+    the broadcast index in PARALLEL map_batches tasks (the vectorized
+    gather+compare is memory-bandwidth-bound — one core scoring a
+    million 512 B signatures crawls), emitting (a, b, sim) directly."""
+    import ray as _ray
+    import ray.data as rd
+
+    tbl = pa.table({"ia": pa.array(ia), "ib": pa.array(ib)})
+    k = max(1, min(64, len(ia) // 16384))
+    step = -(-len(ia) // k)
+    slices = [tbl.slice(i * step, step) for i in range(k)]
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_pairs_table(key_type)
+        idx = _ray.get(index_ref)
+        ia = b.column("ia").to_numpy()
+        ib = b.column("ib").to_numpy()
+        sims = idx.sims(ia, ib)
+        m = sims >= idx.threshold
+        a, bb = _ordered_pair_columns(idx.keys.take(pa.array(ia[m])),
+                                      idx.keys.take(pa.array(ib[m])))
+        return pa.table({"a": a, "b": bb, "sim": pa.array(sims[m])})
+
+    return rd.from_arrow(slices).map_batches(score, batch_format="pyarrow")
+
+
+def _rep_star_pairs_local(index: "_SigIndex", rep_idx: np.ndarray,
+                          num_bands: int, threshold: float):
+    """Driver-local twin of the parallel rep scoring: candidates +
+    vectorized local scoring, → confirmed (a, b, sim) table or None."""
+    cand = _rep_star_candidates_local(index, rep_idx, num_bands)
+    if cand is None:
+        return None
+    ia, ib = cand
+    sims = index.sims(ia, ib)
+    m = sims >= threshold
+    if not m.any():
+        return None
+    a, bb = _ordered_pair_columns(index.keys.take(pa.array(ia[m])),
+                                  index.keys.take(pa.array(ib[m])))
+    return pa.table({"a": a, "b": bb, "sim": pa.array(sims[m])})
+
+
+# ------------------------------------------ fp-space semi-join verify ----
+
+
+def _verify_pairs_semijoin(pairs_fp, sig_source, key_column: str, key_type, *,
+                           num_perm: int, threshold: float, verify: str,
+                           num_partitions: int | None = None):
+    """Bucketed semi-join verification, entirely in fingerprint space —
+    the scale path when the signature index outgrows one machine's
+    memory (no driver pair materialization, no driver signature matrix,
+    no broadcast index):
+
+    - Pass 1 (bucket = fp_hi(a) % C): candidate pairs (32 B rows) and
+      signature rows shuffle into the same int32 coarse bucket;
+      in-bucket, pairs are made DISTINCT (same pair ⇒ same a ⇒ same
+      bucket) via one numpy unique over packed 32-byte views, and
+      (sig_a, key_a) attach via searchsorted + a vectorized ragged
+      gather — keys ride WITH the signature rows, so no separate
+      restore exchange is ever needed.
+    - Pass 2 (bucket = fp_hi(b) % C): half-joined pairs meet the
+      signature rows again; (sig_b, key_b) attach the same way,
+      similarity is scored, and confirmed rows emit directly in key
+      space, normalized a < b by key.
+
+    Every in-block step is numpy over Arrow buffers — no pandas object
+    merge, no per-row Python on the exchange path.  ``sig_source`` must
+    provide (key_column, __fh, __fl, payload) rows."""
     exact = verify == "exact"
     payload_col = "shingles" if exact else "minhash_sig"
-    dt = np.uint64 if exact else np.uint32
     itemsize = 8 if exact else 4
-    num_coarse = num_partitions or 64
+    C = num_partitions or 256
+    Cu = np.uint64(C)
 
     def sig_rows(b: pa.Table) -> pa.Table:
-        keys = b.column(key_column)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
+        hi = _u64_col(b, "__fh")
+        lo = _u64_col(b, "__fl")
         n = b.num_rows
-        # b carries the key again rather than nulls: a null int column
-        # becomes float64 in the per-bucket pandas frame, which silently
-        # breaks both the bucket hash and the pandas merges on "b"
-        return pa.Table.from_arrays(
-            [pa.array(_key_buckets(keys, num_coarse)),
-             pa.array(np.ones(n, dtype=np.int8)),
-             keys, keys,
-             _list_col_to_binary(b.column(payload_col), itemsize)],
-            names=["__pb", "kind", "a", "b", "sig"],
-        )
+        k = b.column(key_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({
+            "__pb": pa.array((hi % Cu).astype(np.int32)),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "ah": pa.array(hi), "al": pa.array(lo),
+            "bh": pa.array(hi), "bl": pa.array(lo),
+            "sig": _list_col_to_binary(b.column(payload_col), itemsize),
+            "key": k,
+            "ka": pa.nulls(n, key_type),
+        })
 
     def pair_rows(b: pa.Table) -> pa.Table:
-        a = b.column("a")
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
+        ah = _u64_col(b, "ah")
         n = b.num_rows
-        return pa.Table.from_arrays(
-            [pa.array(_key_buckets(a, num_coarse)),
-             pa.array(np.zeros(n, dtype=np.int8)),
-             a, b.column("b"), pa.nulls(n, pa.binary())],
-            names=["__pb", "kind", "a", "b", "sig"],
-        )
+        return pa.table({
+            "__pb": pa.array((ah % Cu).astype(np.int32)),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "ah": pa.array(ah), "al": pa.array(_u64_col(b, "al")),
+            "bh": pa.array(_u64_col(b, "bh")), "bl": pa.array(_u64_col(b, "bl")),
+            "sig": pa.nulls(n, pa.binary()),
+            "key": pa.nulls(n, key_type),
+            "ka": pa.nulls(n, key_type),
+        })
 
-    sig_tag = sig_ds.map_batches(sig_rows, batch_format="pyarrow")
-    pr = pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
-    cols = ["__pb", "kind", "a", "b", "sig"]
+    mid_schema = pa.schema([
+        ("__pb", pa.int32()), ("kind", pa.int8()),
+        ("ah", pa.uint64()), ("al", pa.uint64()),
+        ("bh", pa.uint64()), ("bl", pa.uint64()),
+        ("sig", pa.binary()), ("key", key_type), ("ka", key_type),
+    ])
+    empty_mid = mid_schema.empty_table()
 
-    def _key_type(df: pd.DataFrame) -> pa.DataType:
-        return (pa.int64() if pd.api.types.is_integer_dtype(df["a"])
-                else pa.string())
+    def _split(t: pa.Table):
+        kindc = t.column("kind")
+        kind = np.asarray(kindc.combine_chunks()
+                          if isinstance(kindc, pa.ChunkedArray) else kindc)
+        pm = np.flatnonzero(kind == 0)
+        sm = np.flatnonzero(kind == 1)
+        if not len(pm) or not len(sm):
+            return None
+        ah, al = _u64_col(t, "ah"), _u64_col(t, "al")
+        bh, bl = _u64_col(t, "bh"), _u64_col(t, "bl")
+        sfp = _fp_pack(ah[sm], al[sm])
+        sord = np.argsort(sfp, kind="stable")
+        return pm, ah, al, bh, bl, sfp[sord], sm[sord]
 
-    # fns return ARROW tables with a pinned schema (the groupby sort
-    # cannot shuffle a union of pandas and Arrow blocks, and empty pandas
-    # frames would type the binary column as null)
-    def pass1(df: pd.DataFrame) -> pa.Table:
-        p = df[df["kind"] == 0]
-        s = df[df["kind"] == 1]
-        kt = _key_type(df)
-        if not len(p) or not len(s):
-            return pa.table({"__pb": pa.array([], pa.int32()),
-                             "kind": pa.array([], pa.int8()),
-                             "a": pa.array([], kt), "b": pa.array([], kt),
-                             "sig": pa.array([], pa.binary())})
-        p = p.drop_duplicates(subset=["a", "b"])
-        m = p[["a", "b"]].merge(s[["a", "sig"]], on="a", how="inner")
-        return pa.Table.from_arrays(
-            [pa.array(_key_buckets(m["b"], num_coarse)),
-             pa.array(np.zeros(len(m), dtype=np.int8)),
-             pa.array(m["a"], kt), pa.array(m["b"], kt),
-             pa.array(m["sig"].tolist(), pa.binary())],
-            names=cols)
+    def pass1(t: pa.Table) -> pa.Table:
+        parts = _split(t)
+        if parts is None:
+            return empty_mid
+        pm, ah, al, bh, bl, sfp_sorted, src = parts
+        pairs = np.unique(_pair_pack(ah[pm], al[pm], bh[pm], bl[pm]))
+        ah2, al2, bh2, bl2 = _pair_unpack(pairs)
+        ia = src[np.searchsorted(sfp_sorted, _fp_pack(ah2, al2))]
+        off, flat = _binary_offsets(t.column("sig"))
+        goff, gflat = _ragged_gather(off, flat, ia)
+        n = len(ah2)
+        return pa.table({
+            "__pb": pa.array((bh2 % Cu).astype(np.int32)),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "ah": pa.array(ah2), "al": pa.array(al2),
+            "bh": pa.array(bh2), "bl": pa.array(bl2),
+            "sig": _binary_from_ragged(goff, gflat),
+            "key": pa.nulls(n, key_type),
+            "ka": _take_arr(t.column("key"), ia),
+        })
 
-    half = (sig_tag.union(pr).groupby("__pb")
-                   .map_groups(pass1, batch_format="pandas"))
-
-    def pass2(df: pd.DataFrame) -> pa.Table:
-        p = df[df["kind"] == 0]
-        s = df[df["kind"] == 1]
-        kt = _key_type(df)
-        if not len(p) or not len(s):
-            return pa.table({"a": pa.array([], kt), "b": pa.array([], kt),
-                             "sim": pa.array([], pa.float64())})
-        m = p[["a", "b", "sig"]].merge(
-            s[["a", "sig"]].rename(columns={"a": "b", "sig": "sig_b"}),
-            on="b", how="inner")
-        n = len(m)
-        sims = np.empty(n, dtype=np.float64)
+    def pass2(t: pa.Table) -> pa.Table:
+        parts = _split(t)
+        if parts is None:
+            return _empty_pairs_table(key_type)
+        pm, ah, al, bh, bl, sfp_sorted, src = parts
+        ib = src[np.searchsorted(sfp_sorted, _fp_pack(bh[pm], bl[pm]))]
+        off, flat = _binary_offsets(t.column("sig"))
+        aoff, aflat = _ragged_gather(off, flat, pm)        # sig_a bytes
+        boff, bflat = _ragged_gather(off, flat, ib)        # sig_b bytes
+        n = len(pm)
         if exact:
-            for i, (xa, xb) in enumerate(zip(m["sig"], m["sig_b"])):
-                sims[i] = jaccard(np.frombuffer(xa, dtype=dt),
-                                  np.frombuffer(xb, dtype=dt))
+            a64 = aflat.view(np.uint64)
+            b64 = bflat.view(np.uint64)
+            ao = aoff // 8
+            bo = boff // 8
+            sims = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                sims[i] = jaccard(a64[ao[i]:ao[i + 1]], b64[bo[i]:bo[i + 1]])
         else:
-            A = np.frombuffer(b"".join(m["sig"]), dtype=dt).reshape(n, num_perm)
-            B = np.frombuffer(b"".join(m["sig_b"]), dtype=dt).reshape(n, num_perm)
+            A = aflat.view(np.uint32).reshape(n, num_perm)
+            B = bflat.view(np.uint32).reshape(n, num_perm)
             sims = (A == B).mean(axis=1)
-        mk = sims >= threshold
-        return pa.table({"a": pa.array(m["a"].to_numpy()[mk], kt),
-                         "b": pa.array(m["b"].to_numpy()[mk], kt),
-                         "sim": pa.array(sims[mk], pa.float64())})
+        mask = sims >= threshold
+        ka = _take_arr(t.column("ka"), pm[mask])
+        kb = _take_arr(t.column("key"), ib[mask])
+        a, bb = _ordered_pair_columns(ka, kb)
+        return pa.table({"a": a, "b": bb, "sim": pa.array(sims[mask])})
 
+    sig_tag = sig_source.map_batches(sig_rows, batch_format="pyarrow")
+    pr = pairs_fp.map_batches(pair_rows, batch_format="pyarrow")
+    half = (sig_tag.union(pr).groupby("__pb")
+                   .map_groups(pass1, batch_format="pyarrow"))
     return (sig_tag.union(half).groupby("__pb")
-                   .map_groups(pass2, batch_format="pandas"))
+                   .map_groups(pass2, batch_format="pyarrow"))
+
+
+def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
+                               num_perm: int, num_coarse: int = 256):
+    """Distributed identical-signature collapse for the semi-join path:
+    ONE bucketed exchange keyed on the signature-class fingerprint; per
+    class, emit (i) final-form star edges (rep=min-fp member → member,
+    sim 1.0) and (ii) one representative signature row.  The output is
+    materialized ONCE (tagged rows, corpus-sized — blocks spill if they
+    outgrow memory) and split by tag; the downstream LSH then runs over
+    representatives only, which is what makes duplicate-heavy corpora
+    cheap at scale."""
+    Cu = np.uint64(num_coarse)
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        sig_col = b.column("minhash_sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat = np.asarray(sig_col.flatten(), dtype=np.uint64)
+        mat = flat.astype(np.uint32).reshape(b.num_rows, num_perm)
+        sch, scl = _sig_class_fp(mat)
+        k = b.column(key_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({
+            "__pb": pa.array((sch % Cu).astype(np.int32)),
+            "ch": pa.array(sch), "cl": pa.array(scl),
+            "__fh": pa.array(_u64_col(b, "__fh")),
+            "__fl": pa.array(_u64_col(b, "__fl")),
+            "key": k,
+            "sig": _list_col_to_binary(sig_col, 4),
+        })
+
+    def per_class(t: pa.Table) -> pa.Table:
+        cls = _fp_pack(_u64_col(t, "ch"), _u64_col(t, "cl"))
+        fp = _fp_pack(_u64_col(t, "__fh"), _u64_col(t, "__fl"))
+        # sort by (class, fp): lexsort on the packed views
+        order = np.lexsort((fp, cls))
+        cls_s = cls[order]
+        starts = np.flatnonzero(np.r_[True, cls_s[1:] != cls_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(cls_s)])
+        rep_pos = order[starts]
+        member_mask = np.ones(len(cls_s), dtype=bool)
+        member_mask[starts] = False
+        members = order[member_mask]
+        rep_for_member = np.repeat(rep_pos, sizes - 1)
+        keys = t.column("key")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n_star = len(members)
+        if n_star:
+            star_a, star_b = _ordered_pair_columns(
+                _take_arr(keys, rep_for_member), _take_arr(keys, members))
+        else:
+            star_a = star_b = pa.array([], key_type)
+        fh, fl = _fp_unpack(fp[rep_pos])
+        off, flat = _binary_offsets(t.column("sig"))
+        goff, gflat = _ragged_gather(off, flat, rep_pos)
+        n_rep = len(rep_pos)
+        tag = np.r_[np.zeros(n_star, dtype=np.int8), np.ones(n_rep, dtype=np.int8)]
+        fill_u = np.zeros(n_star, dtype=np.uint64)
+        return pa.table({
+            "tag": pa.array(tag),
+            "a": pa.concat_arrays([star_a.combine_chunks() if isinstance(star_a, pa.ChunkedArray) else star_a,
+                                   pa.nulls(n_rep, key_type)]),
+            "b": pa.concat_arrays([star_b.combine_chunks() if isinstance(star_b, pa.ChunkedArray) else star_b,
+                                   pa.nulls(n_rep, key_type)]),
+            "__fh": pa.array(np.r_[fill_u, fh]),
+            "__fl": pa.array(np.r_[fill_u, fl]),
+            "key": pa.concat_arrays([pa.nulls(n_star, key_type),
+                                     _take_arr(keys, rep_pos)]),
+            "sig": pa.concat_arrays([pa.nulls(n_star, pa.binary()),
+                                     _binary_from_ragged(goff, gflat)]),
+        })
+
+    tagged = (sig_ds.map_batches(tag_rows, batch_format="pyarrow")
+                    .groupby("__pb")
+                    .map_groups(per_class, batch_format="pyarrow")
+                    .materialize())
+    import pyarrow.compute as pc
+
+    def stars_only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("tag"), 0)
+        f = b.filter(m)
+        return pa.table({"a": f.column("a"), "b": f.column("b"),
+                         "sim": pa.array(np.ones(f.num_rows))})
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("tag"), 1)
+        f = b.filter(m)
+        # rebuild list<u64> signatures from the packed uint32 binary
+        off, flat = _binary_offsets(f.column("sig"))
+        vals = flat.view(np.uint32).astype(np.uint64)
+        sig = pa.ListArray.from_arrays(pa.array((off // 4).astype(np.int32)),
+                                       pa.array(vals))
+        return pa.table({key_column: f.column("key"),
+                         "minhash_sig": sig,
+                         "__fh": f.column("__fh"), "__fl": f.column("__fl")})
+
+    stars = tagged.map_batches(stars_only, batch_format="pyarrow")
+    reps = tagged.map_batches(reps_only, batch_format="pyarrow")
+    return stars, reps
 
 
 def minhash_candidate_pairs(ds, key_column: str = "doc_id",
@@ -424,162 +1070,169 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
                             k_shingle: int = 3, threshold: float = 0.8,
                             verify: str = "estimate", seed: int = 42,
                             pair_mode: str = "all",
-                            verify_exec: str = "distributed",
-                            num_partitions: int | None = None):
-    """→ Dataset of confirmed near-dup pairs (a, b, sim), a < b.
+                            verify_exec: str = "auto",
+                            num_partitions: int | None = None,
+                            broadcast_budget_bytes: int = 2 << 30):
+    """→ Dataset of confirmed near-dup pairs (a, b, sim), a < b by key.
 
-    Two-phase plan (the banded shuffle carries ONLY (band_hash, key) —
-    8+8 bytes/row — never the 1 KB signature; shipping signatures through
-    the band explode is what makes the naive plan crawl):
+    Two-phase plan, entirely in 128-bit fingerprint space (the banded
+    shuffle carries ONLY (band_hash, fp) — 24 B/row — never the 1 KB
+    signature or URL-sized keys; original keys ride only with signature
+    rows and on the final, post-threshold output):
 
       1. signatures per batch (vectorized crc/splitmix shingles) →
-         numeric band hashes → coarse-bucket shuffle → candidate pairs
-         (pair_mode="star": (bucket-min, member) only — linear in cluster
-         size, enough for connected-component connectivity; "all": every
-         in-bucket pair, for exact pair listings).
+         numeric band hashes → coarse-bucket shuffle → candidate pairs.
+         pair_mode="star" additionally collapses identical-signature
+         classes first (estimator sim is exactly 1.0 inside a class):
+         each class contributes (min-fp member → member) edges directly
+         and ONE representative to the LSH — on duplicate-heavy corpora
+         (the norm for web-scale dedup) this shrinks the banded working
+         set by the duplication factor.  Star output is a deterministic
+         spanning edge set sufficient for connected components, not an
+         exhaustive pair listing.  pair_mode="all" emits every in-bucket
+         pair (exact listings; inherently quadratic in cluster size —
+         small-scale use).
       2. verify: score each candidate pair against the signatures (or
          shingle sets, verify="exact") and keep sim ≥ threshold.
 
     verify="estimate": sim = fraction of agreeing minhash components
-    (unbiased Jaccard estimator). verify="exact": sim = exact shingle-set
-    Jaccard.
+    (unbiased Jaccard estimator).  verify="exact": sim = exact
+    shingle-set Jaccard.
 
     ``verify_exec`` picks the phase-2 plan:
-    - "distributed" (default, the scale path): bucketed semi-join —
-      distinct pairs shuffled to ``num_partitions`` hash partitions,
-      signatures hash-joined onto both sides, scored in-partition.
-      Nothing pair- or signature-shaped ever lands on the driver; works
-      even when candidates are most of the corpus (duplicate-heavy input).
-    - "driver" (small-scale/debug): candidate payloads broadcast-filtered
-      and scored in one vectorized pass on the driver.  Assumes the
-      candidate pair set fits driver memory.
-    Both produce identical output (pytest-pinned).
+    - "broadcast": the signature index (≈ num_perm×4 + 16 B/doc + keys)
+      ships ONCE via ``ray.put``; scoring tasks stream candidate pairs
+      through ``map_batches`` reading the index zero-copy from the
+      object store; the distinct runs post-threshold in fp space.  The
+      classic broadcast-small-side join — right while the index fits a
+      node's memory.
+    - "semijoin": fp-space bucketed semi-join — the 100-TB path when
+      the index outgrows memory; see ``_verify_pairs_semijoin``.
+      ("distributed" is accepted as a legacy alias.)
+    - "driver": candidate pairs AND the index collected on the driver,
+      one vectorized scoring pass — small-scale/debug twin.
+    - "auto" (default): "broadcast" while the estimated index size fits
+      ``broadcast_budget_bytes`` (default 2 GiB), else "semijoin".
+    All paths produce identical output (pytest-pinned, both pair modes,
+    integer and string keys).
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify={verify!r}")
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode={pair_mode!r}")
-    if verify_exec not in ("distributed", "driver"):
+    if verify_exec == "distributed":
+        verify_exec = "semijoin"
+    if verify_exec not in ("auto", "broadcast", "semijoin", "driver"):
         raise ValueError(f"verify_exec={verify_exec!r}")
+    import ray as _ray
     import ray.data as rd
 
     sig_stage = MinHashSignatures(key_column, text_column, num_perm, k_shingle,
                                   keep_shingles=(verify == "exact"), seed=seed)
-    # materialized: read twice (banding + candidate fetch) without
+    # materialized: read twice (banding + verification) without
     # recomputing shingles; blocks spill to disk if they outgrow memory
     sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    key_type = sig_ds.schema().base_schema.field(key_column).type
+    collapse = pair_mode == "star" and verify == "estimate"
+
+    if verify_exec == "auto":
+        n_docs = sig_ds.count()
+        per_doc = (num_perm * 4 + 64) if verify == "estimate" else 4096
+        verify_exec = ("broadcast" if n_docs * per_doc <= broadcast_budget_bytes
+                       else "semijoin")
 
     rows_per_band = num_perm // num_bands
 
-    def explode_keys(batch: pa.Table) -> pa.Table:
+    def explode_fp(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sig_col = batch.column("minhash_sig")
-        flat = np.asarray(sig_col.combine_chunks().flatten(), dtype=np.uint64)
-        sigs = flat.reshape(n, num_perm)
-        keys = batch.column(key_column)
-        out_hash = np.empty(n * num_bands, dtype=np.uint64)
-        for b in range(num_bands):
-            chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
-            for j in range(rows_per_band):
-                acc = acc * _FNV_PRIME_64 + chunk[:, j]
-            out_hash[b::num_bands] = _mix_u64(acc)
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat = np.asarray(sig_col.flatten(), dtype=np.uint64)
+        mat = flat.astype(np.uint32).reshape(n, num_perm)
+        out_hash = _band_hashes(mat, num_bands).reshape(-1)
         idx = np.repeat(np.arange(n), num_bands)
-        return pa.Table.from_arrays(
-            [pa.array(out_hash), keys.take(pa.array(idx))],
-            names=["band_key", key_column],
-        )
+        return pa.table({
+            "band_key": pa.array(out_hash),
+            "__fh": pa.array(_u64_col(batch, "__fh")[idx]),
+            "__fl": pa.array(_u64_col(batch, "__fl")[idx]),
+        })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        keys = np.sort(group[key_column].unique())
-        if len(keys) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if pair_mode == "star":
-            return pd.DataFrame({"a": np.repeat(keys[0], len(keys) - 1),
-                                 "b": keys[1:]})
-        iu, ju = np.triu_indices(len(keys), k=1)
-        return pd.DataFrame({"a": keys[iu], "b": keys[ju]})
-
-    banded = sig_ds.map_batches(explode_keys, batch_format="pyarrow")
-    pairs_ds = _coarse_bucket_pairs(banded, bucket_pairs, key_column=key_column)
-    if verify_exec == "distributed":
-        # candidate pairs are tiny (16 B/row) — materializing lets the
-        # empty-guard count run without recomputing candidate generation
-        pairs_ds = pairs_ds.materialize()
-        if pairs_ds.count() == 0:
-            return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
-                                           "b": pa.array([], pa.int64()),
-                                           "sim": pa.array([], pa.float64())}))
-        return _verify_pairs_distributed(
-            pairs_ds, sig_ds, key_column, num_perm=num_perm,
+    if verify_exec == "semijoin":
+        if collapse:
+            stars, reps = _collapse_classes_semijoin(
+                sig_ds, key_column, key_type, num_perm,
+                num_coarse=num_partitions or 256)
+            banded = reps.map_batches(explode_fp, batch_format="pyarrow")
+            pairs_fp = _coarse_pairs_fp(banded, pair_mode).materialize()
+            if pairs_fp.count() == 0:
+                return stars
+            confirmed = _verify_pairs_semijoin(
+                pairs_fp, reps, key_column, key_type, num_perm=num_perm,
+                threshold=threshold, verify=verify,
+                num_partitions=num_partitions)
+            return stars.union(confirmed)
+        banded = sig_ds.map_batches(explode_fp, batch_format="pyarrow")
+        pairs_fp = _coarse_pairs_fp(banded, pair_mode).materialize()
+        if pairs_fp.count() == 0:
+            return rd.from_arrow(_empty_pairs_table(key_type))
+        return _verify_pairs_semijoin(
+            pairs_fp, sig_ds, key_column, key_type, num_perm=num_perm,
             threshold=threshold, verify=verify, num_partitions=num_partitions)
-    # distinct in Arrow (group_by with no aggregates), pandas only at the
-    # final (deduped) size — big pandas object blocks crawl on this host
-    raw = pa.concat_tables(
-        list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")),
-        promote_options="default")
-    pairs = (raw.group_by(["a", "b"]).aggregate([]).to_pandas()
-             if raw.num_rows else pd.DataFrame({"a": [], "b": []}))
-    if not len(pairs):
-        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
-                                       "b": pa.array([], pa.int64()),
-                                       "sim": pa.array([], pa.float64())}))
 
-    # ---- phase 2: fetch candidate payloads, verify vectorized ----------
-    import pyarrow.compute as pc
+    # ---- broadcast / driver: signature index built once ----------------
+    index = _build_sig_index(sig_ds, key_column, verify, num_perm, threshold)
 
-    cand_key_set = set(pairs["a"]) | set(pairs["b"])
-    cols = [key_column, "shingles" if verify == "exact" else "minhash_sig"]
-    n_corpus = sig_ds.count()
-    if len(cand_key_set) >= n_corpus // 2:
-        # candidates are most of the corpus (duplicate-heavy input):
-        # filtering would ship a giant key set per task for no reduction
-        cand_ds = sig_ds.select_columns(cols)
-    else:
-        # broadcast the key set ONCE via the object store; a closure
-        # capture would re-serialize it with every task
-        import ray as _ray
+    if collapse:
+        # local collapse on the index (the broadcast gate already bounds
+        # the index to one machine): class stars emit directly; the LSH
+        # bands only the representatives — candidate generation needs no
+        # Ray exchange for a working set this shape, and scoring fans
+        # out over the broadcast index (driver mode scores locally)
+        stars, rep_idx = _class_stars_local(index.fp16, index.keys,
+                                            index.est_mat)
+        if verify_exec == "broadcast":
+            cand = _rep_star_candidates_local(index, rep_idx, num_bands)
+            parts = []
+            if stars is not None:
+                parts.append(rd.from_arrow(stars))
+            if cand is not None:
+                parts.append(_score_pos_pairs(_ray.put(index), cand[0],
+                                              cand[1], key_type))
+            if not parts:
+                return rd.from_arrow(_empty_pairs_table(key_type))
+            return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        confirmed = _rep_star_pairs_local(index, rep_idx, num_bands, threshold)
+        parts = [t for t in (stars, confirmed) if t is not None]
+        if not parts:
+            return rd.from_arrow(_empty_pairs_table(key_type))
+        return rd.from_arrow(pa.concat_tables(parts))
 
-        keys_ref = _ray.put(pa.array(sorted(cand_key_set)))
+    banded = sig_ds.map_batches(explode_fp, batch_format="pyarrow")
+    pairs_fp = _coarse_pairs_fp(banded, pair_mode).materialize()
+    if pairs_fp.count() == 0:
+        return rd.from_arrow(_empty_pairs_table(key_type))
 
-        def filt(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b.column(key_column),
-                                     value_set=_ray.get(keys_ref)))
+    if verify_exec == "broadcast":
+        return _verify_pairs_broadcast(pairs_fp, _ray.put(index), key_type,
+                                       threshold)
 
-        cand_ds = sig_ds.map_batches(filt, batch_format="pyarrow").select_columns(cols)
-    if verify == "exact":
-        cand = cand_ds.to_pandas()
-        payload = dict(zip(cand[key_column], cand[cols[1]]))
-        cache = {k: np.asarray(v, dtype=np.uint64) for k, v in payload.items()}
-        sims = np.empty(len(pairs), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
-            sims[i] = jaccard(cache[a], cache[b])
-    else:
-        # stream Arrow batches → one (n_cand, num_perm) uint64 matrix with
-        # zero Python-object hops (to_pandas on a big list column crawls),
-        # then score every pair with one boolean matrix reduction
-        key_parts, mat_parts = [], []
-        for b in cand_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            key_parts.append(b.column(key_column).to_numpy(zero_copy_only=False))
-            flat = np.asarray(b.column(cols[1]).combine_chunks().flatten(),
-                              dtype=np.uint64)
-            mat_parts.append(flat.reshape(b.num_rows, num_perm))
-        keys_arr = np.concatenate(key_parts)
-        sig_mat = np.vstack(mat_parts)
-        index = pd.Index(keys_arr)
-        ai = index.get_indexer(pairs["a"])
-        bi = index.get_indexer(pairs["b"])
-        # chunked compare: one giant fancy-index gather allocates
-        # 2×(n_pairs × num_perm × 8B) at once and crawls on first-touch;
-        # a 32k-pair working set stays cache-resident (~35x faster)
-        sims = np.empty(len(pairs), dtype=np.float64)
-        step = 32_768
-        for s in range(0, len(pairs), step):
-            e = min(s + step, len(pairs))
-            sims[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
-    pairs = pairs.assign(sim=sims)
-    pairs = pairs[pairs["sim"] >= threshold].reset_index(drop=True)
-    return rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    # ---- verify_exec == "driver": everything local, one vectorized pass
+    quads = [[], [], [], []]
+    for b in pairs_fp.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, c in enumerate(("ah", "al", "bh", "bl")):
+            quads[i].append(_u64_col(b, c))
+    packed = np.unique(_pair_pack(*(np.concatenate(q) for q in quads)))
+    ah, al, bh, bl = _pair_unpack(packed)
+    ia, ib = index.lookup(ah, al, bh, bl)
+    sims = index.sims(ia, ib)
+    mask = sims >= threshold
+    if not mask.any():
+        return rd.from_arrow(_empty_pairs_table(key_type))
+    a, bb = _ordered_pair_columns(index.keys.take(pa.array(ia[mask])),
+                                  index.keys.take(pa.array(ib[mask])))
+    return rd.from_arrow(pa.table({"a": a, "b": bb,
+                                   "sim": pa.array(sims[mask])}))
 
 
 # ----------------------------------------------------------- simhash ----

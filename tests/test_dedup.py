@@ -148,22 +148,68 @@ def test_embedding_pairs_ray(ray_session):
 
 
 @pytest.mark.parametrize("verify", ["exact", "estimate"])
-def test_minhash_distributed_verify_matches_driver(ray_session, verify):
-    """The bucketed semi-join verification (verify_exec='distributed')
-    must produce byte-identical pairs to the driver-side scorer."""
+def test_minhash_verify_paths_identical(ray_session, verify):
+    """All phase-2 plans (broadcast index, bucketed semi-join, driver)
+    must produce byte-identical pairs — on integer AND string keys (the
+    fp→key restore takes a different path for each)."""
     from helpers import dataset_from_items
 
     docs = _docs()
+    str_docs = [{"doc_id": f"http://host/{d['doc_id']}.html",
+                 "text": d["text"]} for d in docs]
+
+    def run(items, mode):
+        p = minhash_candidate_pairs(
+            dataset_from_items(items), "doc_id", "text", threshold=0.7,
+            verify=verify, num_perm=128, num_bands=32, verify_exec=mode,
+        ).to_pandas()
+        return (p.sort_values(["a", "b"]).reset_index(drop=True)
+                 .round({"sim": 12}))
+
+    for items in (docs, str_docs):
+        drv = run(items, "driver")
+        assert len(drv), "fixture must confirm near-dup pairs"
+        assert run(items, "broadcast").equals(drv)
+        assert run(items, "semijoin").equals(drv)
+
+
+def test_minhash_star_collapse_paths_identical(ray_session):
+    """pair_mode='star' + verify='estimate' activates identical-signature
+    collapse; broadcast (local collapse) and semijoin (distributed class
+    exchange) must emit the same spanning edge set, and its connected
+    components must equal the all-mode components."""
+    from helpers import dataset_from_items
+
+    docs = _docs()
+    # extra exact-dup family to make a 3-member class (rep + 2 members)
+    docs.append({"doc_id": 24, "text": docs[20]["text"]})
 
     def run(mode):
         p = minhash_candidate_pairs(
             dataset_from_items(docs), "doc_id", "text", threshold=0.7,
-            verify=verify, num_perm=128, num_bands=32, verify_exec=mode,
+            verify="estimate", num_perm=128, num_bands=32,
+            pair_mode="star", verify_exec=mode,
         ).to_pandas()
         return (p.sort_values(["a", "b"]).reset_index(drop=True)
-                 .astype({"a": "int64", "b": "int64"}).round({"sim": 12}))
+                 .round({"sim": 12}))
 
-    assert run("distributed").equals(run("driver"))
+    bc = run("broadcast")
+    assert len(bc)
+    assert run("semijoin").equals(bc)
+    # connectivity must match the all-mode pair graph
+    full = minhash_candidate_pairs(
+        dataset_from_items(docs), "doc_id", "text", threshold=0.7,
+        verify="estimate", num_perm=128, num_bands=32, pair_mode="all",
+        verify_exec="broadcast").to_pandas()
+
+    def components(pairs):
+        roots = clusters_from_pairs(list(zip(pairs["a"], pairs["b"])))
+        comp = {}
+        for n, r in roots.items():
+            comp.setdefault(r, set()).add(n)
+        return {frozenset(v) for v in comp.values()}
+
+    assert components(bc) == components(full)
 
 
 def test_min_label_clusters_match_union_find(ray_session):
