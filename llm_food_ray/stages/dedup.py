@@ -10,13 +10,15 @@ is implemented here as Ray Data shuffle patterns:
            merge + broadcast keep-filter (``reduce="driver"``) or a
            bucketed groupby + partitioned LEFT SEMI keep-join
            (``reduce="shuffle"``, the scale path)
-- minhash: shingle→signature per batch → explode to (band_hash, key)
-           rows (16 B — payloads never ride the band explode) →
-           coarse-bucket shuffle → in-bucket candidate pairs → bucketed
-           semi-join verification (signatures hash-joined onto both pair
-           sides, scored in-partition) → min-label-propagation
-           connected components (``clusters_min_label``) → LEFT ANTI
-           drop-set join (``dedup_near_keep``)
+- minhash: shingle→signature per batch → 128-bit key fingerprints →
+           explode to (band_hash, fp) rows (24 B — neither payloads nor
+           raw keys ride the band explode) → coarse-bucket shuffle →
+           in-bucket candidate pairs (numpy over packed fp views) →
+           verification: broadcast signature index scored in parallel
+           ``map_batches`` while the index fits a node (default), or a
+           bucketed fp-space semi-join when it does not → min-label
+           propagation connected components (``clusters_min_label``) →
+           LEFT ANTI drop-set join (``dedup_near_keep``)
 - simhash: 64-bit signature, banded into 4×16-bit chunks (exact for
            hamming distance ≤ 3 by pigeonhole) → same pair machinery
 - embedding: random-hyperplane signature (SRP-LSH) → banded buckets →
@@ -283,28 +285,6 @@ def _list_col_to_binary(col: pa.ChunkedArray | pa.Array,
         pa.binary(), len(col),
         [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(flat.tobytes())],
     )
-
-
-def _key_buckets(values, num_coarse: int) -> np.ndarray:
-    """Coarse int32 bucket ids for a key array (Arrow array, numpy array
-    or pandas Series; integer or string keys)."""
-    import zlib
-
-    if isinstance(values, pa.ChunkedArray):
-        values = values.combine_chunks()
-    if isinstance(values, pa.Array):
-        if pa.types.is_integer(values.type):
-            v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
-            return (_mix_u64(v) % np.uint64(num_coarse)).astype(np.int32)
-        values = values.to_pylist()
-    elif isinstance(values, pd.Series):
-        if pd.api.types.is_integer_dtype(values):
-            v = values.to_numpy().astype(np.uint64)
-            return (_mix_u64(v) % np.uint64(num_coarse)).astype(np.int32)
-        values = values.tolist()
-    return np.fromiter(
-        (zlib.crc32(str(x).encode()) % num_coarse for x in values),
-        dtype=np.int32, count=len(values))
 
 
 # ---------------------------------------------- 128-bit fingerprints ----
