@@ -223,7 +223,8 @@ def q_dedup_minhash(sf_dir: str):
         aug, "doc_id", "text", threshold=0.9, verify="exact",
         num_perm=128, num_bands=32,
     )
-    return dedup_near_keep(aug.select_columns(["doc_id"]), "doc_id", pairs)
+    return dedup_near_keep(aug.select_columns(["doc_id"]), "doc_id", pairs,
+                           cluster_exec="distributed")
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

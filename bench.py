@@ -175,6 +175,22 @@ def run_bench() -> dict:
         )
         n_pairs = pairs.count()
         queries[name] = round(time.perf_counter() - t0, 3)
+        if mode == "broadcast":
+            # full kept-set tail on the confirmed pairs: clustering
+            # (auto-gated union-find / min-label propagation) + keep
+            from llm_food_ray.stages.dedup import dedup_near_keep
+
+            t0 = time.perf_counter()
+            corpus = rd.read_parquet(out_dir, columns=["url"],
+                                     override_num_blocks=nblocks)
+            n_near_kept = dedup_near_keep(corpus, "url", pairs).count()
+            queries["dedup_minhash_keep"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_near_kept_dist = dedup_near_keep(
+                corpus, "url", pairs, cluster_exec="distributed").count()
+            assert n_near_kept_dist == n_near_kept
+            queries["dedup_minhash_keep_distributed"] = round(
+                time.perf_counter() - t0, 3)
 
     # --- textstats: lang-ID + quality over the extracted markdown -------
     from llm_food_ray.stages.textstats import TextStatsStage

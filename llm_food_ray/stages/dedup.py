@@ -1345,21 +1345,20 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
 # ------------------------------------- clustering (connected components) ----
 
 
-def _labels_checksum(labels) -> int:
-    """Distributed order-free checksum of a (node, label) Dataset.  Labels
-    only move downward during propagation, so an unchanged checksum ⟺
-    converged (up to a ~2^-40 collision chance per round)."""
-    import zlib
+def _col(t: pa.Table, name: str):
+    c = t.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
+
+def _labels_checksum(labels) -> int:
+    """Distributed order-free checksum of the fp-space label state (label
+    fingerprint in the (xh, xl) slot).  Labels only move downward during
+    propagation, so an unchanged checksum ⟺ converged (up to a ~2^-40
+    collision chance per round)."""
     from ray.data.aggregate import Sum
 
     def h(b: pa.Table) -> pa.Table:
-        col = b.column("label")
-        if pa.types.is_integer(col.type):
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            v = np.fromiter((zlib.crc32(str(x).encode()) for x in col.to_pylist()),
-                            dtype=np.uint64, count=len(col))
+        v = _u64_col(b, "xh") ^ (_u64_col(b, "xl") * _FNV_PRIME_64)
         hv = (_mix_u64(v) >> np.uint64(24)).astype(np.int64)   # 40-bit terms
         return pa.table({"h": pa.array(hv)})
 
@@ -1370,70 +1369,183 @@ def _labels_checksum(labels) -> int:
 def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
                        max_rounds: int = 50):
     """Distributed connected components over a confirmed-pairs Dataset via
-    iterative min-label propagation — the scale replacement for the
-    driver union-find (``clusters_from_pairs``): nothing graph-shaped ever
-    lands on the driver.
+    iterative min-label propagation — the scale twin of the driver
+    union-find (``clusters_from_pairs``): nothing graph-shaped ever lands
+    on the driver.
 
     → Dataset (node, label) covering every key that appears in a pair;
-    ``label`` = the minimum key reachable from ``node`` (identical to the
+    ``label`` = the minimum key in ``node``'s component (identical to the
     union-find's min-root by induction on merges).
 
-    Each round is one hash-join (edge ⋈ labels on the neighbor key) plus
-    one groupby-min — both over the 2×|pairs| edge list, fully streamed.
-    Rounds needed = component diameter: ≤2 for duplicate clusters (band
-    buckets make them near-cliques), O(log n) worst-case chains.  A
-    distributed checksum (labels are monotone non-increasing) detects the
-    fixpoint without materializing labels on the driver."""
-    from ray.data.aggregate import Min
+    The propagation runs entirely in 128-bit fingerprint space over ONE
+    7-column row shape (__pb bucket, kind, node fp, payload fp, key):
+    edge rows put their SOURCE fp in the payload slot, label rows their
+    current label, contributions the label being delivered.  Each round
+    is two int32-keyed coarse exchanges built from the union trick —
+    (i) edges meet labels in the NEIGHBOR's bucket and emit (src,
+    neighbor's label) contributions, (ii) contributions meet labels in
+    the NODE's bucket and reduce by min — with every in-block step a
+    numpy sort/searchsorted over packed fp views (no hash-join
+    aggregator actors, no string exchanges).  Rounds needed = component
+    diameter: small for duplicate clusters (band buckets make them
+    star-shaped), O(log n) worst-case chains.  A distributed checksum
+    (labels are monotone non-increasing) detects the fixpoint without
+    materializing labels on the driver.  A final exchange keyed on the
+    converged fp-label regroups each component and rewrites its label to
+    the min ORIGINAL key (fingerprint order ≠ key order)."""
+    import ray.data as rd
 
-    num_partitions = _join_partitions(num_partitions)
+    C = _join_partitions(num_partitions)
+    Cu = np.uint64(C)
+    try:
+        key_type = pairs_ds.schema().base_schema.field("a").type
+    except Exception:
+        key_type = pa.int64()
 
-    # edge columns named (src, nbr) so the round join has ZERO column-name
-    # overlap with labels (node, label) — a shared "node" name on both
-    # sides confuses the hash-join key resolution
-    def sym(b: pa.Table) -> pa.Table:
-        t1 = pa.Table.from_arrays([b.column("a"), b.column("b")],
-                                  names=["src", "nbr"])
-        t2 = pa.Table.from_arrays([b.column("b"), b.column("a")],
-                                  names=["src", "nbr"])
-        return pa.concat_tables([t1, t2])
+    # row shape: (__pb, kind, nh, nl, xh, xl, key)
+    #   kind 0 = edge          (nh = neighbor fp for lookup, x = src fp)
+    #   kind 1 = label row     (nh = node fp, x = current label fp)
+    #   kind 2 = contribution  (nh = src fp, x = delivered label fp)
+    def edge_rows(b: pa.Table) -> pa.Table:
+        afh, afl = _fingerprint128(b.column("a"))
+        bfh, bfl = _fingerprint128(b.column("b"))
+        nh = np.concatenate([bfh, afh])
+        nl = np.concatenate([bfl, afl])
+        xh = np.concatenate([afh, bfh])
+        xl = np.concatenate([afl, bfl])
+        n = len(nh)
+        return pa.table({
+            "__pb": pa.array((nh % Cu).astype(np.int32)),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "nh": pa.array(nh), "nl": pa.array(nl),
+            "xh": pa.array(xh), "xl": pa.array(xl),
+            "key": pa.nulls(n, key_type),
+        })
 
-    edges = (pairs_ds.select_columns(["a", "b"])
-                     .map_batches(sym, batch_format="pyarrow").materialize())
-    labels = edges.groupby("src").aggregate(Min("nbr", alias_name="label"))
+    def seed_rows(b: pa.Table) -> pa.Table:
+        """One label row per pair endpoint (label = own fp, key riding);
+        duplicates collapse in the first reduce."""
+        afh, afl = _fingerprint128(b.column("a"))
+        bfh, bfl = _fingerprint128(b.column("b"))
+        nh = np.concatenate([afh, bfh])
+        nl = np.concatenate([afl, bfl])
+        n = len(nh)
+        return pa.table({
+            "__pb": pa.array((nh % Cu).astype(np.int32)),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "nh": pa.array(nh), "nl": pa.array(nl),
+            "xh": pa.array(nh), "xl": pa.array(nl),
+            "key": pa.concat_arrays([_col(b, "a"), _col(b, "b")]),
+        })
 
-    def clamp(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def reduce_labels(t: pa.Table) -> pa.Table:
+        """Per bucket: min label per node over its label + contribution
+        rows; the node's key rides on the (always present) label row."""
+        kind = np.asarray(_col(t, "kind"))
+        keep = np.flatnonzero(kind != 0)
+        nfp = _fp_pack(_u64_col(t, "nh"), _u64_col(t, "nl"))
+        lfp = _fp_pack(_u64_col(t, "xh"), _u64_col(t, "xl"))
+        nk = nfp[keep]
+        lk = lfp[keep]
+        order = np.lexsort((lk, nk))
+        nk_s = nk[order]
+        starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
+        first = keep[order[starts]]             # row with min label per node
+        xh, xl = _fp_unpack(lfp[first])
+        nh, nl = _fp_unpack(nk_s[starts])
+        keyed = np.flatnonzero(kind == 1)
+        kfp = nfp[keyed]
+        korder = np.argsort(kfp, kind="stable")
+        key_src = keyed[korder[np.searchsorted(kfp[korder], nk_s[starts])]]
+        n = len(starts)
+        return pa.table({
+            "__pb": pa.array((nh % Cu).astype(np.int32)),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "nh": pa.array(nh), "nl": pa.array(nl),
+            "xh": pa.array(xh), "xl": pa.array(xl),
+            "key": _take_arr(t.column("key"), key_src),
+        })
 
-        lab = pc.min_element_wise(b.column("src"), b.column("label"))
-        return pa.Table.from_arrays([b.column("src"), lab],
-                                    names=["node", "label"])
+    def lookup(t: pa.Table) -> pa.Table:
+        """Per bucket: pass label rows through unchanged (they are
+        already keyed by their node's bucket) and rewrite each edge into
+        a contribution (src node, neighbor's current label)."""
+        kind = np.asarray(_col(t, "kind"))
+        lm = np.flatnonzero(kind == 1)
+        em = np.flatnonzero(kind == 0)
+        labels_half = t.take(pa.array(lm))
+        if not len(em) or not len(lm):
+            return labels_half
+        nfp = _fp_pack(_u64_col(t, "nh"), _u64_col(t, "nl"))
+        lab = nfp[lm]
+        lorder = np.argsort(lab, kind="stable")
+        li = lm[lorder[np.searchsorted(lab[lorder], nfp[em])]]
+        xh_all, xl_all = _u64_col(t, "xh"), _u64_col(t, "xl")
+        sh = xh_all[em]
+        sl = xl_all[em]
+        n = len(em)
+        contrib = pa.table({
+            "__pb": pa.array((sh % Cu).astype(np.int32)),
+            "kind": pa.array(np.full(n, 2, dtype=np.int8)),
+            "nh": pa.array(sh), "nl": pa.array(sl),
+            "xh": pa.array(xh_all[li]), "xl": pa.array(xl_all[li]),
+            "key": pa.nulls(n, t.schema.field("key").type),
+        })
+        return pa.concat_tables([labels_half, contrib])
 
-    labels = _nonempty_blocks(
-        labels.map_batches(clamp, batch_format="pyarrow").materialize())
-    if labels is None:   # no pairs → no labels
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
-                                       "label": pa.array([], pa.int64())}))
-    prev = _labels_checksum(labels)
-    for _ in range(max_rounds):
-        nbr_lab = edges.join(labels, "inner", num_partitions,
-                             on=("nbr",), right_on=("node",))
-        contrib = nbr_lab.map_batches(
-            lambda b: pa.Table.from_arrays([b.column("src"), b.column("label")],
-                                           names=["node", "label"]),
-            batch_format="pyarrow")
-        cand = contrib.union(labels.select_columns(["node", "label"]))
-        labels = _nonempty_blocks(
-            cand.groupby("node")
-                .aggregate(Min("label", alias_name="label"))
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    state = _nonempty_blocks(
+        pairs_ds.map_batches(seed_rows, batch_format="pyarrow")
+                .groupby("__pb")
+                .map_groups(reduce_labels, batch_format="pyarrow")
                 .materialize())
-        cur = _labels_checksum(labels)
+    if state is None:   # no pairs → no labels
+        return rd.from_arrow(pa.table({"node": pa.array([], key_type),
+                                       "label": pa.array([], key_type)}))
+    prev = _labels_checksum(state)
+    for _ in range(max_rounds):
+        nxt = _nonempty_blocks(
+            state.union(edges).groupby("__pb")
+                 .map_groups(lookup, batch_format="pyarrow")
+                 .groupby("__pb")
+                 .map_groups(reduce_labels, batch_format="pyarrow")
+                 .materialize())
+        cur = _labels_checksum(nxt)
+        state = nxt
         if cur == prev:
             break
         prev = cur
-    return labels
+
+    # ---- regroup by converged fp-label; rewrite to min ORIGINAL key ----
+    def by_label(b: pa.Table) -> pa.Table:
+        xh = _u64_col(b, "xh")
+        return pa.table({
+            "__pb": pa.array((xh % Cu).astype(np.int32)),
+            "xh": b.column("xh"), "xl": b.column("xl"),
+            "key": b.column("key"),
+        })
+
+    def min_key_per_label(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lfp = _fp_pack(_u64_col(t, "xh"), _u64_col(t, "xl"))
+        order = np.argsort(lfp, kind="stable")
+        lfp_s = lfp[order]
+        new_run = np.r_[True, lfp_s[1:] != lfp_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        keys = _take_arr(t.column("key"), order)
+        grouped = (pa.table({"g": pa.array(run_id), "key": keys})
+                   .group_by("g").aggregate([("key", "min")]))
+        gsort = pc.sort_indices(grouped.column("g"))
+        min_keys = grouped.column("key_min").take(gsort)
+        if isinstance(min_keys, pa.ChunkedArray):
+            min_keys = min_keys.combine_chunks()
+        labels = min_keys.take(pa.array(run_id))
+        return pa.table({"node": keys, "label": labels})
+
+    return (state.map_batches(by_label, batch_format="pyarrow")
+                 .groupby("__pb")
+                 .map_groups(min_key_per_label, batch_format="pyarrow"))
 
 
 def drop_nodes_min_label(labels):
@@ -1449,11 +1561,52 @@ def drop_nodes_min_label(labels):
 
 
 def dedup_near_keep(ds, key_column: str, pairs_ds, *,
-                    num_partitions: int | None = None):
-    """Near-dup kept-set, fully distributed: cluster the confirmed pairs
-    with min-label propagation, then LEFT ANTI join the corpus against the
-    drop set (one hash shuffle keyed on ``key_column``) — no driver
-    union-find, no broadcast drop list."""
+                    num_partitions: int | None = None,
+                    cluster_exec: str = "auto",
+                    local_budget_pairs: int = 50_000_000):
+    """Near-dup kept-set: cluster the confirmed pairs, then drop every
+    cluster member except its min-key root.
+
+    ``cluster_exec`` mirrors the verify-plan gating:
+    - "local": one union-find pass over the collected pair set, drop set
+      broadcast once via ``ray.put`` and applied as a vectorized
+      ``is_in`` filter — no shuffle at all.  The right plan while the
+      pair set fits one machine (pairs are confirmed DUPLICATES, so
+      their count is bounded by the corpus duplication mass, not the
+      corpus).
+    - "distributed": min-label-propagation connected components
+      (``clusters_min_label``) + LEFT ANTI drop-join — nothing pair- or
+      cluster-shaped on the driver; the 100-TB path.
+    - "auto" (default): "local" while the confirmed pair count fits
+      ``local_budget_pairs``, else "distributed"."""
+    if cluster_exec not in ("auto", "local", "distributed"):
+        raise ValueError(f"cluster_exec={cluster_exec!r}")
+    if cluster_exec == "auto":
+        pairs_ds = pairs_ds.materialize()
+        cluster_exec = ("local" if pairs_ds.count() <= local_budget_pairs
+                        else "distributed")
+    if cluster_exec == "local":
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        pairs = []
+        for b in pairs_ds.select_columns(["a", "b"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            pairs.extend(zip(b.column("a").to_pylist(),
+                             b.column("b").to_pylist()))
+        drop = drop_set_from_pairs(pairs)
+        if not drop:
+            return ds
+        drop_ref = _ray.put(pa.array(sorted(drop)))
+
+        def keep(b: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(b.column(key_column),
+                                      value_set=_ray.get(drop_ref)))
+            return b.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
     labels = clusters_min_label(pairs_ds, num_partitions=num_partitions)
     drop = _nonempty_blocks(drop_nodes_min_label(labels).materialize())
     if drop is None:   # no duplicates found → corpus unchanged
