@@ -1217,54 +1217,172 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
 
 # ----------------------------------------------------------- simhash ----
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(
+        len(x), 8).sum(axis=1).astype(np.int64)
+
+
+class _KeyIndex:
+    """fp-sorted (fingerprint → key [+ payload]) lookup, broadcast via
+    ``ray.put`` for scoring/restore inside map_batches tasks."""
+
+    def __init__(self, fp16, keys: pa.Array, payload=None):
+        self.fp16 = fp16
+        self.keys = keys
+        self.payload = payload
+
+    def lookup(self, ah, al, bh, bl):
+        ia = np.searchsorted(self.fp16, _fp_pack(ah, al))
+        ib = np.searchsorted(self.fp16, _fp_pack(bh, bl))
+        return ia, ib
+
+
+def _build_key_index(src_ds, payload_col: str | None = None,
+                     payload_dtype=None) -> _KeyIndex:
+    """ONE streaming pass over a materialized (key, __fh, __fl[,
+    payload]) Dataset → fp-sorted :class:`_KeyIndex`.  Size-gated by the
+    caller: simhash payloads are 8 B/doc, embedding payloads dim×4 B/doc
+    (float32 unit vectors), so the index stays broadcastable far beyond
+    the corpus sizes where the minhash index already fell back."""
+    his, los, keys, pays = [], [], [], []
+    for b in src_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        his.append(_u64_col(b, "__fh"))
+        los.append(_u64_col(b, "__fl"))
+        keys.append(_col(b, b.schema.names[0]))
+        if payload_col is not None:
+            col = b.column(payload_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_list(col.type):
+                flat = np.asarray(col.flatten(), dtype=payload_dtype)
+                pays.append(flat.reshape(b.num_rows, -1))
+            else:
+                pays.append(col.to_numpy(zero_copy_only=False)
+                            .astype(payload_dtype))
+    fp = _fp_pack(np.concatenate(his), np.concatenate(los))
+    order = np.argsort(fp, kind="stable")
+    keys_arr = pa.concat_arrays(keys).take(pa.array(order))
+    payload = None
+    if payload_col is not None:
+        payload = (np.concatenate(pays) if pays[0].ndim == 1
+                   else np.vstack(pays))[order]
+    return _KeyIndex(fp[order], keys_arr, payload)
+
 
 def simhash_candidate_pairs(ds, key_column: str = "doc_id",
                             text_column: str = "text", *,
                             max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit signatures, 4×16-bit band index
-    (pigeonhole-exact for hamming ≤ 3), verify by true hamming distance."""
+    (pigeonhole-exact for hamming ≤ 3), verify by true hamming distance.
+
+    Same fp-space plan as minhash: the band explode ships (band_key,
+    fp) 24 B rows — never keys or signatures; in-bucket pairs emit in
+    fingerprint space with a vectorized table-popcount hamming check;
+    the distinct + key restore run through ``_finalize_scored_fp``
+    against a broadcast (fp → key) index (8 B/doc payload — far smaller
+    than the corpus sizes where broadcast breaks down)."""
+    import ray as _ray
 
     def sign(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_pylist()
+        keys = batch.column(key_column)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         texts = [t or "" for t in batch.column(text_column).to_pylist()]
-        sigs = [simhash64(t) for t in texts]
-        return pa.Table.from_arrays(
-            [pa.array(keys), pa.array(sigs, pa.uint64())],
-            names=[key_column, "simhash"],
-        )
+        sigs = np.fromiter((simhash64(t) for t in texts),
+                           dtype=np.uint64, count=len(texts))
+        fh, fl = _fingerprint128(keys)
+        return pa.table({key_column: keys,
+                         "simhash": pa.array(sigs),
+                         "__fh": pa.array(fh), "__fl": pa.array(fl)})
+
+    signed = ds.map_batches(sign, batch_format="pyarrow").materialize()
+    key_type = signed.schema().base_schema.field(key_column).type
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_pylist()
-        sigs = batch.column("simhash").to_pylist()
-        out_band, out_key, out_sig = [], [], []
-        for k, s in zip(keys, sigs):
-            for chunk in range(4):
-                val = (s >> (16 * chunk)) & 0xFFFF
-                out_band.append(f"{chunk}:{val}")
-                out_key.append(k)
-                out_sig.append(s)
-        return pa.Table.from_arrays(
-            [pa.array(out_band, pa.string()), pa.array(out_key),
-             pa.array(out_sig, pa.uint64())],
-            names=["band_key", key_column, "simhash"],
-        )
+        sigs = _u64_col(batch, "simhash")
+        n = len(sigs)
+        chunks = np.arange(4, dtype=np.uint64)
+        vals = (sigs[:, None] >> (np.uint64(16) * chunks[None, :])) & np.uint64(0xFFFF)
+        band = ((chunks[None, :] + np.uint64(1)) << np.uint64(16) | vals).ravel()
+        idx = np.repeat(np.arange(n), 4)
+        return pa.table({
+            "band_key": pa.array(_mix_u64(band)),
+            "__fh": pa.array(_u64_col(batch, "__fh")[idx]),
+            "__fl": pa.array(_u64_col(batch, "__fl")[idx]),
+            "simhash": pa.array(sigs[idx]),
+        })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[key_column]).sort_values(key_column)
-        keys = rows[key_column].tolist()
-        sigs = rows["simhash"].tolist()
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                d = hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= max_hamming:
-                    a_out.append(keys[i]); b_out.append(keys[j]); d_out.append(d)
-        return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
+    empty = pa.table({"ah": pa.array([], pa.uint64()),
+                      "al": pa.array([], pa.uint64()),
+                      "bh": pa.array([], pa.uint64()),
+                      "bl": pa.array([], pa.uint64()),
+                      "sim": pa.array([], pa.float64())})
 
-    banded = (ds.map_batches(sign, batch_format="pyarrow")
-                .map_batches(explode, batch_format="pyarrow"))
-    pairs = _coarse_bucket_pairs(banded, bucket_pairs, "hamming")
-    return _dedup_pairs(pairs, "hamming")
+    num_coarse = 256
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        vals = _u64_col(batch, "band_key")
+        return batch.append_column(
+            "__cb", pa.array((vals % np.uint64(num_coarse)).astype(np.int32)))
+
+    def per_coarse(t: pa.Table) -> pa.Table:
+        bk = _u64_col(t, "band_key")
+        fp = _fp_pack(_u64_col(t, "__fh"), _u64_col(t, "__fl"))
+        sig = _u64_col(t, "simhash")
+        order = np.lexsort((fp, bk))
+        bks = bk[order]
+        bounds = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sel = order[s:e]
+            m = e - s
+            iu, ju = np.triu_indices(m, k=1)
+            d = _popcount64(sig[sel][iu] ^ sig[sel][ju])
+            ok = d <= max_hamming
+            if not ok.any():
+                continue
+            a = fp[sel][iu[ok]]
+            b = fp[sel][ju[ok]]
+            q = np.empty((len(a), 4), dtype=">u8")
+            q[:, :2] = a.view(">u8").reshape(-1, 2)
+            q[:, 2:] = b.view(">u8").reshape(-1, 2)
+            outs.append((q.reshape(-1).view("S32"), d[ok]))
+        if not outs:
+            return empty
+        packed = np.concatenate([o[0] for o in outs])
+        dists = np.concatenate([o[1] for o in outs])
+        ah, al, bh, bl = _pair_unpack(packed)
+        return pa.table({"ah": pa.array(ah), "al": pa.array(al),
+                         "bh": pa.array(bh), "bl": pa.array(bl),
+                         "sim": pa.array(dists.astype(np.float64))})
+
+    scored = (signed.map_batches(explode, batch_format="pyarrow")
+                    .map_batches(add_cb, batch_format="pyarrow")
+                    .groupby("__cb")
+                    .map_groups(per_coarse, batch_format="pyarrow")
+                    .materialize())
+    if scored.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], key_type), "b": pa.array([], key_type),
+            "hamming": pa.array([], pa.int64())}))
+    index = _build_key_index(signed.select_columns(
+        [key_column, "__fh", "__fl"]))
+    out = _finalize_scored_fp(scored, _ray.put(index), key_type)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "hamming": pc.cast(b.column("sim"), pa.int64())})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
 
 
 # ------------------------------------------------- embedding near-dup ----
@@ -1276,7 +1394,15 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
                               num_bands: int = 8, seed: int = 42):
     """Embedding-cosine near-dup via signed-random-projection LSH:
     64-bit hyperplane signature per vector → 8×8-bit band buckets →
-    exact cosine verify in-bucket (embeddings ride along: 64 floats)."""
+    exact cosine verify against a broadcast float32 unit-vector matrix.
+
+    fp-space plan: the band explode ships (band_key, fp) 24 B rows —
+    vectors NEVER ride the band shuffle (the pre-fp version repeated
+    each vector once per band); candidates emit as fingerprint pairs,
+    cosine is verified inside parallel ``map_batches`` tasks against the
+    ``ray.put`` unit matrix (dim×4 B/doc), and ``_finalize_scored_fp``
+    handles distinct + key restore."""
+    import ray as _ray
 
     class Sign:
         def __init__(self):
@@ -1297,49 +1423,78 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
             sigs = np.zeros(n, dtype=np.uint64)
             for b in range(num_bits):
                 sigs |= proj[:, b].astype(np.uint64) << np.uint64(b)
-            bits_per_band = num_bits // num_bands
-            mask = np.uint64((1 << bits_per_band) - 1)
-            # vectorized explode: n × num_bands band rows, vectors carried
-            # via a zero-copy ListArray over the repeated matrix
-            band_ids = np.arange(num_bands)
-            vals = (sigs[:, None] >> (np.uint64(bits_per_band) * band_ids[None, :]
-                                      ).astype(np.uint64)) & mask
-            band_strs = np.char.add(
-                np.char.add(band_ids.astype(str), ":"),
-                vals.astype(np.int64).astype(str),
-            ).ravel()
-            idx = np.repeat(np.arange(n), num_bands)
-            rep = vecs[idx]
-            offsets = pa.array(np.arange(len(idx) + 1, dtype=np.int32) * dim)
-            vec_arr = pa.ListArray.from_arrays(
-                offsets, pa.array(rep.ravel(), pa.float64()))
-            return pa.Table.from_arrays(
-                [pa.array(band_strs.tolist(), pa.string()),
-                 keys.take(pa.array(idx)), vec_arr],
-                names=["band_key", key_column, vec_column],
-            )
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = (vecs / norms[:, None]).astype(np.float32)
+            off = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+            unit_col = pa.ListArray.from_arrays(
+                off, pa.array(unit.ravel(), pa.float32()))
+            fh, fl = _fingerprint128(keys)
+            return pa.table({key_column: keys, "srp": pa.array(sigs),
+                             "unit": unit_col,
+                             "__fh": pa.array(fh), "__fl": pa.array(fl)})
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[key_column]).sort_values(key_column)
-        keys = rows[key_column].tolist()
-        if len(keys) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        mat = np.asarray(rows[vec_column].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        a_out, b_out, c_out = [], [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                if sims[i, j] >= threshold:
-                    a_out.append(keys[i]); b_out.append(keys[j])
-                    c_out.append(float(sims[i, j]))
-        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
+    signed = ds.map_batches(Sign(), batch_format="pyarrow").materialize()
+    key_type = signed.schema().base_schema.field(key_column).type
 
-    banded = ds.map_batches(Sign(), batch_format="pyarrow")
-    pairs = _coarse_bucket_pairs(banded, bucket_pairs, "cosine")
-    return _dedup_pairs(pairs, "cosine")
+    bits_per_band = num_bits // num_bands
+    mask = np.uint64((1 << bits_per_band) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sigs = _u64_col(batch, "srp")
+        n = len(sigs)
+        bands = np.arange(num_bands, dtype=np.uint64)
+        vals = (sigs[:, None] >> (np.uint64(bits_per_band) * bands[None, :])) & mask
+        band = ((bands[None, :] + np.uint64(1)) << np.uint64(bits_per_band)
+                | vals).ravel()
+        idx = np.repeat(np.arange(n), num_bands)
+        return pa.table({
+            "band_key": pa.array(_mix_u64(band)),
+            "__fh": pa.array(_u64_col(batch, "__fh")[idx]),
+            "__fl": pa.array(_u64_col(batch, "__fl")[idx]),
+        })
+
+    banded = signed.map_batches(explode, batch_format="pyarrow")
+    pairs_fp = _coarse_pairs_fp(banded, "all")
+
+    index_ref = _ray.put(_build_key_index(
+        signed.select_columns([key_column, "__fh", "__fl", "unit"]),
+        payload_col="unit", payload_dtype=np.float32))
+
+    empty = pa.table({"ah": pa.array([], pa.uint64()),
+                      "al": pa.array([], pa.uint64()),
+                      "bh": pa.array([], pa.uint64()),
+                      "bl": pa.array([], pa.uint64()),
+                      "sim": pa.array([], pa.float64())})
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        idx = _ray.get(index_ref)
+        ah, al = _u64_col(b, "ah"), _u64_col(b, "al")
+        bh, bl = _u64_col(b, "bh"), _u64_col(b, "bl")
+        ia, ib = idx.lookup(ah, al, bh, bl)
+        sims = np.einsum("ij,ij->i", idx.payload[ia], idx.payload[ib],
+                         dtype=np.float64)
+        m = sims >= threshold
+        return pa.table({"ah": pa.array(ah[m]), "al": pa.array(al[m]),
+                         "bh": pa.array(bh[m]), "bl": pa.array(bl[m]),
+                         "sim": pa.array(sims[m])})
+
+    scored = pairs_fp.map_batches(score, batch_format="pyarrow").materialize()
+    if scored.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], key_type), "b": pa.array([], key_type),
+            "cosine": pa.array([], pa.float64())}))
+    out = _finalize_scored_fp(scored, index_ref, key_type)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "cosine": b.column("sim")})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
 
 
 # ------------------------------------- clustering (connected components) ----
