@@ -599,6 +599,42 @@ def q_quality_stats(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition / layout fractions per document (duplicate
+    lines & paragraphs, top-token share, bullet / ellipsis lines) —
+    Rae et al. 2021 §A1.1 heuristics, no reference analogue (llm_food
+    converts documents, never filters them)."""
+    from llm_food_ray.stages.textstats import RepetitionStage
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStage(), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_lines", "n_words", "dup_line_frac", "dup_para_frac",
+         "top_word_frac", "bullet_line_frac", "ellipsis_line_frac"]
+    )
+
+
+def q_quality_filter(sf_dir: str):
+    """Composed repetition-quality FILTER: keep documents under all the
+    default thresholds (``functions.repetition``) — the droppy half of a
+    training-data pipeline, oracle-checked against the same WHERE
+    clause."""
+    from llm_food_ray.stages.textstats import RepetitionStage
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStage(), batch_format="pyarrow"
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(batch.column("keep"))
+
+    return (ds.map_batches(keep, batch_format="pyarrow")
+              .select_columns(["doc_id", "dup_line_frac", "top_word_frac"]))
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (stopword-profile n-gram) — rows-only."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -749,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q_lang_counts,
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -805,6 +843,42 @@ SELECT k AS {key_out},
        array_to_string(toks[(i * {step} + 1):LEAST(i * {step} + {size}, n)], ' ')
          AS chunk_text
 FROM c_t, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) g
+"""
+
+
+# shared CTE for the repetition oracles: DuckDB list-function twin of
+# functions/repetition.py (trim class = ASCII whitespace minus \v)
+_REPETITION_BASE = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)),
+                l -> trim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) <> '') AS lines,
+    list_filter(string_split(text, chr(10) || chr(10)),
+                p -> trim(p, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) <> '') AS paras,
+    list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'), w -> w <> '') AS words
+  FROM documents
+), rep AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    len(words) AS n_words,
+    round(CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) END, 6) AS dup_line_frac,
+    round(CASE WHEN len(paras) = 0 THEN 0.0
+          ELSE 1.0 - len(list_distinct(paras)) * 1.0 / len(paras) END, 6) AS dup_para_frac,
+    round(CASE WHEN len(words) = 0 THEN 0.0
+          ELSE list_max(list_transform(list_distinct(words),
+                        w -> len(list_filter(words, x -> x = w)))) * 1.0 / len(words) END, 6) AS top_word_frac,
+    round(CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE len(list_filter(lines,
+               l -> ltrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '-%'
+                 OR ltrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '*%'
+                 OR ltrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '•%')) * 1.0 / len(lines) END, 6) AS bullet_line_frac,
+    round(CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE len(list_filter(lines,
+               l -> rtrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '%...'
+                 OR rtrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '%…')) * 1.0 / len(lines) END, 6) AS ellipsis_line_frac
+  FROM base
+)
 """
 
 
@@ -1174,6 +1248,21 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_stats": quality,
+        # Gopher-style repetition fractions: list-function reconstruction
+        # of functions/repetition.py (ASCII whitespace classes on both
+        # sides by construction — RE2 \s is ASCII-only)
+        "repetition_stats": _REPETITION_BASE + """
+SELECT doc_id, n_lines, n_words, dup_line_frac, dup_para_frac,
+       top_word_frac, bullet_line_frac, ellipsis_line_frac
+FROM rep
+""",
+        "quality_filter": _REPETITION_BASE + """
+SELECT doc_id, dup_line_frac, top_word_frac
+FROM rep
+WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+  AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
+  AND ellipsis_line_frac <= 0.30
+""",
         "doc_fingerprint": """
 WITH t AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents

@@ -72,3 +72,36 @@ def text_stats_dataset(ds, text_column: str = "text", features=TextStatsStage.AL
     return ds.map_batches(
         TextStatsStage(text_column, features), batch_format="pyarrow"
     )
+
+
+class RepetitionStage:
+    """Adds Gopher-style repetition / layout quality columns (duplicate
+    line & paragraph fractions, top-token fraction, bullet / ellipsis
+    line fractions — see ``functions.repetition``), plus a boolean
+    ``keep`` verdict against the default thresholds.  Stateless
+    ``map_batches`` stage; fractions round to 6 decimals to match the
+    SQL oracles bit-for-bit."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.repetition import (
+            passes_repetition_filter,
+            repetition_features,
+        )
+
+        texts = [t or "" for t in batch.column(self.text_column).to_pylist()]
+        feats = [repetition_features(t) for t in texts]
+        out = batch
+        for name, typ in (("n_lines", pa.int64()), ("n_words", pa.int64())):
+            out = out.append_column(
+                name, pa.array([f[name] for f in feats], typ))
+        for name in ("dup_line_frac", "dup_para_frac", "top_word_frac",
+                     "bullet_line_frac", "ellipsis_line_frac"):
+            out = out.append_column(
+                name, pa.array([round(f[name], 6) for f in feats], pa.float64()))
+        out = out.append_column(
+            "keep", pa.array([passes_repetition_filter(f) for f in feats],
+                             pa.bool_()))
+        return out
