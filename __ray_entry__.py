@@ -635,6 +635,49 @@ def q_quality_filter(sf_dir: str):
               .select_columns(["doc_id", "dup_line_frac", "top_word_frac"]))
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 bigrams: per-batch partial counts → one
+    vocabulary-sized groupby-sum → local top-k prune → tiny
+    deterministic (count desc, gram asc) sort."""
+    from llm_food_ray.stages.textstats import top_ngrams
+
+    return top_ngrams(_docs(sf_dir, ["text"]), "text", n=2, k=20)
+
+
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (lowercase scheme/host, default-port strip,
+    fragment drop, tracking-param removal, trailing-slash trim) over
+    deterministically synthesized messy crawl URLs — the hygiene step
+    before URL-keyed dedup.  The SQL oracle builds the SAME messy URLs
+    and canonicalizes them independently with regexp/list functions."""
+    from llm_food_ray.functions.urltools import canonicalize_url
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            scheme = "HTTP" if d % 2 == 0 else "https"
+            port = ":80" if d % 4 == 0 else (":443" if d % 4 == 1 else "")
+            slash = "/" if d % 3 == 0 else ""
+            if d % 5 == 0:
+                q = f"?utm_source=feed&ref={d % 9}&utm_campaign=x"
+            elif d % 5 == 1:
+                q = "?gclid=abc"
+            else:
+                q = ""
+            frag = "#Section-2" if d % 6 == 0 else ""
+            urls.append(f"{scheme}://WWW.Site{d % 7}.Example.COM{port}"
+                        f"/Docs/{d}{slash}{q}{frag}")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+            "canonical": pa.array([canonicalize_url(u) for u in urls],
+                                  pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (stopword-profile n-gram) — rows-only."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -787,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "top_bigrams": q_top_bigrams,
+        "url_canonicalize": q_url_canonicalize,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1262,6 +1307,63 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "url_canonicalize": r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Site' || (doc_id % 7) || '.Example.COM'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || '/Docs/' || doc_id
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN '?utm_source=feed&ref=' || (doc_id % 9) || '&utm_campaign=x'
+             WHEN doc_id % 5 = 1 THEN '?gclid=abc' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+  FROM u
+), canon AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+         THEN left(hostport, len(hostport) - 3)
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+         THEN left(hostport, len(hostport) - 4)
+         ELSE hostport END AS host,
+    CASE WHEN path = '' THEN '/'
+         WHEN len(path) > 1 AND path LIKE '%/'
+         THEN left(path, len(path) - 1)
+         ELSE path END AS cpath,
+    coalesce(array_to_string(list_filter(string_split(q, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')),
+      '&'), '') AS cq
+  FROM parts
+)
+SELECT doc_id, url,
+  scheme || '://' || host || cpath
+  || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+FROM canon
+""",
+        "top_bigrams": r"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM words WHERE len(ws) >= 2
+)
+SELECT gram, count(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram ASC
+LIMIT 20
 """,
         "doc_fingerprint": """
 WITH t AS (

@@ -1,0 +1,55 @@
+"""URL canonicalization — the hygiene step before URL-keyed dedup.
+
+The reference accepts URLs as fetch targets (llm_food/app.py `/convert`
+URL mode, designed out here with the network); at training-data scale
+the same URLs become DEDUP KEYS, and raw crawl URLs disagree on case,
+default ports, tracking parameters and trailing slashes while naming the
+same resource.  Rules (each mirrored 1:1 by the SQL oracle):
+
+1. scheme and host:port lowercase (path/query case preserved)
+2. default port stripped (:80 for http, :443 for https — only when the
+   scheme matches)
+3. fragment removed
+4. tracking query parameters removed (utm_*, gclid, fbclid), remaining
+   parameters kept in original order; '?' dropped when none survive
+5. empty path → '/'; non-root trailing slash stripped
+"""
+
+from __future__ import annotations
+
+import re
+
+_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+_TRACK_RE = re.compile(r"^(utm_[^=]*|gclid|fbclid)(=.*)?$")
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form of an absolute http(s)-style URL; non-URLs pass
+    through unchanged."""
+    m = _URL_RE.match(url)
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    hostport = m.group(2).lower()
+    path = m.group(3)
+    query = m.group(4) or ""
+    if scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[:-3]
+    elif scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[:-4]
+    if path == "":
+        path = "/"
+    elif len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    kept = [p for p in query.split("&") if p and not _TRACK_RE.match(p)]
+    tail = ("?" + "&".join(kept)) if kept else ""
+    return f"{scheme}://{hostport}{path}{tail}"
+
+
+def url_host(url: str) -> str:
+    """Lowercased host (no port) of an absolute URL, '' for non-URLs."""
+    m = _URL_RE.match(url)
+    if not m:
+        return ""
+    return m.group(2).lower().split(":")[0]

@@ -105,3 +105,40 @@ class RepetitionStage:
             "keep", pa.array([passes_repetition_filter(f) for f in feats],
                              pa.bool_()))
         return out
+
+
+def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
+    """Corpus-wide top-k n-grams: the canonical pre-aggregated wide
+    count.  Each batch emits PARTIAL (gram, n) counts (a local hash
+    aggregation — the exchange ships vocabulary-sized partials, never
+    one row per token occurrence), one ``groupby.sum`` merges them, a
+    per-block local top-k prunes the sort input (safe AFTER the global
+    sum), and a tiny (count desc, gram asc) sort yields a deterministic
+    top-k even across ties."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.repetition import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            counts.update(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+        return pa.table({"gram": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(batch, sort_keys=[("n", "descending"),
+                                                  ("gram", "ascending")])
+        return batch.take(order[:k])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("gram")
+                .aggregate(Sum("n", alias_name="n")))
+    return (merged.map_batches(local_topk, batch_format="pyarrow")
+                  .sort(["n", "gram"], descending=[True, False])
+                  .limit(k))
