@@ -1039,8 +1039,12 @@ def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
                          "minhash_sig": sig,
                          "__fh": f.column("__fh"), "__fl": f.column("__fl")})
 
-    stars = tagged.map_batches(stars_only, batch_format="pyarrow")
-    reps = tagged.map_batches(reps_only, batch_format="pyarrow")
+    # materialize both splits and drop the tagged superset: keeping the
+    # corpus-sized tagged blocks alive through the downstream verify
+    # exchanges doubles object-store pressure and forces spills
+    stars = tagged.map_batches(stars_only, batch_format="pyarrow").materialize()
+    reps = tagged.map_batches(reps_only, batch_format="pyarrow").materialize()
+    del tagged
     return stars, reps
 
 
@@ -1143,6 +1147,7 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
             stars, reps = _collapse_classes_semijoin(
                 sig_ds, key_column, key_type, num_perm,
                 num_coarse=num_partitions or 256)
+            del sig_ds   # reps carry everything the verify needs
             banded = reps.map_batches(explode_fp, batch_format="pyarrow")
             pairs_fp = _coarse_pairs_fp(banded, pair_mode).materialize()
             if pairs_fp.count() == 0:
