@@ -678,6 +678,35 @@ def q_url_canonicalize(sf_dir: str):
     return _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
+    over documents with a deterministic PII footer injected — both sides
+    build the same footer; the oracle re-applies the same RE2 patterns
+    with regexp_replace(..., 'g'), value-checked byte-for-byte."""
+    from llm_food_ray.functions.pii import count_pii, scrub_pii
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        full = [
+            f"{t}\nContact: user{d}@mail.example.com, call "
+            f"+1-555-{d % 1000:03d}-{d % 10000:04d} or visit "
+            f"10.{d % 256}.0.{d % 250} now"
+            for d, t in zip(ids, texts)
+        ]
+        counts = [count_pii(t) for t in full]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "clean": pa.array([scrub_pii(t) for t in full], pa.string()),
+            "n_email": pa.array([c["n_email"] for c in counts], pa.int64()),
+            "n_ip": pa.array([c["n_ip"] for c in counts], pa.int64()),
+            "n_phone": pa.array([c["n_phone"] for c in counts], pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (stopword-profile n-gram) — rows-only."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -832,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "top_bigrams": q_top_bigrams,
         "url_canonicalize": q_url_canonicalize,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1307,6 +1337,40 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || chr(10) || 'Contact: user' || doc_id
+    || '@mail.example.com, call +1-555-'
+    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    || ' or visit 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+    || ' now' AS fulltxt
+  FROM documents
+), s1 AS (
+  SELECT doc_id, fulltxt,
+    regexp_replace(fulltxt,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, fulltxt, t1,
+    regexp_replace(t1,
+      '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+      '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2,
+    '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b',
+    '<PHONE>', 'g') AS clean,
+  len(regexp_extract_all(fulltxt,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t1,
+      '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))::BIGINT AS n_ip,
+  len(regexp_extract_all(t2,
+      '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b'))::BIGINT AS n_phone
+FROM s2
 """,
         "url_canonicalize": r"""
 WITH u AS (
