@@ -678,6 +678,32 @@ def q_url_canonicalize(sf_dir: str):
     return _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
 
 
+def q_dedup_paragraph(sf_dir: str):
+    """C4-style global paragraph dedup: paragraphs occurring in more
+    than 2 documents (corpus boilerplate) are dropped, documents rebuilt
+    from the survivors — partial-counted, tiny aggregation, broadcast
+    hot-set filter; no text shuffles.  A boilerplate footer (identical in
+    every doc) plus a per-residue disclaimer (≈ sf·100 docs each) are
+    injected so the drop path is actually exercised; both sides build
+    the same augmented corpus."""
+    from llm_food_ray.stages.dedup import dedup_paragraph_global
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        full = [
+            f"{t}\n\nCopyright Example Corp. All rights reserved."
+            f"\n\nDisclaimer variant {d % 5}."
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(full, pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        aug, batch_format="pyarrow")
+    return dedup_paragraph_global(docs, "doc_id", "text", max_occurrences=2)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -862,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "url_canonicalize": q_url_canonicalize,
         "pii_scrub": q_pii_scrub,
+        "dedup_paragraph": q_dedup_paragraph,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1337,6 +1364,34 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "dedup_paragraph": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || chr(10) || chr(10)
+    || 'Copyright Example Corp. All rights reserved.'
+    || chr(10) || chr(10) || 'Disclaimer variant ' || (doc_id % 5) || '.' AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10) || chr(10)),
+                x -> trim(x, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) <> '') AS paras
+  FROM aug
+), p AS (
+  SELECT doc_id, unnest(paras) AS para, generate_subscripts(paras, 1) AS idx
+  FROM t
+), freq AS (
+  SELECT para, count(*) AS n FROM p GROUP BY para
+), kept AS (
+  SELECT p.doc_id, p.idx, p.para FROM p JOIN freq USING (para)
+  WHERE freq.n <= 2
+), agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY idx) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.clean, '') AS clean
+FROM documents d LEFT JOIN agg USING (doc_id)
 """,
         "pii_scrub": r"""
 WITH aug AS (

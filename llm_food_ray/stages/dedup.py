@@ -1809,3 +1809,67 @@ def drop_set_from_pairs(pairs: list[tuple]) -> set:
     """Keys to drop: every cluster member except the (min) root."""
     roots = clusters_from_pairs(pairs)
     return {k for k, r in roots.items() if k != r}
+
+
+# --------------------------------------- global paragraph dedup (C4) ----
+
+
+def dedup_paragraph_global(ds, key_column: str = "doc_id",
+                           text_column: str = "text", *,
+                           max_occurrences: int = 2):
+    """C4-style boilerplate removal: drop every paragraph whose EXACT
+    text occurs more than ``max_occurrences`` times across the corpus,
+    then rebuild each document from its surviving paragraphs (original
+    order, double-newline joined).
+
+    Scale shape: pass 1 emits per-batch PARTIAL (md5(paragraph), n)
+    counts — the aggregation exchange is vocabulary-sized, one 48 B row
+    per distinct paragraph per batch, never the text; the hot set
+    (n > max_occurrences) is boilerplate and therefore SMALL, so it
+    broadcasts once via ``ray.put`` and pass 2 streams the corpus again,
+    filtering in-memory.  No text ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    from ..functions.hashing import md5_hex
+    from ..functions.repetition import split_paragraphs
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column(text_column).to_pylist():
+            for p in split_paragraphs(t or ""):
+                h = md5_hex(p)
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table({"phash": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    freq = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("phash")
+              .aggregate(Sum("n", alias_name="n")))
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b.column("n"), max_occurrences)
+                        ).select(["phash"])
+
+    hot_batches = list(freq.map_batches(hot_only, batch_format="pyarrow")
+                           .iter_batches(batch_size=None,
+                                         batch_format="pyarrow"))
+    hot = (set(pa.concat_tables(hot_batches, promote_options="default")
+               .column("phash").to_pylist()) if hot_batches else set())
+    hot_ref = _ray.put(hot)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        hot = _ray.get(hot_ref)
+        keys = batch.column(key_column)
+        out = []
+        for t in batch.column(text_column).to_pylist():
+            paras = [p for p in split_paragraphs(t or "")
+                     if md5_hex(p) not in hot]
+            out.append("\n\n".join(paras))
+        return pa.table({key_column: keys,
+                         "clean": pa.array(out, pa.string())})
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

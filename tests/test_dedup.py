@@ -254,3 +254,27 @@ def test_dedup_exact_shuffle_mode_matches_driver(ray_session):
     b = sorted(dedup_exact(dataset_from_items(rows), "doc_id", "text",
                            reduce="shuffle").to_pandas()["doc_id"])
     assert a == b == list(range(7))
+
+
+def test_dedup_paragraph_global(ray_session):
+    """Boilerplate paragraphs (> max_occurrences docs) drop; unique and
+    low-frequency paragraphs survive in original order."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import dedup_paragraph_global
+
+    boiler = "All rights reserved."
+    rows = [{"doc_id": i, "text": f"unique {i}\n\n{boiler}\n\ntail {i % 2}"}
+            for i in range(6)]
+    rows.append({"doc_id": 6, "text": boiler})           # becomes empty
+    out = (dedup_paragraph_global(dataset_from_items(rows), max_occurrences=2)
+           .to_pandas().set_index("doc_id")["clean"])
+    # boiler occurs 7x (>2) -> dropped; "tail 0"/"tail 1" occur 3x -> dropped
+    assert out[0] == "unique 0"
+    assert out[5] == "unique 5"
+    assert out[6] == ""
+
+    # with a higher threshold the tails survive
+    out2 = (dedup_paragraph_global(dataset_from_items(rows), max_occurrences=3)
+            .to_pandas().set_index("doc_id")["clean"])
+    assert out2[0] == "unique 0\n\ntail 0"
