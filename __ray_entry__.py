@@ -704,6 +704,27 @@ def q_dedup_paragraph(sf_dir: str):
     return dedup_paragraph_global(docs, "doc_id", "text", max_occurrences=2)
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic md5-bucket train/test split (10% test) — stable
+    across runs and engines, no RNG."""
+    from llm_food_ray.stages.textstats import hash_split
+
+    return (hash_split(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                       test_pct=10)
+            .select_columns(["doc_id", "lang", "split"]))
+
+
+def q_cap_per_lang(sf_dir: str):
+    """Anti-domination cap: keep at most 50 documents (smallest doc_id)
+    per language — local per-batch top-n prune, tiny candidate merge,
+    broadcast keep-set filter; no corpus shuffle."""
+    from llm_food_ray.stages.textstats import cap_per_group
+
+    return (cap_per_group(_docs(sf_dir, ["doc_id", "lang"]),
+                          "lang", "doc_id", n=50)
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -889,6 +910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
+        "hash_split": q_hash_split,
+        "cap_per_lang": q_cap_per_lang,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1364,6 +1387,16 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "hash_split": """
+SELECT doc_id, lang,
+  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 10
+       THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+        "cap_per_lang": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
 """,
         "dedup_paragraph": r"""
 WITH aug AS (

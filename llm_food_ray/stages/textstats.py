@@ -142,3 +142,77 @@ def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
     return (merged.map_batches(local_topk, batch_format="pyarrow")
                   .sort(["n", "gram"], descending=[True, False])
                   .limit(k))
+
+
+def hash_split(ds, key_column: str = "doc_id", *, test_pct: int = 10):
+    """Deterministic held-out split: md5 of the stringified key maps each
+    row to a stable [0, 100) bucket; rows under ``test_pct`` become
+    'test'.  Pure map — no shuffle, no RNG state, reproducible across
+    runs and engines (the SQL oracle computes the same md5 bucket)."""
+    from ..functions.hashing import md5_hex
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        buckets = [int(md5_hex(str(k))[:8], 16) % 100 for k in keys]
+        return batch.append_column(
+            "split", pa.array(["test" if b < test_pct else "train"
+                               for b in buckets], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
+    """Per-group cap: keep the ``n`` smallest ``order_column`` rows per
+    group (e.g. at most N documents per language/host — the standard
+    anti-domination cap before training).
+
+    Scale shape: each batch pre-prunes to its local per-group top-n (an
+    Arrow sort + per-group head — batches never ship more than
+    groups×n candidate rows), the tiny candidate union resolves the
+    exact per-group keep-set once, and the keep-set broadcasts back as
+    an ``is_in`` filter over a second streaming pass.  No corpus
+    shuffle; the only exchange is candidates bounded by blocks×groups×n."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_column, order_column])
+        order = pc.sort_indices(t, sort_keys=[(group_column, "ascending"),
+                                              (order_column, "ascending")])
+        t = t.take(order)
+        g = t.column(group_column).to_pylist()
+        keep_idx = []
+        run_start = 0
+        for i in range(len(g) + 1):
+            if i == len(g) or (i > 0 and g[i] != g[i - 1]):
+                keep_idx.extend(range(run_start, min(run_start + n, i)))
+                run_start = i
+        return t.take(pa.array(keep_idx))
+
+    cand = pa.concat_tables(
+        list(ds.map_batches(local_candidates, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    order = pc.sort_indices(cand, sort_keys=[(group_column, "ascending"),
+                                             (order_column, "ascending")])
+    cand = cand.take(order)
+    g = cand.column(group_column).to_pylist()
+    o = cand.column(order_column).to_pylist()
+    keep: set = set()
+    run_start = 0
+    for i in range(len(g) + 1):
+        if i == len(g) or (i > 0 and g[i] != g[i - 1]):
+            keep.update((g[j], o[j]) for j in range(run_start,
+                                                   min(run_start + n, i)))
+            run_start = i
+    keep_ref = _ray.put(keep)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        kset = _ray.get(keep_ref)
+        g = batch.column(group_column).to_pylist()
+        o = batch.column(order_column).to_pylist()
+        mask = pa.array([(a, b) in kset for a, b in zip(g, o)], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")

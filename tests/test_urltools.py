@@ -45,3 +45,30 @@ def test_top_ngrams_ray(ray_session):
     out = top_ngrams(dataset_from_items(rows), "text", n=2, k=2).to_pandas()
     assert list(out["gram"]) == ["a b", "b a"]
     assert list(out["n"]) == [4, 2]
+
+
+def test_hash_split_deterministic(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import hash_split
+
+    rows = [{"doc_id": i} for i in range(200)]
+    a = hash_split(dataset_from_items(rows), "doc_id", test_pct=10).to_pandas()
+    b = hash_split(dataset_from_items(rows), "doc_id", test_pct=10).to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    frac = (a["split"] == "test").mean()
+    assert 0.02 < frac < 0.25    # md5 buckets ≈ uniform
+
+
+def test_cap_per_group(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import cap_per_group
+
+    rows = [{"doc_id": i, "g": i % 3} for i in range(60)]
+    out = cap_per_group(dataset_from_items(rows), "g", "doc_id", n=4).to_pandas()
+    assert len(out) == 12
+    for g in range(3):
+        kept = sorted(out[out["g"] == g]["doc_id"])
+        assert kept == sorted(d for d in range(60) if d % 3 == g)[:4]
