@@ -725,6 +725,19 @@ def q_cap_per_lang(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_sessionize(sf_dir: str):
+    """Sessionization of the events stream (30-min gap rule): one
+    user-bucketed exchange, vectorized per-bucket sweep; session_idx is
+    0-based per user in (ts, event_id) order."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -911,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
         "hash_split": q_hash_split,
+        "sessionize": q_sessionize,
         "cap_per_lang": q_cap_per_lang,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1387,6 +1401,19 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "sessionize": """
+SELECT event_id, user_id, ts,
+  (sum(CASE WHEN prev_ts IS NULL
+            OR epoch_us(ts - prev_ts) > 1800 * 1000000
+            THEN 1 ELSE 0 END)
+     OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT
+    AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
 """,
         "hash_split": """
 SELECT doc_id, lang,
