@@ -738,6 +738,21 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
+def q_asof_last_purchase(sf_dir: str):
+    """As-of (fill-forward) self-join: each event annotated with the
+    same user's most recent 'purchase' timestamp at-or-before it —
+    NULL until the first purchase."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import asof_last_match
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return asof_last_match(ev, "user_id", "ts", "event_id",
+                           "event_type", "purchase",
+                           out_column="last_purchase_ts")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -925,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraph": q_dedup_paragraph,
         "hash_split": q_hash_split,
         "sessionize": q_sessionize,
+        "asof_last_purchase": q_asof_last_purchase,
         "cap_per_lang": q_cap_per_lang,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1401,6 +1417,13 @@ FROM rep
 WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
   AND top_word_frac <= 0.20 AND bullet_line_frac <= 0.90
   AND ellipsis_line_frac <= 0.30
+""",
+        "asof_last_purchase": """
+SELECT event_id, user_id, ts,
+  max(CASE WHEN event_type = 'purchase' THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+FROM events
 """,
         "sessionize": """
 SELECT event_id, user_id, ts,

@@ -45,3 +45,27 @@ def test_sessionize_exact_gap_not_split(ray_session):
            .to_pandas())
     # gap == threshold → same session (strictly-greater rule)
     assert list(out["session_idx"]) == [0, 0]
+
+
+def test_asof_last_match(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import asof_last_match
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([ts(0), ts(5), ts(9), ts(0), ts(1)], pa.timestamp("us")),
+        "event_type": pa.array(["view", "purchase", "view", "view", "view"]),
+    }
+    out = (asof_last_match(rd.from_arrow(pa.table(rows)))
+           .to_pandas().set_index("event_id"))
+    assert out.loc[1, "last_match_ts"] is None or str(out.loc[1, "last_match_ts"]) == "NaT"
+    assert out.loc[2, "last_match_ts"] == ts(5)     # inclusive of itself
+    assert out.loc[3, "last_match_ts"] == ts(5)     # carried forward
+    assert str(out.loc[4, "last_match_ts"]) == "NaT"  # user 2: no purchase
