@@ -1324,6 +1324,39 @@ WITH RECURSIVE aug AS (
 SELECT doc_id FROM aug
 WHERE doc_id NOT IN (SELECT src FROM mins WHERE mn < src)
 """,
+        # simhash reconstructed in SQL (stable_hash64 == first 8 md5
+        # bytes by design); brute-force bit_count(xor) pairs — the 4x16
+        # banded LSH is pigeonhole-EXACT for hamming <= 3, so the pair
+        # sets are provably equal, not approximately so
+        "dedup_simhash": r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+  FROM aug
+), f AS (
+  SELECT doc_id, tok, count(*) AS w
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY doc_id, tok
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv, w FROM f
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+    sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM h, (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+    coalesce(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                 ELSE 0::UBIGINT END), 0)::UBIGINT AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
         "ngram_jaccard_pairs": """
 WITH aug AS (
   SELECT doc_id, text FROM documents
