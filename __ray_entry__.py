@@ -753,6 +753,16 @@ def q_asof_last_purchase(sf_dir: str):
                            out_column="last_purchase_ts")
 
 
+def q_sample_per_lang(sf_dir: str):
+    """Deterministic uniform sample of 30 docs per language (bottom-k by
+    md5(key) — reproducible, RNG-free)."""
+    from llm_food_ray.stages.textstats import sample_per_group
+
+    return (sample_per_group(_docs(sf_dir, ["doc_id", "lang"]),
+                             "lang", "doc_id", n=30)
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -832,6 +842,53 @@ def q_events_window(sf_dir: str):
     agg = ds.groupby(["user_id", "window"]).aggregate(
         Sum("pn", alias_name="n"), Sum("psum", alias_name="sum_value")
     )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("sum_value")
+        out = batch.set_column(i, "sum_value",
+                               pc.round(batch.column("sum_value"), 4))
+        j = out.schema.get_field_index("n")
+        return out.set_column(j, "n", out.column("n").cast(pa.int64()))
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_events_window_sliding(sf_dir: str):
+    """Sliding 1-hour window, 15-minute hop, over the events stream:
+    each event belongs to 4 overlapping windows — the per-batch combiner
+    EXPLODES into (user, window_start) partials first (vectorized repeat,
+    one group_by per batch), so the global exchange still carries
+    pre-reduced partials, now x4, never one row per (event, window)."""
+    from ray.data.aggregate import Sum
+
+    HOP = 15 * 60 * 1_000_000
+    WIN = 4  # hops per window
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        users = batch.column("user_id").to_numpy()
+        vals = batch.column("value").to_numpy()
+        hop_idx = ts // HOP
+        # windows covering hop h start at hops h-3 .. h
+        offs = np.arange(WIN)
+        starts = (hop_idx[:, None] - offs[None, :]).ravel()
+        idx = np.repeat(np.arange(len(ts)), WIN)
+        t = pa.table({
+            "user_id": pa.array(users[idx]),
+            "win_start": pa.array(starts * HOP),
+            "value": pa.array(vals[idx]),
+        })
+        g = t.group_by(["user_id", "win_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["user_id", "win_start", "pn", "psum"])
+
+    ds = _events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby(["user_id", "win_start"]).aggregate(
+        Sum("pn", alias_name="n"), Sum("psum", alias_name="sum_value"))
 
     def fmt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -940,8 +997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraph": q_dedup_paragraph,
         "hash_split": q_hash_split,
         "sessionize": q_sessionize,
+        "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         "cap_per_lang": q_cap_per_lang,
+        "sample_per_lang": q_sample_per_lang,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1458,6 +1517,17 @@ SELECT event_id, user_id, ts,
           ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
 FROM events
 """,
+        "events_window_sliding": """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start,
+         value
+  FROM events, (SELECT unnest(range(4)) AS k) k
+)
+SELECT user_id, win_start, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM e GROUP BY user_id, win_start
+""",
         "sessionize": """
 SELECT event_id, user_id, ts,
   (sum(CASE WHEN prev_ts IS NULL
@@ -1480,6 +1550,11 @@ FROM documents
         "cap_per_lang": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
+""",
+        "sample_per_lang": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR)) <= 30
 """,
         "dedup_paragraph": r"""
 WITH aug AS (

@@ -216,3 +216,22 @@ def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def sample_per_group(ds, group_column: str, key_column: str, *, n: int = 100):
+    """Deterministic uniform per-group sample: keep the ``n`` rows with
+    the smallest md5(key) per group ("bottom-k by hash" — an unbiased
+    uniform sample that needs no RNG state and is reproducible across
+    engines).  Same scale shape as :func:`cap_per_group` (local prune →
+    bounded candidates → broadcast keep-set), just ordered by the key's
+    hash instead of the key."""
+    from ..functions.hashing import md5_hex
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        return batch.append_column(
+            "__rank", pa.array([md5_hex(str(k)) for k in keys], pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    capped = cap_per_group(ranked, group_column, "__rank", n=n)
+    return capped.drop_columns(["__rank"])
