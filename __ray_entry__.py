@@ -763,6 +763,47 @@ def q_sample_per_lang(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_curate(sf_dir: str):
+    """Composed training-data curation flagship — the full droppy half of
+    the engine in ONE streaming pipeline over documents:
+
+      repetition quality filter → PII scrub (with the injected footer)
+      → exact dedup on the scrubbed text (min doc_id wins) →
+      deterministic md5 train/test split
+
+    Every stage is individually oracle-green; this query value-checks
+    their COMPOSITION (ordering/interaction bugs between stages would
+    surface here even when each passes alone)."""
+    from llm_food_ray.functions.pii import scrub_pii
+    from llm_food_ray.functions.repetition import (
+        passes_repetition_filter,
+        repetition_features,
+    )
+    from llm_food_ray.stages.dedup import dedup_exact
+    from llm_food_ray.stages.textstats import hash_split
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = [passes_repetition_filter(repetition_features(t or ""))
+                for t in batch.column("text").to_pylist()]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        clean = [scrub_pii(
+            f"{t}\nContact: user{d}@mail.example.com, call "
+            f"+1-555-{d % 1000:03d}-{d % 10000:04d} or visit "
+            f"10.{d % 256}.0.{d % 250} now") for d, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "clean": pa.array(clean, pa.string())})
+
+    ds = _augmented_docs(sf_dir).map_batches(filt, batch_format="pyarrow")
+    deduped = dedup_exact(ds, "doc_id", "text")
+    cleaned = deduped.map_batches(scrub, batch_format="pyarrow")
+    return (hash_split(cleaned, "doc_id", test_pct=10)
+            .select_columns(["doc_id", "clean", "split"]))
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -995,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
+        "curate": q_curate,
         "hash_split": q_hash_split,
         "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
@@ -1061,16 +1103,19 @@ FROM c_t, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) g
 
 
 # shared CTE for the repetition oracles: DuckDB list-function twin of
-# functions/repetition.py (trim class = ASCII whitespace minus \v)
-_REPETITION_BASE = r"""
-WITH base AS (
+# functions/repetition.py (trim class = ASCII whitespace minus \v);
+# parametrized on the source relation so composed oracles (curate) can
+# run it over augmented inputs
+def _repetition_cte(src: str) -> str:
+    return r"""
+base AS (
   SELECT doc_id,
     list_filter(string_split(text, chr(10)),
                 l -> trim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) <> '') AS lines,
     list_filter(string_split(text, chr(10) || chr(10)),
                 p -> trim(p, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) <> '') AS paras,
     list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'), w -> w <> '') AS words
-  FROM documents
+  FROM __SRC__
 ), rep AS (
   SELECT doc_id,
     len(lines) AS n_lines,
@@ -1093,7 +1138,10 @@ WITH base AS (
                  OR rtrim(l, ' ' || chr(9) || chr(13) || chr(10) || chr(12)) LIKE '%…')) * 1.0 / len(lines) END, 6) AS ellipsis_line_frac
   FROM base
 )
-"""
+""".replace("__SRC__", src)
+
+
+_REPETITION_BASE = "WITH " + _repetition_cte("documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1583,6 +1631,48 @@ WITH aug AS (
 )
 SELECT d.doc_id, coalesce(agg.clean, '') AS clean
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+        # composed curation flagship: repetition filter over AUGMENTED
+        # docs → exact dedup (min doc_id per text) → PII scrub → split
+        "curate": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), """ + _repetition_cte("aug") + r""",
+passed AS (
+  SELECT a.doc_id, a.text FROM aug a JOIN rep USING (doc_id)
+  WHERE rep.dup_line_frac <= 0.30 AND rep.dup_para_frac <= 0.30
+    AND rep.top_word_frac <= 0.20 AND rep.bullet_line_frac <= 0.90
+    AND rep.ellipsis_line_frac <= 0.30
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM passed GROUP BY text
+), withfooter AS (
+  SELECT doc_id,
+    text || chr(10) || 'Contact: user' || doc_id
+    || '@mail.example.com, call +1-555-'
+    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    || ' or visit 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+    || ' now' AS fulltxt
+  FROM dedup
+), s1 AS (
+  SELECT doc_id, regexp_replace(fulltxt,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM withfooter
+), s2 AS (
+  SELECT doc_id, regexp_replace(t1,
+    '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+    '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2,
+    '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b',
+    '<PHONE>', 'g') AS clean,
+  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 10
+       THEN 'test' ELSE 'train' END AS split
+FROM s2
 """,
         "pii_scrub": r"""
 WITH aug AS (
