@@ -197,6 +197,34 @@ def run_bench() -> dict:
             queries["dedup_minhash_keep_distributed"] = round(
                 time.perf_counter() - t0, 3)
 
+    # --- curate: composed droppy pipeline over extracted markdown -------
+    # repetition filter -> PII scrub -> exact dedup -> md5 split, one
+    # streaming pass (plus dedup's partial-reduce exchange)
+    from llm_food_ray.functions.pii import scrub_pii
+    from llm_food_ray.functions.repetition import (
+        passes_repetition_filter, repetition_features)
+    from llm_food_ray.stages.textstats import hash_split
+
+    import pyarrow as _pa
+
+    def _filter_scrub(batch):
+        texts = [t or "" for t in batch.column("markdown").to_pylist()]
+        keep, clean = [], []
+        for t in texts:
+            keep.append(passes_repetition_filter(repetition_features(t)))
+            clean.append(scrub_pii(t))
+        t2 = _pa.table({"url": batch.column("url"),
+                        "clean": _pa.array(clean, _pa.string())})
+        return t2.filter(_pa.array(keep, _pa.bool_()))
+
+    t0 = time.perf_counter()
+    cur = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                          override_num_blocks=nblocks).map_batches(
+        _filter_scrub, batch_format="pyarrow")
+    cur = hash_split(dedup_exact(cur, "url", "clean"), "url", test_pct=10)
+    n_curated = cur.count()
+    queries["curate"] = round(time.perf_counter() - t0, 3)
+
     # --- textstats: lang-ID + quality over the extracted markdown -------
     from llm_food_ray.stages.textstats import TextStatsStage
 
@@ -241,6 +269,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_pages / extract_sec, 1),
         "n_chunks": n_chunks,
         "n_kept": n_kept,
+        "n_curated": n_curated,
         "n_dup_pairs": n_pairs,
         "n_stats": n_stats,
         "n_windows": n_windows,
