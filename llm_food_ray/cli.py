@@ -131,6 +131,47 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+
+def cmd_curate(args) -> int:
+    """Composed curation over extracted output: repetition quality filter
+    → PII scrub → exact dedup on the scrubbed text → md5 train/test
+    split → partitioned parquet (url, clean, split)."""
+    import pyarrow as pa
+
+    from .functions.pii import scrub_pii
+    from .functions.repetition import (
+        passes_repetition_filter,
+        repetition_features,
+    )
+    from .pipelines.extract import read_extracted
+    from .stages.dedup import dedup_exact
+    from .stages.textstats import hash_split
+
+    _init_ray()
+
+    def filter_scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("status"), "ok"))
+        texts = [t or "" for t in batch.column("markdown").to_pylist()]
+        keep, clean = [], []
+        for t in texts:
+            keep.append(passes_repetition_filter(repetition_features(t)))
+            clean.append(scrub_pii(t))
+        t2 = pa.table({"url": batch.column("url"),
+                       "clean": pa.array(clean, pa.string())})
+        return t2.filter(pa.array(keep, pa.bool_()))
+
+    ds = (read_extracted(args.out_dir)
+          .map_batches(filter_scrub, batch_format="pyarrow"))
+    ds = hash_split(dedup_exact(ds, "url", "clean"), "url",
+                    test_pct=args.test_pct).materialize()
+    n = ds.count()
+    ds.write_parquet(args.dest_dir, min_rows_per_file=200_000)
+    print(json.dumps({"dest": args.dest_dir, "curated": n}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llm_food_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -165,6 +206,12 @@ def main(argv=None) -> int:
     pc.add_argument("--size", type=int, default=512)
     pc.add_argument("--overlap", type=int, default=128)
     pc.set_defaults(fn=cmd_chunk)
+
+    pu = sub.add_parser("curate")
+    pu.add_argument("out_dir")
+    pu.add_argument("dest_dir")
+    pu.add_argument("--test-pct", type=int, default=10)
+    pu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -62,6 +62,14 @@ def test_cli_extract_status_save_chunk(ray_session, pages_dir, tmp_path, capsys)
     assert t.num_rows > 0
     assert "chunk_text" in t.column_names
 
+    curate_dest = str(tmp_path / "curated")
+    assert main(["curate", out_dir, curate_dest]) == 0
+    cj = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert 0 < cj["curated"] <= totals["ok"]
+    c = pads.dataset(curate_dest, format="parquet").to_table()
+    assert set(c.column_names) == {"url", "clean", "split"}
+    assert set(c.column("split").to_pylist()) <= {"train", "test"}
+
 
 def test_cli_extract_empty_dir(tmp_path, capsys):
     from llm_food_ray.cli import main
