@@ -1118,6 +1118,8 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
     # materialized: read twice (banding + verification) without
     # recomputing shingles; blocks spill to disk if they outgrow memory
     sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    if sig_ds.count() == 0:
+        return rd.from_arrow(_empty_pairs_table(pa.int64()))
     key_type = sig_ds.schema().base_schema.field(key_column).type
     collapse = pair_mode == "star" and verify == "estimate"
 
@@ -1306,6 +1308,12 @@ def simhash_candidate_pairs(ds, key_column: str = "doc_id",
                          "__fh": pa.array(fh), "__fl": pa.array(fl)})
 
     signed = ds.map_batches(sign, batch_format="pyarrow").materialize()
+    if signed.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
     key_type = signed.schema().base_schema.field(key_column).type
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1442,6 +1450,12 @@ def embedding_candidate_pairs(ds, key_column: str = "vec_id",
                              "__fh": pa.array(fh), "__fl": pa.array(fl)})
 
     signed = ds.map_batches(Sign(), batch_format="pyarrow").materialize()
+    if signed.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     key_type = signed.schema().base_schema.field(key_column).type
 
     bits_per_band = num_bits // num_bands

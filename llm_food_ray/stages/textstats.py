@@ -190,10 +190,12 @@ def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
                 run_start = i
         return t.take(pa.array(keep_idx))
 
-    cand = pa.concat_tables(
-        list(ds.map_batches(local_candidates, batch_format="pyarrow")
-               .iter_batches(batch_size=None, batch_format="pyarrow")),
-        promote_options="default")
+    cand_batches = list(
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+          .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not cand_batches:
+        return ds
+    cand = pa.concat_tables(cand_batches, promote_options="default")
     order = pc.sort_indices(cand, sort_keys=[(group_column, "ascending"),
                                              (order_column, "ascending")])
     cand = cand.take(order)

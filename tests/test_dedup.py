@@ -278,3 +278,19 @@ def test_dedup_paragraph_global(ray_session):
     out2 = (dedup_paragraph_global(dataset_from_items(rows), max_occurrences=3)
             .to_pandas().set_index("doc_id")["clean"])
     assert out2[0] == "unique 0\n\ntail 0"
+
+
+def test_near_dup_empty_inputs(ray_session):
+    """Empty corpora flow through every near-dup family without error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty_docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                         "text": pa.array([], pa.string())}))
+    assert minhash_candidate_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert simhash_candidate_pairs(empty_docs, "doc_id", "text").count() == 0
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    assert embedding_candidate_pairs(empty_vecs, "vec_id",
+                                     "embedding").count() == 0
