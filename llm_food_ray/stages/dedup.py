@@ -182,55 +182,6 @@ class MinHashSignatures:
         return pa.Table.from_arrays(arrays, names=names)
 
 
-def _coarse_bucket_pairs(banded, bucket_pairs_fn, sim_col: str = None, *,
-                         num_coarse: int = 256, key_column: str = None):
-    """Run `bucket_pairs_fn` per band bucket WITHOUT paying Ray map_groups
-    overhead per bucket.
-
-    Most band buckets are singletons (unique docs) — grouping the Dataset
-    directly on band_key makes one pandas group per bucket and crawls.
-    Instead: ONE shuffle into `num_coarse` buckets of band keys, then per
-    coarse group (i) drop singleton band keys with a vectorized
-    duplicated() mask, (ii) iterate only the real (multi-member) buckets
-    via pandas groupby.  `band_key` may be a string or a uint64 hash."""
-    import zlib
-
-    def add_cb(batch: pa.Table) -> pa.Table:
-        col = batch.column("band_key")
-        if pa.types.is_unsigned_integer(col.type) or pa.types.is_integer(col.type):
-            vals = np.asarray(col.combine_chunks(), dtype=np.uint64)
-            cb = (vals % np.uint64(num_coarse)).astype(np.int32)
-            return batch.append_column("__cb", pa.array(cb))
-        keys = col.to_pylist()
-        cb = [zlib.crc32(k.encode()) % num_coarse for k in keys]
-        return batch.append_column("__cb", pa.array(cb, pa.int32()))
-
-    cols = ["a", "b"] + ([sim_col] if sim_col else [])
-    empty = pd.DataFrame({c: [] for c in cols})
-
-    def per_coarse(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.duplicated("band_key", keep=False)]
-        if not len(df):
-            return empty
-        outs = [bucket_pairs_fn(g) for _bk, g in df.groupby("band_key", sort=False)]
-        outs = [o for o in outs if len(o)]
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
-    return (banded.map_batches(add_cb, batch_format="pyarrow")
-                  .groupby("__cb")
-                  .map_groups(per_coarse, batch_format="pandas"))
-
-
-def _dedup_pairs(pairs, sim_col: str):
-    """Collapse the same (a, b) pair surfacing from multiple bands: a
-    native vectorized aggregate (sim is identical across bands), NOT a
-    per-pair map_groups — millions of singleton groups would pay Python
-    overhead per pair."""
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["a", "b"]).aggregate(Max(sim_col, alias_name=sim_col))
-
-
 def _nonempty_blocks(mat_ds):
     """Rebuild a MATERIALIZED Dataset from only its non-empty blocks.
 
@@ -425,7 +376,7 @@ def _empty_pairs_table(key_type, sim_col: str = "sim") -> pa.Table:
 
 def _coarse_pairs_fp(banded, pair_mode: str, num_coarse: int = 256):
     """Band rows (band_key u64, __fh, __fl) → candidate pair Dataset
-    (ah, al, bh, bl): the fp-space twin of ``_coarse_bucket_pairs``.
+    (ah, al, bh, bl): one coarse exchange, then per-group numpy.
     ONE int32-keyed coarse shuffle of 24 B rows, then per coarse group a
     pure-numpy sweep — sort by band_key, walk multi-member runs, emit
     star ((min-fp, member), linear in bucket size — enough for

@@ -66,7 +66,7 @@ def _join_pages_bucket(df: pd.DataFrame) -> pd.DataFrame:
     pandas groupbys — one pandas frame per ~256th of the keyspace, not one
     per url (map_groups over millions of singleton url groups pays pandas
     overhead per document and crawls; same rationale as
-    dedup._coarse_bucket_pairs)."""
+    the dedup family's coarse-bucket exchanges)."""
     df = df.sort_values(["url", "page_number"],
                         kind="mergesort")   # ORDER BY page_number, app.py:1250
     urls = pd.Index(df["url"].unique())
