@@ -169,3 +169,68 @@ def test_pdf_mutation_fuzz_never_raises_through_stage(offset, value, cut):
     assert row["status"] in ("ok", "failed")
     assert isinstance(row["markdown"], str)
     assert isinstance(row["texts"], list)
+
+
+# ----------------------------------------------- round-2 text operators ----
+
+_plain_words = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=0x61, max_codepoint=0x7A),
+            min_size=1, max_size=8),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_plain_words)
+def test_repetition_fracs_bounded(words):
+    from llm_food_ray.functions.repetition import repetition_features
+
+    text = "\n".join(" ".join(words[i:i + 4]) for i in range(0, len(words), 4))
+    f = repetition_features(text)
+    for k in ("dup_line_frac", "dup_para_frac", "top_word_frac",
+              "bullet_line_frac", "ellipsis_line_frac"):
+        assert 0.0 <= f[k] <= 1.0, (k, f[k])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_plain_words)
+def test_repetition_line_order_invariant(words):
+    """dup_line_frac and dup_para_frac ignore line order."""
+    from llm_food_ray.functions.repetition import repetition_features
+
+    lines = [" ".join(words[i:i + 3]) for i in range(0, len(words), 3)]
+    a = repetition_features("\n".join(lines))
+    b = repetition_features("\n".join(reversed(lines)))
+    assert a["dup_line_frac"] == b["dup_line_frac"]
+    assert a["n_lines"] == b["n_lines"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x61, max_codepoint=0x7A),
+               max_size=200))
+def test_pii_identity_without_patterns(text):
+    """Texts with no digits / @ pass through the scrubber unchanged."""
+    from llm_food_ray.functions.pii import scrub_pii
+
+    assert scrub_pii(text) == text
+
+
+_url_host = st.text(alphabet=st.characters(min_codepoint=0x61,
+                                           max_codepoint=0x7A),
+                    min_size=1, max_size=10)
+_url_path = st.text(alphabet=st.characters(min_codepoint=0x41,
+                                           max_codepoint=0x5A),
+                    max_size=10)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.sampled_from(["http", "https", "HTTP", "HtTpS"]), _url_host,
+       st.sampled_from(["", ":80", ":443", ":8080"]), _url_path,
+       st.sampled_from(["", "?a=1", "?utm_source=x", "?utm_x=1&b=2"]),
+       st.sampled_from(["", "#frag"]))
+def test_canonicalize_idempotent(scheme, host, port, path, query, frag):
+    from llm_food_ray.functions.urltools import canonicalize_url
+
+    url = f"{scheme}://{host}.com{port}/{path}{query}{frag}"
+    once = canonicalize_url(url)
+    assert canonicalize_url(once) == once
+    assert "#" not in once and "utm_" not in once
