@@ -294,3 +294,60 @@ def test_near_dup_empty_inputs(ray_session):
         "embedding": pa.array([], pa.list_(pa.float64()))}))
     assert embedding_candidate_pairs(empty_vecs, "vec_id",
                                      "embedding").count() == 0
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_minhash_paths_random_corpus(ray_session, seed):
+    """Randomized differential check: on corpora with mixed exact dups,
+    near-dups and unique docs, all verify plans agree pairwise AND both
+    kept-set plans agree — for both pair modes."""
+    import random
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import dedup_near_keep
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    base_texts = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(10, 40))]
+        base_texts.append(" ".join(words))
+        docs.append({"doc_id": i, "text": base_texts[-1]})
+    nid = 100
+    for i in range(0, 40, 5):            # exact dups
+        docs.append({"doc_id": nid, "text": base_texts[i]})
+        nid += 1
+    for i in range(1, 40, 7):            # near dups (one word changed)
+        w = base_texts[i].split()
+        w[rng.randrange(len(w))] = "zzz"
+        docs.append({"doc_id": nid, "text": " ".join(w)})
+        nid += 1
+
+    for pair_mode in ("all", "star"):
+        outs = {}
+        for mode in ("broadcast", "semijoin", "driver"):
+            p = minhash_candidate_pairs(
+                dataset_from_items(docs), "doc_id", "text", threshold=0.6,
+                verify="estimate", num_perm=128, num_bands=32,
+                pair_mode=pair_mode, verify_exec=mode,
+            ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+            outs[mode] = p.round({"sim": 12})
+        assert outs["broadcast"].equals(outs["driver"]), pair_mode
+        assert outs["semijoin"].equals(outs["driver"]), pair_mode
+        assert len(outs["driver"]) >= 8, "fixture must produce pairs"
+
+    # kept-set: local union-find vs distributed min-label propagation
+    pairs = minhash_candidate_pairs(
+        dataset_from_items(docs), "doc_id", "text", threshold=0.6,
+        verify="estimate", num_perm=128, num_bands=32, pair_mode="star",
+    ).materialize()
+    corpus = dataset_from_items(docs).select_columns(["doc_id"])
+    kept_local = sorted(dedup_near_keep(
+        corpus, "doc_id", pairs, cluster_exec="local").to_pandas()["doc_id"])
+    kept_dist = sorted(dedup_near_keep(
+        corpus, "doc_id", pairs, cluster_exec="distributed")
+        .to_pandas()["doc_id"])
+    assert kept_local == kept_dist
+    assert len(kept_local) < len(docs)
