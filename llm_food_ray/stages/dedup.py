@@ -846,27 +846,60 @@ def _verify_pairs_semijoin(pairs_fp, sig_source, key_column: str, key_type, *,
         pairs = np.unique(_pair_pack(ah[pm], al[pm], bh[pm], bl[pm]))
         ah2, al2, bh2, bl2 = _pair_unpack(pairs)
         ia = src[np.searchsorted(sfp_sorted, _fp_pack(ah2, al2))]
-        off, flat = _binary_offsets(t.column("sig"))
-        goff, gflat = _ragged_gather(off, flat, ia)
+        pb_b = (bh2 % Cu).astype(np.int32)
         n = len(ah2)
-        return pa.table({
-            "__pb": pa.array((bh2 % Cu).astype(np.int32)),
+        # ship each sig_a ONCE per (a, target-bucket) group, not once per
+        # pair: on clustered corpora an a pairs with many b's landing in
+        # few buckets, and the 0.5 KB signature dominates the pass-2
+        # exchange — kind=2 carrier rows cut it by the per-(a,bucket)
+        # fan-out factor while pair rows stay 32 B
+        grp = _pair_pack(ah2, al2, np.zeros(n, dtype=np.uint64),
+                         pb_b.astype(np.uint64))
+        _, first = np.unique(grp, return_index=True)
+        off, flat = _binary_offsets(t.column("sig"))
+        goff, gflat = _ragged_gather(off, flat, ia[first])
+        m = len(first)
+        carriers = pa.table({
+            "__pb": pa.array(pb_b[first]),
+            "kind": pa.array(np.full(m, 2, dtype=np.int8)),
+            "ah": pa.array(ah2[first]), "al": pa.array(al2[first]),
+            "bh": pa.array(ah2[first]), "bl": pa.array(al2[first]),
+            "sig": _binary_from_ragged(goff, gflat),
+            "key": _take_arr(t.column("key"), ia[first]),
+            "ka": pa.nulls(m, key_type),
+        })
+        pair_rows = pa.table({
+            "__pb": pa.array(pb_b),
             "kind": pa.array(np.zeros(n, dtype=np.int8)),
             "ah": pa.array(ah2), "al": pa.array(al2),
             "bh": pa.array(bh2), "bl": pa.array(bl2),
-            "sig": _binary_from_ragged(goff, gflat),
+            "sig": pa.nulls(n, pa.binary()),
             "key": pa.nulls(n, key_type),
-            "ka": _take_arr(t.column("key"), ia),
+            "ka": pa.nulls(n, key_type),
         })
+        return pa.concat_tables([carriers, pair_rows])
 
     def pass2(t: pa.Table) -> pa.Table:
-        parts = _split(t)
-        if parts is None:
+        kindc = t.column("kind")
+        kind = np.asarray(kindc.combine_chunks()
+                          if isinstance(kindc, pa.ChunkedArray) else kindc)
+        pm = np.flatnonzero(kind == 0)
+        sm = np.flatnonzero(kind == 1)
+        am = np.flatnonzero(kind == 2)
+        if not len(pm) or not len(sm) or not len(am):
             return _empty_pairs_table(key_type)
-        pm, ah, al, bh, bl, sfp_sorted, src = parts
-        ib = src[np.searchsorted(sfp_sorted, _fp_pack(bh[pm], bl[pm]))]
+        ah, al = _u64_col(t, "ah"), _u64_col(t, "al")
+        bh, bl = _u64_col(t, "bh"), _u64_col(t, "bl")
+        # b side: full signature rows keyed by their own fp
+        sfp = _fp_pack(ah[sm], al[sm])
+        sord = np.argsort(sfp, kind="stable")
+        ib = sm[sord][np.searchsorted(sfp[sord], _fp_pack(bh[pm], bl[pm]))]
+        # a side: one carrier row per (a, this bucket)
+        afp = _fp_pack(ah[am], al[am])
+        aord = np.argsort(afp, kind="stable")
+        iac = am[aord][np.searchsorted(afp[aord], _fp_pack(ah[pm], al[pm]))]
         off, flat = _binary_offsets(t.column("sig"))
-        aoff, aflat = _ragged_gather(off, flat, pm)        # sig_a bytes
+        aoff, aflat = _ragged_gather(off, flat, iac)       # sig_a bytes
         boff, bflat = _ragged_gather(off, flat, ib)        # sig_b bytes
         n = len(pm)
         if exact:
@@ -882,7 +915,7 @@ def _verify_pairs_semijoin(pairs_fp, sig_source, key_column: str, key_type, *,
             B = bflat.view(np.uint32).reshape(n, num_perm)
             sims = (A == B).mean(axis=1)
         mask = sims >= threshold
-        ka = _take_arr(t.column("ka"), pm[mask])
+        ka = _take_arr(t.column("key"), iac[mask])
         kb = _take_arr(t.column("key"), ib[mask])
         a, bb = _ordered_pair_columns(ka, kb)
         return pa.table({"a": a, "b": bb, "sim": pa.array(sims[mask])})
