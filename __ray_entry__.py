@@ -804,6 +804,31 @@ def q_curate(sf_dir: str):
             .select_columns(["doc_id", "clean", "split"]))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 'eval set' is the first 13-gram of
+    every doc_id % 50 == 0 document (deterministic, benchmark-sized);
+    any document containing one of those 13-grams is dropped.  The
+    contaminated set broadcasts once; the corpus streams through a
+    membership filter — no shuffle."""
+    import pyarrow.parquet as pq
+
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import decontaminate
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    bad = set()
+    for d, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        if d % 50 == 0:
+            ws = split_words(txt or "")
+            if len(ws) >= 13:
+                bad.add(" ".join(ws[:13]))
+    return (decontaminate(_docs(sf_dir, ["doc_id", "text"]), "text",
+                          contaminated=bad, n=13)
+            .select_columns(["doc_id"]))
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -1037,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
+        "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
@@ -1631,6 +1657,25 @@ WITH aug AS (
 )
 SELECT d.doc_id, coalesce(agg.clean, '') AS clean
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+        "decontaminate": r"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                w -> w <> '') AS ws
+  FROM documents
+), bad AS (
+  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
+  FROM words WHERE doc_id % 50 = 0 AND len(ws) >= 13
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 11),
+                        i -> array_to_string(ws[i:i + 12], ' '))) AS gram
+  FROM words WHERE len(ws) >= 13
+), hit AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bad USING (gram)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hit)
 """,
         # composed curation flagship: repetition filter over AUGMENTED
         # docs → exact dedup (min doc_id per text) → PII scrub → split

@@ -237,3 +237,32 @@ def sample_per_group(ds, group_column: str, key_column: str, *, n: int = 100):
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
     capped = cap_per_group(ranked, group_column, "__rank", n=n)
     return capped.drop_columns(["__rank"])
+
+
+def decontaminate(ds, text_column: str = "text", *, contaminated,
+                  n: int = 13):
+    """Benchmark decontamination: drop every document whose text contains
+    ANY n-gram from the ``contaminated`` set (the standard pre-training
+    hygiene pass against eval-set leakage).
+
+    Scale shape: the contaminated set is eval-benchmark-sized (small by
+    construction), so it broadcasts ONCE via ``ray.put`` as a frozenset
+    and the corpus streams through a single ``map_batches`` membership
+    filter — no shuffle, no join."""
+    import ray as _ray
+
+    from ..functions.repetition import split_words
+
+    ref = _ray.put(frozenset(contaminated))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bad = _ray.get(ref)
+        mask = []
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            hit = any(" ".join(ws[i:i + n]) in bad
+                      for i in range(len(ws) - n + 1))
+            mask.append(not hit)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
