@@ -627,8 +627,6 @@ def q_quality_filter(sf_dir: str):
     )
 
     def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return batch.filter(batch.column("keep"))
 
     return (ds.map_batches(keep, batch_format="pyarrow")
