@@ -676,6 +676,59 @@ def q_url_canonicalize(sf_dir: str):
     return _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir: str):
+    """Deterministic text normalization (NFC → control-strip →
+    whitespace-collapse → trim) over deterministically dirtied text —
+    combining accents, control bytes, CRLF runs and ragged spacing are
+    injected by doc_id residue so every rule actually fires; the SQL
+    oracle builds the SAME dirty strings and normalizes them
+    independently with nfc_normalize + RE2 regexp_replace."""
+    from llm_food_ray.stages.textstats import normalize_dataset
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        messy = []
+        for d, t in zip(ids, texts):
+            m = d % 4
+            if m == 0:
+                messy.append("Cafe\u0301  " + t)
+            elif m == 1:
+                messy.append("\t" + t + "\x01\x02")
+            elif m == 2:
+                messy.append(t + "\r\n trailing  ")
+            else:
+                messy.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(messy, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return (normalize_dataset(ds, "text")
+            .select_columns(["doc_id", "norm_text", "changed"]))
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host (domain) corpus rollup — the aggregation every crawl
+    pipeline runs before per-domain caps/weights.  Hosts synthesized
+    deterministically from doc_id (23 sites × 3 TLDs); the rollup uses
+    the per-batch Arrow combiner so the exchange is hosts×blocks rows."""
+    from llm_food_ray.stages.textstats import grouped_rollup
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        tld = {0: "com", 1: "org", 2: "net"}
+        hosts = [f"site{d % 23}.example.{tld[d % 3]}" for d in ids]
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "n_chars": batch.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        synth, batch_format="pyarrow")
+    return grouped_rollup(ds, "host", "n_chars",
+                          names=("n_docs", "total_chars", "max_chars",
+                                 "mean_chars"))
+
+
 def q_dedup_paragraph(sf_dir: str):
     """C4-style global paragraph dedup: paragraphs occurring in more
     than 2 documents (corpus boilerplate) are dropped, documents rebuilt
@@ -1057,6 +1110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "top_bigrams": q_top_bigrams,
         "url_canonicalize": q_url_canonicalize,
+        "normalize_text": q_normalize_text,
+        "host_stats": q_host_stats,
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
@@ -1750,6 +1805,35 @@ SELECT doc_id,
   len(regexp_extract_all(t2,
       '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b'))::BIGINT AS n_phone
 FROM s2
+""",
+        "normalize_text": r"""
+WITH messy AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'Cafe' || chr(769) || '  ' || text
+           WHEN 1 THEN chr(9) || text || chr(1) || chr(2)
+           WHEN 2 THEN text || chr(13) || chr(10) || ' trailing  '
+           ELSE text END AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+              '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+              '[ \t\r\n\f\v]+', ' ', 'g')) AS norm_text
+  FROM messy
+)
+SELECT doc_id, norm_text, raw <> norm_text AS changed FROM norm
+""",
+        "host_stats": """
+SELECT 'site' || (doc_id % 23) || '.example.' ||
+       CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+            ELSE 'net' END AS host,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM documents
+GROUP BY 1
 """,
         "url_canonicalize": r"""
 WITH u AS (

@@ -144,6 +144,67 @@ def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
                   .limit(k))
 
 
+def normalize_dataset(ds, text_column: str = "text",
+                      out_column: str = "norm_text"):
+    """Text normalization map (NFC → control-strip → whitespace-collapse,
+    ``functions.normalize``): stateless, no exchange — the hygiene pass
+    that runs before tokenization / hashing so dedup keys and token
+    counts are stable across crawls."""
+    from ..functions.normalize import normalize_text
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_column).to_pylist()]
+        out = [normalize_text(t) for t in texts]
+        b = batch.append_column(out_column, pa.array(out, pa.string()))
+        return b.append_column(
+            "changed", pa.array([o != t for o, t in zip(out, texts)],
+                                pa.bool_()))
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def grouped_rollup(ds, key_column: str, value_column: str, *,
+                   names=("n_docs", "total", "vmax", "mean"),
+                   mean_digits: int = 6):
+    """Per-key (count, sum, max, mean) rollup with a per-batch Arrow
+    combiner: each batch pre-aggregates key → partials so the global
+    exchange ships one row per (key, batch) — at 100 TB the shuffle
+    volume is keys×blocks, independent of corpus row count.  The mean is
+    derived from the exact integer sum after the merge (never averaged
+    across partials), so it is order-independent bit-for-bit."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column]).aggregate(
+            [(value_column, "count"), (value_column, "sum"),
+             (value_column, "max")])
+        return g.rename_columns([key_column, "pn", "psum", "pmax"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_column)
+             .aggregate(Sum("pn", alias_name="pn"),
+                        Sum("psum", alias_name="psum"),
+                        Max("pmax", alias_name="pmax")))
+
+    n_name, total_name, max_name, mean_name = names
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("pn").cast(pa.int64())
+        total = batch.column("psum").cast(pa.int64())
+        mean = pc.round(pc.divide(total.cast(pa.float64()),
+                                  n.cast(pa.float64())),
+                        ndigits=mean_digits)
+        return pa.table({key_column: batch.column(key_column),
+                         n_name: n, total_name: total,
+                         max_name: batch.column("pmax").cast(pa.int64()),
+                         mean_name: mean})
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
 def hash_split(ds, key_column: str = "doc_id", *, test_pct: int = 10):
     """Deterministic held-out split: md5 of the stringified key maps each
     row to a stable [0, 100) bucket; rows under ``test_pct`` become

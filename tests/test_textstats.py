@@ -75,3 +75,55 @@ def test_stage_feature_selection(ray_session):
         TextStatsStage(features=("tokens",)), batch_format="pyarrow"
     ).to_pandas()
     assert "n_tokens" in out.columns and "lang_id" not in out.columns
+
+
+def test_normalize_text_rules():
+    from llm_food_ray.functions.normalize import normalize_text
+
+    # NFC composition
+    assert normalize_text("Café") == "Café"
+    # control strip (whitespace controls collapse instead)
+    assert normalize_text("a\x01b\x02c") == "abc"
+    # whitespace collapse + trim
+    assert normalize_text("  a\t\tb\r\nc  ") == "a b c"
+    # idempotent
+    for s in ["Café  x", "\tall\x01 kinds \r\n", "plain text"]:
+        once = normalize_text(s)
+        assert normalize_text(once) == once
+    assert normalize_text("") == ""
+    assert normalize_text("\x00\x1f\x7f") == ""
+
+
+def test_normalize_dataset_stage(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import normalize_dataset
+
+    ds = dataset_from_items([
+        {"doc_id": 1, "text": "a  b"},
+        {"doc_id": 2, "text": "clean"},
+        {"doc_id": 3, "text": None},
+    ])
+    out = normalize_dataset(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "norm_text"] == "a b" and bool(out.loc[1, "changed"])
+    assert out.loc[2, "norm_text"] == "clean" and not bool(out.loc[2, "changed"])
+    assert out.loc[3, "norm_text"] == ""
+
+
+def test_grouped_rollup(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_rollup
+
+    items = [{"g": f"k{i % 3}", "v": i} for i in range(30)]
+    ds = dataset_from_items(items)
+    out = grouped_rollup(ds, "g", "v").to_pandas().set_index("g")
+    import numpy as np
+
+    for r in range(3):
+        vals = np.array([i for i in range(30) if i % 3 == r])
+        row = out.loc[f"k{r}"]
+        assert row["n_docs"] == len(vals)
+        assert row["total"] == vals.sum()
+        assert row["vmax"] == vals.max()
+        assert row["mean"] == round(vals.sum() / len(vals), 6)
