@@ -328,6 +328,20 @@ def q_ann_ivf_full(sf_dir: str):
     )
 
 
+def q_cluster_assign(sf_dir: str):
+    """Corpus clustering by nearest-seed cosine: 8 deterministic seed
+    vectors (smallest vec_ids with vec_id % 61 == 0), every vector
+    assigned to its best seed — one broadcast matmul per batch, no
+    shuffle.  Unlike the k-means IVF queries (recall-pytested), the
+    seed rule makes the full assignment SQL-reconstructible."""
+    from llm_food_ray.stages.similarity import SeedAssign, strided_seed_vectors
+
+    emb = _embeddings(sf_dir)
+    seed_ids, seeds = strided_seed_vectors(emb, modulus=61, k=8)
+    return emb.map_batches(SeedAssign(seed_ids, seeds),
+                           batch_format="pyarrow")
+
+
 def q_extract_spans(sf_dir: str):
     """north_rule spans column: per-document block offsets into
     ``markdown``, exploded to one row per span (url, span_index, start,
@@ -1100,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "cluster_assign": q_cluster_assign,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1601,6 +1616,24 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[],
          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
          vec_id
 LIMIT 10
+""",
+        "cluster_assign": """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding FROM embeddings
+  WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, s.seed_id,
+         list_cosine_similarity(e.embedding::DOUBLE[],
+                                s.embedding::DOUBLE[]) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+), best AS (
+  SELECT vec_id, seed_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id) AS rn
+  FROM scored
+)
+SELECT vec_id, seed_id AS cluster_id, round(sim, 4) AS sim
+FROM best WHERE rn = 1
 """,
         # full-probe IVF == brute force by construction → same oracle
         "ann_ivf_full": """

@@ -75,6 +75,68 @@ def brute_topk(ds, query_vec, k: int, *, key_column: str = "vec_id",
     return candidates.sort(["score", key_column], descending=[True, False]).limit(k)
 
 
+class SeedAssign:
+    """Nearest-seed cosine assignment against a FIXED seed matrix — the
+    oracle-checkable cousin of :class:`IvfAssign` (which uses trained
+    k-means centroids and euclidean distance): seeds are existing corpus
+    vectors picked by a deterministic key rule, so ANSI SQL can rebuild
+    the exact same assignment with ``list_cosine_similarity``.
+
+    Scale shape: the seed matrix is k-sized, shipped once in the task
+    closure (Ray serializes it with the callable; at cluster scale wrap
+    in ``ray.put`` + actor pool); each batch is one (n×d)·(d×k) matmul.
+    Cosine is computed DuckDB-style (dot / (|a|·|b|), float64) so the
+    two sides round identically; ties break toward the smallest seed id
+    (numpy argmax first-hit over seed-id-sorted columns == SQL
+    ``ORDER BY sim DESC, seed_id``).  Zero vectors get sim 0 against
+    every seed (guarded norms), keeping the argmax deterministic.
+    """
+
+    def __init__(self, seed_ids, seed_vecs, key_column: str = "vec_id",
+                 vec_column: str = "embedding", digits: int = 4):
+        order = np.argsort(np.asarray(seed_ids, dtype=np.int64))
+        self.seed_ids = np.asarray(seed_ids, dtype=np.int64)[order]
+        seeds = np.asarray(seed_vecs, dtype=np.float64)[order]
+        self.seeds = seeds
+        norms = np.linalg.norm(seeds, axis=1)
+        norms[norms == 0] = 1.0
+        self.seed_norms = norms
+        self.key_column = key_column
+        self.vec_column = vec_column
+        self.digits = digits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(batch.column(self.vec_column))
+        vnorms = np.linalg.norm(mat, axis=1)
+        vnorms[vnorms == 0] = 1.0
+        sims = (mat @ self.seeds.T) / (vnorms[:, None] * self.seed_norms[None, :])
+        best = sims.argmax(1)
+        rows = np.arange(len(best))
+        return pa.table({
+            self.key_column: batch.column(self.key_column),
+            "cluster_id": pa.array(self.seed_ids[best], pa.int64()),
+            "sim": pa.array(np.round(sims[rows, best], self.digits),
+                            pa.float64()),
+        })
+
+
+def strided_seed_vectors(ds, *, modulus: int, k: int,
+                         key_column: str = "vec_id",
+                         vec_column: str = "embedding"):
+    """Deterministic seed pick: the ``k`` smallest keys with
+    ``key % modulus == 0``.  The filter streams (no full materialize);
+    only the ~corpus/modulus matching rows reach the driver, and the
+    final sort+head is k-sized.  Returns (seed_ids, seed_matrix)."""
+    matches = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(np.asarray(b.column(key_column)) % modulus == 0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    matches = matches.sort_values(key_column).head(k)
+    return (matches[key_column].to_numpy(),
+            np.asarray(matches[vec_column].tolist(), dtype=np.float64))
+
+
 # ----------------------------------------------------------------- IVF ----
 
 

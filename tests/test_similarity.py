@@ -106,3 +106,36 @@ def test_ivf_partitioned_index_roundtrip(ray_session, tmp_path):
     approx = ivf_query_index(out, q, 5, nprobe=2).to_pandas()
     assert len(approx) == 5
     assert 7 in set(approx["vec_id"])
+
+
+def test_seed_assign(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import SeedAssign, strided_seed_vectors
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(120, 16).astype(np.float32)
+    vecs[5] = 0.0  # zero vector: sim 0 everywhere, smallest seed wins
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    ds = rd.from_arrow(pa.Table.from_pylist(items))
+
+    seed_ids, seeds = strided_seed_vectors(ds, modulus=30, k=4)
+    assert list(seed_ids) == [0, 30, 60, 90]
+    out = (ds.map_batches(SeedAssign(seed_ids, seeds), batch_format="pyarrow")
+             .to_pandas().set_index("vec_id").sort_index())
+    assert len(out) == 120
+    # each seed maps to itself with sim 1
+    for s in seed_ids:
+        assert out.loc[s, "cluster_id"] == s
+        assert out.loc[s, "sim"] == 1.0
+    # zero vector ties across all seeds -> smallest seed id wins
+    assert out.loc[5, "cluster_id"] == 0 and out.loc[5, "sim"] == 0.0
+    # agreement with a numpy brute-force argmax
+    m = vecs.astype(np.float64)
+    sn = np.linalg.norm(m[[0, 30, 60, 90]], axis=1)
+    vn = np.linalg.norm(m, axis=1); vn[vn == 0] = 1.0
+    sims = (m @ m[[0, 30, 60, 90]].T) / (vn[:, None] * sn[None, :])
+    expect = np.array([0, 30, 60, 90])[sims.argmax(1)]
+    assert (out["cluster_id"].to_numpy() == expect).all()
