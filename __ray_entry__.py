@@ -328,6 +328,25 @@ def q_ann_ivf_full(sf_dir: str):
     )
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 lexical top-20 for the bag-of-terms query (vector, query,
+    hash): two streaming passes (blocks-sized stats partials → broadcast
+    idf/avgdl → per-batch vectorized scores + local top-k → tiny global
+    sort).  The SQL oracle recomputes the identical Robertson/Lucene
+    formula with matching float64 expression shape."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.search import bm25_topk
+
+    top = bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                    ("vector", "query", "hash"), 20)
+    return top.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow",
+    )
+
+
 def q_cluster_assign(sf_dir: str):
     """Corpus clustering by nearest-seed cosine: 8 deterministic seed
     vectors (smallest vec_ids with vec_id % 61 == 0), every vector
@@ -1115,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "cluster_assign": q_cluster_assign,
+        "bm25_search": q_bm25_search,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1616,6 +1636,43 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[],
          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
          vec_id
 LIMIT 10
+""",
+        "bm25_search": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), tf AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, w -> w = 'vector')) AS tf0,
+         len(list_filter(ws, w -> w = 'query'))  AS tf1,
+         len(list_filter(ws, w -> w = 'hash'))   AS tf2
+  FROM toks
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum((tf0 > 0)::INT)::DOUBLE AS df0,
+         sum((tf1 > 0)::INT)::DOUBLE AS df1,
+         sum((tf2 > 0)::INT)::DOUBLE AS df2
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+      ln(1.0::DOUBLE + (n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE))
+        * ((tf0 * 2.2::DOUBLE)
+           / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    + ln(1.0::DOUBLE + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+        * ((tf1 * 2.2::DOUBLE)
+           / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    + ln(1.0::DOUBLE + (n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
+        * ((tf2 * 2.2::DOUBLE)
+           / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    AS score
+  FROM tf, stats
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
 """,
         "cluster_assign": """
 WITH seeds AS (

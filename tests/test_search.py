@@ -1,0 +1,67 @@
+"""BM25 keyword search: formula parity vs a pure-Python brute force,
+ranking/tie-break determinism, and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+
+def _bm25_brute(texts: dict[int, str], terms: tuple[str, ...]) -> dict[int, float]:
+    docs = {k: (t or "").split() for k, t in texts.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    scores = {}
+    for k, ws in docs.items():
+        s = 0.0
+        for term in terms:
+            df = sum(1 for w in docs.values() if term in w)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = ws.count(term)
+            s += idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)))
+        scores[k] = s
+    return scores
+
+
+def test_bm25_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import bm25_topk
+
+    texts = {
+        1: "data model data training corpus",
+        2: "model model model",
+        3: "corpus of plain text with data inside",
+        4: "nothing relevant here at all",
+        5: "",
+        6: "data data data data model",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(texts.keys()),
+        "text": list(texts.values()),
+    }))
+    got = bm25_topk(ds, ("data", "model"), 3).to_pandas()
+    brute = _bm25_brute(texts, ("data", "model"))
+    expect = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(got["doc_id"]) == [k for k, _ in expect]
+    for (k, s), g in zip(expect, got["score"]):
+        assert abs(s - g) < 1e-12, (k, s, g)
+
+
+def test_bm25_empty_and_missing_terms(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import bm25_topk
+
+    # term absent everywhere: idf is still finite, scores all 0
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["a b", "c d"]}))
+    got = bm25_topk(ds, ("zzz",), 5).to_pandas()
+    assert len(got) == 2 and (got["score"] == 0.0).all()
+    # tie at score 0 -> doc_id ascending
+    assert list(got["doc_id"]) == [1, 2]
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    out = bm25_topk(empty, ("x",), 5).to_pandas()
+    assert len(out) == 0
