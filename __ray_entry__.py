@@ -328,6 +328,17 @@ def q_ann_ivf_full(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style training-sequence packing: the corpus token stream in
+    doc_id order cut into 256-token sequences (docs cross boundaries).
+    Exercises the distributed prefix-sum (block-summary offsets — the
+    only exchange is the (key, count) sort); the oracle rebuilds spans
+    with a SQL window cumsum + seq-range unnest."""
+    from llm_food_ray.stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), 256)
+
+
 def q_bm25_search(sf_dir: str):
     """BM25 lexical top-20 for the bag-of-terms query (vector, query,
     hash): two streaming passes (blocks-sized stats partials → broadcast
@@ -1135,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "cluster_assign": q_cluster_assign,
         "bm25_search": q_bm25_search,
+        "pack_sequences": q_pack_sequences,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1636,6 +1648,41 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[],
          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
          vec_id
 LIMIT 10
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w <> '')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+), spans AS (
+  SELECT doc_id, start_tok, start_tok + n AS end_tok
+  FROM c WHERE n > 0
+), seqs AS (
+  SELECT doc_id, start_tok, end_tok,
+         start_tok // 256 AS first_seq,
+         (end_tok - 1) // 256 AS last_seq
+  FROM spans
+), exploded AS (
+  SELECT doc_id, start_tok, end_tok,
+         unnest(range(first_seq, last_seq + 1)) AS seq_id
+  FROM seqs
+)
+SELECT seq_id,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(LEAST(end_tok, (seq_id + 1) * 256)
+                - GREATEST(start_tok, seq_id * 256)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM exploded
+GROUP BY seq_id
 """,
         "bm25_search": r"""
 WITH toks AS (
