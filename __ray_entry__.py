@@ -328,6 +328,16 @@ def q_ann_ivf_full(sf_dir: str):
     )
 
 
+def q_ngram_lm_score(sf_dir: str):
+    """Corpus bigram-LM quality scoring (CCNet-style perplexity proxy):
+    train add-one-smoothed bigram counts on the corpus (partial counts →
+    vocabulary-sized groupby → broadcast), then score every doc's mean
+    bigram negative log-likelihood in one streaming pass."""
+    from llm_food_ray.stages.lm import lm_score
+
+    return lm_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style training-sequence packing: the corpus token stream in
     doc_id order cut into 256-token sequences (docs cross boundaries).
@@ -1147,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": q_cluster_assign,
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
+        "ngram_lm_score": q_ngram_lm_score,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1648,6 +1659,38 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[],
          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
          vec_id
 LIMIT 10
+""",
+        "ngram_lm_score": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT w, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+), vocab AS (
+  SELECT count(*)::DOUBLE AS v FROM uni
+), doc_big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks WHERE len(ws) >= 2
+), bigc AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM doc_big GROUP BY w1, w2
+), terms AS (
+  SELECT d.doc_id, -ln((c.cb + 1.0::DOUBLE) / (u.cu + v.v)) AS t
+  FROM doc_big d
+  JOIN bigc c ON d.w1 = c.w1 AND d.w2 = c.w2
+  JOIN uni u ON d.w1 = u.w
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(sum(t) / count(*), 6) AS nll
+  FROM terms GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(a.nll, 0.0) AS nll
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "pack_sequences": r"""
 WITH t AS (
