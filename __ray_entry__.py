@@ -868,6 +868,19 @@ def q_sample_per_lang(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_resample_mix(sf_dir: str):
+    """Quota resampling to a target language mix (domain mixing): en
+    capped at 100, zh/es at 40, de at 80 (larger than the sf0.01 group —
+    kept whole), fr absent from the quotas (dropped).  Deterministic
+    bottom-k-by-md5 within each group."""
+    from llm_food_ray.stages.textstats import quota_sample
+
+    return (quota_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                         "lang", "doc_id",
+                         quotas={"en": 100, "zh": 40, "es": 40, "de": 80})
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_curate(sf_dir: str):
     """Composed training-data curation flagship — the full droppy half of
     the engine in ONE streaming pipeline over documents:
@@ -1180,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": q_asof_last_purchase,
         "cap_per_lang": q_cap_per_lang,
         "sample_per_lang": q_sample_per_lang,
+        "resample_mix": q_resample_mix,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1862,6 +1876,13 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY md5(doc_id::VARCHAR)) <= 30
+""",
+        "resample_mix": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR))
+        <= CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 40
+                     WHEN 'es' THEN 40 WHEN 'de' THEN 80 ELSE 0 END
 """,
         "dedup_paragraph": r"""
 WITH aug AS (

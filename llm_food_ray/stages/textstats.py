@@ -222,10 +222,13 @@ def hash_split(ds, key_column: str = "doc_id", *, test_pct: int = 10):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
-def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
+def cap_per_group(ds, group_column: str, order_column: str, *,
+                  n: int | dict = 100):
     """Per-group cap: keep the ``n`` smallest ``order_column`` rows per
     group (e.g. at most N documents per language/host — the standard
-    anti-domination cap before training).
+    anti-domination cap before training).  ``n`` may be a mapping
+    {group: limit} for per-group quotas; groups absent from the mapping
+    get limit 0 (dropped) — the quota-resampling form.
 
     Scale shape: each batch pre-prunes to its local per-group top-n (an
     Arrow sort + per-group head — batches never ship more than
@@ -237,6 +240,12 @@ def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
 
     import ray as _ray
 
+    if isinstance(n, dict):
+        quotas = dict(n)
+        limit_of = quotas.get
+    else:
+        limit_of = (lambda _g, _default=0, _n=n: _n)
+
     def local_candidates(batch: pa.Table) -> pa.Table:
         t = batch.select([group_column, order_column])
         order = pc.sort_indices(t, sort_keys=[(group_column, "ascending"),
@@ -247,7 +256,8 @@ def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
         run_start = 0
         for i in range(len(g) + 1):
             if i == len(g) or (i > 0 and g[i] != g[i - 1]):
-                keep_idx.extend(range(run_start, min(run_start + n, i)))
+                lim = limit_of(g[run_start], 0)
+                keep_idx.extend(range(run_start, min(run_start + lim, i)))
                 run_start = i
         return t.take(pa.array(keep_idx))
 
@@ -266,8 +276,9 @@ def cap_per_group(ds, group_column: str, order_column: str, *, n: int = 100):
     run_start = 0
     for i in range(len(g) + 1):
         if i == len(g) or (i > 0 and g[i] != g[i - 1]):
+            lim = limit_of(g[run_start], 0)
             keep.update((g[j], o[j]) for j in range(run_start,
-                                                   min(run_start + n, i)))
+                                                   min(run_start + lim, i)))
             run_start = i
     keep_ref = _ray.put(keep)
 
@@ -297,6 +308,33 @@ def sample_per_group(ds, group_column: str, key_column: str, *, n: int = 100):
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
     capped = cap_per_group(ranked, group_column, "__rank", n=n)
+    return capped.drop_columns(["__rank"])
+
+
+def quota_sample(ds, group_column: str, key_column: str, *,
+                 quotas: dict[str, int]):
+    """Resample a corpus to a target group mix (domain/language mixing —
+    the step that turns a crawl's natural skew into a training
+    distribution): per group ``g`` keep the ``quotas[g]`` rows with the
+    smallest md5(key); a group smaller than its quota is kept whole
+    (no upsampling), and groups absent from ``quotas`` are dropped.
+
+    Deterministic and RNG-free (bottom-k by hash = uniform without
+    replacement), so the same quotas reproduce the same corpus across
+    runs and engines — and the SQL twin is a window ``row_number() <=
+    CASE group ...``.  Scale shape inherited from :func:`cap_per_group`:
+    local per-batch prune → bounded candidate union → broadcast
+    keep-set; the keep-set is ≤ sum(quotas) rows, which for training
+    mixes is the (small) target corpus itself."""
+    from ..functions.hashing import md5_hex
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        return batch.append_column(
+            "__rank", pa.array([md5_hex(str(k)) for k in keys], pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    capped = cap_per_group(ranked, group_column, "__rank", n=quotas)
     return capped.drop_columns(["__rank"])
 
 

@@ -72,3 +72,21 @@ def test_cap_per_group(ray_session):
     for g in range(3):
         kept = sorted(out[out["g"] == g]["doc_id"])
         assert kept == sorted(d for d in range(60) if d % 3 == g)[:4]
+
+def test_quota_sample(ray_session):
+    import hashlib
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import quota_sample
+
+    rows = [{"doc_id": i, "g": ["a", "b", "c"][i % 3]} for i in range(90)]
+    quotas = {"a": 5, "b": 100}   # c absent -> dropped; b quota > size
+    out = quota_sample(dataset_from_items(rows), "g", "doc_id",
+                       quotas=quotas).to_pandas()
+    assert set(out["g"]) == {"a", "b"}
+    assert (out["g"] == "b").sum() == 30          # whole group kept
+    got_a = sorted(out[out["g"] == "a"]["doc_id"])
+    want_a = sorted((d for d in range(90) if d % 3 == 0),
+                    key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:5]
+    assert got_a == sorted(want_a)                # bottom-5 by md5
