@@ -338,6 +338,18 @@ def q_ngram_lm_score(sf_dir: str):
     return lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed n-gram importance weights toward the lang='en'
+    slice of the corpus (4096 md5 buckets, add-one smoothing): partial
+    bucket counts → broadcast term table → streaming score."""
+    from llm_food_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                        target_column="lang", target_value="en",
+                        num_buckets=4096).select_columns(
+                            ["doc_id", "n_grams", "log_w"])
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style training-sequence packing: the corpus token stream in
     doc_id order cut into 256-token sequences (docs cross boundaries).
@@ -1171,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
         "ngram_lm_score": q_ngram_lm_score,
+        "dsir_weights": q_dsir_weights,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1704,6 +1717,46 @@ WITH toks AS (
 )
 SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(a.nll, 0.0) AS nll
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM toks WHERE len(ws) >= 2
+), bkts AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 4096 AS bkt
+  FROM grams
+), src AS (
+  SELECT bkt, count(*)::BIGINT AS n FROM bkts GROUP BY bkt
+), tgt AS (
+  SELECT bkt, count(*)::BIGINT AS n FROM bkts WHERE lang = 'en' GROUP BY bkt
+), tot AS (
+  SELECT (SELECT count(*) FROM bkts)::DOUBLE + 4096 AS s,
+         (SELECT count(*) FROM bkts WHERE lang = 'en')::DOUBLE + 4096 AS t
+), terms AS (
+  SELECT b.doc_id,
+         ln((COALESCE(tg.n, 0) + 1.0::DOUBLE) / tot.t)
+         - ln((COALESCE(sr.n, 0) + 1.0::DOUBLE) / tot.s) AS term
+  FROM bkts b
+  LEFT JOIN tgt tg USING (bkt)
+  LEFT JOIN src sr USING (bkt)
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         round(sum(term), 6) AS log_w
+  FROM terms GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(a.log_w, 0.0) AS log_w
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "pack_sequences": r"""
