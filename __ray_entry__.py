@@ -338,6 +338,14 @@ def q_ngram_lm_score(sf_dir: str):
     return lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document: global df partials → broadcast
+    idf table → streaming per-doc top-k."""
+    from llm_food_ray.stages.search import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR-style hashed n-gram importance weights toward the lang='en'
     slice of the corpus (4096 md5 buckets, add-one smoothing): partial
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "ngram_lm_score": q_ngram_lm_score,
         "dsir_weights": q_dsir_weights,
+        "tfidf_terms": q_tfidf_terms,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -1718,6 +1727,31 @@ WITH toks AS (
 SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(a.nll, 0.0) AS nll
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        "tfidf_terms": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), n AS (
+  SELECT count(*)::DOUBLE + 1.0 AS nd FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+), tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM t GROUP BY w
+), scored AS (
+  SELECT tf.doc_id, tf.w AS term,
+         tf.tf * ln(n.nd / (df.df + 1.0::DOUBLE)) AS s
+  FROM tf JOIN df USING (w) CROSS JOIN n
+)
+SELECT doc_id, term, round(s, 6) AS score,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY s DESC, term) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY s DESC, term) <= 3
 """,
         "dsir_weights": r"""
 WITH toks AS (

@@ -129,3 +129,92 @@ def bm25_topk(ds, terms, k: int = 20, *, text_column: str = "text",
         batch_format="pyarrow")
     return candidates.sort(["score", key_column],
                            descending=[True, False]).limit(k)
+
+
+def train_df_counts(ds, text_column: str = "text"):
+    """→ (n_docs, {term: document frequency}) via per-batch partial
+    counts (one row per distinct term per batch plus one doc-count row —
+    the exchange is vocabulary-sized, never a row per token) merged by
+    one ``groupby.sum``.  At 100 TB the broadcast df table needs top-K
+    pruning exactly like the bigram LM (``stages/lm.py``); the idf floor
+    absorbs the dropped tail."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        n = 0
+        for t in batch.column(text_column).to_pylist():
+            n += 1
+            df.update(set(_tokens(t)))
+        kinds = ["n"] + ["t"] * len(df)
+        terms = [""] + list(df.keys())
+        ns = [n] + [df[w] for w in terms[1:]]
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "term": pa.array(terms, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["kind", "term"])
+                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    n_docs = 0
+    df: dict[str, int] = {}
+    for kind, term, n in merged.itertuples(index=False):
+        if kind == "n":
+            n_docs = int(n)
+        else:
+            df[term] = int(n)
+    return n_docs, df
+
+
+class TfidfTopTerms:
+    """Per-batch top-k TF-IDF terms per document against a broadcast df
+    table: score = tf · ln((N+1)/(df+1)), ties by ascending term."""
+
+    def __init__(self, n_docs: int, df: dict, *, k: int = 3,
+                 key_column: str = "doc_id", text_column: str = "text",
+                 digits: int = 6):
+        self.k = k
+        self.key_column = key_column
+        self.text_column = text_column
+        self.digits = digits
+        nd = float(n_docs) + 1.0
+        # idf precomputed once per actor: scoring is a dict lookup
+        self.idf = {w: math.log(nd / (c + 1.0)) for w, c in df.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import heapq
+        from collections import Counter
+
+        keys_out, terms_out, scores_out, ranks_out = [], [], [], []
+        keys = batch.column(self.key_column).to_pylist()
+        for key, t in zip(keys, batch.column(self.text_column).to_pylist()):
+            tf = Counter(_tokens(t))
+            items = [(w, c * self.idf[w]) for w, c in tf.items()]
+            top = heapq.nsmallest(self.k, items,
+                                  key=lambda it: (-it[1], it[0]))
+            for r, (w, s) in enumerate(top, start=1):
+                keys_out.append(key)
+                terms_out.append(w)
+                scores_out.append(round(s, self.digits))
+                ranks_out.append(r)
+        key_type = batch.schema.field(self.key_column).type
+        return pa.table({self.key_column: pa.array(keys_out, key_type),
+                         "term": pa.array(terms_out, pa.string()),
+                         "score": pa.array(scores_out, pa.float64()),
+                         "rank": pa.array(ranks_out, pa.int64())})
+
+
+def tfidf_top_terms(ds, *, key_column: str = "doc_id",
+                    text_column: str = "text", k: int = 3):
+    """Per-document top-k TF-IDF terms (the classic keyword-extraction /
+    document-tagging signal): train global document frequencies, then
+    one streaming scoring pass.  ``ds`` is consumed twice — pass the
+    pruned 2-column read so each pass streams from storage."""
+    n_docs, df = train_df_counts(ds, text_column)
+    return ds.map_batches(
+        TfidfTopTerms(n_docs, df, k=k, key_column=key_column,
+                      text_column=text_column),
+        batch_format="pyarrow",
+    )

@@ -65,3 +65,34 @@ def test_bm25_empty_and_missing_terms(ray_session):
                                     "text": pa.array([], pa.string())}))
     out = bm25_topk(empty, ("x",), 5).to_pandas()
     assert len(out) == 0
+
+def test_tfidf_top_terms_brute(ray_session):
+    import math
+    from collections import Counter
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.search import tfidf_top_terms
+
+    rows = [
+        {"doc_id": 1, "text": "apple banana apple cherry"},
+        {"doc_id": 2, "text": "banana banana date"},
+        {"doc_id": 3, "text": "apple date date date"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = (tfidf_top_terms(dataset_from_items(rows), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    # brute force
+    df = Counter()
+    for r in rows:
+        df.update(set(r["text"].split()))
+    nd = len(rows) + 1.0
+    want = []
+    for r in rows:
+        tf = Counter(r["text"].split())
+        items = sorted(((w, c * math.log(nd / (df[w] + 1.0)))
+                        for w, c in tf.items()), key=lambda it: (-it[1], it[0]))
+        for rank, (w, s) in enumerate(items[:2], start=1):
+            want.append((r["doc_id"], w, round(s, 6), rank))
+    assert list(map(tuple, got[["doc_id", "term", "score", "rank"]]
+                    .itertuples(index=False))) == want
