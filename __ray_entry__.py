@@ -901,6 +901,16 @@ def q_resample_mix(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_corpus_sample(sf_dir: str):
+    """Global deterministic 100-doc sample (bottom-k by md5 across the
+    whole corpus — RNG-free, cluster-size-independent)."""
+    from llm_food_ray.stages.textstats import corpus_sample
+
+    return (corpus_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                          "doc_id", n=100)
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_curate(sf_dir: str):
     """Composed training-data curation flagship — the full droppy half of
     the engine in ONE streaming pipeline over documents:
@@ -1216,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_lang": q_cap_per_lang,
         "sample_per_lang": q_sample_per_lang,
         "resample_mix": q_resample_mix,
+        "corpus_sample": q_corpus_sample,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1970,6 +1981,10 @@ QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY md5(doc_id::VARCHAR))
         <= CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 40
                      WHEN 'es' THEN 40 WHEN 'de' THEN 80 ELSE 0 END
+""",
+        "corpus_sample": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
 """,
         "dedup_paragraph": r"""
 WITH aug AS (

@@ -338,6 +338,30 @@ def quota_sample(ds, group_column: str, key_column: str, *,
     return capped.drop_columns(["__rank"])
 
 
+def corpus_sample(ds, key_column: str, *, n: int = 1000):
+    """Global deterministic uniform sample: keep the ``n`` rows with the
+    smallest md5(key) across the WHOLE corpus (the RNG-free analogue of
+    ``ds.random_sample`` — reproducible across runs, engines, and
+    cluster sizes, which per-block RNG sampling is not).
+
+    Scale shape: each batch prunes locally to its bottom-n hashes, so
+    the global resolve sees ≤ blocks×n candidate rows and the final
+    keep-set is exactly ``n`` — both independent of corpus size; the
+    keep-set broadcasts back as a second streaming filter pass."""
+    from ..functions.hashing import md5_hex
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        rank = [md5_hex(str(k)) for k in keys]
+        grp = pa.array([0] * len(keys), pa.int32())
+        b = batch.append_column("__rank", pa.array(rank, pa.string()))
+        return b.append_column("__all", grp)
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    capped = cap_per_group(ranked, "__all", "__rank", n=n)
+    return capped.drop_columns(["__rank", "__all"])
+
+
 def decontaminate(ds, text_column: str = "text", *, contaminated,
                   n: int = 13):
     """Benchmark decontamination: drop every document whose text contains

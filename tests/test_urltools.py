@@ -90,3 +90,17 @@ def test_quota_sample(ray_session):
     want_a = sorted((d for d in range(90) if d % 3 == 0),
                     key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:5]
     assert got_a == sorted(want_a)                # bottom-5 by md5
+
+def test_corpus_sample(ray_session):
+    import hashlib
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import corpus_sample
+
+    rows = [{"doc_id": i, "lang": "en"} for i in range(200)]
+    out = corpus_sample(dataset_from_items(rows), "doc_id", n=25).to_pandas()
+    want = sorted(range(200),
+                  key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:25]
+    assert sorted(out["doc_id"]) == sorted(want)
+    assert list(out.columns) == ["doc_id", "lang"]
