@@ -901,6 +901,15 @@ def q_resample_mix(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_median_len(sf_dir: str):
+    """Exact per-language median document length via value-histogram
+    partials (no corpus sort)."""
+    from llm_food_ray.stages.textstats import grouped_median
+
+    return grouped_median(_docs(sf_dir, ["lang", "n_chars"]),
+                          "lang", "n_chars")
+
+
 def q_corpus_sample(sf_dir: str):
     """Global deterministic 100-doc sample (bottom-k by md5 across the
     whole corpus — RNG-free, cluster-size-independent)."""
@@ -1227,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": q_sample_per_lang,
         "resample_mix": q_resample_mix,
         "corpus_sample": q_corpus_sample,
+        "median_len": q_median_len,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1985,6 +1995,10 @@ QUALIFY row_number() OVER (PARTITION BY lang
         "corpus_sample": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
+""",
+        "median_len": """
+SELECT lang, round(median(n_chars)::DOUBLE, 6) AS median
+FROM documents GROUP BY lang
 """,
         "dedup_paragraph": r"""
 WITH aug AS (

@@ -205,6 +205,54 @@ def grouped_rollup(ds, key_column: str, value_column: str, *,
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
+def grouped_median(ds, key_column: str, value_column: str, *,
+                   digits: int = 6):
+    """Exact per-group median via value-histogram partials: each batch
+    pre-aggregates (key, value) → count, one ``groupby.sum`` merges the
+    histograms, and the median is read off the merged counts (mean of
+    the two middle values for even group sizes — DuckDB ``median()``
+    semantics).
+
+    Scale shape: the exchange ships histogram rows (keys × distinct
+    values per block), never data rows — exact quantiles without a
+    corpus sort.  Holds when the value domain is bounded (document
+    lengths, scores, token counts — the usual telemetry columns); for
+    unbounded/continuous domains swap in a t-digest sketch behind the
+    same partial/merge shape."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column, value_column]).aggregate(
+            [(value_column, "count")])
+        return g.rename_columns([key_column, value_column, "n"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    merged = merged.sort_values([key_column, value_column])
+    out_keys, out_med = [], []
+    for key, grp in merged.groupby(key_column, sort=True):
+        vals = grp[value_column].to_numpy()
+        cnts = grp["n"].to_numpy()
+        total = int(cnts.sum())
+        cum = cnts.cumsum()
+        if total % 2:
+            mid = float(vals[int((cum > total // 2).argmax())])
+        else:
+            lo = float(vals[int((cum >= total // 2).argmax())])
+            hi = float(vals[int((cum >= total // 2 + 1).argmax())])
+            mid = (lo + hi) / 2.0
+        out_keys.append(key)
+        out_med.append(round(mid, digits))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        key_column: pa.array(out_keys),
+        "median": pa.array(out_med, pa.float64()),
+    }))
+
+
 def hash_split(ds, key_column: str = "doc_id", *, test_pct: int = 10):
     """Deterministic held-out split: md5 of the stringified key maps each
     row to a stable [0, 100) bucket; rows under ``test_pct`` become

@@ -104,3 +104,19 @@ def test_corpus_sample(ray_session):
                   key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:25]
     assert sorted(out["doc_id"]) == sorted(want)
     assert list(out.columns) == ["doc_id", "lang"]
+
+def test_grouped_median(ray_session):
+    import statistics
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_median
+
+    rows = ([{"g": "a", "v": v} for v in (5, 1, 9, 3)]        # even: 4.0
+            + [{"g": "b", "v": v} for v in (10, 2, 7)]        # odd: 7
+            + [{"g": "c", "v": v} for v in (4, 4, 4, 8)])     # ties: 4.0
+    out = (grouped_median(dataset_from_items(rows), "g", "v")
+           .to_pandas().set_index("g")["median"])
+    for g in ("a", "b", "c"):
+        want = statistics.median([r["v"] for r in rows if r["g"] == g])
+        assert out[g] == float(want)
