@@ -350,6 +350,15 @@ def _ragged_gather(off: np.ndarray, flat: np.ndarray, idx: np.ndarray):
 
 
 def _binary_from_ragged(new_off: np.ndarray, flat_u8: np.ndarray) -> pa.Array:
+    # int32 offsets wrap silently past 2 GiB — fail loudly instead of
+    # scoring garbage signatures (a semijoin bucket CAN reach this at
+    # ~4M × 512 B sigs; the fix is more/smaller buckets, not int64 here,
+    # because mixed binary/large_binary block schemas don't concat).
+    if len(new_off) and int(new_off[-1]) >= 2**31:
+        raise ValueError(
+            f"ragged binary payload {int(new_off[-1])} B exceeds the 2 GiB "
+            "int32-offset limit for one block; increase num_partitions / "
+            "num_coarse so each bucket's signature payload stays under 2 GiB")
     return pa.Array.from_buffers(
         pa.binary(), len(new_off) - 1,
         [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
@@ -1723,42 +1732,45 @@ def drop_nodes_min_label(labels):
 def dedup_near_keep(ds, key_column: str, pairs_ds, *,
                     num_partitions: int | None = None,
                     cluster_exec: str = "auto",
-                    local_budget_pairs: int = 50_000_000):
+                    local_budget_pairs: int = 50_000_000,
+                    local_budget_bytes: int = 2_000_000_000):
     """Near-dup kept-set: cluster the confirmed pairs, then drop every
     cluster member except its min-key root.
 
     ``cluster_exec`` mirrors the verify-plan gating:
-    - "local": one union-find pass over the collected pair set, drop set
-      broadcast once via ``ray.put`` and applied as a vectorized
-      ``is_in`` filter — no shuffle at all.  The right plan while the
-      pair set fits one machine (pairs are confirmed DUPLICATES, so
-      their count is bounded by the corpus duplication mass, not the
-      corpus).
+    - "local": one vectorized min-label pass over the collected pair
+      columns (Arrow dictionary-encode → numpy label propagation, never
+      Python tuples), drop set broadcast once via ``ray.put`` and
+      applied as a vectorized ``is_in`` filter — no shuffle at all.
+      The right plan while the pair set fits one machine (pairs are
+      confirmed DUPLICATES, so their count is bounded by the corpus
+      duplication mass, not the corpus).
     - "distributed": min-label-propagation connected components
       (``clusters_min_label``) + LEFT ANTI drop-join — nothing pair- or
       cluster-shaped on the driver; the 100-TB path.
     - "auto" (default): "local" while the confirmed pair count fits
-      ``local_budget_pairs``, else "distributed"."""
+      ``local_budget_pairs`` AND the pair payload fits
+      ``local_budget_bytes`` (the byte gate is what matters for string
+      keys — 50M URL pairs is tens of GB), else "distributed"."""
     if cluster_exec not in ("auto", "local", "distributed"):
         raise ValueError(f"cluster_exec={cluster_exec!r}")
     if cluster_exec == "auto":
         pairs_ds = pairs_ds.materialize()
-        cluster_exec = ("local" if pairs_ds.count() <= local_budget_pairs
+        cluster_exec = ("local"
+                        if pairs_ds.count() <= local_budget_pairs
+                        and (pairs_ds.size_bytes() or 0) <= local_budget_bytes
                         else "distributed")
     if cluster_exec == "local":
         import pyarrow.compute as pc
 
         import ray as _ray
 
-        pairs = []
-        for b in pairs_ds.select_columns(["a", "b"]).iter_batches(
-                batch_size=None, batch_format="pyarrow"):
-            pairs.extend(zip(b.column("a").to_pylist(),
-                             b.column("b").to_pylist()))
-        drop = drop_set_from_pairs(pairs)
-        if not drop:
+        batches = list(pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+        drop = _drop_array_from_pair_batches(batches)
+        if drop is None:
             return ds
-        drop_ref = _ray.put(pa.array(sorted(drop)))
+        drop_ref = _ray.put(drop)
 
         def keep(b: pa.Table) -> pa.Table:
             mask = pc.invert(pc.is_in(b.column(key_column),
@@ -1776,6 +1788,56 @@ def dedup_near_keep(ds, key_column: str, pairs_ds, *,
 
 
 # ------------------------------------------------------- union-find ----
+
+
+def _drop_array_from_pair_batches(batches: list[pa.Table]):
+    """Columnar local clustering: pair batches (a, b) → sorted pa.Array
+    of keys to DROP (every cluster member except its min-key root), or
+    ``None`` when there is nothing to drop.
+
+    Keys stay in Arrow/numpy end to end — dictionary-encode both pair
+    columns to int codes, relabel codes into key-sort-rank space so
+    "min label" == "min key", then vectorized min-label propagation with
+    pointer jumping (converges in O(log diameter) sweeps; duplicate
+    clusters are shallow).  Same min-root semantics as
+    ``clusters_from_pairs`` (pytest-pinned), without materializing one
+    Python tuple per pair."""
+    import pyarrow.compute as pc
+
+    tables = [t for t in batches if len(t)]
+    if not tables:
+        return None
+    tbl = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    n_pairs = len(tbl)
+    both = pa.concat_arrays(
+        [c for col in (tbl.column("a"), tbl.column("b"))
+         for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col])])
+    enc = both.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    n_keys = len(dictionary)
+    # rank[code] = position of that key in ascending key order, so the
+    # minimum LABEL is always the minimum KEY of the component.
+    sort_idx = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(n_keys, dtype=np.int64)
+    rank[sort_idx] = np.arange(n_keys, dtype=np.int64)
+    ra = rank[codes[:n_pairs]]
+    rb = rank[codes[n_pairs:]]
+    lab = np.arange(n_keys, dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, ra, lab[rb])
+        np.minimum.at(nxt, rb, lab[ra])
+        nxt = np.minimum(nxt, nxt[nxt])       # pointer jumping
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    drop_ranks = np.nonzero(lab != np.arange(n_keys, dtype=np.int64))[0]
+    if not len(drop_ranks):
+        return None
+    # drop_ranks ascending in rank space == ascending key order
+    sorted_keys = dictionary.take(pa.array(sort_idx))
+    return sorted_keys.take(pa.array(drop_ranks))
 
 
 def clusters_from_pairs(pairs: list[tuple]) -> dict:

@@ -271,12 +271,22 @@ def hash_split(ds, key_column: str = "doc_id", *, test_pct: int = 10):
 
 
 def cap_per_group(ds, group_column: str, order_column: str, *,
-                  n: int | dict = 100):
+                  n: int | dict = 100, tiebreak_column: str | None = None):
     """Per-group cap: keep the ``n`` smallest ``order_column`` rows per
     group (e.g. at most N documents per language/host — the standard
     anti-domination cap before training).  ``n`` may be a mapping
     {group: limit} for per-group quotas; groups absent from the mapping
     get limit 0 (dropped) — the quota-resampling form.
+
+    The keep-set is keyed on the row's FULL sort key, so the cap is
+    exact even when order values tie at the boundary: pass
+    ``tiebreak_column`` (a unique row key, e.g. the doc id) whenever
+    ``order_column`` can repeat — the sort and the keep key become
+    (group, order, tiebreak) and exactly ``n`` rows survive per group
+    (matching a ``row_number() OVER (ORDER BY order, tiebreak)`` SQL
+    twin).  Without a tiebreak, a tie straddling the cap boundary is
+    DETECTED at resolve time and raises (silently keeping every tied
+    row would violate the n-rows contract).
 
     Scale shape: each batch pre-prunes to its local per-group top-n (an
     Arrow sort + per-group head — batches never ship more than
@@ -294,18 +304,32 @@ def cap_per_group(ds, group_column: str, order_column: str, *,
     else:
         limit_of = (lambda _g, _default=0, _n=n: _n)
 
+    key_cols = [group_column, order_column] + (
+        [tiebreak_column] if tiebreak_column else [])
+    sort_keys = [(c, "ascending") for c in key_cols]
+
     def local_candidates(batch: pa.Table) -> pa.Table:
-        t = batch.select([group_column, order_column])
-        order = pc.sort_indices(t, sort_keys=[(group_column, "ascending"),
-                                              (order_column, "ascending")])
-        t = t.take(order)
+        t = batch.select(key_cols)
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         g = t.column(group_column).to_pylist()
+        o = (t.column(order_column).to_pylist()
+             if tiebreak_column is None else None)
         keep_idx = []
         run_start = 0
         for i in range(len(g) + 1):
             if i == len(g) or (i > 0 and g[i] != g[i - 1]):
                 lim = limit_of(g[run_start], 0)
-                keep_idx.extend(range(run_start, min(run_start + lim, i)))
+                cut = min(run_start + lim, i)
+                # a tie straddling the LOCAL prune boundary would be
+                # invisible to the global resolve yet pass the (g, o)
+                # keep-filter — detect it here, where the row still exists
+                if (o is not None and run_start < cut < i
+                        and o[cut] == o[cut - 1]):
+                    raise ValueError(
+                        f"cap_per_group: order ties at the cap boundary in "
+                        f"group {g[run_start]!r} (order={o[cut]!r}); pass a "
+                        "unique tiebreak_column to make the cap exact")
+                keep_idx.extend(range(run_start, cut))
                 run_start = i
         return t.take(pa.array(keep_idx))
 
@@ -315,26 +339,30 @@ def cap_per_group(ds, group_column: str, order_column: str, *,
     if not cand_batches:
         return ds
     cand = pa.concat_tables(cand_batches, promote_options="default")
-    order = pc.sort_indices(cand, sort_keys=[(group_column, "ascending"),
-                                             (order_column, "ascending")])
-    cand = cand.take(order)
-    g = cand.column(group_column).to_pylist()
-    o = cand.column(order_column).to_pylist()
+    cand = cand.take(pc.sort_indices(cand, sort_keys=sort_keys))
+    rows = [cand.column(c).to_pylist() for c in key_cols]
+    g = rows[0]
     keep: set = set()
     run_start = 0
     for i in range(len(g) + 1):
         if i == len(g) or (i > 0 and g[i] != g[i - 1]):
             lim = limit_of(g[run_start], 0)
-            keep.update((g[j], o[j]) for j in range(run_start,
-                                                   min(run_start + lim, i)))
+            cut = min(run_start + lim, i)
+            if (tiebreak_column is None and run_start < cut < i
+                    and rows[1][cut] == rows[1][cut - 1]):
+                raise ValueError(
+                    f"cap_per_group: order ties at the cap boundary in group "
+                    f"{g[run_start]!r} (order={rows[1][cut]!r}); pass a unique "
+                    "tiebreak_column to make the n-rows-per-group cap exact")
+            keep.update(tuple(col[j] for col in rows)
+                        for j in range(run_start, cut))
             run_start = i
     keep_ref = _ray.put(keep)
 
     def filt(batch: pa.Table) -> pa.Table:
         kset = _ray.get(keep_ref)
-        g = batch.column(group_column).to_pylist()
-        o = batch.column(order_column).to_pylist()
-        mask = pa.array([(a, b) in kset for a, b in zip(g, o)], pa.bool_())
+        cols = [batch.column(c).to_pylist() for c in key_cols]
+        mask = pa.array([key in kset for key in zip(*cols)], pa.bool_())
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
@@ -355,7 +383,8 @@ def sample_per_group(ds, group_column: str, key_column: str, *, n: int = 100):
             "__rank", pa.array([md5_hex(str(k)) for k in keys], pa.string()))
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
-    capped = cap_per_group(ranked, group_column, "__rank", n=n)
+    capped = cap_per_group(ranked, group_column, "__rank", n=n,
+                           tiebreak_column=key_column)
     return capped.drop_columns(["__rank"])
 
 
@@ -382,7 +411,8 @@ def quota_sample(ds, group_column: str, key_column: str, *,
             "__rank", pa.array([md5_hex(str(k)) for k in keys], pa.string()))
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
-    capped = cap_per_group(ranked, group_column, "__rank", n=quotas)
+    capped = cap_per_group(ranked, group_column, "__rank", n=quotas,
+                           tiebreak_column=key_column)
     return capped.drop_columns(["__rank"])
 
 
@@ -406,7 +436,8 @@ def corpus_sample(ds, key_column: str, *, n: int = 1000):
         return b.append_column("__all", grp)
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
-    capped = cap_per_group(ranked, "__all", "__rank", n=n)
+    capped = cap_per_group(ranked, "__all", "__rank", n=n,
+                           tiebreak_column=key_column)
     return capped.drop_columns(["__rank", "__all"])
 
 

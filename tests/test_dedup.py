@@ -351,3 +351,39 @@ def test_minhash_paths_random_corpus(ray_session, seed):
         .to_pandas()["doc_id"])
     assert kept_local == kept_dist
     assert len(kept_local) < len(docs)
+
+
+def test_drop_array_columnar_matches_tuple_union_find():
+    """The Arrow/numpy local clustering (r3: no Python tuples) must agree
+    with the tuple union-find on chains, stars, and string keys."""
+    import random
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.dedup import (
+        _drop_array_from_pair_batches, drop_set_from_pairs)
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],                       # chain + pair
+        [(5, 1), (5, 9), (5, 3)],                         # star, root not min
+        [("u9", "u2"), ("u2", "u0"), ("u7", "u7x")],      # string keys
+        [],                                               # nothing
+    ]
+    # randomized: 200 edges over 80 nodes
+    nodes = list(range(80))
+    cases.append([(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)])
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        want = drop_set_from_pairs(pairs)
+        if pairs:
+            t = pa.table({"a": [a for a, _ in pairs],
+                          "b": [b for _, b in pairs]})
+            batches = [t.slice(0, len(t) // 2), t.slice(len(t) // 2)]
+        else:
+            batches = []
+        got = _drop_array_from_pair_batches(batches)
+        got_set = set(got.to_pylist()) if got is not None else set()
+        assert got_set == want, pairs
+        if got is not None:
+            assert got.to_pylist() == sorted(got.to_pylist())
