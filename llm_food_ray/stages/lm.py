@@ -3,20 +3,33 @@ signal (CCNet / Wenzek et al. 2020 filter docs by LM perplexity; here the
 LM is a bigram model with add-one smoothing trained on the corpus itself,
 so the whole operator stays deterministic and SQL-reconstructible).
 
-Shape:
+Shape (r3: bounded model, vectorized scoring — the r2 VERDICT items):
 
-1. **Train**: per-batch PARTIAL unigram+bigram counts (a local hash
-   aggregation — the exchange ships vocabulary-sized partials, never a
-   row per token), one ``groupby.sum`` merges them, and the merged table
-   broadcasts to the scorers.  At web scale the broadcast LM must be
-   PRUNED (top-K n-grams; the smoothing floor absorbs the dropped tail —
-   the standard CCNet practice) or partition-joined in fingerprint space
-   like ``stages/dedup`` verification; the synthetic corpus vocabulary
-   is small enough to broadcast whole.
-2. **Score**: one streaming ``map_batches`` computes each document's
-   mean negative log-likelihood  −(1/B)·Σ ln((c(w₁w₂)+1)/(c(w₁)+V))
-   over its B bigrams (V = unigram vocabulary size); docs with <2
+1. **Train**: per-batch PARTIAL unigram+bigram counts keyed by 64-bit
+   GRAM FINGERPRINTS (md5-derived token hash; bigram = splitmix64 mix of
+   the two token hashes) — the exchange and the merged model are fixed
+   16 B/row regardless of token length, and no gram STRING ever reaches
+   the driver.  One ``groupby.sum`` merges the partials; rows below
+   ``min_count`` are pruned BEFORE the driver gather, so the broadcast
+   model size is the count of grams above threshold (Zipf-bounded at
+   web scale — the add-one smoothing floor absorbs the dropped tail,
+   standard CCNet practice).  ``min_count=1`` (default) prunes nothing
+   and is bit-exact vs the full-vocabulary SQL oracle; at 100 TB set
+   ``min_count`` ≥ 2–5.  The unigram vocabulary size V (the smoothing
+   denominator) is counted exactly BEFORE pruning, from per-block
+   scalars — never a driver materialization.
+2. **Score**: an actor-pool ``map_batches`` hashes each batch's tokens
+   once (per-actor Zipf cache), then scores every bigram with ONE
+   ``np.searchsorted`` per table against the broadcast sorted
+   fingerprint arrays — no per-token Python dict lookups.  Each
+   document's mean NLL is −(1/B)·Σ ln((c(w₁w₂)+1)/(c(w₁)+V)) over its B
+   bigrams, summed in token order via ``np.add.reduceat``; docs with <2
    tokens score 0 with ``n_bigrams`` 0.
+
+Fingerprint collisions would merge two grams' counts; at 64 bits the
+probability is ~n²/2⁶⁵ (≈3e-8 for a 10⁶-gram vocabulary) — the same
+fp-space argument the dedup family (``stages/dedup.py``) relies on, and
+any collision is deterministic, so the oracle gate would catch it.
 
 Tokenization is whitespace split (== the SQL oracle); the score rounds
 to 6 decimals so cross-engine log/summation-order ulps cancel.
@@ -27,23 +40,174 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import _mix64, stable_hash64
 
-def _tokens(text: str) -> list[str]:
-    return (text or "").split()
+_FNV = np.uint64(1099511628211)
+
+
+class _TokenHasher:
+    """Per-actor token → u64 fingerprint cache (md5-derived, portable);
+    Zipf text makes the distinct-token rate per batch tiny, so the md5
+    runs once per distinct token per actor, not once per occurrence."""
+
+    _CACHE_CAP = 1_000_000
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def hash_tokens(self, ws: list[str]) -> np.ndarray:
+        c = self._cache
+        if len(c) > self._CACHE_CAP:
+            c.clear()
+        out = np.empty(len(ws), dtype=np.uint64)
+        for i, w in enumerate(ws):
+            h = c.get(w)
+            if h is None:
+                h = stable_hash64(w)
+                c[w] = h
+            out[i] = h
+        return out
+
+
+def _bigram_fp(th: np.ndarray) -> np.ndarray:
+    """u64 bigram fingerprint from consecutive token fingerprints."""
+    return _mix64(th[:-1] * _FNV + th[1:])
+
+
+def _lookup_counts(keys_sorted: np.ndarray, counts: np.ndarray,
+                   q: np.ndarray) -> np.ndarray:
+    """Vectorized count lookup: searchsorted against the sorted
+    fingerprint table; misses (pruned / unseen grams) return 0."""
+    if keys_sorted.size == 0 or q.size == 0:
+        return np.zeros(q.size, dtype=np.int64)
+    pos = np.searchsorted(keys_sorted, q)
+    pos = np.minimum(pos, keys_sorted.size - 1)
+    return np.where(keys_sorted[pos] == q, counts[pos], 0)
+
+
+def _pack_model_from_dicts(uni: dict, big: dict) -> dict:
+    """String-keyed count dicts → packed fingerprint model (pytest /
+    score-with-external-counts path; bigram keys are 'w1 w2')."""
+    hasher = _TokenHasher()
+    u_h = hasher.hash_tokens(list(uni.keys()))
+    b_fp = np.fromiter(
+        (int(_bigram_fp(hasher.hash_tokens(g.split(" ")))[0])
+         for g in big.keys()),
+        dtype=np.uint64, count=len(big))
+    u_ord = np.argsort(u_h)
+    b_ord = np.argsort(b_fp)
+    return {
+        "u_h": u_h[u_ord],
+        "u_n": np.fromiter(uni.values(), np.int64, len(uni))[u_ord],
+        "b_h": b_fp[b_ord],
+        "b_n": np.fromiter(big.values(), np.int64, len(big))[b_ord],
+        "v": float(len(uni)),
+    }
+
+
+class _GramPartials(_TokenHasher):
+    """Per-batch partial (kind, fingerprint, n) counts via np.unique —
+    the exchange ships vocabulary-sized 17 B rows, never a row per
+    token occurrence and never a gram string."""
+
+    def __init__(self, text_column: str):
+        super().__init__()
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uni_parts, big_parts = [], []
+        for t in batch.column(self.text_column).to_pylist():
+            ws = (t or "").split()
+            if not ws:
+                continue
+            th = self.hash_tokens(ws)
+            uni_parts.append(th)
+            if len(th) > 1:
+                big_parts.append(_bigram_fp(th))
+        uh, un = (np.unique(np.concatenate(uni_parts), return_counts=True)
+                  if uni_parts else (np.empty(0, np.uint64),
+                                     np.empty(0, np.int64)))
+        bh, bn = (np.unique(np.concatenate(big_parts), return_counts=True)
+                  if big_parts else (np.empty(0, np.uint64),
+                                     np.empty(0, np.int64)))
+        # fingerprints ride the exchange as BIT-IDENTICAL int64 — Ray's
+        # groupby object-boxes uint64 keys above int64 max
+        return pa.table({
+            "kind": pa.array([0] * len(uh) + [1] * len(bh), pa.int8()),
+            "h": pa.array(np.concatenate([uh, bh]).view(np.int64), pa.int64()),
+            "n": pa.array(np.concatenate([un, bn]).astype(np.int64),
+                          pa.int64()),
+        })
+
+
+def train_bigram_model(ds, text_column: str = "text", *,
+                       min_count: int = 1) -> dict:
+    """→ packed fingerprint model {u_h, u_n, b_h, b_n, v}: distributed
+    partial counts, one groupby.sum merge, exact pre-prune V from
+    per-block scalars, pruned gather as fixed-width numpy arrays."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    merged = (ds.map_batches(_GramPartials(text_column),
+                             batch_format="pyarrow")
+                .groupby(["kind", "h"])
+                .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def block_v(b: pa.Table) -> pa.Table:
+        nv = pc.sum(pc.cast(pc.equal(b.column("kind"), 0), pa.int64()))
+        return pa.table({"nv": pa.array([nv.as_py() or 0], pa.int64())})
+
+    v = sum(b.column("nv")[0].as_py()
+            for b in merged.map_batches(block_v, batch_format="pyarrow")
+                           .iter_batches(batch_size=None,
+                                         batch_format="pyarrow"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        if min_count <= 1:
+            return b
+        return b.filter(pc.greater_equal(b.column("n"), min_count))
+
+    tables = [b for b in merged.map_batches(prune, batch_format="pyarrow")
+                               .iter_batches(batch_size=None,
+                                             batch_format="pyarrow")
+              if len(b)]
+    if tables:
+        t = pa.concat_tables(tables, promote_options="default")
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        h = (t.column("h").to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        kind = np.empty(0, np.int8)
+        h = np.empty(0, np.uint64)
+        n = np.empty(0, np.int64)
+    model = {}
+    for k, pre in ((0, "u"), (1, "b")):
+        sel = kind == k
+        hk, nk = h[sel], n[sel]
+        order = np.argsort(hk)
+        model[f"{pre}_h"] = hk[order]
+        model[f"{pre}_n"] = nk[order]
+    model["v"] = float(v)
+    return model
 
 
 def train_bigram_counts(ds, text_column: str = "text"):
-    """→ (unigram Counter, bigram Counter) merged across the corpus via
-    pre-aggregated partials + one vocabulary-sized groupby."""
+    """→ (unigram Counter, bigram Counter) as STRING-keyed dicts — the
+    small-scale/pytest reference twin of :func:`train_bigram_model`
+    (drives the pruned≡unpruned and hashed≡string equivalence tests);
+    the scale path never materializes gram strings."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         uni: Counter = Counter()
         big: Counter = Counter()
         for t in batch.column(text_column).to_pylist():
-            ws = _tokens(t)
+            ws = (t or "").split()
             uni.update(ws)
             big.update(" ".join(p) for p in zip(ws, ws[1:]))
         kinds, grams, ns = [], [], []
@@ -65,45 +229,80 @@ def train_bigram_counts(ds, text_column: str = "text"):
     return uni, big
 
 
-class BigramNllScorer:
-    """Per-batch mean bigram NLL against broadcast corpus counts."""
+class BigramNllScorer(_TokenHasher):
+    """Per-batch mean bigram NLL against the broadcast fingerprint
+    model: tokens hashed once (per-actor cache), counts fetched with one
+    searchsorted per table, per-doc sums via np.add.reduceat — no
+    per-token Python dict lookups (r2 VERDICT item #2).
 
-    def __init__(self, uni: dict, big: dict, key_column: str = "doc_id",
-                 text_column: str = "text", digits: int = 6):
-        self.uni = dict(uni)
-        self.big = dict(big)
-        self.v = float(len(self.uni))
+    Constructible from string count dicts ``(uni, big)`` (pytest /
+    external-counts path) or from a packed ``model`` dict / ObjectRef
+    (the :func:`lm_score` broadcast path)."""
+
+    def __init__(self, uni: dict | None = None, big: dict | None = None,
+                 key_column: str = "doc_id", text_column: str = "text",
+                 digits: int = 6, model=None):
+        super().__init__()
+        self._model_src = (model if model is not None
+                           else _pack_model_from_dicts(uni or {}, big or {}))
+        self._model = None
         self.key_column = key_column
         self.text_column = text_column
         self.digits = digits
 
+    def _get_model(self) -> dict:
+        if self._model is None:
+            src = self._model_src
+            if type(src).__name__ == "ObjectRef":
+                import ray as _ray
+
+                src = _ray.get(src)
+            self._model = src
+        return self._model
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_big, nll = [], []
-        for t in batch.column(self.text_column).to_pylist():
-            ws = _tokens(t)
+        m = self._get_model()
+        texts = batch.column(self.text_column).to_pylist()
+        n_big = np.zeros(len(texts), dtype=np.int64)
+        u_parts, b_parts = [], []
+        for i, t in enumerate(texts):
+            ws = (t or "").split()
             if len(ws) < 2:
-                n_big.append(0)
-                nll.append(0.0)
                 continue
-            s = 0.0
-            b = 0
-            for w1, w2 in zip(ws, ws[1:]):
-                cb = self.big.get(w1 + " " + w2, 0)
-                cu = self.uni.get(w1, 0)
-                s += -math.log((cb + 1.0) / (cu + self.v))
-                b += 1
-            n_big.append(b)
-            nll.append(round(s / b, self.digits))
+            th = self.hash_tokens(ws)
+            u_parts.append(th[:-1])
+            b_parts.append(_bigram_fp(th))
+            n_big[i] = len(ws) - 1
+        nll = [0.0] * len(texts)
+        if u_parts:
+            cu = _lookup_counts(m["u_h"], m["u_n"], np.concatenate(u_parts))
+            cb = _lookup_counts(m["b_h"], m["b_n"], np.concatenate(b_parts))
+            terms = -np.log((cb + 1.0) / (cu + m["v"]))
+            lens = n_big[n_big > 0]
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            sums = np.add.reduceat(terms, starts)
+            for j, i in enumerate(np.nonzero(n_big > 0)[0]):
+                nll[i] = round(float(sums[j]) / int(lens[j]), self.digits)
         return pa.table({self.key_column: batch.column(self.key_column),
                          "n_bigrams": pa.array(n_big, pa.int64()),
                          "nll": pa.array(nll, pa.float64())})
 
 
-def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text"):
-    """Train the corpus bigram LM, then score every document's mean
-    negative log-likelihood in one streaming pass."""
-    uni, big = train_bigram_counts(ds, text_column)
+def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text",
+             min_count: int = 1):
+    """Train the corpus bigram LM (fingerprint-keyed, pruned at
+    ``min_count``), broadcast it once via ``ray.put``, then score every
+    document's mean negative log-likelihood in one streaming actor-pool
+    pass."""
+    import ray as _ray
+
+    model_ref = _ray.put(train_bigram_model(ds, text_column,
+                                            min_count=min_count))
     return ds.map_batches(
-        BigramNllScorer(uni, big, key_column, text_column),
+        BigramNllScorer,
+        fn_constructor_kwargs={"key_column": key_column,
+                               "text_column": text_column,
+                               "model": model_ref},
+        concurrency=(1, 8),
         batch_format="pyarrow",
     )
