@@ -1181,19 +1181,24 @@ def q_multimodal_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver's correctness gate checks the FIRST 50
+    # entries, so the r2-unchecked registry tail (cap_per_lang …
+    # multimodal_probe) now sits up front and 9 long-green extract/chunk
+    # variants (pass-stable since r1, still pytest-covered) rotate to
+    # the tail (VERDICT r2 item #5).
     return {
         "extract_pages": q_extract_pages,
         "extract_auto": q_extract_auto,
-        "extract_hash": q_extract_hash,
         "extract_status_counts": q_extract_status_counts,
-        "chunk_token": q_chunk_token,
-        "extract_chunks": q_extract_chunks,
-        "extract_docx": q_extract_docx,
-        "extract_rtf": q_extract_rtf,
-        "extract_pptx": q_extract_pptx,
-        "chunk_sentence": q_chunk_sentence,
-        "chunk_recursive": q_chunk_recursive,
-        "extract_spans": q_extract_spans,
+        "cap_per_lang": q_cap_per_lang,
+        "sample_per_lang": q_sample_per_lang,
+        "resample_mix": q_resample_mix,
+        "corpus_sample": q_corpus_sample,
+        "median_len": q_median_len,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_window": q_events_window,
+        "multimodal_probe": q_multimodal_probe,
         "pdf_pages_explode": q_pdf_pages_explode,
         "pdf_reaggregate": q_pdf_reaggregate,
         "multimodal_resize": q_multimodal_resize,
@@ -1232,15 +1237,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
-        "cap_per_lang": q_cap_per_lang,
-        "sample_per_lang": q_sample_per_lang,
-        "resample_mix": q_resample_mix,
-        "corpus_sample": q_corpus_sample,
-        "median_len": q_median_len,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "events_window": q_events_window,
-        "multimodal_probe": q_multimodal_probe,
+        # --- long-green rotation tail (driver checks the first 50) ---
+        "extract_hash": q_extract_hash,
+        "chunk_token": q_chunk_token,
+        "extract_chunks": q_extract_chunks,
+        "extract_docx": q_extract_docx,
+        "extract_rtf": q_extract_rtf,
+        "extract_pptx": q_extract_pptx,
+        "chunk_sentence": q_chunk_sentence,
+        "chunk_recursive": q_chunk_recursive,
+        "extract_spans": q_extract_spans,
     }
 
 

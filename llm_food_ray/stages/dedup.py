@@ -61,13 +61,15 @@ def add_content_hash(ds, text_column: str = "text", out_column: str = "content_m
 
 
 def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
-                num_buckets: int = 64, reduce: str = "driver"):
+                num_buckets: int = 64, reduce: str = "auto",
+                local_budget_rows: int = 50_000_000,
+                local_budget_bytes: int = 2_000_000_000):
     """Keep the min-key row per distinct content hash (F6's scale form).
 
     Phase 1 computes the kept-key set while moving ONLY ``(content_md5,
     min key)`` partials (32 B/row, never the text):
 
-    - ``reduce="driver"`` (default): each batch pre-reduces hash->min-key
+    - ``reduce="driver"``: each batch pre-reduces hash->min-key
       with a vectorized Arrow group_by, partials stream to the driver and
       merge there.  No shuffle at all -- and no NEW scale assumption: the
       kept-key set already has to fit the driver/object store for the
@@ -82,13 +84,20 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
       outgrows one machine.  (Coarse buckets, not groupby(hash):
       ``map_groups`` over millions of singleton hash groups pays pandas
       per group and crawls.)
+    - ``reduce="auto"`` (default, r3 — the same size gate as the
+      near-dup family's ``verify_exec``/``cluster_exec``): materialize
+      the 32 B/row partials once, pick "driver" while their row count
+      and byte size fit ``local_budget_rows``/``local_budget_bytes``,
+      else "shuffle".  The partials are an upper bound on the
+      distinct-hash set, so the gate can only err toward the safe
+      (distributed) side.
 
     ``reduce="driver"`` phase 2 broadcasts the kept keys once via the
     object store and filters the original dataset in a second streaming
     pass -- no payload shuffle, but the kept-key set must fit one
-    machine.  Both paths are byte-equal (pytest-pinned); pick "driver"
-    when kept-keys fit comfortably (it avoids re-shuffling payload
-    bytes), "shuffle" beyond that."""
+    machine.  Both paths are byte-equal (pytest-pinned); "auto" picks
+    "driver" when kept-keys fit comfortably (it avoids re-shuffling
+    payload bytes), "shuffle" beyond that."""
     import ray as _ray
 
     def hash_partial(batch: pa.Table) -> pa.Table:
@@ -99,18 +108,27 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
         g = t.group_by(["content_md5"]).aggregate([(key_column, "min")])
         return g.rename_columns(["content_md5", key_column])
 
+    if reduce not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"reduce={reduce!r}")
+    partials = ds.map_batches(hash_partial, batch_format="pyarrow")
+    if reduce == "auto":
+        partials = partials.materialize()
+        reduce = ("driver"
+                  if partials.count() <= local_budget_rows
+                  and (partials.size_bytes() or 0) <= local_budget_bytes
+                  else "shuffle")
     if reduce == "driver":
         # merge in Arrow end to end: a pandas concat+groupby here builds
         # multi-hundred-MB object blocks, which this class of host handles
         # pathologically slowly; the C++ group_by does not
-        parts = list(ds.map_batches(hash_partial, batch_format="pyarrow")
-                       .iter_batches(batch_size=65_536, batch_format="pyarrow"))
+        parts = list(partials.iter_batches(batch_size=65_536,
+                                           batch_format="pyarrow"))
         merged = pa.concat_tables(parts)
         final = merged.group_by(["content_md5"]).aggregate(
             [(key_column, "min")])
         kept_keys = final.column(f"{key_column}_min").to_numpy(
             zero_copy_only=False)
-    elif reduce == "shuffle":
+    else:
         def add_bucket(batch: pa.Table) -> pa.Table:
             buckets = [int(h[:8], 16) % num_buckets
                        for h in batch.column("content_md5").to_pylist()]
@@ -120,11 +138,11 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
             kept = group.groupby("content_md5", sort=False)[key_column].min()
             return pd.DataFrame({key_column: kept.to_numpy()})
 
-        kept_ds = (ds.map_batches(hash_partial, batch_format="pyarrow")
-                     .map_batches(add_bucket, batch_format="pyarrow")
-                     .groupby("__bucket")
-                     .map_groups(min_key_per_hash, batch_format="pandas")
-                     .materialize())   # keep-set ready before the join plan
+        kept_ds = (partials
+                   .map_batches(add_bucket, batch_format="pyarrow")
+                   .groupby("__bucket")
+                   .map_groups(min_key_per_hash, batch_format="pandas")
+                   .materialize())   # keep-set ready before the join plan
         kept_ds = _nonempty_blocks(kept_ds)
         if kept_ds is None:   # empty input → nothing to keep
             return ds
@@ -133,8 +151,6 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
         # broadcast key set
         return ds.join(kept_ds, "left_semi", _join_partitions(num_buckets // 4),
                        on=(key_column,), right_on=(key_column,))
-    else:
-        raise ValueError(f"reduce={reduce!r}")
     keys_ref = _ray.put(pa.array(np.sort(kept_keys)))
 
     def keep(batch: pa.Table) -> pa.Table:

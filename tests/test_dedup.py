@@ -387,3 +387,23 @@ def test_drop_array_columnar_matches_tuple_union_find():
         assert got_set == want, pairs
         if got is not None:
             assert got.to_pylist() == sorted(got.to_pylist())
+
+
+def test_dedup_exact_auto_gate_both_sides(ray_session):
+    """reduce='auto' (r3) picks driver under the budget and shuffle over
+    it; both give the byte-equal kept set."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import dedup_exact
+
+    rows = [{"doc_id": i, "text": f"t{i % 13}"} for i in range(120)]
+    want = sorted(dedup_exact(dataset_from_items(rows), "doc_id", "text",
+                              reduce="driver").to_pandas()["doc_id"])
+    auto_small = sorted(dedup_exact(
+        dataset_from_items(rows), "doc_id", "text",
+        reduce="auto").to_pandas()["doc_id"])          # fits → driver path
+    auto_forced = sorted(dedup_exact(
+        dataset_from_items(rows), "doc_id", "text", reduce="auto",
+        local_budget_rows=5).to_pandas()["doc_id"])    # over → shuffle path
+    assert auto_small == want == auto_forced
+    assert want == sorted(set(i for i in range(13)))
