@@ -182,6 +182,33 @@ def q_chunk_token(sf_dir: str):
     return out.select_columns(["doc_id", "chunk_index", "chunk_text"])
 
 
+def q_chunk_spans(sf_dir: str):
+    """C1 token chunker (32/8) with char-span provenance into the raw
+    source text (SURVEY §1.2 spans contract; VERDICT r2 stretch #8).
+    The SQL twin recomputes the offsets via token/gap window sums."""
+    import pyarrow as pa
+
+    from llm_food_ray.functions.chunk import chunk_tokens_spans
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        keys, idxs, texts, starts, ends = [], [], [], [], []
+        kcol = batch.column("doc_id").to_pylist()
+        for k, t in zip(kcol, batch.column("text").to_pylist()):
+            for i, (c, s, e) in enumerate(chunk_tokens_spans(t or "", 32, 8)):
+                keys.append(k); idxs.append(i); texts.append(c)
+                starts.append(s); ends.append(e)
+        return pa.table({
+            "doc_id": pa.array(keys, batch.schema.field("doc_id").type),
+            "chunk_index": pa.array(idxs, pa.int32()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "span_start": pa.array(starts, pa.int64()),
+            "span_end": pa.array(ends, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
 def q_extract_chunks(sf_dir: str):
     """C5 convert-then-chunk fusion (/be, app.py:518-542): extraction
     output feeds the token chunker."""
@@ -1226,7 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "top_bigrams": q_top_bigrams,
-        "url_canonicalize": q_url_canonicalize,
+        "chunk_spans": q_chunk_spans,
         "normalize_text": q_normalize_text,
         "host_stats": q_host_stats,
         "pii_scrub": q_pii_scrub,
@@ -1238,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
         "chunk_token": q_chunk_token,
         "extract_chunks": q_extract_chunks,
@@ -1419,6 +1447,49 @@ WHERE doc_id % 50 NOT IN (3, 13) AND doc_id % 5 != 1
 SELECT {_STATUS_SQL} AS status, {_DOC_TYPE_SQL} AS doc_type,
        count(*) AS n
 FROM documents GROUP BY 1, 2
+""",
+        # char-span provenance twin: token offsets reconstructed via
+        # window sums over (token, preceding-gap) lengths; ' '||text
+        # guarantees gap i sits BEFORE token i (the -1 removes it), and
+        # substring equality " ".join(text[s:e].split()) == chunk_text
+        # holds by construction (pytest-pinned)
+        "chunk_spans": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\S+') AS toks,
+         regexp_extract_all(' ' || text, '\s+') AS gaps
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) > 0
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ti
+  FROM base
+), gap AS (
+  SELECT doc_id, unnest(gaps) AS gap, generate_subscripts(gaps, 1) AS gi
+  FROM base
+), pos AS (
+  SELECT t.doc_id, t.ti,
+         CAST(sum(len(t.tok)) OVER w - len(t.tok)
+              + sum(len(g.gap)) OVER w - 1 AS BIGINT) AS s,
+         CAST(sum(len(t.tok)) OVER w
+              + sum(len(g.gap)) OVER w - 1 AS BIGINT) AS e
+  FROM tok t JOIN gap g ON g.doc_id = t.doc_id AND g.gi = t.ti
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.ti)
+), c_t AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT) END AS m
+  FROM base
+)
+SELECT c.doc_id,
+       CAST(i AS INTEGER) AS chunk_index,
+       array_to_string(c.toks[(i * 24 + 1):LEAST(i * 24 + 32, c.n)], ' ')
+         AS chunk_text,
+       ps.s AS span_start,
+       pe.e AS span_end
+FROM c_t c,
+     LATERAL (SELECT unnest(generate_series(0, c.m - 1)) AS i) g
+     JOIN pos ps ON ps.doc_id = c.doc_id AND ps.ti = i * 24 + 1
+     JOIN pos pe ON pe.doc_id = c.doc_id AND pe.ti = LEAST(i * 24 + 32, c.n)
 """,
         "chunk_token": _CHUNK_CTE.format(
             key="doc_id", key_out="doc_id", text_expr="text",

@@ -45,6 +45,39 @@ def chunk_tokens(text: str, size: int, overlap: int) -> list[str]:
     return out
 
 
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def chunk_tokens_spans(text: str, size: int,
+                       overlap: int) -> list[tuple[str, int, int]]:
+    """Token chunker with provenance: → [(chunk_text, span_start,
+    span_end)] where the span is CHARACTER offsets into the RAW source
+    text (0-based, end-exclusive) covering the chunk's first through
+    last token — the SURVEY §1.2 ``spans`` contract, so chunk
+    provenance survives downstream dedup/filtering.
+
+    The chunk text is the whitespace-normalized join (same as
+    :func:`chunk_tokens` — pytest-pinned equal), so the invariant is
+    ``" ".join(text[s:e].split()) == chunk_text``, which the SQL twin
+    checks by substring equality after computing the same offsets via
+    token/gap window sums."""
+    toks = list(_TOKEN_RE.finditer(text))
+    n = len(toks)
+    if n == 0:
+        return []
+    step = size - overlap
+    out = []
+    start = 0
+    while True:
+        end = min(start + size, n)
+        out.append((" ".join(m.group(0) for m in toks[start:end]),
+                    toks[start].start(), toks[end - 1].end()))
+        if end >= n:
+            break
+        start += step
+    return out
+
+
 def split_sentences(text: str) -> list[str]:
     """Deterministic rule-based splitter: break after . ! ? followed by
     whitespace. No abbreviation table (fixed, documented behavior)."""

@@ -105,12 +105,22 @@ class Bm25Scorer:
 
 
 def bm25_topk(ds, terms, k: int = 20, *, text_column: str = "text",
-              key_column: str = "doc_id"):
+              key_column: str = "doc_id", single_scan: bool = False):
     """Top-k documents by BM25 against a bag-of-terms query.
 
-    ``ds`` is consumed twice (stats, then scoring) — at scale pass the
-    pruned 2-column read so each pass streams from storage."""
+    ``ds`` is consumed twice (stats, then scoring).  With
+    ``single_scan=False`` (default) each pass re-executes the input
+    plan — right when ``ds`` is a pruned 2-column Parquet read (the
+    second pass streams from storage and nothing is pinned).  With
+    ``single_scan=True`` the projected input is ``materialize()``d once
+    and both passes read the cached blocks — right when ``ds`` is an
+    EXPENSIVE computed intermediate (an extraction or filter chain),
+    trading object-store residency (with spill) for not running that
+    chain twice.  At 100 TB prefer the default unless recompute cost
+    dominates storage bandwidth."""
     terms = tuple(terms)
+    if single_scan:
+        ds = ds.select_columns([key_column, text_column]).materialize()
     parts = ds.map_batches(Bm25CorpusStats(terms, text_column),
                            batch_format="pyarrow").to_pandas()
     n_docs = int(parts["pn"].sum()) if "pn" in parts.columns else 0

@@ -206,20 +206,39 @@ def grouped_rollup(ds, key_column: str, value_column: str, *,
 
 
 def grouped_median(ds, key_column: str, value_column: str, *,
-                   digits: int = 6):
-    """Exact per-group median via value-histogram partials: each batch
-    pre-aggregates (key, value) → count, one ``groupby.sum`` merges the
-    histograms, and the median is read off the merged counts (mean of
-    the two middle values for even group sizes — DuckDB ``median()``
-    semantics).
+                   digits: int = 6, method: str = "auto",
+                   exact_budget_rows: int = 2_000_000, bins: int = 4096):
+    """Per-group median behind one partial/merge shape, plan-gated on
+    the value domain (r3: the VERDICT continuous-domain fallback):
 
-    Scale shape: the exchange ships histogram rows (keys × distinct
-    values per block), never data rows — exact quantiles without a
-    corpus sort.  Holds when the value domain is bounded (document
-    lengths, scores, token counts — the usual telemetry columns); for
-    unbounded/continuous domains swap in a t-digest sketch behind the
-    same partial/merge shape."""
+    - ``method="exact"``: value-histogram partials — each batch
+      pre-aggregates (key, value) → count, one ``groupby.sum`` merges,
+      and the exact median reads off the merged counts (mean of the two
+      middle values for even group sizes — DuckDB ``median()``
+      semantics).  The exchange ships histogram rows (keys × distinct
+      values per block), never data rows; right for BOUNDED domains
+      (lengths, scores, token counts).
+    - ``method="hist"``: fixed-width binned sketch for continuous /
+      unbounded domains — pass A computes per-key (lo, hi, n) bounds
+      from tiny rollup partials, pass B histograms each batch into
+      ``bins`` per-key buckets against the broadcast bounds, and the
+      median interpolates within the crossing bucket (max error =
+      (hi−lo)/bins per group).  Both exchanges are keys- or
+      keys×bins-sized regardless of corpus cardinality.
+    - ``method="auto"`` (default): run the exact merge, gate on its
+      MERGED row count (distributed count, nothing on the driver);
+      within ``exact_budget_rows`` → exact read-off, else fall back to
+      the binned plan (one wasted histogram exchange — at known-
+      continuous scale call ``method="hist"`` directly)."""
     from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    if method not in ("auto", "exact", "hist"):
+        raise ValueError(f"method={method!r}")
+    if method == "hist":
+        return _grouped_median_hist(ds, key_column, value_column,
+                                    digits=digits, bins=bins)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([key_column, value_column])
@@ -227,9 +246,15 @@ def grouped_median(ds, key_column: str, value_column: str, *,
             [(value_column, "count")])
         return g.rename_columns([key_column, value_column, "n"])
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby([key_column, value_column])
-                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    merged_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby([key_column, value_column])
+                   .aggregate(Sum("n", alias_name="n")))
+    if method == "auto":
+        merged_ds = merged_ds.materialize()
+        if merged_ds.count() > exact_budget_rows:
+            return _grouped_median_hist(ds, key_column, value_column,
+                                        digits=digits, bins=bins)
+    merged = merged_ds.to_pandas()
     merged = merged.sort_values([key_column, value_column])
     out_keys, out_med = [], []
     for key, grp in merged.groupby(key_column, sort=True):
@@ -245,8 +270,90 @@ def grouped_median(ds, key_column: str, value_column: str, *,
             mid = (lo + hi) / 2.0
         out_keys.append(key)
         out_med.append(round(mid, digits))
-    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        key_column: pa.array(out_keys),
+        "median": pa.array(out_med, pa.float64()),
+    }))
 
+
+def _grouped_median_hist(ds, key_column: str, value_column: str, *,
+                         digits: int, bins: int):
+    """Binned per-group median sketch (see :func:`grouped_median`
+    ``method="hist"``): per-key bounds from rollup partials, one
+    broadcast, per-batch ``np.bincount`` histograms, within-bucket
+    linear interpolation at read-off.  Max error (hi−lo)/bins."""
+    import numpy as np
+
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column]).aggregate(
+            [(value_column, "min"), (value_column, "max"),
+             (value_column, "count")])
+        return g.rename_columns([key_column, "pmin", "pmax", "pn"])
+
+    bounds = (ds.map_batches(bounds_partial, batch_format="pyarrow")
+                .groupby(key_column)
+                .aggregate(Min("pmin", alias_name="lo"),
+                           Max("pmax", alias_name="hi"),
+                           Sum("pn", alias_name="n"))).to_pandas()
+    if not len(bounds):
+        return rd.from_arrow(pa.table({key_column: pa.array([]),
+                                       "median": pa.array([], pa.float64())}))
+    bmap = {r[key_column]: (float(r["lo"]), float(r["hi"]))
+            for _, r in bounds.iterrows()}
+    bref = _ray.put(bmap)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        bm = _ray.get(bref)
+        keys = batch.column(key_column).to_pylist()
+        v = batch.column(value_column).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ks = pd.Series(keys)
+        lo = ks.map(lambda k: bm[k][0]).to_numpy()
+        hi = ks.map(lambda k: bm[k][1]).to_numpy()
+        span = np.where(hi > lo, hi - lo, 1.0)
+        binned = np.clip(((v - lo) / span * bins).astype(np.int64),
+                         0, bins - 1)
+        t = pa.table({key_column: batch.column(key_column),
+                      "bin": pa.array(binned, pa.int32())})
+        g = t.group_by([key_column, "bin"]).aggregate([("bin", "count")])
+        return g.rename_columns([key_column, "bin", "pn"])
+
+    merged = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .groupby([key_column, "bin"])
+                .aggregate(Sum("pn", alias_name="pn"))).to_pandas()
+    merged = merged.sort_values([key_column, "bin"])
+    out_keys, out_med = [], []
+    for key, grp in merged.groupby(key_column, sort=True):
+        lo, hi = bmap[key]
+        if hi <= lo:
+            out_keys.append(key)
+            out_med.append(round(lo, digits))
+            continue
+        width = (hi - lo) / bins
+        b = grp["bin"].to_numpy()
+        cnt = grp["pn"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+
+        def value_at(rank: float) -> float:
+            i = int(np.searchsorted(cum, rank))
+            before = int(cum[i - 1]) if i else 0
+            frac = (rank - before) / cnt[i]
+            return lo + width * (float(b[i]) + frac)
+
+        if total % 2:
+            mid = value_at((total + 1) / 2)
+        else:
+            mid = (value_at(total / 2) + value_at(total / 2 + 1)) / 2.0
+        out_keys.append(key)
+        out_med.append(round(min(max(mid, lo), hi), digits))
     return rd.from_arrow(pa.table({
         key_column: pa.array(out_keys),
         "median": pa.array(out_med, pa.float64()),

@@ -115,3 +115,21 @@ def test_chunk_text_dispatch():
     assert chunk_text(words(8), cfg) == ["w0 w1 w2 w3", "w4 w5 w6 w7"]
     cfg = ChunkConfig(strategy="recursive", chunk_size=4, chunk_overlap=0)
     assert chunk_text(words(8), cfg) == ["w0 w1 w2 w3", "w4 w5 w6 w7"]
+
+
+def test_chunk_tokens_spans_invariants():
+    """Spans index the RAW text; chunk text equals the normalized
+    substring; chunk sequence matches chunk_tokens exactly."""
+    from llm_food_ray.functions.chunk import chunk_tokens, chunk_tokens_spans
+
+    texts = ["",
+             "one",
+             "  leading and   irregular\n\nwhitespace here ok then more "
+             "words to cross a window boundary " + "tok " * 40,
+             "\t tabs\tand\nnewlines " + " ".join(f"w{i}" for i in range(75))]
+    for t in texts:
+        spans = chunk_tokens_spans(t, 32, 8)
+        assert [c for c, _, _ in spans] == chunk_tokens(t, 32, 8)
+        for c, s, e in spans:
+            assert 0 <= s < e <= len(t)
+            assert " ".join(t[s:e].split()) == c

@@ -96,3 +96,19 @@ def test_tfidf_top_terms_brute(ray_session):
             want.append((r["doc_id"], w, round(s, 6), rank))
     assert list(map(tuple, got[["doc_id", "term", "score", "rank"]]
                     .itertuples(index=False))) == want
+
+
+def test_bm25_single_scan_matches_two_pass(ray_session):
+    """single_scan=True (r3) materializes the projected input once;
+    results identical to the default two-pass plan."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.search import bm25_topk
+
+    rows = [{"doc_id": i, "text": f"alpha beta w{i % 7} gamma" * (1 + i % 3)}
+            for i in range(50)]
+    a = (bm25_topk(dataset_from_items(rows), ("alpha", "w3"), k=5)
+         .to_pandas().reset_index(drop=True))
+    b = (bm25_topk(dataset_from_items(rows), ("alpha", "w3"), k=5,
+                   single_scan=True).to_pandas().reset_index(drop=True))
+    assert a.equals(b)

@@ -150,3 +150,30 @@ def test_grouped_median(ray_session):
     for g in ("a", "b", "c"):
         want = statistics.median([r["v"] for r in rows if r["g"] == g])
         assert out[g] == float(want)
+
+def test_grouped_median_hist_continuous(ray_session):
+    """Binned fallback (r3): continuous domain within (hi-lo)/bins, and
+    the auto gate falls back when the exact histogram exceeds budget."""
+    import random
+    import statistics
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_median
+
+    rng = random.Random(11)
+    rows = ([{"g": "a", "v": rng.uniform(0.0, 100.0)} for _ in range(4001)]
+            + [{"g": "b", "v": rng.uniform(-5.0, 5.0)} for _ in range(2000)])
+    truth = {g: statistics.median([r["v"] for r in rows if r["g"] == g])
+             for g in ("a", "b")}
+    spans = {"a": 100.0, "b": 10.0}
+    got = (grouped_median(dataset_from_items(rows), "g", "v", method="hist",
+                          bins=1024).to_pandas().set_index("g")["median"])
+    for g in ("a", "b"):
+        assert abs(got[g] - truth[g]) <= spans[g] / 1024 * 2
+    # auto gate: tiny budget -> hist plan, same tolerance
+    auto = (grouped_median(dataset_from_items(rows), "g", "v",
+                           exact_budget_rows=10, bins=1024)
+            .to_pandas().set_index("g")["median"])
+    for g in ("a", "b"):
+        assert abs(auto[g] - truth[g]) <= spans[g] / 1024 * 2
