@@ -237,6 +237,18 @@ def run_bench() -> dict:
     n_stats = stats.count()
     queries["textstats"] = round(time.perf_counter() - t0, 3)
 
+    # --- bigram-LM perplexity score over the extracted markdown ---------
+    # r3: fingerprint-keyed model + searchsorted scoring (was a full
+    # string-vocab driver broadcast + per-token dict loop)
+    from llm_food_ray.stages.lm import lm_score
+
+    t0 = time.perf_counter()
+    n_lm = lm_score(rd.read_parquet(out_dir, columns=["url", "markdown"],
+                                    override_num_blocks=nblocks),
+                    key_column="url", text_column="markdown").count()
+    queries["lm_score"] = round(time.perf_counter() - t0, 3)
+    assert n_lm == n_pages
+
     # --- windowed aggregate over the events table -----------------------
     import __ray_entry__ as _entry
 
