@@ -1072,15 +1072,24 @@ def _verify_pairs_semijoin_sort(pairs_fp, sig_source, key_column: str,
 
 
 def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
-                               num_perm: int, num_coarse: int = 128):
+                               num_perm: int, num_coarse: int = 128,
+                               broadcast_budget_bytes: int = 2_000_000_000):
     """Distributed identical-signature collapse for the semi-join path:
-    ONE bucketed exchange keyed on the signature-class fingerprint; per
-    class, emit (i) final-form star edges (rep=min-fp member → member,
-    sim 1.0) and (ii) one representative signature row.  The output is
-    materialized ONCE (tagged rows, corpus-sized — blocks spill if they
-    outgrow memory) and split by tag; the downstream LSH then runs over
-    representatives only, which is what makes duplicate-heavy corpora
-    cheap at scale."""
+    ONE bucketed exchange keyed on the signature-class fingerprint —
+    and (r3) the exchange carries only (class fp, key fp, key) rows,
+    never the signature payload.  Per class the group step emits (i)
+    final-form star edges (rep=min-fp member → member, sim 1.0) and
+    (ii) the representative's key FINGERPRINT.  Representative
+    signature ROWS are then selected from the already-materialized
+    ``sig_ds`` blocks with zero additional exchange: the rep-fp set
+    (16 B per rep) broadcasts via ``ray.put`` and a streaming
+    searchsorted membership filter keeps rep rows in place — gated on
+    ``broadcast_budget_bytes``, beyond which a LEFT SEMI fp join (the
+    100-TB path, all hash-partitioned) takes over.  The downstream LSH
+    then runs over representatives only, which is what makes
+    duplicate-heavy corpora cheap at scale."""
+    import ray as _ray
+
     Cu = np.uint64(num_coarse)
 
     def tag_rows(b: pa.Table) -> pa.Table:
@@ -1099,7 +1108,6 @@ def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
             "__fh": pa.array(_u64_col(b, "__fh")),
             "__fl": pa.array(_u64_col(b, "__fl")),
             "key": k,
-            "sig": _list_col_to_binary(sig_col, 4),
         })
 
     def per_class(t: pa.Table) -> pa.Table:
@@ -1125,23 +1133,20 @@ def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
         else:
             star_a = star_b = pa.array([], key_type)
         fh, fl = _fp_unpack(fp[rep_pos])
-        off, flat = _binary_offsets(t.column("sig"))
-        goff, gflat = _ragged_gather(off, flat, rep_pos)
         n_rep = len(rep_pos)
-        tag = np.r_[np.zeros(n_star, dtype=np.int8), np.ones(n_rep, dtype=np.int8)]
+        tag = np.r_[np.zeros(n_star, dtype=np.int8),
+                    np.ones(n_rep, dtype=np.int8)]
         fill_u = np.zeros(n_star, dtype=np.uint64)
         return pa.table({
             "tag": pa.array(tag),
-            "a": pa.concat_arrays([star_a.combine_chunks() if isinstance(star_a, pa.ChunkedArray) else star_a,
-                                   pa.nulls(n_rep, key_type)]),
-            "b": pa.concat_arrays([star_b.combine_chunks() if isinstance(star_b, pa.ChunkedArray) else star_b,
-                                   pa.nulls(n_rep, key_type)]),
+            "a": pa.concat_arrays(
+                [star_a.combine_chunks() if isinstance(star_a, pa.ChunkedArray)
+                 else star_a, pa.nulls(n_rep, key_type)]),
+            "b": pa.concat_arrays(
+                [star_b.combine_chunks() if isinstance(star_b, pa.ChunkedArray)
+                 else star_b, pa.nulls(n_rep, key_type)]),
             "__fh": pa.array(np.r_[fill_u, fh]),
             "__fl": pa.array(np.r_[fill_u, fl]),
-            "key": pa.concat_arrays([pa.nulls(n_star, key_type),
-                                     _take_arr(keys, rep_pos)]),
-            "sig": pa.concat_arrays([pa.nulls(n_star, pa.binary()),
-                                     _binary_from_ragged(goff, gflat)]),
         })
 
     tagged = (sig_ds.map_batches(tag_rows, batch_format="pyarrow")
@@ -1151,29 +1156,82 @@ def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
     import pyarrow.compute as pc
 
     def stars_only(b: pa.Table) -> pa.Table:
-        m = pc.equal(b.column("tag"), 0)
-        f = b.filter(m)
+        f = b.filter(pc.equal(b.column("tag"), 0))
         return pa.table({"a": f.column("a"), "b": f.column("b"),
                          "sim": pa.array(np.ones(f.num_rows))})
 
-    def reps_only(b: pa.Table) -> pa.Table:
-        m = pc.equal(b.column("tag"), 1)
-        f = b.filter(m)
-        # rebuild list<u64> signatures from the packed uint32 binary
-        off, flat = _binary_offsets(f.column("sig"))
-        vals = flat.view(np.uint32).astype(np.uint64)
-        sig = pa.ListArray.from_arrays(pa.array((off // 4).astype(np.int32)),
-                                       pa.array(vals))
-        return pa.table({key_column: f.column("key"),
-                         "minhash_sig": sig,
-                         "__fh": f.column("__fh"), "__fl": f.column("__fl")})
+    def rep_fps_only(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("tag"), 1))
+        return pa.table({
+            "__jh": pa.array(_u64_col(f, "__fh").view(np.int64)),
+            "__jl": pa.array(_u64_col(f, "__fl").view(np.int64))})
 
-    # materialize both splits and drop the tagged superset: keeping the
-    # corpus-sized tagged blocks alive through the downstream verify
-    # exchanges doubles object-store pressure and forces spills
-    stars = tagged.map_batches(stars_only, batch_format="pyarrow").materialize()
-    reps = tagged.map_batches(reps_only, batch_format="pyarrow").materialize()
-    del tagged
+    stars = tagged.map_batches(stars_only, batch_format="pyarrow")
+    rep_fps = tagged.map_batches(rep_fps_only,
+                                 batch_format="pyarrow").materialize()
+    n_reps = rep_fps.count()
+
+    if n_reps * 16 <= broadcast_budget_bytes:
+        packed_parts = [
+            _fp_pack(_u64_col(b, "__jh"), _u64_col(b, "__jl"))
+            for b in rep_fps.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+            if b.num_rows]
+        packed = (np.sort(np.concatenate(packed_parts)) if packed_parts
+                  else np.empty(0, dtype="S16"))
+        fp_ref = _ray.put(packed)
+
+        def keep_reps(b: pa.Table) -> pa.Table:
+            fps = _ray.get(fp_ref)
+            if not len(fps):
+                return b.slice(0, 0)
+            mine = _fp_pack(_u64_col(b, "__fh"), _u64_col(b, "__fl"))
+            pos = np.searchsorted(fps, mine)
+            pos = np.minimum(pos, len(fps) - 1)
+            mask = fps[pos] == mine
+            return b.filter(pa.array(mask))
+
+        # materialized: three consumers (banding + both verify sig sides)
+        # would otherwise re-run the filter — and re-copy the signature
+        # payload — once each; the filter itself is exchange-free
+        reps = sig_ds.map_batches(keep_reps,
+                                  batch_format="pyarrow").materialize()
+        return stars, reps
+
+    def add_jcols(b: pa.Table) -> pa.Table:
+        # acero joins reject list<> non-key columns — ride the signature
+        # as packed binary and rebuild the list after the semi join
+        sig_col = b.column("minhash_sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        t = b.drop_columns(["minhash_sig"])
+        t = t.append_column("__sigbin", _list_col_to_binary(sig_col, 4))
+        t = t.append_column(
+            "__jh", pa.array(_u64_col(b, "__fh").view(np.int64)))
+        return t.append_column(
+            "__jl", pa.array(_u64_col(b, "__fl").view(np.int64)))
+
+    def rebuild_sig(b: pa.Table) -> pa.Table:
+        off, flat = _binary_offsets(b.column("__sigbin"))
+        vals = flat.view(np.uint32).astype(np.uint64)
+        sig = pa.ListArray.from_arrays(
+            pa.array((off // 4).astype(np.int32)), pa.array(vals))
+        return (b.drop_columns(["__sigbin", "__jh", "__jl"])
+                 .append_column("minhash_sig", sig))
+
+    reps = (sig_ds.map_batches(add_jcols, batch_format="pyarrow")
+                  .join(rep_fps, "left_semi", _join_partitions(num_coarse),
+                        on=("__jh", "__jl"), right_on=("__jh", "__jl"))
+                  .map_batches(rebuild_sig, batch_format="pyarrow")
+            ).materialize()
+    reps = _nonempty_blocks(reps)
+    if reps is None:
+        import ray.data as rd
+
+        reps = rd.from_arrow(pa.schema(
+            [(key_column, key_type),
+             ("minhash_sig", pa.list_(pa.uint64())),
+             ("__fh", pa.uint64()), ("__fl", pa.uint64())]).empty_table())
     return stars, reps
 
 

@@ -407,3 +407,35 @@ def test_dedup_exact_auto_gate_both_sides(ray_session):
         local_budget_rows=5).to_pandas()["doc_id"])    # over → shuffle path
     assert auto_small == want == auto_forced
     assert want == sorted(set(i for i in range(13)))
+
+
+def test_collapse_rep_select_broadcast_equals_semijoin(ray_session):
+    """r3 collapse: representative-signature selection must give the
+    same (stars, reps) through the broadcast fp-filter and the
+    LEFT SEMI fp-join fallback (budget forced to 0)."""
+    from helpers import dataset_from_items
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.dedup import (
+        MinHashSignatures, _collapse_classes_semijoin)
+
+    docs = _docs()
+    docs.append({"doc_id": 24, "text": docs[20]["text"]})
+    docs.append({"doc_id": 25, "text": docs[20]["text"]})
+    sig = MinHashSignatures("doc_id", "text", 128, 3)
+    sig_ds = (dataset_from_items(docs)
+              .map_batches(sig, batch_format="pyarrow").materialize())
+
+    def norm(stars, reps):
+        s = stars.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        r = (reps.to_pandas().sort_values("doc_id").reset_index(drop=True)
+             .drop(columns=["minhash_sig"]))
+        return s, r
+
+    s1, r1 = norm(*_collapse_classes_semijoin(sig_ds, "doc_id", pa.int64(),
+                                              128))
+    s2, r2 = norm(*_collapse_classes_semijoin(sig_ds, "doc_id", pa.int64(),
+                                              128, broadcast_budget_bytes=0))
+    assert s1.equals(s2) and r1.equals(r2)
+    assert len(s1) >= 2                       # the 3-member exact class
