@@ -365,6 +365,24 @@ def q_ngram_lm_score(sf_dir: str):
     return lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_lm_cross_score(sf_dir: str):
+    """CCNet-style cross-domain perplexity: train the bigram LM on the
+    ENGLISH reference slice only, score EVERY document against it —
+    out-of-domain (non-en) text hits the smoothing floor and scores
+    high NLL.  The reference model broadcasts once; the corpus
+    streams."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.lm import lm_score_against
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ref = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+                   .select(["text"]),
+        batch_format="pyarrow")
+    return lm_score_against(docs, ref)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document: global df partials → broadcast
     idf table → streaming per-doc top-k."""
@@ -1242,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
         "ngram_lm_score": q_ngram_lm_score,
+        "lm_cross_score": q_lm_cross_score,
         "dsir_weights": q_dsir_weights,
         "tfidf_terms": q_tfidf_terms,
         "ann_ivf": q_ann_ivf,
@@ -1254,7 +1273,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "top_bigrams": q_top_bigrams,
         "chunk_spans": q_chunk_spans,
-        "normalize_text": q_normalize_text,
         "host_stats": q_host_stats,
         "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
@@ -1265,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
         "chunk_token": q_chunk_token,
@@ -1816,6 +1835,50 @@ WITH toks AS (
   FROM doc_big d
   JOIN bigc c ON d.w1 = c.w1 AND d.w2 = c.w2
   JOIN uni u ON d.w1 = u.w
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(sum(t) / count(*), 6) AS nll
+  FROM terms GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(a.nll, 0.0) AS nll
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        # cross-domain twin: counts and vocabulary come from the ENGLISH
+        # slice only; grams unseen there LEFT-JOIN to 0 (the smoothing
+        # floor), matching the scorer's missing-fingerprint lookups
+        "lm_cross_score": r"""
+WITH toks_ref AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents WHERE lang = 'en'
+), uni AS (
+  SELECT w, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(ws) AS w FROM toks_ref) GROUP BY w
+), vocab AS (
+  SELECT count(*)::DOUBLE AS v FROM uni
+), ref_big AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks_ref WHERE len(ws) >= 2
+), bigc AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM ref_big GROUP BY w1, w2
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), doc_big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks WHERE len(ws) >= 2
+), terms AS (
+  SELECT d.doc_id,
+         -ln((COALESCE(c.cb, 0) + 1.0::DOUBLE)
+             / (COALESCE(u.cu, 0) + v.v)) AS t
+  FROM doc_big d
+  LEFT JOIN bigc c ON d.w1 = c.w1 AND d.w2 = c.w2
+  LEFT JOIN uni u ON d.w1 = u.w
   CROSS JOIN vocab v
 ), agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams,

@@ -288,6 +288,34 @@ class BigramNllScorer(_TokenHasher):
                          "nll": pa.array(nll, pa.float64())})
 
 
+def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
+                     text_column: str = "text",
+                     ref_text_column: str | None = None,
+                     min_count: int = 1):
+    """CCNet-style cross-domain perplexity (Wenzek et al. 2020): train
+    the bigram LM on a REFERENCE corpus (e.g. the target domain /
+    language), then score every document of ``ds`` against it — the
+    domain-filtering signal that ranks crawl text by closeness to the
+    reference distribution.  Same fingerprint model + searchsorted
+    scoring as :func:`lm_score`; grams unseen in the reference hit the
+    add-one smoothing floor (cu=0, cb=0), so out-of-domain text scores
+    a high NLL.  Scale shape identical to lm_score: the reference model
+    is min_count-prunable and broadcasts once; ``ds`` streams through
+    an actor pool."""
+    import ray as _ray
+
+    model_ref = _ray.put(train_bigram_model(
+        ref_ds, ref_text_column or text_column, min_count=min_count))
+    return ds.map_batches(
+        BigramNllScorer,
+        fn_constructor_kwargs={"key_column": key_column,
+                               "text_column": text_column,
+                               "model": model_ref},
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+
+
 def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text",
              min_count: int = 1):
     """Train the corpus bigram LM (fingerprint-keyed, pruned at

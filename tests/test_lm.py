@@ -130,3 +130,27 @@ def test_tfidf_hashed_model_matches_string_twin(ray_session):
                          "text": [r["text"] for r in rows]})).to_pandas()
             .sort_values(["doc_id", "rank"]).reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_lm_score_against_cross_domain(ray_session):
+    """Reference-trained scoring: in-domain text scores the trained
+    counts, out-of-domain grams hit the add-one floor (cu=0, cb=0)."""
+    import math
+
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.lm import lm_score_against
+
+    ref = rd.from_arrow(pa.table({"text": ["a b a b", "a b"]}))
+    # ref model: uni a:3 b:3 (V=2); big "a b":3, "b a":1
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": ["a b", "x y"]}))
+    out = (lm_score_against(ds, ref).to_pandas()
+           .set_index("doc_id"))
+    v = 2.0
+    assert out.loc[1, "nll"] == round(-math.log((3 + 1.0) / (3 + v)), 6)
+    # fully out-of-domain: cb=0, cu=0 -> -ln(1/V)
+    assert out.loc[2, "nll"] == round(-math.log(1.0 / (0 + v)), 6)
+    assert (out["n_bigrams"] == 1).all()
