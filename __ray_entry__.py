@@ -209,6 +209,43 @@ def q_chunk_spans(sf_dir: str):
         chunks, batch_format="pyarrow")
 
 
+def q_outlinks(sf_dir: str):
+    """Web-graph outlink extraction: anchor (href, text) pairs from
+    every HTML page, resolved to absolute URLs — the edge list a
+    host-graph / anchor-text pipeline starts from.  Pure streaming map
+    over the pages; no exchange."""
+    import pyarrow as pa
+
+    from llm_food_ray.functions.html_md import extract_links, resolve_href
+    from llm_food_ray.sources.pages import pages_dataset
+
+    def links(batch: pa.Table) -> pa.Table:
+        urls_out, nos, hrefs, anchors, resolved = [], [], [], [], []
+        urls = batch.column("url").to_pylist()
+        for u, payload in zip(urls, batch.column("html").to_pylist()):
+            if not payload or not payload.startswith(b"<"):
+                continue
+            try:
+                html = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            for i, (href, text) in enumerate(extract_links(html), start=1):
+                urls_out.append(u)
+                nos.append(i)
+                hrefs.append(href)
+                anchors.append(text)
+                resolved.append(resolve_href(u, href))
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "link_no": pa.array(nos, pa.int32()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+            "resolved": pa.array(resolved, pa.string()),
+        })
+
+    return pages_dataset(sf_dir).map_batches(links, batch_format="pyarrow")
+
+
 def q_extract_chunks(sf_dir: str):
     """C5 convert-then-chunk fusion (/be, app.py:518-542): extraction
     output feeds the token chunker."""
@@ -1273,8 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "top_bigrams": q_top_bigrams,
         "chunk_spans": q_chunk_spans,
+        "outlinks": q_outlinks,
         "host_stats": q_host_stats,
-        "pii_scrub": q_pii_scrub,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
         "decontaminate": q_decontaminate,
@@ -1283,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "pii_scrub": q_pii_scrub,
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
@@ -1466,6 +1504,23 @@ WHERE doc_id % 50 NOT IN (3, 13) AND doc_id % 5 != 1
 SELECT {_STATUS_SQL} AS status, {_DOC_TYPE_SQL} AS doc_type,
        count(*) AS n
 FROM documents GROUP BY 1, 2
+""",
+        # outlink twin: the synthesized HTML template carries exactly
+        # these six anchors per html-typed page (nav + sidebar; the
+        # footer has none) — same synthesis-parity pattern as the
+        # extract oracles; resolution joins the page origin
+        "outlinks": f"""
+WITH links(link_no, href, anchor) AS (VALUES
+  (1, '/home', 'home'), (2, '/about', 'about'), (3, '/contact', 'contact'),
+  (4, '/l1', 'promo one'), (5, '/l2', 'promo two'),
+  (6, '/l3', 'promo three'))
+SELECT {_URL} AS url,
+       CAST(l.link_no AS INTEGER) AS link_no,
+       l.href, l.anchor,
+       'https://site' || (doc_id % 100) || '.example.com' || l.href
+         AS resolved
+FROM documents, links l
+WHERE {_DOC_TYPE_SQL} = 'html'
 """,
         # char-span provenance twin: token offsets reconstructed via
         # window sums over (token, preceding-gap) lengths; ' '||text

@@ -492,3 +492,40 @@ def extract_markdown(html_bytes: bytes) -> tuple[str, list[dict]]:
         parts.append(b.text)
         pos += len(b.text)
     return "\n\n".join(parts), spans
+
+
+_A_TAG_RE = re.compile(
+    r"<a\b[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL)
+_INNER_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """All anchor (href, text) pairs in document order — the outlink
+    edge list for web-graph construction (host graphs, anchor-text
+    corpora, PageRank-style signals).  Anchor text is tag-stripped and
+    whitespace-normalized; href quoting may be double, single, or bare.
+    Pure function; the Ray side runs it per batch (see ``outlinks``
+    in ``__ray_entry__``)."""
+    out = []
+    for m in _A_TAG_RE.finditer(html):
+        href = m.group(2) or m.group(3) or m.group(4) or ""
+        text = " ".join(_INNER_TAG_RE.sub(" ", m.group(5)).split())
+        out.append((href, text))
+    return out
+
+
+def resolve_href(page_url: str, href: str) -> str:
+    """Minimal absolute-URL resolution for crawl outlinks: absolute
+    hrefs pass through, root-relative ('/x') join scheme://authority,
+    other relative forms join the page's directory."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", href):
+        return href
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)([^?#]*)", page_url)
+    if not m:
+        return href
+    origin, path = m.group(1), m.group(2) or "/"
+    if href.startswith("/"):
+        return origin + href
+    base = path.rsplit("/", 1)[0] + "/"
+    return origin + base + href

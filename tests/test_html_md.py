@@ -166,3 +166,17 @@ def test_fast_lexer_matches_stdlib_parser():
     for c in cases:
         assert _md_via(html_md.parse_html, c) == \
             _md_via(html_md.parse_html_stdlib, c), c[:80]
+
+
+def test_extract_links_and_resolve():
+    from llm_food_ray.functions.html_md import extract_links, resolve_href
+
+    html = ('<p>x</p><a href="/a">one <b>two</b></a>'
+            "<A HREF='rel.html' class=q>z</A>"
+            '<a href=bare>w</a><a name="no-href">skip</a>')
+    assert extract_links(html) == [("/a", "one two"), ("rel.html", "z"),
+                                   ("bare", "w")]
+    assert resolve_href("https://h.com/d/p", "/a") == "https://h.com/a"
+    assert resolve_href("https://h.com/d/p", "rel.html") == "https://h.com/d/rel.html"
+    assert resolve_href("https://h.com/d/p", "http://o.io/q") == "http://o.io/q"
+    assert extract_links("") == []
