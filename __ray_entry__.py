@@ -271,6 +271,45 @@ def q_dedup_exact(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTER LABELS (not just the kept-set): every document
+    gets a cluster id = the min key of its connected component in the
+    exact-Jaccard ≥ 0.9 pair graph (singletons label themselves).
+    Cluster ids feed stratified sampling / one-per-cluster selection /
+    duplication analytics.  Pairs and components are fully distributed
+    (min-label propagation); the label table is bounded by duplication
+    mass, so it broadcasts once and the corpus streams through a fill
+    map — the same scale shape as the kept-set filter."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from llm_food_ray.stages.dedup import clusters_min_label
+
+    aug = _augmented_docs(sf_dir)
+    pairs = minhash_candidate_pairs(
+        aug, "doc_id", "text", threshold=0.9, verify="exact",
+        num_perm=128, num_bands=32,
+    )
+    labels = clusters_min_label(pairs)
+    lmap = {}
+    for b in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
+        lmap.update(zip(b.column("node").to_pylist(),
+                        b.column("label").to_pylist()))
+    ref = _ray.put(lmap)
+
+    def fill(b: pa.Table) -> pa.Table:
+        lm = _ray.get(ref)
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "cluster": pa.array([lm.get(i, i) for i in ids], pa.int64()),
+        })
+
+    return aug.select_columns(["doc_id"]).map_batches(
+        fill, batch_format="pyarrow")
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup kept-set, fully distributed end to end:
     bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
@@ -1288,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "near_dup_clusters": q_near_dup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -1315,11 +1355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
         "decontaminate": q_decontaminate,
-        "hash_split": q_hash_split,
         "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
@@ -1741,6 +1781,40 @@ WITH aug AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
 )
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+""",
+        # cluster-label twin: same closure, but every doc is labeled by
+        # its component's min key (singletons label themselves)
+        "near_dup_clusters": """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+)
+SELECT a.doc_id,
+       CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster
+FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
 """,
         # dedup_minhash kept-set: connected-component closure over the
         # exact-Jaccard>=0.9 pair graph, min key per component kept —
