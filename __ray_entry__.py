@@ -338,6 +338,46 @@ def q_near_dup_clusters(sf_dir: str):
         fill, batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str):
+    """Weighted PageRank over the customer→supplier purchase graph
+    (edges = orders ⋈ lineitem, weight = line count): 5 rounded power
+    iterations, each ONE streaming pass over the materialized edge list
+    with a broadcast rank vector — the iterative-algorithm demonstrator
+    (see ``stages/graph.py`` for the scale contract).  The SQL twin
+    unrolls the same 5 iterations as chained CTEs with identical
+    per-iteration rounding, so the ranks match bit-for-bit."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from llm_food_ray.stages.graph import pagerank
+
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    joined = orders.join(lineitem, "inner", 16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.binary_join_element_wise(
+            pa.array(["c"] * b.num_rows),
+            pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows),
+            pc.cast(b.column("l_suppkey"), pa.string()), "")
+        return pa.table({"src": c, "dst": s})
+
+    edges = (joined.map_batches(tag, batch_format="pyarrow")
+                   .groupby(["src", "dst"])
+                   .aggregate(Count(alias_name="w")))
+    return pagerank(edges, damping=0.85, iters=5)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup kept-set, fully distributed end to end:
     bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
@@ -1356,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
+        "pagerank": q_pagerank,
         "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -1376,7 +1417,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
-        "top_bigrams": q_top_bigrams,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
@@ -1387,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "top_bigrams": q_top_bigrams,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
@@ -1405,6 +1446,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------- oracle SQL ----
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank twin: the same ``iters`` rounded power
+    iterations as ``stages/graph.py:pagerank``, one chained CTE per
+    iteration (recursive CTEs restrict aggregation; unrolling is plain
+    SQL).  Per-iteration round(…, 12) absorbs summation-order ulps on
+    both sides, so the ranks match bit-for-bit."""
+    ctes = ["""edges AS (
+  SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)""", """outw AS (
+  SELECT src AS node, sum(w) AS ow FROM edges GROUP BY src
+)""", """nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+)""", """nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)""",
+            "pr0 AS (SELECT node, round(1.0 / nn.n, 12) AS pr "
+            "FROM nodes, nn)"]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT nd.node,
+         round((1.0 - {damping}) / nn.n + {damping} * COALESCE(s.c, 0.0),
+               12) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / w.ow * e.w) AS c
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN outw w ON w.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, pr FROM pr{iters}")
 
 _URL = "'https://site' || (doc_id % 100) || '.example.com/doc/' || doc_id"
 
@@ -1822,6 +1899,7 @@ WITH aug AS (
 )
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
+        "pagerank": _pagerank_sql(iters=5, damping=0.85),
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)
         "near_dup_clusters": """

@@ -249,6 +249,39 @@ def run_bench() -> dict:
     queries["lm_score"] = round(time.perf_counter() - t0, 3)
     assert n_lm == n_pages
 
+    # --- web-graph: outlink extraction + host-graph rollup over the
+    # 500k raw pages (regex anchor parse per page, hosts² groupby) -----
+    import pyarrow as _pa2
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from llm_food_ray.functions.html_md import extract_links, resolve_href
+    from llm_food_ray.functions.urltools import url_host
+
+    def _edges(batch):
+        src, dst = [], []
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            if not payload or not payload.startswith(b"<"):
+                continue
+            for href, _txt in extract_links(payload.decode("utf-8",
+                                                           "ignore")):
+                src.append(url_host(u))
+                dst.append(url_host(resolve_href(u, href)))
+        t = _pa2.table({"src_host": _pa2.array(src, _pa2.string()),
+                        "dst_host": _pa2.array(dst, _pa2.string())})
+        g = t.group_by(["src_host", "dst_host"]).aggregate(
+            [("dst_host", "count")])
+        return g.rename_columns(["src_host", "dst_host", "pn"])
+
+    t0 = time.perf_counter()
+    n_hosts = (rd.read_parquet(pages_dir, columns=["url", "html"],
+                               override_num_blocks=nblocks)
+                 .map_batches(_edges, batch_format="pyarrow")
+                 .groupby(["src_host", "dst_host"])
+                 .aggregate(_Sum("pn", alias_name="n_links"))).count()
+    queries["host_graph"] = round(time.perf_counter() - t0, 3)
+
     # --- windowed aggregate over the events table -----------------------
     import __ray_entry__ as _entry
 

@@ -1,0 +1,119 @@
+"""Iterative graph compute: weighted PageRank over an edge Dataset.
+
+The demonstrator for ITERATIVE algorithms on Ray Data: each power
+iteration is one streaming pass over the (materialized) edge list —
+``map_batches`` computes per-batch partial contribution sums against the
+broadcast rank vector, one ``groupby.sum`` merges them, and the driver
+folds the nodes-sized result into the next rank vector.  Nothing
+edge-shaped ever lands on the driver; the driver state is exactly the
+rank vector (one float per node), the same bound a Pregel/GraphX
+implementation needs per partition.
+
+Scale shape: edges stream every round (keep them materialized so rounds
+don't recompute upstream); the rank broadcast is nodes-sized via ONE
+``ray.put`` per round.  When the node set outgrows one machine, the
+documented swap is rank-as-Dataset with a partitioned join per round
+(the ``stages/dedup.py`` min-label-propagation pattern) — same
+per-round exchange volume, no driver state.
+
+Semantics (pinned by the SQL oracle, which unrolls the same iterations
+as chained CTEs):
+
+    pr_0(v)     = round(1/N, digits)
+    pr_{t+1}(v) = round((1-d)/N + d · Σ_{(u,v,w)∈E} (w / W_u) · pr_t(u),
+                        digits)
+
+with W_u = Σ of u's out-edge weights.  Dangling-node mass is DROPPED
+(no redistribution) — the simple, SQL-expressible convention; document
+the choice when comparing against redistributing implementations.
+Per-iteration rounding to ``digits`` (default 12) absorbs
+summation-order ulps so the result is bit-identical across engines and
+across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             weight: str | None = "w", damping: float = 0.85,
+             iters: int = 5, digits: int = 12):
+    """→ Dataset (node, pr) after ``iters`` rounded power iterations.
+
+    ``edges`` should be a small-columns Dataset; it is materialized here
+    so each iteration streams cached blocks.  ``weight=None`` treats
+    every edge as weight 1.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+    import ray.data as rd
+
+    cols = [src, dst] + ([weight] if weight else [])
+    edges = edges.select_columns(cols).materialize()
+
+    # node set + per-src out-weight: per-batch Arrow partials, one
+    # nodes-sized gather (the same driver bound as the rank vector)
+    def degree_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = (b.column(weight).cast(pa.float64()) if weight
+             else pa.array([1.0] * b.num_rows, pa.float64()))
+        t = pa.table({"node": b.column(src), "w": w})
+        g = t.group_by(["node"]).aggregate([("w", "sum")])
+        srcs = g.rename_columns(["node", "pw"])
+        dsts = pa.table({
+            "node": pc.unique(b.column(dst)
+                              if not isinstance(b.column(dst),
+                                                pa.ChunkedArray)
+                              else b.column(dst).combine_chunks())})
+        dsts = dsts.append_column(
+            "pw", pa.array([0.0] * dsts.num_rows, pa.float64()))
+        return pa.concat_tables([srcs, dsts])
+
+    deg = (edges.map_batches(degree_partial, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Sum("pw", alias_name="outw")))
+    out_w: dict = {}
+    for b in deg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        out_w.update(zip(b.column("node").to_pylist(),
+                         b.column("outw").to_pylist()))
+    nodes = sorted(out_w)
+    n = len(nodes)
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.float64())}))
+    base = (1.0 - damping) / n
+    pr = {v: round(1.0 / n, digits) for v in nodes}
+
+    for _ in range(iters):
+        # broadcast pr(u)/W_u so the per-edge work is one multiply
+        ready = {u: (pr[u] / out_w[u]) for u in nodes if out_w[u] > 0}
+        ref = _ray.put(ready)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            w = (b.column(weight).to_pylist() if weight
+                 else [1.0] * b.num_rows)
+            c = [m.get(s, 0.0) * wi
+                 for s, wi in zip(b.column(src).to_pylist(), w)]
+            t = pa.table({"dst": b.column(dst),
+                          "c": pa.array(c, pa.float64())})
+            g = t.group_by(["dst"]).aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "pc"])
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+                    .groupby("dst")
+                    .aggregate(Sum("pc", alias_name="c")))
+        sums = {}
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+            sums.update(zip(b.column("dst").to_pylist(),
+                            b.column("c").to_pylist()))
+        pr = {v: round(base + damping * sums.get(v, 0.0), digits)
+              for v in nodes}
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "pr": pa.array([pr[v] for v in nodes], pa.float64()),
+    }))

@@ -1,0 +1,45 @@
+"""PageRank semantics: hand-checked iterations, damping, danglers."""
+
+
+def test_pagerank_two_node_cycle(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import pagerank
+
+    # a <-> b: symmetric, stationary at 0.5 each from the uniform start
+    edges = [{"src": "a", "dst": "b", "w": 1},
+             {"src": "b", "dst": "a", "w": 1}]
+    out = (pagerank(dataset_from_items(edges), iters=3)
+           .to_pandas().set_index("node")["pr"])
+    assert out["a"] == out["b"] == 0.5
+
+
+def test_pagerank_weighted_and_dangling(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import pagerank
+
+    # a splits 3:1 between b and c; b,c dangle (mass dropped)
+    edges = [{"src": "a", "dst": "b", "w": 3},
+             {"src": "a", "dst": "c", "w": 1}]
+    out = (pagerank(dataset_from_items(edges), iters=1, damping=0.85)
+           .to_pandas().set_index("node")["pr"])
+    n = 3
+    base = (1 - 0.85) / n
+    pr0 = round(1 / n, 12)
+    assert out["a"] == round(base, 12)                      # no in-edges
+    assert out["b"] == round(base + 0.85 * (pr0 / 4 * 3), 12)
+    assert out["c"] == round(base + 0.85 * (pr0 / 4 * 1), 12)
+    # rank vector sums to < 1 after the dangling drop (documented)
+    assert out.sum() < 1.0
+
+
+def test_pagerank_unweighted_default(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import pagerank
+
+    edges = [{"src": "a", "dst": "b"}, {"src": "a", "dst": "c"}]
+    out = (pagerank(dataset_from_items(edges), weight=None, iters=1)
+           .to_pandas().set_index("node")["pr"])
+    assert out["b"] == out["c"] > out["a"]
