@@ -354,11 +354,13 @@ def q_pagerank(sf_dir: str):
 
     import ray.data as rd
 
+    from llm_food_ray.stages.dedup import _join_partitions
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_suppkey"])
-    joined = orders.join(lineitem, "inner", 16,
+    joined = orders.join(lineitem, "inner", _join_partitions(16),
                          on=("o_orderkey",), right_on=("l_orderkey",))
 
     def tag(b: pa.Table) -> pa.Table:
