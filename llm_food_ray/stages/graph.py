@@ -38,18 +38,33 @@ import pyarrow as pa
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              weight: str | None = "w", damping: float = 0.85,
-             iters: int = 5, digits: int = 12):
+             iters: int = 5, digits: int = 12, exec: str = "auto",
+             broadcast_budget_nodes: int = 20_000_000,
+             num_partitions: int | None = None):
     """→ Dataset (node, pr) after ``iters`` rounded power iterations.
 
     ``edges`` should be a small-columns Dataset; it is materialized here
     so each iteration streams cached blocks.  ``weight=None`` treats
     every edge as weight 1.
+
+    ``exec`` picks the per-round plan (both byte-equal, pytest-pinned):
+    - "broadcast": the rank vector lives on the driver and broadcasts
+      once per round via ``ray.put`` — right while nodes fit one
+      machine (a host graph, not a page graph).
+    - "join": rank state stays a Dataset; each round is
+      edges ⋈ state (attach pr/W) → contribution groupby.sum →
+      state LEFT OUTER sums → fold.  Nothing nodes- or edges-shaped on
+      the driver — the 10⁸+-node path.
+    - "auto" (default): "broadcast" under ``broadcast_budget_nodes``,
+      else "join".
     """
     from ray.data.aggregate import Sum
 
     import ray as _ray
     import ray.data as rd
 
+    if exec not in ("auto", "broadcast", "join"):
+        raise ValueError(f"exec={exec!r}")
     cols = [src, dst] + ([weight] if weight else [])
     edges = edges.select_columns(cols).materialize()
 
@@ -74,17 +89,25 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
     deg = (edges.map_batches(degree_partial, batch_format="pyarrow")
                 .groupby("node")
-                .aggregate(Sum("pw", alias_name="outw")))
+                .aggregate(Sum("pw", alias_name="outw"))).materialize()
+    n = deg.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.float64())}))
+    if exec == "auto":
+        exec = "broadcast" if n <= broadcast_budget_nodes else "join"
+    base = (1.0 - damping) / n
+    if exec == "join":
+        return _pagerank_join(edges, deg, src=src, dst=dst, weight=weight,
+                              damping=damping, iters=iters, digits=digits,
+                              n=n, base=base,
+                              num_partitions=num_partitions)
+
     out_w: dict = {}
     for b in deg.iter_batches(batch_size=None, batch_format="pyarrow"):
         out_w.update(zip(b.column("node").to_pylist(),
                          b.column("outw").to_pylist()))
     nodes = sorted(out_w)
-    n = len(nodes)
-    if n == 0:
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
-                                       "pr": pa.array([], pa.float64())}))
-    base = (1.0 - damping) / n
     pr = {v: round(1.0 / n, digits) for v in nodes}
 
     for _ in range(iters):
@@ -117,3 +140,80 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         "node": pa.array(nodes),
         "pr": pa.array([pr[v] for v in nodes], pa.float64()),
     }))
+
+
+def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
+                   digits, n, base, num_partitions):
+    """Join-based PageRank rounds (see :func:`pagerank` ``exec="join"``):
+    state (node, outw, pr) stays a Dataset; each round is one inner
+    hash join (attach pr/W to edges), one contribution ``groupby.sum``,
+    and one LEFT OUTER fold join — all hash-partitioned, nothing on the
+    driver.  State materializes per round through
+    ``_nonempty_blocks`` (Ray joins emit schema-less empty partition
+    blocks that would poison the next round's key resolution)."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    JP = _join_partitions(num_partitions)
+    pr0 = round(1.0 / n, digits)
+
+    def init_state(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "outw": b.column("outw").cast(pa.float64()),
+            "pr": pa.array([pr0] * b.num_rows, pa.float64()),
+        })
+
+    state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        j = edges.join(state, "inner", JP,
+                       on=(src,), right_on=("node",))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = (b.column(weight).cast(pa.float64())
+                 if weight else pa.array([1.0] * b.num_rows, pa.float64()))
+            c = pc.multiply(pc.divide(b.column("pr"), b.column("outw")), w)
+            t = pa.table({"dst": b.column(dst), "c": c})
+            g = t.group_by(["dst"]).aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "pc"])
+
+        sums = (j.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("dst")
+                 .aggregate(Sum("pc", alias_name="c"))).materialize()
+        sums = _nonempty_blocks(sums)
+
+        def fold(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = (b.column("c") if "c" in b.column_names
+                 else pa.nulls(b.num_rows, pa.float64()))
+            c = pc.fill_null(pc.cast(c, pa.float64()), 0.0)
+            pr = [round(base + damping * v, digits)
+                  for v in c.to_pylist()]
+            return pa.table({"node": b.column("node"),
+                             "outw": b.column("outw"),
+                             "pr": pa.array(pr, pa.float64())})
+
+        if sums is None:
+            folded = state.map_batches(
+                lambda b: pa.table({
+                    "node": b.column("node"),
+                    "outw": b.column("outw"),
+                    "pr": pa.array([round(base, digits)] * b.num_rows,
+                                   pa.float64())}),
+                batch_format="pyarrow")
+        else:
+            folded = (state.select_columns(["node", "outw"])
+                           .join(sums, "left_outer", JP,
+                                 on=("node",), right_on=("dst",))
+                           .map_batches(fold, batch_format="pyarrow"))
+        state = folded.materialize()
+        nb = _nonempty_blocks(state)
+        if nb is not None:
+            state = nb
+
+    return state.select_columns(["node", "pr"])

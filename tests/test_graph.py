@@ -43,3 +43,23 @@ def test_pagerank_unweighted_default(ray_session):
     out = (pagerank(dataset_from_items(edges), weight=None, iters=1)
            .to_pandas().set_index("node")["pr"])
     assert out["b"] == out["c"] > out["a"]
+
+
+def test_pagerank_join_plan_matches_broadcast(ray_session):
+    """exec='join' (distributed rank state) must be bit-identical to
+    exec='broadcast' — same rounding, different physical plan."""
+    import random
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import pagerank
+
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [{"src": rng.choice(nodes), "dst": rng.choice(nodes),
+              "w": rng.randint(1, 5)} for _ in range(150)]
+    a = (pagerank(dataset_from_items(edges), iters=4, exec="broadcast")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (pagerank(dataset_from_items(edges), iters=4, exec="join")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
