@@ -308,34 +308,15 @@ def q_near_dup_clusters(sf_dir: str):
     (min-label propagation); the label table is bounded by duplication
     mass, so it broadcasts once and the corpus streams through a fill
     map — the same scale shape as the kept-set filter."""
-    import pyarrow as pa
-
-    import ray as _ray
-
-    from llm_food_ray.stages.dedup import clusters_min_label
+    from llm_food_ray.stages.dedup import near_dup_cluster_labels
 
     aug = _augmented_docs(sf_dir)
     pairs = minhash_candidate_pairs(
         aug, "doc_id", "text", threshold=0.9, verify="exact",
         num_perm=128, num_bands=32,
     )
-    labels = clusters_min_label(pairs)
-    lmap = {}
-    for b in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
-        lmap.update(zip(b.column("node").to_pylist(),
-                        b.column("label").to_pylist()))
-    ref = _ray.put(lmap)
-
-    def fill(b: pa.Table) -> pa.Table:
-        lm = _ray.get(ref)
-        ids = b.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "cluster": pa.array([lm.get(i, i) for i in ids], pa.int64()),
-        })
-
-    return aug.select_columns(["doc_id"]).map_batches(
-        fill, batch_format="pyarrow")
+    return near_dup_cluster_labels(aug.select_columns(["doc_id"]),
+                                   "doc_id", pairs)
 
 
 def q_pagerank(sf_dir: str):

@@ -1979,6 +1979,83 @@ def dedup_near_keep(ds, key_column: str, pairs_ds, *,
                    on=(key_column,), right_on=("node",))
 
 
+def near_dup_cluster_labels(ds, key_column: str, pairs_ds, *,
+                            num_partitions: int | None = None,
+                            label_exec: str = "auto",
+                            local_budget_pairs: int = 50_000_000,
+                            local_budget_bytes: int = 2_000_000_000):
+    """Cluster LABELS for every row of ``ds``: (key_column, cluster)
+    where cluster = the min key of the row's connected component in the
+    confirmed-pair graph; rows in no pair label themselves.  Feeds
+    stratified sampling / one-per-cluster selection / duplication
+    analytics — the kept-set's (``dedup_near_keep``) sibling, with the
+    same plan gating:
+
+    - "local": min-label propagation on the collected pair columns
+      (Arrow/numpy, no Python tuples), label map broadcast once via
+      ``ray.put``, applied as a streaming fill — right while the label
+      table (bounded by duplication mass, not the corpus) fits one
+      machine.
+    - "distributed": ``clusters_min_label`` + LEFT OUTER label join +
+      vectorized coalesce — nothing pair- or label-shaped on the
+      driver.
+    - "auto" (default): byte-gated like ``dedup_near_keep``."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    if label_exec not in ("auto", "local", "distributed"):
+        raise ValueError(f"label_exec={label_exec!r}")
+    if label_exec == "auto":
+        pairs_ds = pairs_ds.materialize()
+        label_exec = ("local"
+                      if pairs_ds.count() <= local_budget_pairs
+                      and (pairs_ds.size_bytes() or 0) <= local_budget_bytes
+                      else "distributed")
+    if label_exec == "local":
+        lmap = {}
+        labels = clusters_min_label(pairs_ds,
+                                    num_partitions=num_partitions)
+        for b in labels.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            lmap.update(zip(b.column("node").to_pylist(),
+                            b.column("label").to_pylist()))
+        ref = _ray.put(lmap)
+
+        def fill(b: pa.Table) -> pa.Table:
+            lm = _ray.get(ref)
+            ids = b.column(key_column).to_pylist()
+            return pa.table({
+                key_column: b.column(key_column),
+                "cluster": pa.array([lm.get(i, i) for i in ids]),
+            })
+
+        return ds.map_batches(fill, batch_format="pyarrow")
+
+    labels = clusters_min_label(pairs_ds, num_partitions=num_partitions)
+    labels = _nonempty_blocks(labels.materialize())
+    if labels is None:
+
+        def self_label(b: pa.Table) -> pa.Table:
+            return pa.table({key_column: b.column(key_column),
+                             "cluster": b.column(key_column)})
+
+        return ds.map_batches(self_label, batch_format="pyarrow")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        lab = (b.column("label") if "label" in b.column_names
+               else pa.nulls(b.num_rows, b.schema.field(key_column).type))
+        return pa.table({
+            key_column: b.column(key_column),
+            "cluster": pc.coalesce(lab, b.column(key_column)),
+        })
+
+    return (ds.select_columns([key_column])
+              .join(labels, "left_outer", _join_partitions(num_partitions),
+                    on=(key_column,), right_on=("node",))
+              .map_batches(coalesce, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------- union-find ----
 
 

@@ -439,3 +439,28 @@ def test_collapse_rep_select_broadcast_equals_semijoin(ray_session):
                                               128, broadcast_budget_bytes=0))
     assert s1.equals(s2) and r1.equals(r2)
     assert len(s1) >= 2                       # the 3-member exact class
+
+
+def test_cluster_labels_plans_match(ray_session):
+    """near_dup_cluster_labels: local broadcast fill == distributed
+    LEFT OUTER label join, singletons label themselves."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import near_dup_cluster_labels
+
+    docs = _docs()
+    docs.append({"doc_id": 24, "text": docs[20]["text"]})
+    pairs = minhash_candidate_pairs(
+        dataset_from_items(docs), "doc_id", "text", threshold=0.7,
+        verify="estimate", num_perm=128, num_bands=32).materialize()
+    corpus = dataset_from_items(docs).select_columns(["doc_id"])
+    a = (near_dup_cluster_labels(corpus, "doc_id", pairs,
+                                 label_exec="local")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (near_dup_cluster_labels(corpus, "doc_id", pairs,
+                                 label_exec="distributed")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["cluster"] <= a["doc_id"]).all()      # min-key roots
+    assert (a["cluster"] < a["doc_id"]).any()       # some clustering
+    assert len(a) == len(docs)                      # every doc labeled
