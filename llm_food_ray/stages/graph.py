@@ -217,3 +217,27 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
             state = nb
 
     return state.select_columns(["node", "pr"])
+
+
+def connected_components(edges, *, src: str = "src", dst: str = "dst",
+                         num_partitions: int | None = None):
+    """→ Dataset (node, component) for every node in the edge list;
+    component id = the component's min node.  Thin graph-API wrapper
+    over the dedup family's distributed min-label propagation
+    (``stages/dedup.py:clusters_min_label`` — per-round numeric
+    exchanges, distributed convergence, nothing on the driver)."""
+    from .dedup import clusters_min_label
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    labels = clusters_min_label(
+        edges.select_columns([src, dst]).map_batches(
+            as_pairs, batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "component": b.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

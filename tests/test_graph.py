@@ -63,3 +63,15 @@ def test_pagerank_join_plan_matches_broadcast(ray_session):
     b = (pagerank(dataset_from_items(edges), iters=4, exec="join")
          .to_pandas().sort_values("node").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_connected_components_wrapper(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import connected_components
+
+    edges = [{"src": 5, "dst": 2}, {"src": 2, "dst": 9},
+             {"src": 30, "dst": 31}]
+    out = (connected_components(dataset_from_items(edges))
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert out == {2: 2, 5: 2, 9: 2, 30: 30, 31: 30}
