@@ -1082,6 +1082,16 @@ def q_median_len(sf_dir: str):
                           "lang", "n_chars")
 
 
+def q_quantiles_len(sf_dir: str):
+    """Exact per-language length quartiles (discrete-quantile rank
+    rule, DuckDB quantile_disc parity) over the same histogram
+    partials as the median."""
+    from llm_food_ray.stages.textstats import grouped_quantiles
+
+    return grouped_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
+                             "lang", "n_chars", qs=(0.25, 0.5, 0.75))
+
+
 def q_corpus_sample(sf_dir: str):
     """Global deterministic 100-doc sample (bottom-k by md5 across the
     whole corpus — RNG-free, cluster-size-independent)."""
@@ -1367,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mix": q_resample_mix,
         "corpus_sample": q_corpus_sample,
         "median_len": q_median_len,
+        "quantiles_len": q_quantiles_len,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1396,7 +1407,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
-        "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -1410,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -2365,6 +2376,19 @@ QUALIFY row_number() OVER (PARTITION BY lang
         "corpus_sample": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
+""",
+        "quantiles_len": """
+SELECT lang, 0.25 AS q,
+       round(quantile_disc(n_chars, 0.25)::DOUBLE, 6) AS quantile
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.5 AS q,
+       round(quantile_disc(n_chars, 0.5)::DOUBLE, 6) AS quantile
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.75 AS q,
+       round(quantile_disc(n_chars, 0.75)::DOUBLE, 6) AS quantile
+FROM documents GROUP BY lang
 """,
         "median_len": """
 SELECT lang, round(median(n_chars)::DOUBLE, 6) AS median

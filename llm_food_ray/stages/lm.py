@@ -302,15 +302,17 @@ def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
     a high NLL.  Scale shape identical to lm_score: the reference model
     is min_count-prunable and broadcasts once; ``ds`` streams through
     an actor pool."""
-    import ray as _ray
-
-    model_ref = _ray.put(train_bigram_model(
-        ref_ds, ref_text_column or text_column, min_count=min_count))
+    model = train_bigram_model(ref_ds, ref_text_column or text_column,
+                               min_count=min_count)
+    # the model rides the actor-creation spec (Ray puts large args in
+    # the object store once, shared by the pool) — an explicit ray.put
+    # ref here would break actor RESTARTS once the driver ref goes out
+    # of scope (ray#53727)
     return ds.map_batches(
         BigramNllScorer,
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
-                               "model": model_ref},
+                               "model": model},
         concurrency=(1, 8),
         batch_format="pyarrow",
     )
@@ -322,15 +324,12 @@ def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text",
     ``min_count``), broadcast it once via ``ray.put``, then score every
     document's mean negative log-likelihood in one streaming actor-pool
     pass."""
-    import ray as _ray
-
-    model_ref = _ray.put(train_bigram_model(ds, text_column,
-                                            min_count=min_count))
+    model = train_bigram_model(ds, text_column, min_count=min_count)
     return ds.map_batches(
         BigramNllScorer,
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
-                               "model": model_ref},
+                               "model": model},
         concurrency=(1, 8),
         batch_format="pyarrow",
     )

@@ -336,15 +336,14 @@ def tfidf_top_terms(ds, *, key_column: str = "doc_id",
     ``min_count``), broadcast it once via ``ray.put``, then one
     streaming actor-pool scoring pass.  ``ds`` is consumed twice — pass
     the pruned 2-column read so each pass streams from storage."""
-    import ray as _ray
-
-    model_ref = _ray.put(train_df_model(ds, text_column,
-                                        min_count=min_count))
+    model = train_df_model(ds, text_column, min_count=min_count)
+    # model rides the actor-creation spec (shared object-store put by
+    # Ray) — see stages/lm.py for the restart rationale
     return ds.map_batches(
         TfidfTopTerms,
         fn_constructor_kwargs={"k": k, "key_column": key_column,
                                "text_column": text_column,
-                               "model": model_ref},
+                               "model": model},
         concurrency=(1, 8),
         batch_format="pyarrow",
     )

@@ -276,6 +276,55 @@ def grouped_median(ds, key_column: str, value_column: str, *,
     }))
 
 
+def grouped_quantiles(ds, key_column: str, value_column: str, *,
+                      qs=(0.25, 0.5, 0.75), digits: int = 6):
+    """Exact per-group discrete quantiles behind the same
+    value-histogram partial/merge shape as :func:`grouped_median`:
+    quantile q = the element at rank max(1, ceil(q·n)) of the sorted
+    group (DuckDB ``quantile_disc`` semantics — pinned empirically and
+    by the SQL oracle).  Output is long-form (key, q, quantile).
+
+    Scale shape: the exchange ships histogram rows (keys × distinct
+    values per block), never data rows — right for bounded telemetry
+    domains; for continuous domains start from
+    ``grouped_median(method="hist")``'s binning and read off the same
+    ranks with interpolation."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column, value_column]).aggregate(
+            [(value_column, "count")])
+        return g.rename_columns([key_column, value_column, "n"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    merged = merged.sort_values([key_column, value_column])
+    out_keys, out_q, out_v = [], [], []
+    for key, grp in merged.groupby(key_column, sort=True):
+        vals = grp[value_column].to_numpy()
+        cum = grp["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * total))
+            import numpy as np
+
+            i = int(np.searchsorted(cum, rank))
+            out_keys.append(key)
+            out_q.append(float(q))
+            out_v.append(round(float(vals[i]), digits))
+    return rd.from_arrow(pa.table({
+        key_column: pa.array(out_keys),
+        "q": pa.array(out_q, pa.float64()),
+        "quantile": pa.array(out_v, pa.float64()),
+    }))
+
+
 def _grouped_median_hist(ds, key_column: str, value_column: str, *,
                          digits: int, bins: int):
     """Binned per-group median sketch (see :func:`grouped_median`

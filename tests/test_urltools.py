@@ -177,3 +177,18 @@ def test_grouped_median_hist_continuous(ray_session):
             .to_pandas().set_index("g")["median"])
     for g in ("a", "b"):
         assert abs(auto[g] - truth[g]) <= spans[g] / 1024 * 2
+
+def test_grouped_quantiles_rank_rule(ray_session):
+    """quantile_disc parity: element at rank max(1, ceil(q*n))."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_quantiles
+
+    rows = ([{"g": "a", "v": v} for v in (1, 3, 5, 9)]
+            + [{"g": "b", "v": v} for v in (2, 2, 4, 7, 9, 11)])
+    out = (grouped_quantiles(dataset_from_items(rows), "g", "v",
+                             qs=(0.25, 0.5, 0.75, 1.0))
+           .to_pandas().set_index(["g", "q"])["quantile"])
+    assert out[("a", 0.25)] == 1 and out[("a", 0.5)] == 3
+    assert out[("a", 0.75)] == 5 and out[("a", 1.0)] == 9
+    assert out[("b", 0.5)] == 4 and out[("b", 0.75)] == 9
