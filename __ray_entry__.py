@@ -1092,6 +1092,19 @@ def q_quantiles_len(sf_dir: str):
                              "lang", "n_chars", qs=(0.25, 0.5, 0.75))
 
 
+def q_token_budget_mix(sf_dir: str):
+    """Token-budget training mix: fill each language's TOKEN quota in
+    md5(doc_id) order (en 5k, de 2k, es 10k ≈ whole group, zh 1.5k; fr
+    absent → dropped) — the mix-by-tokens operator; exact two-phase
+    bucketed plan, SQL twin is a window cumulative sum."""
+    from llm_food_ray.stages.textstats import token_budget_sample
+
+    return (token_budget_sample(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), "lang", "doc_id",
+        budgets={"en": 5000, "de": 2000, "es": 10000, "zh": 1500})
+        .select_columns(["doc_id", "lang"]))
+
+
 def q_corpus_sample(sf_dir: str):
     """Global deterministic 100-doc sample (bottom-k by md5 across the
     whole corpus — RNG-free, cluster-size-independent)."""
@@ -1376,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": q_sample_per_lang,
         "resample_mix": q_resample_mix,
         "corpus_sample": q_corpus_sample,
+        "token_budget_mix": q_token_budget_mix,
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
         "lang_id": q_lang_id,
@@ -1409,7 +1423,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q_lang_counts,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
-        "quality_filter": q_quality_filter,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
@@ -1420,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
         "decontaminate": q_decontaminate,
@@ -2376,6 +2390,23 @@ QUALIFY row_number() OVER (PARTITION BY lang
         "corpus_sample": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
+""",
+        # greedy token fill: keep while the PRECEDING cumulative token
+        # count is under the group budget (crossing doc kept)
+        "token_budget_mix": r"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+           AS tok,
+         sum(len(list_filter(string_split_regex(text, '\s+'),
+                             w -> w <> '')))
+           OVER (PARTITION BY lang
+                 ORDER BY md5(doc_id::VARCHAR), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+WHERE cum - tok < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                            WHEN 'es' THEN 10000 WHEN 'zh' THEN 1500
+                            ELSE 0 END
 """,
         "quantiles_len": """
 SELECT lang, 0.25 AS q,

@@ -597,6 +597,145 @@ def corpus_sample(ds, key_column: str, *, n: int = 1000):
     return capped.drop_columns(["__rank", "__all"])
 
 
+def token_budget_sample(ds, group_column: str, key_column: str, *,
+                        budgets: dict, text_column: str = "text",
+                        bucket_hex: int = 4):
+    """Per-group TOKEN-budget sampling: fill each group's quota in
+    deterministic md5(key) order, keeping every document whose
+    preceding cumulative token count is still below ``budgets[group]``
+    (the greedy fill — the crossing document is kept; groups absent
+    from ``budgets`` are dropped).  Training mixes are specified in
+    tokens, not documents — this is the operator that turns "30 B
+    tokens of code, 5 B of forums" into a concrete corpus, RNG-free
+    and reproducible across engines and cluster sizes.
+
+    Scale shape (exact, no corpus sort): the bucket id is the rank's
+    first ``bucket_hex`` hex chars — a PREFIX, so bucket order ==
+    md5-rank order (a modulo would destroy the correspondence) — and
+    md5 uniformity spreads docs evenly over the 16^``bucket_hex``
+    buckets.  Phase 1 histograms per-(group, bucket) token sums — a
+    ≤ groups×16^bucket_hex exchange — and the driver prefix-sums the
+    tiny bucket table to find each group's BOUNDARY bucket.  Phase 2
+    collects only the boundary buckets' (rank, key, tokens) rows
+    (~16^-bucket_hex of the corpus) and resolves the exact crossing
+    document locally.  The keep rule broadcasts as {group: (boundary
+    bucket, boundary keep-set)} and one streaming filter pass
+    finishes.  The SQL twin is a window cumulative sum."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ..functions.hashing import md5_hex
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        ranks = [md5_hex(str(k)) for k in keys]
+        bkt = [int(r[:bucket_hex], 16) for r in ranks]
+        toks = [len((t or "").split())
+                for t in batch.column(text_column).to_pylist()]
+        b = batch.append_column("__rank", pa.array(ranks, pa.string()))
+        b = b.append_column("__bkt", pa.array(bkt, pa.int32()))
+        return b.append_column("__tok", pa.array(toks, pa.int64()))
+
+    annotated = ds.map_batches(annotate, batch_format="pyarrow")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_column, "__bkt", "__tok"])
+        g = t.group_by([group_column, "__bkt"]).aggregate([("__tok", "sum")])
+        return g.rename_columns([group_column, "__bkt", "ptok"])
+
+    hist_batches = list(
+        annotated.map_batches(hist_partial, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not hist_batches:
+        return ds.filter(lambda _r: False)
+    hist = (pa.concat_tables(hist_batches, promote_options="default")
+              .group_by([group_column, "__bkt"]).aggregate([("ptok", "sum")])
+              .rename_columns([group_column, "__bkt", "tok"]))
+    order = pc.sort_indices(hist, sort_keys=[(group_column, "ascending"),
+                                             ("__bkt", "ascending")])
+    hist = hist.take(order)
+    gcol = hist.column(group_column).to_pylist()
+    bcol = hist.column("__bkt").to_pylist()
+    tcol = hist.column("tok").to_pylist()
+    # per group: full buckets (every doc's token prefix < budget, so all
+    # kept) + at most ONE boundary bucket where the budget crosses
+    full_until: dict = {}     # group -> first bucket id NOT fully kept
+    boundary: dict = {}       # group -> (bucket id, tokens_before_bucket)
+    i = 0
+    while i < len(gcol):
+        g = gcol[i]
+        budget = budgets.get(g, 0)
+        cum = 0
+        fu = 0
+        j = i
+        while j < len(gcol) and gcol[j] == g:
+            if cum + tcol[j] <= budget:
+                cum += tcol[j]          # bucket fully kept
+                fu = bcol[j] + 1
+                j += 1
+                continue
+            if cum < budget:            # budget crosses INSIDE this bucket
+                boundary[g] = (bcol[j], cum)
+                fu = bcol[j]
+            break
+        full_until[g] = fu
+        while j < len(gcol) and gcol[j] == g:
+            j += 1
+        i = j
+
+    bref = _ray.put((full_until, {g: b for g, (b, _c) in boundary.items()}))
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        fu, bb = _ray.get(bref)
+        g = b.column(group_column).to_pylist()
+        k = b.column("__bkt").to_pylist()
+        mask = pa.array([bb.get(gg, -1) == kk for gg, kk in zip(g, k)],
+                        pa.bool_())
+        return (b.filter(mask)
+                 .select([group_column, "__rank", key_column, "__tok"]))
+
+    bnd_batches = list(
+        annotated.map_batches(boundary_rows, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    keep_keys: dict = {}
+    if bnd_batches:
+        bnd = pa.concat_tables(bnd_batches, promote_options="default")
+        bnd = bnd.take(pc.sort_indices(
+            bnd, sort_keys=[(group_column, "ascending"),
+                            ("__rank", "ascending"),
+                            (key_column, "ascending")]))
+        bg = bnd.column(group_column).to_pylist()
+        bk = bnd.column(key_column).to_pylist()
+        bt = bnd.column("__tok").to_pylist()
+        cum_g: dict = {}
+        for g, k, t in zip(bg, bk, bt):
+            before = cum_g.get(g, boundary.get(g, (None, 0))[1])
+            if before < budgets.get(g, 0):
+                keep_keys.setdefault(g, set()).add(k)
+            cum_g[g] = before + t
+
+    kref = _ray.put((full_until, {g: b for g, (b, _c) in boundary.items()},
+                     keep_keys))
+
+    def final_filter(b: pa.Table) -> pa.Table:
+        fu, bb, kk = _ray.get(kref)
+        g = b.column(group_column).to_pylist()
+        bkt = b.column("__bkt").to_pylist()
+        keys = b.column(key_column).to_pylist()
+        mask = []
+        for gg, bk_, key in zip(g, bkt, keys):
+            bnd_b = bb.get(gg)
+            if bnd_b is not None and bk_ == bnd_b:
+                mask.append(key in kk.get(gg, ()))
+            else:
+                mask.append(bk_ < fu.get(gg, 0))
+        return (b.filter(pa.array(mask, pa.bool_()))
+                 .drop_columns(["__rank", "__bkt", "__tok"]))
+
+    return annotated.map_batches(final_filter, batch_format="pyarrow")
+
+
 def decontaminate(ds, text_column: str = "text", *, contaminated,
                   n: int = 13):
     """Benchmark decontamination: drop every document whose text contains

@@ -192,3 +192,36 @@ def test_grouped_quantiles_rank_rule(ray_session):
     assert out[("a", 0.25)] == 1 and out[("a", 0.5)] == 3
     assert out[("a", 0.75)] == 5 and out[("a", 1.0)] == 9
     assert out[("b", 0.5)] == 4 and out[("b", 0.75)] == 9
+
+def test_token_budget_sample_matches_reference(ray_session):
+    """Greedy token fill == local reference over md5 order, with
+    bucket_hex=1 forcing many docs per bucket (boundary resolution)."""
+    import hashlib
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import token_budget_sample
+
+    rows = [{"doc_id": i, "g": ["a", "b"][i % 2],
+             "text": " ".join(["w"] * (3 + i % 7))} for i in range(60)]
+    budgets = {"a": 40, "b": 10_000}   # b's budget exceeds its total
+
+    def ref_keep(g):
+        docs = sorted((r for r in rows if r["g"] == g),
+                      key=lambda r: (hashlib.md5(
+                          str(r["doc_id"]).encode()).hexdigest(),
+                          r["doc_id"]))
+        kept, cum = [], 0
+        for r in docs:
+            t = len(r["text"].split())
+            if cum < budgets[g]:
+                kept.append(r["doc_id"])
+            cum += t
+        return sorted(kept)
+
+    out = token_budget_sample(dataset_from_items(rows), "g", "doc_id",
+                              budgets=budgets, text_column="text",
+                              bucket_hex=1).to_pandas()
+    for g in ("a", "b"):
+        assert sorted(out[out["g"] == g]["doc_id"]) == ref_keep(g), g
+    assert set(out.columns) == {"doc_id", "g", "text"}
