@@ -1105,6 +1105,29 @@ def q_token_budget_mix(sf_dir: str):
         .select_columns(["doc_id", "lang"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (hash-Gumbel top-k): 150 docs
+    drawn ∝ exp(weight) without replacement, weight = ln(1+n_chars) —
+    the step that turns importance weights into a resampled corpus,
+    RNG-free and bit-reproducible (the SQL twin computes identical
+    scores)."""
+    import math
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.textstats import weighted_sample
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = [math.log(1 + int(c))
+             for c in b.column("n_chars").to_pylist()]
+        return b.append_column("w", pa.array(w, pa.float64()))
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        add_w, batch_format="pyarrow")
+    return (weighted_sample(ds, "doc_id", "w", k=150)
+            .select_columns(["doc_id", "lang", "sample_score"]))
+
+
 def q_corpus_sample(sf_dir: str):
     """Global deterministic 100-doc sample (bottom-k by md5 across the
     whole corpus — RNG-free, cluster-size-independent)."""
@@ -1390,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mix": q_resample_mix,
         "corpus_sample": q_corpus_sample,
         "token_budget_mix": q_token_budget_mix,
+        "weighted_sample": q_weighted_sample,
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
         "lang_id": q_lang_id,
@@ -1422,7 +1446,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
         "quality_stats": q_quality_stats,
-        "repetition_stats": q_repetition_stats,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
@@ -1433,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
@@ -2390,6 +2414,19 @@ QUALIFY row_number() OVER (PARTITION BY lang
         "corpus_sample": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
+""",
+        # hash-Gumbel weighted sample: identical score expression on
+        # both sides (round-then-rank), ties by ascending doc_id
+        "weighted_sample": r"""
+SELECT doc_id, lang, sample_score FROM (
+  SELECT doc_id, lang,
+         round(ln(1 + n_chars)
+               - ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                              AS UBIGINT) + 0.5) / 4294967296.0)),
+               6) AS sample_score
+  FROM documents)
+ORDER BY sample_score DESC, doc_id
+LIMIT 150
 """,
         # greedy token fill: keep while the PRECEDING cumulative token
         # count is under the group budget (crossing doc kept)

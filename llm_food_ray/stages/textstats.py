@@ -597,6 +597,48 @@ def corpus_sample(ds, key_column: str, *, n: int = 1000):
     return capped.drop_columns(["__rank", "__all"])
 
 
+def weighted_sample(ds, key_column: str, weight_column: str, *,
+                    k: int, digits: int = 6):
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis / Gumbel-top-k scheme with the randomness
+    replaced by a hash — score = w + Gumbel(u) = w − ln(−ln(u)) with
+    u = (md5(key)[:8] + 0.5) / 2³², take the global top-``k`` by
+    (score desc, key asc).  This is how importance weights (DSIR,
+    quality scores, perplexity) become an actual resampled corpus,
+    reproducible across runs, engines, and cluster sizes — per-key
+    hash-Gumbel keys are RNG-free, so the SQL twin computes the exact
+    same scores.
+
+    Scale shape: one streaming map adds the score, each block prunes to
+    its local top-k, and a tiny (score desc, key asc) global sort of
+    ≤ k×blocks rows finishes — the ``brute_topk`` prune-before-sort
+    shape; no corpus sort, no RNG state."""
+    import math
+
+    from ..functions.hashing import md5_hex
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch.column(key_column).to_pylist()
+        w = batch.column(weight_column).to_pylist()
+        s = []
+        for kk, ww in zip(keys, w):
+            u = (int(md5_hex(str(kk))[:8], 16) + 0.5) / 4294967296.0
+            s.append(round(float(ww) - math.log(-math.log(u)), digits))
+        t = batch.append_column("sample_score",
+                                pa.array(s, pa.float64()))
+        order = pc.sort_indices(
+            t, sort_keys=[("sample_score", "descending"),
+                          (key_column, "ascending")])
+        return t.take(order[:k])
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["sample_score", key_column],
+                    descending=[True, False])
+              .limit(k))
+
+
 def token_budget_sample(ds, group_column: str, key_column: str, *,
                         budgets: dict, text_column: str = "text",
                         bucket_hex: int = 4):

@@ -225,3 +225,26 @@ def test_token_budget_sample_matches_reference(ray_session):
     for g in ("a", "b"):
         assert sorted(out[out["g"] == g]["doc_id"]) == ref_keep(g), g
     assert set(out.columns) == {"doc_id", "g", "text"}
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    """Hash-Gumbel weighted sampling: reproducible, and heavier weights
+    win far more often."""
+    import math
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import weighted_sample
+
+    # 100 light docs (w=0) vs 100 heavy docs (w=ln(20) ~ 20x odds)
+    rows = ([{"doc_id": i, "w": 0.0} for i in range(100)]
+            + [{"doc_id": 100 + i, "w": math.log(20.0)}
+               for i in range(100)])
+    a = (weighted_sample(dataset_from_items(rows), "doc_id", "w", k=50)
+         .to_pandas())
+    b = (weighted_sample(dataset_from_items(rows), "doc_id", "w", k=50)
+         .to_pandas())
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])       # deterministic
+    heavy = (a["doc_id"] >= 100).sum()
+    assert heavy >= 40                                      # ~20:1 odds
+    assert (a["sample_score"].values[:-1]
+            >= a["sample_score"].values[1:]).all()          # sorted desc
