@@ -2023,11 +2023,16 @@ def near_dup_cluster_labels(ds, key_column: str, pairs_ds, *,
         ref = _ray.put(lmap)
 
         def fill(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
             lm = _ray.get(ref)
-            ids = b.column(key_column).to_pylist()
+            ids = pd.Series(b.column(key_column).to_pylist())
+            lab = ids.map(lm).fillna(ids)   # vectorized; singletons = self
+            # pandas map float-boxes ints with NaN holes — pin the type
             return pa.table({
                 key_column: b.column(key_column),
-                "cluster": pa.array([lm.get(i, i) for i in ids]),
+                "cluster": pa.array(lab.tolist(),
+                                    b.schema.field(key_column).type),
             })
 
         return ds.map_batches(fill, batch_format="pyarrow")

@@ -116,13 +116,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         ref = _ray.put(ready)
 
         def contrib(b: pa.Table) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+
             m = _ray.get(ref)
-            w = (b.column(weight).to_pylist() if weight
-                 else [1.0] * b.num_rows)
-            c = [m.get(s, 0.0) * wi
-                 for s, wi in zip(b.column(src).to_pylist(), w)]
+            w = (b.column(weight).to_numpy(zero_copy_only=False)
+                 .astype(np.float64) if weight
+                 else np.ones(b.num_rows, np.float64))
+            # vectorized rank lookup (C-level hash map), not a row loop
+            pr_w = (pd.Series(b.column(src).to_pylist()).map(m)
+                    .fillna(0.0).to_numpy())
             t = pa.table({"dst": b.column(dst),
-                          "c": pa.array(c, pa.float64())})
+                          "c": pa.array(pr_w * w, pa.float64())})
             g = t.group_by(["dst"]).aggregate([("c", "sum")])
             return g.rename_columns(["dst", "pc"])
 
