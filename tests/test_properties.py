@@ -234,3 +234,60 @@ def test_canonicalize_idempotent(scheme, host, port, path, query, frag):
     once = canonicalize_url(url)
     assert canonicalize_url(once) == once
     assert "#" not in once and "utm_" not in once
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x20,
+                                      max_codepoint=0x7E) | st.sampled_from(
+                                          "\n\t  "),
+               max_size=400),
+       st.integers(min_value=2, max_value=40),
+       st.integers(min_value=0, max_value=10))
+def test_chunk_spans_invariants_fuzz(text, size, overlap):
+    """Spans always index the raw text, normalized substring equals the
+    chunk, and the chunk sequence equals the span-free chunker."""
+    from llm_food_ray.functions.chunk import chunk_tokens, chunk_tokens_spans
+
+    overlap = min(overlap, size - 1)
+    spans = chunk_tokens_spans(text, size, overlap)
+    assert [c for c, _, _ in spans] == chunk_tokens(text, size, overlap)
+    for c, s, e in spans:
+        assert 0 <= s < e <= len(text)
+        assert " ".join(text[s:e].split()) == c
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.integers(min_value=1, max_value=9)),
+                min_size=1, max_size=60),
+       st.integers(min_value=0, max_value=80),
+       st.integers(min_value=1, max_value=4))
+def test_token_budget_sample_fuzz(ray_session, docs, budget_a, bucket_hex):
+    """Bucketed two-phase plan == local greedy reference for any corpus
+    shape, budget, and bucket granularity."""
+    import hashlib
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import token_budget_sample
+
+    rows = [{"doc_id": i, "g": g, "text": " ".join(["w"] * n)}
+            for i, (g, n) in enumerate(docs)]
+    budgets = {"a": budget_a, "b": 15}
+    out = token_budget_sample(dataset_from_items(rows), "g", "doc_id",
+                              budgets=budgets,
+                              bucket_hex=bucket_hex).to_pandas()
+    for g in ("a", "b", "c"):
+        docs_g = sorted((r for r in rows if r["g"] == g),
+                        key=lambda r: (hashlib.md5(
+                            str(r["doc_id"]).encode()).hexdigest(),
+                            r["doc_id"]))
+        want, cum = [], 0
+        for r in docs_g:
+            t = len(r["text"].split())
+            if cum < budgets.get(g, 0):
+                want.append(r["doc_id"])
+            cum += t
+        got = (sorted(out[out["g"] == g]["doc_id"])
+               if len(out) else [])
+        assert got == sorted(want), (g, budgets, bucket_hex)
