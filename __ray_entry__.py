@@ -246,6 +246,44 @@ def q_outlinks(sf_dir: str):
     return pages_dataset(sf_dir).map_batches(links, batch_format="pyarrow")
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation per link TARGET: (resolved URL,
+    n_links, distinct anchors sorted+joined) — the classic retrieval /
+    target-description signal built from the outlink edge list.  Scale
+    shape: per-batch Arrow combiner pre-aggregates (target, partial
+    count, partial anchor set) so the groupby exchange carries
+    targets×blocks rows, never one row per edge."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    links = q_outlinks(sf_dir)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"target": batch.column("resolved"),
+                      "anchor": batch.column("anchor")})
+        g = t.group_by(["target", "anchor"]).aggregate([("anchor", "count")])
+        return g.rename_columns(["target", "anchor", "pn"])
+
+    merged = (links.map_batches(pair_partial, batch_format="pyarrow")
+                   .groupby(["target", "anchor"])
+                   .aggregate(Sum("pn", alias_name="n")))
+
+    def per_target(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        anchors = sorted(set(g.column("anchor").to_pylist()))
+        n = pc.sum(g.column("n")).as_py() or 0
+        return pa.table({
+            "target": g.column("target").slice(0, 1),
+            "n_links": pa.array([int(n)], pa.int64()),
+            "anchors": pa.array(["|".join(anchors)], pa.string()),
+        })
+
+    return merged.groupby("target").map_groups(per_target,
+                                               batch_format="pyarrow")
+
+
 def q_host_graph(sf_dir: str):
     """Host-level link graph: outlink edges rolled up to (src_host,
     dst_host, n_links) — the adjacency a PageRank / domain-authority /
@@ -1445,10 +1483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
-        "quality_stats": q_quality_stats,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
+        "anchor_texts": q_anchor_texts,
         "host_stats": q_host_stats,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
@@ -1456,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
@@ -1699,6 +1738,21 @@ SELECT {_URL} AS url,
          AS resolved
 FROM documents, links l
 WHERE {_DOC_TYPE_SQL} = 'html'
+""",
+        # anchor-text twin: each of the six template targets receives
+        # one distinct anchor from every html page of its host class
+        "anchor_texts": f"""
+WITH h AS (
+  SELECT 'https://site' || (doc_id % 100) || '.example.com' AS origin,
+         count(*) AS n
+  FROM documents WHERE {_DOC_TYPE_SQL} = 'html' GROUP BY 1
+), links(href, anchor) AS (VALUES
+  ('/home', 'home'), ('/about', 'about'), ('/contact', 'contact'),
+  ('/l1', 'promo one'), ('/l2', 'promo two'), ('/l3', 'promo three'))
+SELECT h.origin || l.href AS target,
+       CAST(h.n AS BIGINT) AS n_links,
+       l.anchor AS anchors
+FROM h, links l
 """,
         # host-graph twin: all six template links are site-internal, so
         # each html page contributes 6 self-edges to its own host
