@@ -1166,6 +1166,28 @@ def q_weighted_sample(sf_dir: str):
             .select_columns(["doc_id", "lang", "sample_score"]))
 
 
+def q_weighted_sample_per_lang(sf_dir: str):
+    """Per-language deterministic weighted sample (hash-Gumbel top-30
+    per lang, weight = ln(1+n_chars)) — per-domain importance sampling;
+    composition of the Gumbel scorer and the tiebreak-exact per-group
+    cap."""
+    import math
+
+    import pyarrow as pa
+
+    from llm_food_ray.stages.textstats import weighted_sample_per_group
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = [math.log(1 + int(c))
+             for c in b.column("n_chars").to_pylist()]
+        return b.append_column("w", pa.array(w, pa.float64()))
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        add_w, batch_format="pyarrow")
+    return (weighted_sample_per_group(ds, "lang", "doc_id", "w", n=30)
+            .select_columns(["doc_id", "lang", "sample_score"]))
+
+
 def q_corpus_sample(sf_dir: str):
     """Global deterministic 100-doc sample (bottom-k by md5 across the
     whole corpus — RNG-free, cluster-size-independent)."""
@@ -1452,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": q_corpus_sample,
         "token_budget_mix": q_token_budget_mix,
         "weighted_sample": q_weighted_sample,
+        "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
         "lang_id": q_lang_id,
@@ -1490,10 +1513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "dedup_paragraph": q_dedup_paragraph,
         "curate": q_curate,
-        "sessionize": q_sessionize,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         # --- long-green rotation tail (driver checks the first 50) ---
+        "sessionize": q_sessionize,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -2481,6 +2504,17 @@ SELECT doc_id, lang, sample_score FROM (
   FROM documents)
 ORDER BY sample_score DESC, doc_id
 LIMIT 150
+""",
+        "weighted_sample_per_lang": r"""
+SELECT doc_id, lang, sample_score FROM (
+  SELECT doc_id, lang,
+         round(ln(1 + n_chars)
+               - ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                              AS UBIGINT) + 0.5) / 4294967296.0)),
+               6) AS sample_score
+  FROM documents)
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY sample_score DESC, doc_id) <= 30
 """,
         # greedy token fill: keep while the PRECEDING cumulative token
         # count is under the group budget (crossing doc kept)

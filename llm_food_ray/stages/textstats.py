@@ -597,6 +597,44 @@ def corpus_sample(ds, key_column: str, *, n: int = 1000):
     return capped.drop_columns(["__rank", "__all"])
 
 
+def _gumbel_scores(keys, weights, digits: int) -> list:
+    """Hash-Gumbel sampling scores: w − ln(−ln(u)) with u derived from
+    md5(key) — shared by the global and per-group weighted samplers."""
+    import math
+
+    from ..functions.hashing import md5_hex
+
+    out = []
+    for kk, ww in zip(keys, weights):
+        u = (int(md5_hex(str(kk))[:8], 16) + 0.5) / 4294967296.0
+        out.append(round(float(ww) - math.log(-math.log(u)), digits))
+    return out
+
+
+def weighted_sample_per_group(ds, group_column: str, key_column: str,
+                              weight_column: str, *, n: int,
+                              digits: int = 6):
+    """Per-group deterministic weighted sampling without replacement:
+    the ``n`` highest hash-Gumbel scores (w − ln(−ln(u))) per group —
+    per-language/domain importance sampling, RNG-free.  Composition:
+    one scoring map, then the tiebreak-exact :func:`cap_per_group`
+    keep-set machinery on the NEGATED score (cap keeps the smallest
+    order values; ties break by the unique key, matching a
+    ``row_number() OVER (PARTITION BY g ORDER BY s DESC, key)`` SQL
+    twin)."""
+    def score(batch: pa.Table) -> pa.Table:
+        s = _gumbel_scores(batch.column(key_column).to_pylist(),
+                           batch.column(weight_column).to_pylist(), digits)
+        b = batch.append_column("sample_score", pa.array(s, pa.float64()))
+        return b.append_column("__neg",
+                               pa.array([-v for v in s], pa.float64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    kept = cap_per_group(scored, group_column, "__neg", n=n,
+                         tiebreak_column=key_column)
+    return kept.drop_columns(["__neg"])
+
+
 def weighted_sample(ds, key_column: str, weight_column: str, *,
                     k: int, digits: int = 6):
     """Deterministic weighted sampling WITHOUT replacement: the
@@ -613,19 +651,11 @@ def weighted_sample(ds, key_column: str, weight_column: str, *,
     its local top-k, and a tiny (score desc, key asc) global sort of
     ≤ k×blocks rows finishes — the ``brute_topk`` prune-before-sort
     shape; no corpus sort, no RNG state."""
-    import math
-
-    from ..functions.hashing import md5_hex
-
     def score(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keys = batch.column(key_column).to_pylist()
-        w = batch.column(weight_column).to_pylist()
-        s = []
-        for kk, ww in zip(keys, w):
-            u = (int(md5_hex(str(kk))[:8], 16) + 0.5) / 4294967296.0
-            s.append(round(float(ww) - math.log(-math.log(u)), digits))
+        s = _gumbel_scores(batch.column(key_column).to_pylist(),
+                           batch.column(weight_column).to_pylist(), digits)
         t = batch.append_column("sample_score",
                                 pa.array(s, pa.float64()))
         order = pc.sort_indices(
