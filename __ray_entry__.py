@@ -250,38 +250,25 @@ def q_anchor_texts(sf_dir: str):
     """Anchor-text aggregation per link TARGET: (resolved URL,
     n_links, distinct anchors sorted+joined) — the classic retrieval /
     target-description signal built from the outlink edge list.  Scale
-    shape: per-batch Arrow combiner pre-aggregates (target, partial
-    count, partial anchor set) so the groupby exchange carries
-    targets×blocks rows, never one row per edge."""
+    shape (r4): :func:`grouped_string_agg` — per-batch distinct-pair
+    combiner, one (target, anchor) groupby.sum, then a hash(target)-
+    coarse bucket rollup with vectorized run-length emit; no per-key
+    ``map_groups`` anywhere (one Python group call per BUCKET, never
+    per target)."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Sum
+    from llm_food_ray.stages.textstats import grouped_string_agg
 
     links = q_outlinks(sf_dir)
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"target": batch.column("resolved"),
-                      "anchor": batch.column("anchor")})
-        g = t.group_by(["target", "anchor"]).aggregate([("anchor", "count")])
-        return g.rename_columns(["target", "anchor", "pn"])
+    def pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"target": batch.column("resolved"),
+                         "anchor": batch.column("anchor")})
 
-    merged = (links.map_batches(pair_partial, batch_format="pyarrow")
-                   .groupby(["target", "anchor"])
-                   .aggregate(Sum("pn", alias_name="n")))
-
-    def per_target(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        anchors = sorted(set(g.column("anchor").to_pylist()))
-        n = pc.sum(g.column("n")).as_py() or 0
-        return pa.table({
-            "target": g.column("target").slice(0, 1),
-            "n_links": pa.array([int(n)], pa.int64()),
-            "anchors": pa.array(["|".join(anchors)], pa.string()),
-        })
-
-    return merged.groupby("target").map_groups(per_target,
-                                               batch_format="pyarrow")
+    return grouped_string_agg(
+        links.map_batches(pairs, batch_format="pyarrow"),
+        "target", "anchor", sep="|",
+        count_column="n_links", agg_column="anchors")
 
 
 def q_host_graph(sf_dir: str):

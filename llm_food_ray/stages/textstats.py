@@ -808,6 +808,86 @@ def token_budget_sample(ds, group_column: str, key_column: str, *,
     return annotated.map_batches(final_filter, batch_format="pyarrow")
 
 
+def grouped_string_agg(ds, key_column: str, value_column: str, *,
+                       sep: str = "|", num_buckets: int = 64,
+                       count_column: str = "n", agg_column: str = "values"):
+    """Scale-safe per-key string aggregation: one row per distinct key
+    with (total occurrence count, distinct values sorted + joined by
+    ``sep``) — the "GROUP BY key, string_agg(DISTINCT value)" primitive
+    (anchor-text aggregation per link target, per-host URL rollups).
+
+    Scale shape (no per-key Python group calls — the r3 VERDICT rule
+    "never one group per key" applied to string aggregation): each
+    batch pre-aggregates (key, value) → partial count so the exchange
+    ships DISTINCT pairs, one ``groupby.sum`` merges them, and the
+    final per-key rollup runs inside hash(key)-coarse buckets
+    (``num_buckets`` groups TOTAL, independent of key cardinality).
+    Inside a bucket every step is a vectorized kernel: Arrow sort →
+    run-length boundaries → ``np.add.reduceat`` for the counts →
+    ``ListArray.from_arrays`` + ``pc.binary_join`` for the joined
+    strings.  Values within a key are already distinct after the merge,
+    so the list slice per key IS the sorted distinct set."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column, value_column]).aggregate(
+            [(value_column, "count")])
+        return g.rename_columns([key_column, value_column, "pn"])
+
+    merged = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("pn", alias_name="__n")))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        pb = pa.array([stable_hash64(str(k)) % num_buckets for k in keys],
+                      pa.int32())
+        return batch.append_column("__pb", pb)
+
+    def bucket_agg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({
+                key_column: pa.array([], pa.string()),
+                count_column: pa.array([], pa.int64()),
+                agg_column: pa.array([], pa.string()),
+            })
+        order = pc.sort_indices(
+            t, sort_keys=[(key_column, "ascending"),
+                          (value_column, "ascending")])
+        t = t.take(order)
+        k = t.column(key_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = t.column(value_column)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)),
+                          True)
+        new_run = np.r_[True, ne.to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(new_run)
+        counts = np.add.reduceat(n, starts)
+        offsets = pa.array(np.r_[starts, len(k)].astype(np.int32),
+                           pa.int32())
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, v), sep)
+        return pa.table({
+            key_column: k.take(pa.array(starts)),
+            count_column: pa.array(counts, pa.int64()),
+            agg_column: joined,
+        })
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(bucket_agg, batch_format="pyarrow"))
+
+
 def decontaminate(ds, text_column: str = "text", *, contaminated,
                   n: int = 13):
     """Benchmark decontamination: drop every document whose text contains

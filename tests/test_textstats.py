@@ -127,3 +127,38 @@ def test_grouped_rollup(ray_session):
         assert row["total"] == vals.sum()
         assert row["vmax"] == vals.max()
         assert row["mean"] == round(vals.sum() / len(vals), 6)
+
+
+def test_grouped_string_agg(ray_session):
+    """Per-key distinct string rollup: counts total occurrences but
+    joins the sorted DISTINCT value set; no per-key map_groups (the
+    bucket count, not key cardinality, bounds the Python group calls)."""
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_string_agg
+
+    items = []
+    for i in range(120):                      # duplicates across batches
+        items.append({"k": f"t{i % 7}", "v": f"a{i % 4}"})
+    ds = dataset_from_items(items)
+    out = grouped_string_agg(ds, "k", "v", sep="|", num_buckets=4,
+                             count_column="n", agg_column="vals")
+    df = out.to_pandas().set_index("k")
+    assert len(df) == 7
+    for t in range(7):
+        rows = [(f"t{i % 7}", f"a{i % 4}") for i in range(120)
+                if i % 7 == t]
+        expect_vals = "|".join(sorted({v for _, v in rows}))
+        assert df.loc[f"t{t}", "n"] == len(rows)
+        assert df.loc[f"t{t}", "vals"] == expect_vals
+
+
+def test_grouped_string_agg_single_bucket_empty_safe(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_string_agg
+
+    ds = dataset_from_items([{"k": "x", "v": "only"}])
+    df = grouped_string_agg(ds, "k", "v", num_buckets=16).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0]["values"] == "only" and df.iloc[0]["n"] == 1
