@@ -445,11 +445,13 @@ def cap_per_group(ds, group_column: str, order_column: str, *,
     row would violate the n-rows contract).
 
     Scale shape: each batch pre-prunes to its local per-group top-n (an
-    Arrow sort + per-group head — batches never ship more than
-    groups×n candidate rows), the tiny candidate union resolves the
-    exact per-group keep-set once, and the keep-set broadcasts back as
-    an ``is_in`` filter over a second streaming pass.  No corpus
-    shuffle; the only exchange is candidates bounded by blocks×groups×n."""
+    Arrow sort + vectorized run-length per-group head — batches never
+    ship more than groups×n candidate rows), the tiny candidate union
+    resolves the exact per-group keep-set once, and the keep-set
+    broadcasts back as a packed-key ``pc.is_in`` filter (no per-row
+    Python anywhere on the corpus path) over a second streaming pass.
+    No corpus shuffle; the only exchange is candidates bounded by
+    blocks×groups×n."""
     import pyarrow.compute as pc
 
     import ray as _ray
@@ -463,31 +465,17 @@ def cap_per_group(ds, group_column: str, order_column: str, *,
     key_cols = [group_column, order_column] + (
         [tiebreak_column] if tiebreak_column else [])
     sort_keys = [(c, "ascending") for c in key_cols]
+    check_ties = tiebreak_column is None
 
     def local_candidates(batch: pa.Table) -> pa.Table:
         t = batch.select(key_cols)
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        g = t.column(group_column).to_pylist()
-        o = (t.column(order_column).to_pylist()
-             if tiebreak_column is None else None)
-        keep_idx = []
-        run_start = 0
-        for i in range(len(g) + 1):
-            if i == len(g) or (i > 0 and g[i] != g[i - 1]):
-                lim = limit_of(g[run_start], 0)
-                cut = min(run_start + lim, i)
-                # a tie straddling the LOCAL prune boundary would be
-                # invisible to the global resolve yet pass the (g, o)
-                # keep-filter — detect it here, where the row still exists
-                if (o is not None and run_start < cut < i
-                        and o[cut] == o[cut - 1]):
-                    raise ValueError(
-                        f"cap_per_group: order ties at the cap boundary in "
-                        f"group {g[run_start]!r} (order={o[cut]!r}); pass a "
-                        "unique tiebreak_column to make the cap exact")
-                keep_idx.extend(range(run_start, cut))
-                run_start = i
-        return t.take(pa.array(keep_idx))
+        # a tie straddling the LOCAL prune boundary would be invisible
+        # to the global resolve yet pass the keep-filter — the helper
+        # detects it here, where the row still exists
+        idx = _sorted_group_head_indices(
+            t, group_column, order_column, limit_of, check_ties)
+        return t.take(pa.array(idx))
 
     cand_batches = list(
         ds.map_batches(local_candidates, batch_format="pyarrow")
@@ -496,32 +484,99 @@ def cap_per_group(ds, group_column: str, order_column: str, *,
         return ds
     cand = pa.concat_tables(cand_batches, promote_options="default")
     cand = cand.take(pc.sort_indices(cand, sort_keys=sort_keys))
-    rows = [cand.column(c).to_pylist() for c in key_cols]
-    g = rows[0]
-    keep: set = set()
-    run_start = 0
-    for i in range(len(g) + 1):
-        if i == len(g) or (i > 0 and g[i] != g[i - 1]):
-            lim = limit_of(g[run_start], 0)
-            cut = min(run_start + lim, i)
-            if (tiebreak_column is None and run_start < cut < i
-                    and rows[1][cut] == rows[1][cut - 1]):
-                raise ValueError(
-                    f"cap_per_group: order ties at the cap boundary in group "
-                    f"{g[run_start]!r} (order={rows[1][cut]!r}); pass a unique "
-                    "tiebreak_column to make the n-rows-per-group cap exact")
-            keep.update(tuple(col[j] for col in rows)
-                        for j in range(run_start, cut))
-            run_start = i
-    keep_ref = _ray.put(keep)
+    idx = _sorted_group_head_indices(
+        cand, group_column, order_column, limit_of, check_ties)
+    keep_packed = _pack_key_columns(cand.take(pa.array(idx)), key_cols)
+    keep_ref = _ray.put(keep_packed)
 
     def filt(batch: pa.Table) -> pa.Table:
         kset = _ray.get(keep_ref)
-        cols = [batch.column(c).to_pylist() for c in key_cols]
-        mask = pa.array([key in kset for key in zip(*cols)], pa.bool_())
+        mask = pc.is_in(_pack_key_columns(batch, key_cols), value_set=kset)
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _pack_key_columns(t: pa.Table, key_cols: list) -> pa.Array:
+    """Injective vectorized pack of a composite key into ONE string
+    column: each part is emitted as ``nullflag:length:value`` and the
+    parts joined, so no separator collision ("a:b"+"c" vs "a"+"b:c")
+    and no null ambiguity (None ≠ "None") can alias two distinct keys.
+    Applied identically to both sides of a broadcast semijoin, the
+    packed column turns a per-row Python tuple-membership loop into a
+    single ``pc.is_in`` kernel."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in key_cols:
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nullflag = pc.cast(pc.cast(pc.is_null(col), pa.int8()), pa.string())
+        s = pc.fill_null(pc.cast(col, pa.string()), "")
+        length = pc.cast(pc.utf8_length(s), pa.string())
+        parts.extend([nullflag, length, s])
+    if len(parts) == 3 and t.num_rows == 0:
+        return pa.array([], pa.string())
+    return pc.binary_join_element_wise(*parts, ":")
+
+
+def _sorted_group_head_indices(t: pa.Table, group_column: str,
+                               order_column: str, limit_of,
+                               check_ties: bool):
+    """Row indices of the per-group head of an ALREADY-SORTED table:
+    for each run of equal ``group_column`` values keep the first
+    ``limit_of(group)`` rows.  Fully vectorized — run boundaries via a
+    shifted not-equal, range expansion via repeat/cumsum — with one
+    Python call per RUN (for the limit lookup), never per row.  With
+    ``check_ties`` set, raises if an ``order_column`` tie straddles a
+    cut boundary (the cap would silently violate its n-rows contract)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_rows = t.num_rows
+    if n_rows == 0:
+        return np.empty(0, np.int64)
+    g = t.column(group_column)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    if n_rows == 1:
+        starts = np.array([0], np.int64)
+    else:
+        a, b = g.slice(1), g.slice(0, n_rows - 1)
+        ne = pc.fill_null(pc.not_equal(a, b), True)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        boundary = pc.and_(ne, pc.invert(both_null))
+        starts = np.flatnonzero(
+            np.r_[True, boundary.to_numpy(zero_copy_only=False)])
+    ends = np.r_[starts[1:], n_rows]
+    run_groups = g.take(pa.array(starts)).to_pylist()
+    lims = np.fromiter((max(int(limit_of(rg, 0) or 0), 0)
+                        for rg in run_groups), np.int64, len(run_groups))
+    cuts = np.minimum(starts + lims, ends)
+    if check_ties:
+        mid = (starts < cuts) & (cuts < ends)
+        if mid.any():
+            o = t.column(order_column)
+            if isinstance(o, pa.ChunkedArray):
+                o = o.combine_chunks()
+            c = cuts[mid]
+            eq = pc.fill_null(
+                pc.equal(o.take(pa.array(c)), o.take(pa.array(c - 1))),
+                False).to_numpy(zero_copy_only=False)
+            if eq.any():
+                bad = int(np.flatnonzero(mid)[np.flatnonzero(eq)[0]])
+                raise ValueError(
+                    f"cap_per_group: order ties at the cap boundary in "
+                    f"group {run_groups[bad]!r} "
+                    f"(order={o[int(cuts[bad])].as_py()!r}); pass a unique "
+                    "tiebreak_column to make the n-rows-per-group cap exact")
+    lens = cuts - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    offsets = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return np.repeat(starts, lens) + offsets
 
 
 def sample_per_group(ds, group_column: str, key_column: str, *, n: int = 100):
