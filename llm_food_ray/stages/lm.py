@@ -291,7 +291,7 @@ class BigramNllScorer(_TokenHasher):
 def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
                      text_column: str = "text",
                      ref_text_column: str | None = None,
-                     min_count: int = 1):
+                     min_count: int = 1, concurrency=None):
     """CCNet-style cross-domain perplexity (Wenzek et al. 2020): train
     the bigram LM on a REFERENCE corpus (e.g. the target domain /
     language), then score every document of ``ds`` against it — the
@@ -302,6 +302,8 @@ def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
     a high NLL.  Scale shape identical to lm_score: the reference model
     is min_count-prunable and broadcasts once; ``ds`` streams through
     an actor pool."""
+    from llm_food_ray.stages.pools import scoring_pool
+
     model = train_bigram_model(ref_ds, ref_text_column or text_column,
                                min_count=min_count)
     # the model rides the actor-creation spec (Ray puts large args in
@@ -313,23 +315,25 @@ def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
                                "model": model},
-        concurrency=(1, 8),
+        concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )
 
 
 def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text",
-             min_count: int = 1):
+             min_count: int = 1, concurrency=None):
     """Train the corpus bigram LM (fingerprint-keyed, pruned at
     ``min_count``), broadcast it once via ``ray.put``, then score every
     document's mean negative log-likelihood in one streaming actor-pool
     pass."""
+    from llm_food_ray.stages.pools import scoring_pool
+
     model = train_bigram_model(ds, text_column, min_count=min_count)
     return ds.map_batches(
         BigramNllScorer,
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
                                "model": model},
-        concurrency=(1, 8),
+        concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )

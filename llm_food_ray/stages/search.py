@@ -330,12 +330,14 @@ class TfidfTopTerms:
 
 def tfidf_top_terms(ds, *, key_column: str = "doc_id",
                     text_column: str = "text", k: int = 3,
-                    min_count: int = 1):
+                    min_count: int = 1, concurrency=None):
     """Per-document top-k TF-IDF terms (the classic keyword-extraction /
     document-tagging signal): train the fingerprint df model (pruned at
     ``min_count``), broadcast it once via ``ray.put``, then one
     streaming actor-pool scoring pass.  ``ds`` is consumed twice — pass
     the pruned 2-column read so each pass streams from storage."""
+    from llm_food_ray.stages.pools import scoring_pool
+
     model = train_df_model(ds, text_column, min_count=min_count)
     # model rides the actor-creation spec (shared object-store put by
     # Ray) — see stages/lm.py for the restart rationale
@@ -344,6 +346,6 @@ def tfidf_top_terms(ds, *, key_column: str = "doc_id",
         fn_constructor_kwargs={"k": k, "key_column": key_column,
                                "text_column": text_column,
                                "model": model},
-        concurrency=(1, 8),
+        concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )

@@ -154,3 +154,16 @@ def test_lm_score_against_cross_domain(ray_session):
     # fully out-of-domain: cb=0, cu=0 -> -ln(1/V)
     assert out.loc[2, "nll"] == round(-math.log(1.0 / (0 + v)), 6)
     assert (out["n_bigrams"] == 1).all()
+
+
+def test_scoring_pool_derives_from_cluster(ray_session):
+    """Pool max tracks the cluster CPU count; overrides pass through."""
+    import ray
+
+    from llm_food_ray.stages.pools import scoring_pool
+
+    lo, hi = scoring_pool()
+    assert lo == 1
+    assert hi == int(ray.cluster_resources()["CPU"])
+    assert scoring_pool(3) == (1, 3)
+    assert scoring_pool((2, 5)) == (2, 5)
