@@ -103,29 +103,43 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                               n=n, base=base,
                               num_partitions=num_partitions)
 
-    out_w: dict = {}
-    for b in deg.iter_batches(batch_size=None, batch_format="pyarrow"):
-        out_w.update(zip(b.column("node").to_pylist(),
-                         b.column("outw").to_pylist()))
-    nodes = sorted(out_w)
-    pr = {v: round(1.0 / n, digits) for v in nodes}
+    # driver state is three nodes-sized ARRAYS (sorted node ids, out-
+    # weights, ranks) — never Python dicts: folds are searchsorted/
+    # index_in gathers and vectorized float ops, and the per-round
+    # broadcast ships (nodes, ratio) arrays like the LM model spec
+    import numpy as np
+    import pyarrow.compute as pc
+
+    deg_t = pa.concat_tables(
+        deg.iter_batches(batch_size=None, batch_format="pyarrow"))
+    deg_t = deg_t.take(pc.sort_indices(deg_t, sort_keys=[("node",
+                                                          "ascending")]))
+    nodes = deg_t.column("node").combine_chunks()
+    out_w = deg_t.column("outw").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    pr = np.full(n, round(1.0 / n, digits), np.float64)
 
     for _ in range(iters):
-        # broadcast pr(u)/W_u so the per-edge work is one multiply
-        ready = {u: (pr[u] / out_w[u]) for u in nodes if out_w[u] > 0}
-        ref = _ray.put(ready)
+        # broadcast pr(u)/W_u so the per-edge work is one multiply;
+        # dangling nodes (W_u = 0) get ratio 0 — identical to the old
+        # dict plan's missing-key → 0.0 contribution
+        ratio = np.divide(pr, out_w, out=np.zeros_like(pr),
+                          where=out_w > 0)
+        ref = _ray.put((nodes, ratio))
 
         def contrib(b: pa.Table) -> pa.Table:
             import numpy as np
-            import pandas as pd
+            import pyarrow.compute as pc
 
-            m = _ray.get(ref)
+            node_arr, ratio_arr = _ray.get(ref)
             w = (b.column(weight).to_numpy(zero_copy_only=False)
                  .astype(np.float64) if weight
                  else np.ones(b.num_rows, np.float64))
-            # vectorized rank lookup (C-level hash map), not a row loop
-            pr_w = (pd.Series(b.column(src).to_pylist()).map(m)
-                    .fillna(0.0).to_numpy())
+            # C-level hash lookup into the broadcast rank arrays
+            idx = pc.fill_null(
+                pc.index_in(b.column(src), value_set=node_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            pr_w = np.where(idx >= 0, ratio_arr[idx], 0.0)
             t = pa.table({"dst": b.column(dst),
                           "c": pa.array(pr_w * w, pa.float64())})
             g = t.group_by(["dst"]).aggregate([("c", "sum")])
@@ -134,17 +148,20 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         agg = (edges.map_batches(contrib, batch_format="pyarrow")
                     .groupby("dst")
                     .aggregate(Sum("pc", alias_name="c")))
-        sums = {}
+        sums = np.zeros(n, np.float64)
         for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
-            sums.update(zip(b.column("dst").to_pylist(),
-                            b.column("c").to_pylist()))
-        pr = {v: round(base + damping * sums.get(v, 0.0), digits)
-              for v in nodes}
+            pos = pc.index_in(b.column("dst"), value_set=nodes).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sums[pos] = b.column("c").to_numpy(zero_copy_only=False)
+        vals = base + damping * sums
+        # Python round per element (chunked over a plain list) — np.round
+        # is NOT decimal-correct and would break the bit-exact pin
+        # against the join plan and the DuckDB oracle
+        pr = np.fromiter((round(v, digits) for v in vals.tolist()),
+                         np.float64, n)
 
-    return rd.from_arrow(pa.table({
-        "node": pa.array(nodes),
-        "pr": pa.array([pr[v] for v in nodes], pa.float64()),
-    }))
+    return rd.from_arrow(pa.table({"node": nodes,
+                                   "pr": pa.array(pr, pa.float64())}))
 
 
 def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
