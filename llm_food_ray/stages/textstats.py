@@ -254,26 +254,50 @@ def grouped_median(ds, key_column: str, value_column: str, *,
         if merged_ds.count() > exact_budget_rows:
             return _grouped_median_hist(ds, key_column, value_column,
                                         digits=digits, bins=bins)
+    import numpy as np
+
     merged = merged_ds.to_pandas()
     merged = merged.sort_values([key_column, value_column])
-    out_keys, out_med = [], []
-    for key, grp in merged.groupby(key_column, sort=True):
-        vals = grp[value_column].to_numpy()
-        cnts = grp["n"].to_numpy()
-        total = int(cnts.sum())
-        cum = cnts.cumsum()
-        if total % 2:
-            mid = float(vals[int((cum > total // 2).argmax())])
-        else:
-            lo = float(vals[int((cum >= total // 2).argmax())])
-            hi = float(vals[int((cum >= total // 2 + 1).argmax())])
-            mid = (lo + hi) / 2.0
-        out_keys.append(key)
-        out_med.append(round(mid, digits))
+    k = merged[key_column].to_numpy()
+    if not len(k):
+        return rd.from_arrow(pa.table({
+            key_column: pa.array([]),
+            "median": pa.array([], pa.float64()),
+        }))
+    vals = merged[value_column].to_numpy().astype(np.float64)
+    starts, gc, base, totals = _group_rank_frames(k, merged["n"].to_numpy())
+    # vectorized rank read-off: within-group rank r lives at the GLOBAL
+    # cumsum position searchsorted(gc, base + r) — the target always
+    # lands inside its own group because base < target <= group end
+    odd = (totals % 2).astype(bool)
+    t_hi = base + totals // 2 + 1
+    t_lo = np.where(odd, t_hi, base + totals // 2)
+    lo_v = vals[np.searchsorted(gc, t_lo)]
+    hi_v = vals[np.searchsorted(gc, t_hi)]
+    mids = np.where(odd, lo_v, (lo_v + hi_v) / 2.0)
     return rd.from_arrow(pa.table({
-        key_column: pa.array(out_keys),
-        "median": pa.array(out_med, pa.float64()),
+        key_column: pa.array(k[starts]),
+        "median": pa.array([round(float(m), digits) for m in mids],
+                           pa.float64()),
     }))
+
+
+def _group_rank_frames(sorted_keys, counts):
+    """Per-group rank frames over a (key, value, n) histogram ALREADY
+    sorted by key: group start indices, the global count cumsum, the
+    cumulative count before each group, and per-group totals — the
+    inputs to the vectorized searchsorted rank read-off shared by
+    :func:`grouped_median` and :func:`grouped_quantiles`."""
+    import numpy as np
+
+    k = sorted_keys
+    cnt = counts.astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    gc = np.cumsum(cnt)
+    base = np.r_[0, gc[starts[1:] - 1]]
+    totals = gc[ends - 1] - base
+    return starts, gc, base, totals
 
 
 def grouped_quantiles(ds, key_column: str, value_column: str, *,
@@ -289,8 +313,6 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
     domains; for continuous domains start from
     ``grouped_median(method="hist")``'s binning and read off the same
     ranks with interpolation."""
-    import math
-
     from ray.data.aggregate import Sum
 
     import ray.data as rd
@@ -305,23 +327,29 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
                 .groupby([key_column, value_column])
                 .aggregate(Sum("n", alias_name="n"))).to_pandas()
     merged = merged.sort_values([key_column, value_column])
-    out_keys, out_q, out_v = [], [], []
-    for key, grp in merged.groupby(key_column, sort=True):
-        vals = grp[value_column].to_numpy()
-        cum = grp["n"].to_numpy().cumsum()
-        total = int(cum[-1])
-        for q in qs:
-            rank = max(1, math.ceil(q * total))
-            import numpy as np
+    k = merged[key_column].to_numpy()
+    if not len(k):
+        return rd.from_arrow(pa.table({
+            key_column: pa.array([]),
+            "q": pa.array([], pa.float64()),
+            "quantile": pa.array([], pa.float64()),
+        }))
+    import numpy as np
 
-            i = int(np.searchsorted(cum, rank))
-            out_keys.append(key)
-            out_q.append(float(q))
-            out_v.append(round(float(vals[i]), digits))
+    vals = merged[value_column].to_numpy().astype(np.float64)
+    starts, gc, base, totals = _group_rank_frames(k, merged["n"].to_numpy())
+    qarr = np.asarray(list(qs), np.float64)
+    # rank_q = max(1, ceil(q·n)) per (group, q); read all ranks off the
+    # global cumsum in one searchsorted (key-major, q-minor output order)
+    ranks = np.maximum(
+        1, np.ceil(qarr[None, :] * totals[:, None]).astype(np.int64))
+    idx = np.searchsorted(gc, base[:, None] + ranks)
+    out_v = vals[idx].ravel()
     return rd.from_arrow(pa.table({
-        key_column: pa.array(out_keys),
-        "q": pa.array(out_q, pa.float64()),
-        "quantile": pa.array(out_v, pa.float64()),
+        key_column: pa.array(np.repeat(k[starts], len(qarr))),
+        "q": pa.array(np.tile(qarr, len(starts)), pa.float64()),
+        "quantile": pa.array([round(float(v), digits) for v in out_v],
+                             pa.float64()),
     }))
 
 
