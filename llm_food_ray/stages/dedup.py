@@ -1713,13 +1713,15 @@ def _col(t: pa.Table, name: str):
 
 def _labels_checksum(labels) -> int:
     """Distributed order-free checksum of the fp-space label state (label
-    fingerprint in the (xh, xl) slot).  Labels only move downward during
-    propagation, so an unchanged checksum ⟺ converged (up to a ~2^-40
-    collision chance per round)."""
+    fingerprint in the (xh, xl) slot, LABEL rows only — the fused state
+    also carries kind-2 contribution rows).  Labels only move downward
+    during propagation, so an unchanged checksum ⟺ converged (up to a
+    ~2^-40 collision chance per round)."""
     from ray.data.aggregate import Sum
 
     def h(b: pa.Table) -> pa.Table:
-        v = _u64_col(b, "xh") ^ (_u64_col(b, "xl") * _FNV_PRIME_64)
+        m = np.asarray(_col(b, "kind")) == 1
+        v = _u64_col(b, "xh")[m] ^ (_u64_col(b, "xl")[m] * _FNV_PRIME_64)
         hv = (_mix_u64(v) >> np.uint64(24)).astype(np.int64)   # 40-bit terms
         return pa.table({"h": pa.array(hv)})
 
@@ -1742,18 +1744,22 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
     7-column row shape (__pb bucket, kind, node fp, payload fp, key):
     edge rows put their SOURCE fp in the payload slot, label rows their
     current label, contributions the label being delivered.  Each round
-    is two int32-keyed coarse exchanges built from the union trick —
-    (i) edges meet labels in the NEIGHBOR's bucket and emit (src,
-    neighbor's label) contributions, (ii) contributions meet labels in
-    the NODE's bucket and reduce by min — with every in-block step a
-    numpy sort/searchsorted over packed fp views (no hash-join
-    aggregator actors, no string exchanges).  Rounds needed = component
-    diameter: small for duplicate clusters (band buckets make them
-    star-shaped), O(log n) worst-case chains.  A distributed checksum
-    (labels are monotone non-increasing) detects the fixpoint without
-    materializing labels on the driver.  A final exchange keyed on the
-    converged fp-label regroups each component and rewrites its label to
-    the min ORIGINAL key (fingerprint order ≠ key order)."""
+    is ONE int32-keyed coarse exchange (Ray's ``map_groups`` compiles to
+    a sort all-to-all, so exchange count is the round cost): both the
+    reduce (fold delivered contributions into each node's label by min)
+    and the lookup (rewrite every edge into a contribution carrying the
+    NEIGHBOR's label) key on the same ``fp % C`` bucket, so they fuse
+    into a single per-bucket pass — reduce first, then emit
+    contributions against the FRESH labels (r4; previously two
+    exchanges per round).  Every in-block step is a numpy
+    sort/searchsorted over packed fp views (no hash-join aggregator
+    actors, no string exchanges).  Rounds needed = component diameter:
+    small for duplicate clusters (band buckets make them star-shaped),
+    O(log n) worst-case chains.  A distributed checksum over the label
+    rows (labels are monotone non-increasing) detects the fixpoint
+    without materializing labels on the driver.  A final exchange keyed
+    on the converged fp-label regroups each component and rewrites its
+    label to the min ORIGINAL key (fingerprint order ≠ key order)."""
     import ray.data as rd
 
     C = _join_partitions(num_partitions)
@@ -1799,9 +1805,12 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
             "key": pa.concat_arrays([_col(b, "a"), _col(b, "b")]),
         })
 
-    def reduce_labels(t: pa.Table) -> pa.Table:
-        """Per bucket: min label per node over its label + contribution
-        rows; the node's key rides on the (always present) label row."""
+    def propagate(t: pa.Table) -> pa.Table:
+        """Per bucket, fused reduce+lookup: (i) min label per node over
+        its label + contribution rows (the node's key rides on the
+        always-present label row), then (ii) rewrite each edge into a
+        contribution (src node, neighbor's FRESH label) for the next
+        round's bucket."""
         kind = np.asarray(_col(t, "kind"))
         keep = np.flatnonzero(kind != 0)
         nfp = _fp_pack(_u64_col(t, "nh"), _u64_col(t, "nl"))
@@ -1811,65 +1820,54 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
         order = np.lexsort((lk, nk))
         nk_s = nk[order]
         starts = np.flatnonzero(np.r_[True, nk_s[1:] != nk_s[:-1]])
-        first = keep[order[starts]]             # row with min label per node
-        xh, xl = _fp_unpack(lfp[first])
-        nh, nl = _fp_unpack(nk_s[starts])
+        uniq_nodes = nk_s[starts]               # sorted unique node fps
+        new_lab = lk[order[starts]]             # min label per node
+        nh, nl = _fp_unpack(uniq_nodes)
+        xh, xl = _fp_unpack(new_lab)
         keyed = np.flatnonzero(kind == 1)
         kfp = nfp[keyed]
         korder = np.argsort(kfp, kind="stable")
-        key_src = keyed[korder[np.searchsorted(kfp[korder], nk_s[starts])]]
+        key_src = keyed[korder[np.searchsorted(kfp[korder], uniq_nodes)]]
         n = len(starts)
-        return pa.table({
+        labels_out = pa.table({
             "__pb": pa.array((nh % Cu).astype(np.int32)),
             "kind": pa.array(np.ones(n, dtype=np.int8)),
             "nh": pa.array(nh), "nl": pa.array(nl),
             "xh": pa.array(xh), "xl": pa.array(xl),
             "key": _take_arr(t.column("key"), key_src),
         })
-
-    def lookup(t: pa.Table) -> pa.Table:
-        """Per bucket: pass label rows through unchanged (they are
-        already keyed by their node's bucket) and rewrite each edge into
-        a contribution (src node, neighbor's current label)."""
-        kind = np.asarray(_col(t, "kind"))
-        lm = np.flatnonzero(kind == 1)
         em = np.flatnonzero(kind == 0)
-        labels_half = t.take(pa.array(lm))
-        if not len(em) or not len(lm):
-            return labels_half
-        nfp = _fp_pack(_u64_col(t, "nh"), _u64_col(t, "nl"))
-        lab = nfp[lm]
-        lorder = np.argsort(lab, kind="stable")
-        li = lm[lorder[np.searchsorted(lab[lorder], nfp[em])]]
-        xh_all, xl_all = _u64_col(t, "xh"), _u64_col(t, "xl")
-        sh = xh_all[em]
-        sl = xl_all[em]
-        n = len(em)
+        if not len(em) or not n:
+            return labels_out
+        # every edge's neighbor is seeded, so the lookup always hits
+        pos = np.searchsorted(uniq_nodes, nfp[em])
+        ch, cl = _fp_unpack(new_lab[pos])
+        sh = _u64_col(t, "xh")[em]
+        sl = _u64_col(t, "xl")[em]
+        ne = len(em)
         contrib = pa.table({
             "__pb": pa.array((sh % Cu).astype(np.int32)),
-            "kind": pa.array(np.full(n, 2, dtype=np.int8)),
+            "kind": pa.array(np.full(ne, 2, dtype=np.int8)),
             "nh": pa.array(sh), "nl": pa.array(sl),
-            "xh": pa.array(xh_all[li]), "xl": pa.array(xl_all[li]),
-            "key": pa.nulls(n, t.schema.field("key").type),
+            "xh": pa.array(ch), "xl": pa.array(cl),
+            "key": pa.nulls(ne, t.schema.field("key").type),
         })
-        return pa.concat_tables([labels_half, contrib])
+        return pa.concat_tables([labels_out, contrib])
 
     edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
     state = _nonempty_blocks(
         pairs_ds.map_batches(seed_rows, batch_format="pyarrow")
-                .groupby("__pb")
-                .map_groups(reduce_labels, batch_format="pyarrow")
                 .materialize())
     if state is None:   # no pairs → no labels
         return rd.from_arrow(pa.table({"node": pa.array([], key_type),
                                        "label": pa.array([], key_type)}))
+    # seed multiplicity inflates the first checksum, so round 1 never
+    # false-converges before the duplicate seed rows collapse
     prev = _labels_checksum(state)
     for _ in range(max_rounds):
         nxt = _nonempty_blocks(
             state.union(edges).groupby("__pb")
-                 .map_groups(lookup, batch_format="pyarrow")
-                 .groupby("__pb")
-                 .map_groups(reduce_labels, batch_format="pyarrow")
+                 .map_groups(propagate, batch_format="pyarrow")
                  .materialize())
         cur = _labels_checksum(nxt)
         state = nxt
@@ -1879,6 +1877,9 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
 
     # ---- regroup by converged fp-label; rewrite to min ORIGINAL key ----
     def by_label(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("kind"), 1))   # drop contributions
         xh = _u64_col(b, "xh")
         return pa.table({
             "__pb": pa.array((xh % Cu).astype(np.int32)),
