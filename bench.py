@@ -112,6 +112,48 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     out_dir = f"/tmp/bench_out_{NCPU}"
 
+    if os.environ.get("BENCH_ONLY") == "neardup":
+        # wide-op scaling leg: the fully-distributed near-dup kept-set
+        # (semijoin verify + min-label clustering + anti-join keep — the
+        # engine's heaviest exchange plan).  Extraction runs once UNTIMED
+        # to produce the corpus; the timed section is all shuffle.
+        from llm_food_ray.stages.dedup import (dedup_near_keep,
+                                               minhash_candidate_pairs)
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (extract_dataset(read_pages(), ExtractConfig(), whale_leg=False)
+         .write_parquet(out_dir))
+        neardup_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = minhash_candidate_pairs(
+                rd.read_parquet(out_dir, columns=["url", "markdown"],
+                                override_num_blocks=nblocks),
+                "url", "markdown", threshold=0.9, verify="estimate",
+                num_perm=128, num_bands=16, pair_mode="star",
+                verify_exec="semijoin",
+            )
+            n_near_kept = dedup_near_keep(
+                rd.read_parquet(out_dir, columns=["url"],
+                                override_num_blocks=nblocks),
+                "url", pairs, cluster_exec="distributed").count()
+            neardup_sec = min(neardup_sec, time.perf_counter() - t0)
+        queries["neardup_keep_distributed"] = round(neardup_sec, 3)
+        ray.shutdown()
+        return {
+            "metric": "fully-distributed near-dup kept-set seconds "
+                      "(semijoin verify + min-label clustering + "
+                      "anti-join keep) over extracted corpus",
+            "value": round(neardup_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "n_pages": n_pages,
+            "n_near_kept": n_near_kept,
+            "docs_per_sec": round(n_pages / neardup_sec, 1),
+        }
+
     # --- headline: extraction end-to-end (best-of-2: single measurements
     # swing ~20% on this host from page-cache / hugepage state) ----------
     extract_sec = float("inf")
@@ -322,10 +364,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job in fresh processes at N and 4N cores → efficiency.
+    """Same jobs in fresh processes at N and 4N cores → efficiency.
 
     Proxy for the north rule's N-vs-4N cluster-size criterion (no real
-    cluster in this sandbox): efficiency = (t_N / t_4N) / 4.
+    cluster in this sandbox): efficiency = (t_N / t_4N) / 4.  Two legs:
+    the zero-exchange extraction headline AND the fully-distributed
+    near-dup kept-set (the engine's heaviest shuffle plan), so the
+    efficiency claim covers both pipeline shapes.
 
     Default N=4 (pair 4→16): on this single box, 32 concurrent extract
     processes saturate the VM's memory bandwidth — a shared-resource
@@ -333,26 +378,22 @@ def run_scaling() -> dict:
     with nodes, and the pipeline has no cross-node exchanges beyond read
     and write).  The 4→16 pair measures the ENGINE's scaling; the 8→32
     figure is reported in BASELINE.md alongside the bandwidth analysis.
-    Override with BENCH_SCALE_BASE=8."""
-    def one(ncpu: int) -> dict:
-        # 2× corpus for scaling runs: amortizes the fixed pipeline-launch
-        # cost so the efficiency number reflects steady-state throughput
-        # (the regime that matters at 100 TB), not startup.
+    Override with BENCH_SCALE_BASE=8; BENCH_SCALE_LEGS=extract or
+    neardup runs one leg only."""
+    def one(ncpu: int, leg: str, repl: int, repeats: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_ONLY="extract",
-                   BENCH_REPLICATION=os.environ.get("BENCH_REPLICATION",
-                                                    str(REPL * 2)))
+                   BENCH_ONLY=leg, BENCH_REPLICATION=str(repl))
         # pin the whole process tree to ncpu physical cores: ray's
         # num_cpus only caps concurrent TASKS, while pyarrow IO/compression
         # threadpools would otherwise spill onto all cores and flatter the
         # small run — taskset makes "N cpus" mean N cores, like a node count
         cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
                os.path.join(os.path.dirname(__file__) or ".", "bench.py")]
-        # best-of-2: damps transient system noise (page-cache eviction,
+        # best-of-N: damps transient system noise (page-cache eviction,
         # hugepage compaction) that otherwise swings a single 10-second
         # measurement by 1.5x on this VM
         best = None
-        for _ in range(2):
+        for _ in range(repeats):
             out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                                  check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
@@ -363,18 +404,41 @@ def run_scaling() -> dict:
 
     base = int(os.environ.get("BENCH_SCALE_BASE", "4"))
     quad = base * 4
-    lo, hi = one(base), one(quad)
-    eff = (lo["value"] / hi["value"]) / 4
-    return {
+    user_repl = os.environ.get("BENCH_REPLICATION")
+    legs_cfg = {
+        # 2× corpus for the extract leg: amortizes the fixed pipeline-
+        # launch cost so the efficiency number reflects steady-state
+        # throughput (the regime that matters at 100 TB), not startup.
+        "extract": (int(user_repl) if user_repl else REPL * 2, 2),
+        # the near-dup leg already runs minutes per measurement (its
+        # timed section is all shuffle + best-of-2 inside run_bench)
+        "neardup": (int(user_repl) if user_repl else REPL, 1),
+    }
+    which = os.environ.get("BENCH_SCALE_LEGS")
+    if which:
+        legs_cfg = {k: v for k, v in legs_cfg.items() if k in which.split(",")}
+    result = {
         "metric": f"scaling efficiency {base}->{quad} cpus "
                   "(same input, fresh pinned processes, best-of-2)",
-        f"sec_{base}": lo["value"],
-        f"sec_{quad}": hi["value"],
-        f"docs_per_sec_{base}": lo["docs_per_sec"],
-        f"docs_per_sec_{quad}": hi["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }
+    for leg, (repl, repeats) in legs_cfg.items():
+        lo = one(base, leg, repl, repeats)
+        hi = one(quad, leg, repl, repeats)
+        eff = (lo["value"] / hi["value"]) / 4
+        result[leg] = {
+            f"sec_{base}": lo["value"],
+            f"sec_{quad}": hi["value"],
+            f"docs_per_sec_{base}": lo["docs_per_sec"],
+            f"docs_per_sec_{quad}": hi["docs_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }
+    # headline efficiency = the extract leg when present (backward-
+    # compatible top-level key), else the single selected leg
+    head = result.get("extract") or next(
+        result[k] for k in legs_cfg if k in result)
+    result["scaling_efficiency"] = head["scaling_efficiency"]
+    return result
 
 
 if __name__ == "__main__":
