@@ -291,6 +291,29 @@ def run_bench() -> dict:
     queries["lm_score"] = round(time.perf_counter() - t0, 3)
     assert n_lm == n_pages
 
+    # --- min_count posture: same pipeline with the pruned model — the
+    # Zipf-bound evidence (model rows before/after prune) plus the
+    # scoring wall-time with the smaller broadcast ----------------------
+    from llm_food_ray.stages.lm import BigramNllScorer, train_bigram_model
+    from llm_food_ray.stages.pools import scoring_pool
+
+    t0 = time.perf_counter()
+    lm_model2 = train_bigram_model(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", min_count=2)
+    n_lm2 = (rd.read_parquet(out_dir, columns=["url", "markdown"],
+                             override_num_blocks=nblocks)
+             .map_batches(BigramNllScorer,
+                          fn_constructor_kwargs={"key_column": "url",
+                                                 "text_column": "markdown",
+                                                 "model": lm_model2},
+                          concurrency=scoring_pool(None),
+                          batch_format="pyarrow").count())
+    queries["lm_score_min2"] = round(time.perf_counter() - t0, 3)
+    assert n_lm2 == n_pages
+    lm_model_stats = lm_model2["stats"]
+
     # --- web-graph: outlink extraction + host-graph rollup over the
     # 500k raw pages (regex anchor parse per page, hosts² groupby) -----
     import pyarrow as _pa2
@@ -360,6 +383,7 @@ def run_bench() -> dict:
         "n_dup_pairs": n_pairs,
         "n_stats": n_stats,
         "n_windows": n_windows,
+        "lm_model_stats": lm_model_stats,
     }
 
 

@@ -147,7 +147,12 @@ def train_bigram_model(ds, text_column: str = "text", *,
                        min_count: int = 1) -> dict:
     """→ packed fingerprint model {u_h, u_n, b_h, b_n, v}: distributed
     partial counts, one groupby.sum merge, exact pre-prune V from
-    per-block scalars, pruned gather as fixed-width numpy arrays."""
+    per-block scalars, pruned gather as fixed-width numpy arrays.
+
+    ``model["stats"]`` records the ``min_count`` posture: merged gram
+    rows before the prune (the exchange mass) vs rows in the broadcast
+    model (the driver/actor mass) — the Zipf-bound evidence for the
+    pruned-model scale claim."""
     from ray.data.aggregate import Sum
 
     import pyarrow.compute as pc
@@ -193,6 +198,9 @@ def train_bigram_model(ds, text_column: str = "text", *,
         model[f"{pre}_h"] = hk[order]
         model[f"{pre}_n"] = nk[order]
     model["v"] = float(v)
+    model["stats"] = {"min_count": int(min_count),
+                      "rows_merged": int(merged.count()),
+                      "rows_model": int(len(h))}
     return model
 
 

@@ -152,7 +152,9 @@ def train_df_model(ds, text_column: str = "text", *, min_count: int = 1):
     Zipf-bounded at web scale (a pruned/unseen term scores at the
     df=0 idf ceiling — the floor absorbs the tail; ``min_count=1``
     prunes nothing and is exact vs the SQL oracle).  ``n_docs`` is an
-    exact per-block-scalar sum, never a materialization."""
+    exact per-block-scalar sum, never a materialization.
+    ``model["stats"]`` records merged term rows before the prune vs
+    rows in the broadcast model (the ``min_count`` posture evidence)."""
     from ray.data.aggregate import Sum
 
     import pyarrow.compute as pc
@@ -208,7 +210,12 @@ def train_df_model(ds, text_column: str = "text", *, min_count: int = 1):
         h, df = hh[sel], nn[sel]
         order = np.argsort(h)
         h, df = h[order], df[order]
-    return {"h": h, "df": df, "n_docs": n_docs}
+    n_merged = merged.count()
+    return {"h": h, "df": df, "n_docs": n_docs,
+            "stats": {"min_count": int(min_count),
+                      # the kind-0 doc-count carriers merge to ONE row
+                      "rows_merged": max(n_merged - 1, 0),
+                      "rows_model": int(len(h))}}
 
 
 def train_df_counts(ds, text_column: str = "text"):

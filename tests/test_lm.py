@@ -167,3 +167,30 @@ def test_scoring_pool_derives_from_cluster(ray_session):
     assert hi == int(ray.cluster_resources()["CPU"])
     assert scoring_pool(3) == (1, 3)
     assert scoring_pool((2, 5)) == (2, 5)
+
+
+def test_model_stats_record_prune_posture(ray_session):
+    """model["stats"] reports merged rows vs broadcast rows: pruning at
+    min_count=2 shrinks the model but never the merged exchange mass."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.lm import train_bigram_model
+    from llm_food_ray.stages.search import train_df_model
+
+    ds = rd.from_items([{"text": "a a b"}, {"text": "a c"}])
+    full = train_bigram_model(ds, "text")
+    pruned = train_bigram_model(ds, "text", min_count=2)
+    # grams: unigrams a(3) b(1) c(1); bigrams "a a"(1) "a b"(1) "a c"(1)
+    assert full["stats"] == {"min_count": 1, "rows_merged": 6,
+                             "rows_model": 6}
+    assert pruned["stats"] == {"min_count": 2, "rows_merged": 6,
+                               "rows_model": 1}
+    assert pruned["v"] == full["v"] == 3.0   # V counted before the prune
+
+    dfull = train_df_model(ds, "text")
+    dpruned = train_df_model(ds, "text", min_count=2)
+    # term dfs: a(2) b(1) c(1)
+    assert dfull["stats"]["rows_merged"] == 3
+    assert dfull["stats"]["rows_model"] == 3
+    assert dpruned["stats"]["rows_model"] == 1
+    assert dpruned["n_docs"] == 2
