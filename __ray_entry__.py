@@ -904,6 +904,47 @@ def q_quality_filter(sf_dir: str):
               .select_columns(["doc_id", "dup_line_frac", "top_word_frac"]))
 
 
+def q_quality_tiers(sf_dir: str):
+    """Quality-tier bucketing: score every document (the documented
+    deterministic formula), resolve the global quartile thresholds with
+    ONE value-histogram exchange (quantile_disc semantics), broadcast
+    the 3 thresholds, and assign tier 1–4 in a streaming searchsorted
+    map — the "extract the top-quality tier" routing step of a curation
+    pipeline.  No reference analogue (llm_food never scores documents);
+    brief-scope."""
+    from llm_food_ray.stages.textstats import (TextStatsStage,
+                                               tier_by_global_quantiles)
+
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(TextStatsStage(features=("quality",)),
+                       batch_format="pyarrow")
+          .select_columns(["doc_id", "quality"]))
+    return tier_by_global_quantiles(ds, "quality")
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: treat documents with doc_id % 3 == 0 as
+    the ALREADY-CURATED corpus and drop any document whose text content
+    it already contains — the delta-crawl curation step (new shards vs
+    yesterday's output, no whole-corpus re-dedup).  Auto-gated broadcast
+    seen-hash filter vs partitioned LEFT ANTI join
+    (``stages/dedup.py:dedup_against``)."""
+    import numpy as np
+
+    from llm_food_ray.stages.dedup import dedup_against
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def seen_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    seen = docs.map_batches(seen_only, batch_format="pyarrow")
+    return dedup_against(docs, seen,
+                         text_column="text").select_columns(
+        ["doc_id", "lang"])
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 bigrams: per-batch partial counts → one
     vocabulary-sized groupby-sum → local top-k prune → tiny
@@ -1481,8 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
         "anchor_texts": q_anchor_texts,
-        "host_stats": q_host_stats,
-        "dedup_paragraph": q_dedup_paragraph,
+        "quality_tiers": q_quality_tiers,
+        "dedup_incremental": q_dedup_incremental,
         "curate": q_curate,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1528,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "lang_counts": q_lang_counts,
+        "host_stats": q_host_stats,
+        "dedup_paragraph": q_dedup_paragraph,
     }
 
 
@@ -2412,6 +2455,28 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_stats": quality,
+        # tier = 1 + #thresholds strictly below the score; thresholds are
+        # quantile_disc quartiles of the SAME rounded score expression
+        "quality_tiers": f"""
+WITH q AS ({quality}), thr AS (
+  SELECT quantile_disc(quality, 0.25) AS t1,
+         quantile_disc(quality, 0.5)  AS t2,
+         quantile_disc(quality, 0.75) AS t3
+  FROM q)
+SELECT q.doc_id, q.quality,
+       CASE WHEN q.quality <= t.t1 THEN 1
+            WHEN q.quality <= t.t2 THEN 2
+            WHEN q.quality <= t.t3 THEN 3
+            ELSE 4 END AS tier
+FROM q, thr t
+""",
+        # md5 content equality == text equality (collision-free oracle)
+        "dedup_incremental": """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 3 = 0 AND o.text = d.text)
+""",
         # Gopher-style repetition fractions: list-function reconstruction
         # of functions/repetition.py (ASCII whitespace classes on both
         # sides by construction — RE2 \s is ASCII-only)

@@ -60,6 +60,100 @@ def add_content_hash(ds, text_column: str = "text", out_column: str = "content_m
     return ds.map_batches(_hash, batch_format="pyarrow")
 
 
+def dedup_against(ds, seen_ds, *, text_column: str = "text",
+                  seen_text_column: str | None = None,
+                  exec: str = "auto", num_buckets: int = 64,
+                  local_budget_rows: int = 50_000_000,
+                  local_budget_bytes: int = 2_000_000_000,
+                  num_partitions: int | None = None):
+    """Incremental exact dedup: drop every row of ``ds`` whose text
+    content already appears in ``seen_ds`` (the previously curated
+    corpus) — the delta-crawl step: curate today's shards against
+    yesterday's output without re-deduping the whole corpus.  Matching
+    is by content md5; duplicates WITHIN ``ds`` are not collapsed
+    (compose with :func:`dedup_exact` for that).  No reference analogue
+    (llm_food converts files one request at a time); brief-scope.
+
+    Plans (byte-equal, pytest-pinned):
+
+    - ``exec="broadcast"``: per-batch distinct seen-hash partials
+      (32 B/row, never the text) gather once and broadcast; ``ds``
+      filters with one vectorized ``pc.is_in`` streaming pass.  Right
+      while the seen-hash set fits one machine.
+    - ``exec="anti"``: coarse-bucket distinct of the seen hashes, then
+      a hash-partitioned LEFT ANTI join of ``ds`` (md5 attached) against
+      them — nothing on the driver, the 100-TB path.
+    - ``exec="auto"`` (default): the dedup_exact gate — materialize the
+      seen partials once, broadcast while their row count and byte size
+      fit the local budgets, else anti-join."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    if exec not in ("auto", "broadcast", "anti"):
+        raise ValueError(f"exec={exec!r}")
+    seen_col = seen_text_column or text_column
+    out_cols = ds.schema().names
+
+    def seen_partial(batch: pa.Table) -> pa.Table:
+        hs = {md5_hex(t or "")
+              for t in batch.column(seen_col).to_pylist()}
+        return pa.table({"content_md5": pa.array(sorted(hs), pa.string())})
+
+    partials = seen_ds.map_batches(seen_partial, batch_format="pyarrow")
+    if exec == "auto":
+        partials = partials.materialize()
+        exec = ("broadcast"
+                if partials.count() <= local_budget_rows
+                and (partials.size_bytes() or 0) <= local_budget_bytes
+                else "anti")
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        hs = [md5_hex(t or "")
+              for t in batch.column(text_column).to_pylist()]
+        return batch.append_column("__md5", pa.array(hs, pa.string()))
+
+    if exec == "broadcast":
+        parts = list(partials.iter_batches(batch_size=65_536,
+                                           batch_format="pyarrow"))
+        if not parts:
+            return ds
+        seen_arr = pc.unique(
+            pa.concat_tables(parts).column("content_md5").combine_chunks())
+        seen_ref = _ray.put(seen_arr)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            hs = pa.array([md5_hex(t or "")
+                           for t in batch.column(text_column).to_pylist()],
+                          pa.string())
+            mask = pc.invert(pc.is_in(hs, value_set=_ray.get(seen_ref)))
+            return batch.filter(mask)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [int(h[:8], 16) % num_buckets
+                   for h in batch.column("content_md5").to_pylist()]
+        return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+
+    def distinct_hashes(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"content_md5": group["content_md5"].unique()})
+
+    seen_keys = _nonempty_blocks(
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(distinct_hashes, batch_format="pandas")
+                .materialize())
+    if seen_keys is None:
+        return ds
+    joined = (ds.map_batches(add_md5, batch_format="pyarrow")
+                .join(seen_keys, "left_anti",
+                      _join_partitions(num_partitions),
+                      on=("__md5",), right_on=("content_md5",)))
+    return joined.select_columns(out_cols)
+
+
 def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
                 num_buckets: int = 64, reduce: str = "auto",
                 local_budget_rows: int = 50_000_000,

@@ -353,6 +353,45 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
     }))
 
 
+def tier_by_global_quantiles(ds, value_column: str, *,
+                             qs=(0.25, 0.5, 0.75), digits: int = 6,
+                             tier_column: str = "tier"):
+    """Assign every row a 1-based tier by GLOBAL quantile thresholds of
+    ``value_column`` — the quality-tier bucketing step of a curation
+    pipeline ("keep the top tier, route the middle to re-filtering").
+    Threshold k = the quantile_disc value at ``qs[k]`` (rank =
+    max(1, ceil(q·n)), same semantics as :func:`grouped_quantiles`);
+    tier = 1 + number of thresholds strictly below the value, so
+    value ≤ t₁ → tier 1, t₁ < value ≤ t₂ → tier 2, …, value > t_last →
+    tier len(qs)+1 (SQL CASE/quantile_disc parity).
+
+    Scale shape: ONE value-histogram exchange (distinct values per
+    block, never rows) resolves all thresholds; the ≤len(qs) thresholds
+    broadcast in the closure; tiering is a pure streaming searchsorted
+    map.  No corpus shuffle."""
+    import numpy as np
+
+    const = "__all"
+
+    def with_const(b: pa.Table) -> pa.Table:
+        return pa.table({const: pa.array(np.zeros(b.num_rows, np.int8)),
+                         value_column: b.column(value_column)})
+
+    qt = grouped_quantiles(ds.map_batches(with_const,
+                                          batch_format="pyarrow"),
+                           const, value_column, qs=qs, digits=digits)
+    thr = np.sort(np.array([r["quantile"] for r in qt.take_all()],
+                           np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column(value_column).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tier = np.searchsorted(thr, v, side="left").astype(np.int64) + 1
+        return b.append_column(tier_column, pa.array(tier, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def _grouped_median_hist(ds, key_column: str, value_column: str, *,
                          digits: int, bins: int):
     """Binned per-group median sketch (see :func:`grouped_median`

@@ -464,3 +464,40 @@ def test_cluster_labels_plans_match(ray_session):
     assert (a["cluster"] <= a["doc_id"]).all()      # min-key roots
     assert (a["cluster"] < a["doc_id"]).any()       # some clustering
     assert len(a) == len(docs)                      # every doc labeled
+
+
+def test_dedup_against_plans_byte_equal_and_drop(ray_session):
+    """Incremental dedup drops exactly the rows whose text the seen
+    corpus already contains; broadcast and anti-join plans byte-equal."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_against
+
+    new = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta"},
+        {"doc_id": 3, "text": "epsilon"},
+        {"doc_id": 4, "text": "alpha beta"},   # dup of a seen text
+    ])
+    seen = rd.from_items([{"text": "alpha beta"}, {"text": "zeta"}])
+
+    def run(exec):
+        return (dedup_against(new, seen, text_column="text", exec=exec)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    a = run("broadcast")
+    b = run("anti")
+    c = run("auto")
+    assert list(a["doc_id"]) == [2, 3]
+    assert a.equals(b) and a.equals(c)
+
+
+def test_dedup_against_empty_seen_is_identity(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_against
+
+    new = rd.from_items([{"doc_id": 1, "text": "x"}])
+    seen = rd.from_items([{"text": "x"}]).filter(lambda r: False)
+    out = dedup_against(new, seen, text_column="text").to_pandas()
+    assert list(out["doc_id"]) == [1]

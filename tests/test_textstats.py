@@ -162,3 +162,22 @@ def test_grouped_string_agg_single_bucket_empty_safe(ray_session):
     df = grouped_string_agg(ds, "k", "v", num_buckets=16).to_pandas()
     assert len(df) == 1
     assert df.iloc[0]["values"] == "only" and df.iloc[0]["n"] == 1
+
+
+def test_tier_by_global_quantiles_quartile_semantics(ray_session):
+    """quantile_disc thresholds (rank = max(1, ceil(q*n))) and the
+    <=-threshold CASE bucketing, duplicates landing in the low tier."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import tier_by_global_quantiles
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    ds = rd.from_items([{"doc_id": i, "v": v} for i, v in enumerate(vals)])
+    out = (tier_by_global_quantiles(ds, "v").to_pandas()
+           .sort_values("doc_id"))
+    # n=8: q25 rank 2 -> 2.0, q50 rank 4 -> 4.0, q75 rank 6 -> 6.0
+    assert list(out["tier"]) == [1, 1, 2, 2, 3, 3, 4, 4]
+
+    dup = rd.from_items([{"doc_id": i, "v": 5.0} for i in range(4)])
+    out2 = tier_by_global_quantiles(dup, "v").to_pandas()
+    assert set(out2["tier"]) == {1}   # all values == every threshold
