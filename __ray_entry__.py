@@ -945,6 +945,32 @@ def q_dedup_incremental(sf_dir: str):
         ["doc_id", "lang"])
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail routing (Wenzek et al. 2020): score every
+    document's perplexity against the English-reference bigram LM
+    (:func:`q_lm_cross_score`'s model), then bucket each document into
+    the head (1), middle (2) or tail (3) third of its OWN language's
+    nll distribution — per-group tertile thresholds resolved with one
+    value-histogram exchange, broadcast once, assigned in a streaming
+    map.  The canonical "keep the head tier per language" curation
+    step; no reference analogue (llm_food never scores), brief-scope."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.lm import lm_score_against
+    from llm_food_ray.stages.textstats import tier_by_group_quantiles
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ref = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+                   .select(["text"]),
+        batch_format="pyarrow")
+    scored = lm_score_against(docs, ref, passthrough_columns=("lang",))
+    return (tier_by_group_quantiles(scored, "lang", "nll",
+                                    qs=(1.0 / 3, 2.0 / 3),
+                                    tier_column="bucket")
+            .select_columns(["doc_id", "lang", "nll", "bucket"]))
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 bigrams: per-batch partial counts → one
     vocabulary-sized groupby-sum → local top-k prune → tiny
@@ -1524,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
         "dedup_incremental": q_dedup_incremental,
+        "ccnet_buckets": q_ccnet_buckets,
         "curate": q_curate,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1545,10 +1572,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_rtf": q_extract_rtf,
         "extract_pptx": q_extract_pptx,
         "chunk_sentence": q_chunk_sentence,
-        "chunk_recursive": q_chunk_recursive,
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        "chunk_recursive": q_chunk_recursive,
         "extract_auto": q_extract_auto,
         "extract_status_counts": q_extract_status_counts,
         "pdf_pages_explode": q_pdf_pages_explode,
@@ -2279,6 +2306,58 @@ WITH toks_ref AS (
 SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(a.nll, 0.0) AS nll
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        # per-lang tertile thresholds over the SAME round-6 nll; bucket
+        # = 1 + #thresholds strictly below (ties collapse low, matching
+        # searchsorted side="left")
+        "ccnet_buckets": r"""
+WITH toks_ref AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents WHERE lang = 'en'
+), uni AS (
+  SELECT w, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(ws) AS w FROM toks_ref) GROUP BY w
+), vocab AS (
+  SELECT count(*)::DOUBLE AS v FROM uni
+), ref_big AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks_ref WHERE len(ws) >= 2
+), bigc AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM ref_big GROUP BY w1, w2
+), toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), doc_big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks WHERE len(ws) >= 2
+), terms AS (
+  SELECT d.doc_id,
+         -ln((COALESCE(c.cb, 0) + 1.0::DOUBLE)
+             / (COALESCE(u.cu, 0) + v.v)) AS t
+  FROM doc_big d
+  LEFT JOIN bigc c ON d.w1 = c.w1 AND d.w2 = c.w2
+  LEFT JOIN uni u ON d.w1 = u.w
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, round(sum(t) / count(*), 6) AS nll
+  FROM terms GROUP BY doc_id
+), scored AS (
+  SELECT t.doc_id, t.lang, COALESCE(a.nll, 0.0) AS nll
+  FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+), thr AS (
+  SELECT lang, quantile_disc(nll, 1.0/3) AS t1,
+               quantile_disc(nll, 2.0/3) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.nll,
+       CASE WHEN s.nll <= h.t1 THEN 1
+            WHEN s.nll <= h.t2 THEN 2
+            ELSE 3 END AS bucket
+FROM scored s JOIN thr h ON s.lang = h.lang
 """,
         "tfidf_terms": r"""
 WITH toks AS (

@@ -249,7 +249,8 @@ class BigramNllScorer(_TokenHasher):
 
     def __init__(self, uni: dict | None = None, big: dict | None = None,
                  key_column: str = "doc_id", text_column: str = "text",
-                 digits: int = 6, model=None):
+                 digits: int = 6, model=None,
+                 passthrough_columns: tuple = ()):
         super().__init__()
         self._model_src = (model if model is not None
                            else _pack_model_from_dicts(uni or {}, big or {}))
@@ -257,6 +258,7 @@ class BigramNllScorer(_TokenHasher):
         self.key_column = key_column
         self.text_column = text_column
         self.digits = digits
+        self.passthrough_columns = tuple(passthrough_columns)
 
     def _get_model(self) -> dict:
         if self._model is None:
@@ -291,15 +293,19 @@ class BigramNllScorer(_TokenHasher):
             sums = np.add.reduceat(terms, starts)
             for j, i in enumerate(np.nonzero(n_big > 0)[0]):
                 nll[i] = round(float(sums[j]) / int(lens[j]), self.digits)
-        return pa.table({self.key_column: batch.column(self.key_column),
-                         "n_bigrams": pa.array(n_big, pa.int64()),
-                         "nll": pa.array(nll, pa.float64())})
+        cols = {self.key_column: batch.column(self.key_column),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "nll": pa.array(nll, pa.float64())}
+        for c in self.passthrough_columns:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
 
 def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
                      text_column: str = "text",
                      ref_text_column: str | None = None,
-                     min_count: int = 1, concurrency=None):
+                     min_count: int = 1, concurrency=None,
+                     passthrough_columns: tuple = ()):
     """CCNet-style cross-domain perplexity (Wenzek et al. 2020): train
     the bigram LM on a REFERENCE corpus (e.g. the target domain /
     language), then score every document of ``ds`` against it — the
@@ -322,7 +328,8 @@ def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
         BigramNllScorer,
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
-                               "model": model},
+                               "model": model,
+                               "passthrough_columns": passthrough_columns},
         concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )

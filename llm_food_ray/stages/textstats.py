@@ -392,6 +392,58 @@ def tier_by_global_quantiles(ds, value_column: str, *,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def tier_by_group_quantiles(ds, key_column: str, value_column: str, *,
+                            qs=(0.25, 0.5, 0.75), digits: int = 6,
+                            tier_column: str = "tier"):
+    """Per-group tier bucketing: like :func:`tier_by_global_quantiles`
+    but thresholds are the quantile_disc values WITHIN each
+    ``key_column`` group — the CCNet head/middle/tail routing step
+    (Wenzek et al. 2020): per-language perplexity tertiles with
+    ``qs=(1/3, 2/3)``, each document labeled by which third of its OWN
+    language's distribution it falls in.  Tier semantics match the
+    global variant (1 + number of group thresholds strictly below the
+    value; ties collapse toward the low tier).
+
+    Scale shape: one value-histogram exchange (:func:`grouped_quantiles`
+    — keys × distinct values per block, never rows) resolves the
+    groups × len(qs) threshold matrix; it broadcasts once via
+    ``ray.put``; assignment is a streaming hash-indexer + comparison
+    map.  No corpus shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    pdf = (grouped_quantiles(ds, key_column, value_column,
+                             qs=qs, digits=digits)
+           .to_pandas().sort_values([key_column, "q"]))
+    keys = pdf[key_column].to_numpy()
+    if not len(keys):
+        return ds.map_batches(
+            lambda b: b.append_column(
+                tier_column, pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    gkeys = pd.Index(keys[starts])
+    thrmat = np.sort(
+        pdf["quantile"].to_numpy(np.float64).reshape(len(gkeys), len(qs)),
+        axis=1)
+    thr_ref = _ray.put((gkeys, thrmat))
+
+    def assign(b: pa.Table) -> pa.Table:
+        gk, tm = _ray.get(thr_ref)
+        kv = b.column(key_column).to_numpy(zero_copy_only=False)
+        v = (b.column(value_column).to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        gidx = gk.get_indexer(kv)   # hash-based, vectorized in C
+        if (gidx < 0).any():
+            raise ValueError("group key absent from threshold table")
+        tier = (v[:, None] > tm[gidx]).sum(axis=1).astype(np.int64) + 1
+        return b.append_column(tier_column, pa.array(tier, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def _grouped_median_hist(ds, key_column: str, value_column: str, *,
                          digits: int, bins: int):
     """Binned per-group median sketch (see :func:`grouped_median`

@@ -181,3 +181,25 @@ def test_tier_by_global_quantiles_quartile_semantics(ray_session):
     dup = rd.from_items([{"doc_id": i, "v": 5.0} for i in range(4)])
     out2 = tier_by_global_quantiles(dup, "v").to_pandas()
     assert set(out2["tier"]) == {1}   # all values == every threshold
+
+
+def test_tier_by_group_quantiles_per_group_tertiles(ray_session):
+    """Each group gets its OWN tertile thresholds; duplicates collapse
+    to the low tier; a single-value group lands entirely in tier 1."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import tier_by_group_quantiles
+
+    rows = ([{"doc_id": i, "g": "a", "v": float(i + 1)} for i in range(9)]
+            + [{"doc_id": 100 + i, "g": "b", "v": float(10 * (i + 1))}
+               for i in range(3)]
+            + [{"doc_id": 200 + i, "g": "c", "v": 7.0} for i in range(4)])
+    ds = rd.from_items(rows)
+    out = (tier_by_group_quantiles(ds, "g", "v", qs=(1.0 / 3, 2.0 / 3))
+           .to_pandas().sort_values("doc_id"))
+    # group a, n=9: t1 = rank ceil(3) = 3.0, t2 = rank 6 -> 6.0
+    assert list(out[out["g"] == "a"]["tier"]) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # group b, n=3: thresholds 10.0 and 20.0 -> one value per tier
+    assert list(out[out["g"] == "b"]["tier"]) == [1, 2, 3]
+    # group c: every value equals both thresholds -> all tier 1
+    assert list(out[out["g"] == "c"]["tier"]) == [1, 1, 1, 1]
