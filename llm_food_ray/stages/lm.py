@@ -71,10 +71,60 @@ class _TokenHasher:
             out[i] = h
         return out
 
+    def flat_token_fps(self, batch: pa.Table,
+                       text_column: str) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized whole-batch tokenize + fingerprint: Arrow
+        whitespace split and dictionary-encode do the per-occurrence
+        work in C; the Python md5 loop runs only over the batch's
+        DISTINCT tokens (tiny under Zipf) through the per-actor cache.
+        Token stream is identical to ``(t or "").split()`` per doc
+        (split_whitespace boundary empties are filtered out).  Returns
+        (flat u64 fingerprints, docs concatenated in order; per-doc
+        token counts)."""
+        import pyarrow.compute as pc
+
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+        raw_lens = (pc.list_value_length(lists)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(lists)
+        nonempty = pc.not_equal(flat, "")
+        # per-doc nonempty counts via prefix sums (reduceat mishandles
+        # zero-length segments)
+        cum0 = np.r_[0, np.cumsum(
+            nonempty.to_numpy(zero_copy_only=False).astype(np.int64))]
+        ends = np.cumsum(raw_lens)
+        lens = cum0[ends] - cum0[ends - raw_lens]
+        filtered = flat.filter(nonempty)
+        if isinstance(filtered, pa.ChunkedArray):
+            filtered = filtered.combine_chunks()
+        if len(filtered) == 0:
+            return np.empty(0, np.uint64), lens
+        enc = filtered.dictionary_encode()
+        hu = self.hash_tokens(enc.dictionary.to_pylist())
+        return hu[enc.indices.to_numpy(zero_copy_only=False)], lens
+
 
 def _bigram_fp(th: np.ndarray) -> np.ndarray:
     """u64 bigram fingerprint from consecutive token fingerprints."""
     return _mix64(th[:-1] * _FNV + th[1:])
+
+
+def _flat_pairs(th_all: np.ndarray,
+                lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Within-doc consecutive pairs over a FLAT concatenated token
+    stream: drop each doc's last token for the w1 side and each doc's
+    first for the w2 side — elementwise-aligned, no per-doc slicing."""
+    total = len(th_all)
+    ends = np.cumsum(lens)
+    pos = lens > 0
+    w1_mask = np.ones(total, bool)
+    w1_mask[ends[pos] - 1] = False
+    w2_mask = np.ones(total, bool)
+    w2_mask[(ends - lens)[pos]] = False
+    return th_all[w1_mask], th_all[w2_mask]
 
 
 def _lookup_counts(keys_sorted: np.ndarray, counts: np.ndarray,
@@ -118,21 +168,14 @@ class _GramPartials(_TokenHasher):
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        uni_parts, big_parts = [], []
-        for t in batch.column(self.text_column).to_pylist():
-            ws = (t or "").split()
-            if not ws:
-                continue
-            th = self.hash_tokens(ws)
-            uni_parts.append(th)
-            if len(th) > 1:
-                big_parts.append(_bigram_fp(th))
-        uh, un = (np.unique(np.concatenate(uni_parts), return_counts=True)
-                  if uni_parts else (np.empty(0, np.uint64),
-                                     np.empty(0, np.int64)))
-        bh, bn = (np.unique(np.concatenate(big_parts), return_counts=True)
-                  if big_parts else (np.empty(0, np.uint64),
-                                     np.empty(0, np.int64)))
+        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        w1, w2 = _flat_pairs(th_all, lens)
+        uh, un = (np.unique(th_all, return_counts=True)
+                  if len(th_all) else (np.empty(0, np.uint64),
+                                       np.empty(0, np.int64)))
+        bh, bn = (np.unique(_mix64(w1 * _FNV + w2), return_counts=True)
+                  if len(w1) else (np.empty(0, np.uint64),
+                                   np.empty(0, np.int64)))
         # fingerprints ride the exchange as BIT-IDENTICAL int64 — Ray's
         # groupby object-boxes uint64 keys above int64 max
         return pa.table({
@@ -272,27 +315,19 @@ class BigramNllScorer(_TokenHasher):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self._get_model()
-        texts = batch.column(self.text_column).to_pylist()
-        n_big = np.zeros(len(texts), dtype=np.int64)
-        u_parts, b_parts = [], []
-        for i, t in enumerate(texts):
-            ws = (t or "").split()
-            if len(ws) < 2:
-                continue
-            th = self.hash_tokens(ws)
-            u_parts.append(th[:-1])
-            b_parts.append(_bigram_fp(th))
-            n_big[i] = len(ws) - 1
-        nll = [0.0] * len(texts)
-        if u_parts:
-            cu = _lookup_counts(m["u_h"], m["u_n"], np.concatenate(u_parts))
-            cb = _lookup_counts(m["b_h"], m["b_n"], np.concatenate(b_parts))
+        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        n_big = np.maximum(lens - 1, 0)
+        w1, w2 = _flat_pairs(th_all, lens)
+        nll = [0.0] * len(lens)
+        if len(w1):
+            cu = _lookup_counts(m["u_h"], m["u_n"], w1)
+            cb = _lookup_counts(m["b_h"], m["b_n"], _mix64(w1 * _FNV + w2))
             terms = -np.log((cb + 1.0) / (cu + m["v"]))
-            lens = n_big[n_big > 0]
-            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            plens = n_big[n_big > 0]
+            starts = np.r_[0, np.cumsum(plens)[:-1]]
             sums = np.add.reduceat(terms, starts)
             for j, i in enumerate(np.nonzero(n_big > 0)[0]):
-                nll[i] = round(float(sums[j]) / int(lens[j]), self.digits)
+                nll[i] = round(float(sums[j]) / int(plens[j]), self.digits)
         cols = {self.key_column: batch.column(self.key_column),
                 "n_bigrams": pa.array(n_big, pa.int64()),
                 "nll": pa.array(nll, pa.float64())}
