@@ -1114,6 +1114,52 @@ def q_cap_per_lang(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_canonical_best(sf_dir: str):
+    """URL-level dedup keeping the BEST copy: three crawl variants of
+    each page (scheme case / default port / fragment / tracking params)
+    canonicalize to one URL; keep the highest-quality document per
+    canonical URL (tiebreak doc_id) via the tie-exact per-group cap —
+    canonicalize → score → cap_per_group(n=1), no corpus shuffle.  The
+    "pick the canonical copy" step of crawl curation; no reference
+    analogue, brief-scope."""
+    from llm_food_ray.stages.textstats import TextStatsStage, cap_per_group
+
+    from llm_food_ray.functions.urltools import canonicalize_url
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            base, v = d // 3, d % 3
+            if v == 0:
+                urls.append(f"https://www.page{base}.example.com"
+                            f"/item/{base}")
+            elif v == 1:   # path stays case-sensitive — host only
+                urls.append(f"HTTPS://WWW.PAGE{base}.EXAMPLE.COM:443"
+                            f"/item/{base}#frag")
+            else:
+                urls.append(f"https://www.page{base}.example.com"
+                            f"/item/{base}?utm_source=x&gclid=1")
+        return batch.append_column(
+            "canonical",
+            pa.array([canonicalize_url(u) for u in urls], pa.string()))
+
+    def neg_q(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "neg_quality", pc.negate(batch.column("quality")))
+
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(TextStatsStage(features=("quality",)),
+                       batch_format="pyarrow")
+          .map_batches(synth, batch_format="pyarrow")
+          .map_batches(neg_q, batch_format="pyarrow"))
+    return (cap_per_group(ds, "canonical", "neg_quality", n=1,
+                          tiebreak_column="doc_id")
+            .select_columns(["doc_id", "canonical", "quality"]))
+
+
 def q_sessionize(sf_dir: str):
     """Sessionization of the events stream (30-min gap rule): one
     user-bucketed exchange, vectorized per-bucket sweep; session_idx is
@@ -1551,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_tiers": q_quality_tiers,
         "dedup_incremental": q_dedup_incremental,
         "ccnet_buckets": q_ccnet_buckets,
+        "canonical_best": q_canonical_best,
         "curate": q_curate,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1571,10 +1618,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
         "extract_pptx": q_extract_pptx,
-        "chunk_sentence": q_chunk_sentence,
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
         "extract_auto": q_extract_auto,
         "extract_status_counts": q_extract_status_counts,
@@ -2306,6 +2353,19 @@ WITH toks_ref AS (
 SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(a.nll, 0.0) AS nll
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        # same synth variants; ORDER BY quality DESC, doc_id == the Ray
+        # side's (neg_quality, doc_id) ascending cap key
+        "canonical_best": f"""
+WITH q AS ({quality}), u AS (
+  SELECT doc_id,
+         'https://www.page' || (doc_id // 3) || '.example.com/item/'
+           || (doc_id // 3) AS canonical
+  FROM documents)
+SELECT u.doc_id, u.canonical, q.quality
+FROM u JOIN q ON u.doc_id = q.doc_id
+QUALIFY row_number() OVER (PARTITION BY u.canonical
+                           ORDER BY q.quality DESC, u.doc_id) = 1
 """,
         # per-lang tertile thresholds over the SAME round-6 nll; bucket
         # = 1 + #thresholds strictly below (ties collapse low, matching
