@@ -599,6 +599,17 @@ def q_cluster_assign(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the full embeddings table (k=8,
+    2 iterations, deterministic strided seeds): per iteration one
+    streaming pass emitting k×(d+1)-float block partials, driver-folded
+    centroids, no shuffle.  Bit-exact vs the unrolled-CTE SQL twin via
+    per-iteration round-9 pins (the pagerank recipe)."""
+    from llm_food_ray.stages.similarity import kmeans_fit
+
+    return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
+
+
 def q_extract_spans(sf_dir: str):
     """north_rule spans column: per-document block offsets into
     ``markdown``, exploded to one row per span (url, span_index, start,
@@ -1598,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
+        "kmeans_clusters": q_kmeans_clusters,
         "curate": q_curate,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1613,7 +1625,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
-        "chunk_token": q_chunk_token,
         "extract_chunks": q_extract_chunks,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -1621,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        "chunk_token": q_chunk_token,
         "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
         "extract_auto": q_extract_auto,
@@ -1649,6 +1661,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------- oracle SQL ----
+
+
+def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61) -> str:
+    """Unrolled-CTE twin of ``similarity.py:kmeans_fit`` (the pagerank
+    recipe): per iteration — round-9 distances, (dist, cid) argmin,
+    per-dimension round-9 sums and means, empty clusters COALESCE to
+    the previous centroid — then one final assignment."""
+    ctes = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""", f"""s AS (
+  SELECT vec_id, v FROM e WHERE vec_id % {modulus} = 0
+  ORDER BY vec_id LIMIT {k}
+)""", """c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> round(x, 9)) AS c
+  FROM s
+)"""]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        ctes.append(f"""d{t} AS (
+  SELECT e.vec_id, c.cid,
+         round(list_aggregate(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), 'sum'), 9) AS d
+  FROM e CROSS JOIN {prev} c
+)""")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{t})
+  WHERE rn = 1
+)""")
+        if t == iters + 1:
+            break
+        ctes.append(f"""m{t} AS (
+  SELECT a.cid, g.i, round(sum(e.v[g.i]), 9) AS s, count(*) AS n
+  FROM a{t} a JOIN e ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+  GROUP BY a.cid, g.i
+)""")
+        ctes.append(f"""c{t} AS (
+  SELECT {prev}.cid, COALESCE(mm.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT cid, list(round(s / n, 9) ORDER BY i) AS c
+    FROM m{t} GROUP BY cid) mm
+  ON {prev}.cid = mm.cid
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, cid AS cluster FROM a{iters + 1}")
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -2354,6 +2416,7 @@ SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(a.nll, 0.0) AS nll
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
+        "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
         # same synth variants; ORDER BY quality DESC, doc_id == the Ray
         # side's (neg_quality, doc_id) ascending cap key
         "canonical_best": f"""

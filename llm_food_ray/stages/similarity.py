@@ -251,3 +251,110 @@ def ivf_topk(ds, centroids: np.ndarray, query_vec, k: int, *, nprobe: int = 4,
     )
     return brute_topk(probed, query_vec, k, key_column=key_column,
                       vec_column=vec_column)
+
+
+# ------------------------------------------------------- distributed k-means
+
+
+def _kmeans_assign(mat: np.ndarray, cent: np.ndarray,
+                   digits: int) -> np.ndarray:
+    """Nearest-centroid by squared euclidean distance, rounded to
+    ``digits`` before the argmin so both engines snap near-ties (from
+    differing summation order) to the same grid; first-hit argmin ==
+    SQL ``ORDER BY dist, cid`` (smallest cluster id wins)."""
+    d2 = ((mat * mat).sum(1)[:, None]
+          - 2.0 * (mat @ cent.T)
+          + (cent * cent).sum(1)[None, :])
+    return np.round(d2, digits).argmin(1)
+
+
+def _round_rows(a: np.ndarray, digits: int) -> np.ndarray:
+    """Per-element Python round (matches SQL round; np.round can differ
+    by 1 ulp) — only ever applied to k×d centroid-sized arrays."""
+    return np.array([[round(float(x), digits) for x in row] for row in a],
+                    np.float64)
+
+
+def kmeans_fit(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
+               key_column: str = "vec_id", vec_column: str = "embedding",
+               digits: int = 9):
+    """Distributed Lloyd k-means over the FULL dataset (not a driver
+    sample like :func:`train_centroids`): deterministic strided seeds,
+    then per iteration ONE streaming pass whose blocks emit (cluster,
+    count, sum-vector) partials — k×(d+1) floats per block, never a row
+    per vector — folded on the driver into the next k×d centroid
+    matrix; empty clusters keep their previous centroid.  Returns the
+    final (key, cluster) assignment as a streaming map.
+
+    Bit-exactness across engines (the pagerank recipe,
+    ``stages/graph.py:22``): centroid sums and means are rounded to
+    ``digits`` each iteration with PYTHON round (k×d elements), and
+    distances are rounded before the argmin, so an unrolled-CTE SQL
+    twin reproduces the assignment exactly.
+
+    Scale shape: no shuffle at any step — the per-iteration exchange is
+    blocks × k partial rows; the k×d centroid matrix broadcasts via
+    ``ray.put`` per round.  At 100 TB the cost is iters+1 full corpus
+    scans; cache/materialize ``ds`` upstream if re-reading is dearer
+    than object-store residency."""
+    import ray as _ray
+
+    seed_ids, seeds = strided_seed_vectors(
+        ds, modulus=modulus, k=k,
+        key_column=key_column, vec_column=vec_column)
+    kk = len(seed_ids)
+    if kk == 0:
+        raise ValueError("no seed vectors matched the modulus rule")
+    cent = _round_rows(np.asarray(seeds, np.float64), digits)
+
+    def make_partial(cent_ref, nk: int, vc: str, dg: int):
+        def partial(b: pa.Table) -> pa.Table:
+            c = _ray.get(cent_ref)
+            mat = vectors_to_matrix(b.column(vc))
+            if not len(mat):
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64()))})
+            a = _kmeans_assign(mat, c, dg)
+            sums = np.vstack([mat[a == cid].sum(0) if (a == cid).any()
+                              else np.zeros(mat.shape[1])
+                              for cid in range(nk)])
+            return pa.table({
+                "cluster": pa.array(np.arange(nk, dtype=np.int64)),
+                "n": pa.array(np.bincount(a, minlength=nk)
+                              .astype(np.int64)),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+        return partial
+
+    for _ in range(iters):
+        ref = _ray.put(cent)
+        S = np.zeros_like(cent)
+        N = np.zeros(kk, np.int64)
+        for b in (ds.map_batches(make_partial(ref, kk, vec_column, digits),
+                                 batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow")):
+            if not b.num_rows:
+                continue
+            cid = b.column("cluster").to_numpy(zero_copy_only=False)
+            N[cid] += b.column("n").to_numpy(zero_copy_only=False)
+            S[cid] += vectors_to_matrix(b.column("s"))
+        new = cent.copy()
+        nz = N > 0
+        if nz.any():
+            new[nz] = _round_rows(
+                _round_rows(S[nz], digits) / N[nz, None], digits)
+        cent = new
+
+    ref = _ray.put(cent)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        a = (_kmeans_assign(mat, c, digits) if len(mat)
+             else np.empty(0, np.int64))
+        return pa.table({key_column: b.column(key_column),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(assign_final, batch_format="pyarrow")

@@ -139,3 +139,38 @@ def test_seed_assign(ray_session):
     sims = (m @ m[[0, 30, 60, 90]].T) / (vn[:, None] * sn[None, :])
     expect = np.array([0, 30, 60, 90])[sims.argmax(1)]
     assert (out["cluster_id"].to_numpy() == expect).all()
+
+
+def test_kmeans_fit_matches_local_lloyd(ray_session):
+    """The distributed per-block partial-sum plan reproduces a local
+    single-process Lloyd run with the same seeds and rounding."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import (_kmeans_assign,
+                                                _round_rows, kmeans_fit)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(90, 6)
+    items = [{"vec_id": i, "embedding": list(map(float, v))}
+             for i, v in enumerate(vecs)]
+    ds = rd.from_arrow(pa.Table.from_pylist(items)).repartition(5)
+
+    out = (kmeans_fit(ds, k=3, iters=2, modulus=40)
+           .to_pandas().sort_values("vec_id"))
+    assert len(out) == 90
+
+    # local reference: same seeds (vec_id % 40 == 0 -> 0, 40, 80)
+    m = vecs.astype(np.float64)
+    cent = _round_rows(m[[0, 40, 80]], 9)
+    for _ in range(2):
+        a = _kmeans_assign(m, cent, 9)
+        new = cent.copy()
+        for c in range(3):
+            if (a == c).any():
+                s = _round_rows(m[a == c].sum(0)[None, :], 9)
+                new[c] = _round_rows(s / (a == c).sum(), 9)[0]
+        cent = new
+    expect = _kmeans_assign(m, cent, 9)
+    assert (out["cluster"].to_numpy() == expect).all()
+    assert len(set(expect)) > 1   # the test corpus actually clusters
