@@ -71,16 +71,15 @@ class _TokenHasher:
             out[i] = h
         return out
 
-    def flat_token_fps(self, batch: pa.Table,
-                       text_column: str) -> tuple[np.ndarray, np.ndarray]:
+    def flat_token_enc(self, batch: pa.Table, text_column: str):
         """Vectorized whole-batch tokenize + fingerprint: Arrow
         whitespace split and dictionary-encode do the per-occurrence
         work in C; the Python md5 loop runs only over the batch's
         DISTINCT tokens (tiny under Zipf) through the per-actor cache.
         Token stream is identical to ``(t or "").split()`` per doc
         (split_whitespace boundary empties are filtered out).  Returns
-        (flat u64 fingerprints, docs concatenated in order; per-doc
-        token counts)."""
+        (flat int64 dictionary indices, dictionary string Array, per-doc
+        token counts, u64 fingerprint per dictionary entry)."""
         import pyarrow.compute as pc
 
         col = batch.column(text_column)
@@ -101,10 +100,19 @@ class _TokenHasher:
         if isinstance(filtered, pa.ChunkedArray):
             filtered = filtered.combine_chunks()
         if len(filtered) == 0:
-            return np.empty(0, np.uint64), lens
+            return (np.empty(0, np.int64), pa.array([], pa.string()),
+                    lens, np.empty(0, np.uint64))
         enc = filtered.dictionary_encode()
         hu = self.hash_tokens(enc.dictionary.to_pylist())
-        return hu[enc.indices.to_numpy(zero_copy_only=False)], lens
+        return (enc.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64), enc.dictionary, lens, hu)
+
+    def flat_token_fps(self, batch: pa.Table,
+                       text_column: str) -> tuple[np.ndarray, np.ndarray]:
+        """:meth:`flat_token_enc` reduced to (flat u64 fingerprints,
+        per-doc token counts) — the shape the LM stages consume."""
+        idx, _, lens, hu = self.flat_token_enc(batch, text_column)
+        return (hu[idx] if len(idx) else np.empty(0, np.uint64)), lens
 
 
 def _bigram_fp(th: np.ndarray) -> np.ndarray:

@@ -163,16 +163,20 @@ def train_df_model(ds, text_column: str = "text", *, min_count: int = 1):
 
     class Partial(_TokenHasher):
         def __call__(self, batch: pa.Table) -> pa.Table:
-            parts = []
-            n = 0
-            for t in batch.column(text_column).to_pylist():
-                n += 1
-                ws = _tokens(t)
-                if ws:
-                    parts.append(np.unique(self.hash_tokens(ws)))
-            h, df = (np.unique(np.concatenate(parts), return_counts=True)
-                     if parts else (np.empty(0, np.uint64),
-                                    np.empty(0, np.int64)))
+            th_all, lens = self.flat_token_fps(batch, text_column)
+            n = len(lens)
+            if len(th_all):
+                # distinct (doc, fp) pairs via lexsort + run-length —
+                # fp-space so colliding tokens collapse identically to
+                # the per-doc np.unique they replace
+                doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+                order = np.lexsort((th_all, doc))
+                d_s, h_s = doc[order], th_all[order]
+                first = np.r_[True, (d_s[1:] != d_s[:-1])
+                              | (h_s[1:] != h_s[:-1])]
+                h, df = np.unique(h_s[first], return_counts=True)
+            else:
+                h, df = np.empty(0, np.uint64), np.empty(0, np.int64)
             # kind 0 = doc-count carrier row; fingerprints ride as
             # bit-identical int64 (Ray groupby object-boxes uint64)
             return pa.table({
@@ -296,28 +300,29 @@ class TfidfTopTerms:
         return self._model
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
         import pandas as pd
 
         from .lm import _lookup_counts
 
         m = self._get_model()
         nd = float(m["n_docs"]) + 1.0
-        pos_out: list[int] = []
-        terms_out: list[str] = []
-        tf_out: list[int] = []
-        texts = batch.column(self.text_column).to_pylist()
-        for pos, t in enumerate(texts):
-            for w, c in Counter(_tokens(t)).items():
-                pos_out.append(pos)
-                terms_out.append(w)
-                tf_out.append(c)
-        h = self._hasher.hash_tokens(terms_out)
-        dfv = _lookup_counts(m["h"], m["df"], h)
-        score = np.asarray(tf_out, np.float64) * np.log(nd / (dfv + 1.0))
-        pdf = pd.DataFrame({"pos": np.asarray(pos_out, np.int64),
-                            "term": terms_out, "score": score})
+        idx, dic, lens, hu = self._hasher.flat_token_enc(
+            batch, self.text_column)
+        # tf per (doc, distinct term) via one combined-key np.unique;
+        # index space == string space so colliding fingerprints still
+        # yield distinct candidate rows (they just share a df value)
+        width = max(len(dic), 1)
+        key = np.repeat(np.arange(len(lens), dtype=np.int64), lens) \
+            * width + idx
+        uk, tf = np.unique(key, return_counts=True)
+        upos, uidx = uk // width, uk % width
+        dfv = _lookup_counts(m["h"], m["df"], hu[uidx]
+                             if len(uidx) else np.empty(0, np.uint64))
+        score = tf.astype(np.float64) * np.log(nd / (dfv + 1.0))
+        pdf = pd.DataFrame({"pos": upos,
+                            "term": (dic.take(pa.array(uidx)).to_pylist()
+                                     if len(uidx) else []),
+                            "score": score})
         pdf = pdf.sort_values(["pos", "score", "term"],
                               ascending=[True, False, True],
                               kind="mergesort")
