@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import hashlib
 import math
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -45,6 +44,74 @@ def _bucket(gram: str, num_buckets: int) -> int:
     return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % num_buckets
 
 
+class _GramBuckets:
+    """Vectorized gram→bucket stream for a batch: tokens and bigram
+    pairs are materialized/deduplicated in C (Arrow split +
+    dictionary-encode + combined-key np.unique); the md5 bucket loop
+    runs only over DISTINCT grams (memoized).  Gram stream per doc is
+    unigrams then bigrams, matching :func:`_grams`."""
+
+    _CACHE_CAP = 1_000_000
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
+        self._bcache: dict[str, int] = {}
+
+    def _bucket_strings(self, arr) -> np.ndarray:
+        c = self._bcache
+        if len(c) > self._CACHE_CAP:
+            c.clear()
+        nb = self.num_buckets
+        out = np.empty(len(arr), np.int64)
+        for i, g in enumerate(arr.to_pylist()):
+            b = c.get(g)
+            if b is None:
+                b = c[g] = _bucket(g, nb)
+            out[i] = b
+        return out
+
+    def doc_gram_buckets(self, batch: pa.Table, text_column: str):
+        """→ (uni_occ, big_occ, lens, n_big): per-occurrence bucket ids
+        for the batch's unigrams and bigrams plus per-doc counts."""
+        import pyarrow.compute as pc
+
+        from .lm import _TokenHasher, _flat_pairs
+
+        idx, dic, lens, _ = _TokenHasher().flat_token_enc(
+            batch, text_column)
+        n_big = np.maximum(lens - 1, 0)
+        if not len(idx):
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    lens, n_big)
+        ubuck = self._bucket_strings(dic)
+        uni_occ = ubuck[idx]
+        i1, i2 = _flat_pairs(idx, lens)
+        if len(i1):
+            width = len(dic)
+            pk = i1 * width + i2
+            upk = np.unique(pk)
+            pair_strings = pc.binary_join_element_wise(
+                dic.take(pa.array(upk // width)),
+                dic.take(pa.array(upk % width)), " ")
+            pbuck = self._bucket_strings(pair_strings)
+            big_occ = pbuck[np.searchsorted(upk, pk)]
+        else:
+            big_occ = np.empty(0, np.int64)
+        return uni_occ, big_occ, lens, n_big
+
+
+def _segment_sums(vals: np.ndarray, seglens: np.ndarray) -> np.ndarray:
+    """Per-segment sequential sums (np.add.reduceat over the non-empty
+    segments; empty segments get 0.0)."""
+    out = np.zeros(len(seglens), np.float64)
+    pos = seglens > 0
+    if pos.any():
+        plens = seglens[pos]
+        starts = np.r_[0, np.cumsum(plens)[:-1]]
+        out[pos] = np.add.reduceat(vals, starts)
+    return out
+
+
 def train_bucket_counts(ds, text_column: str, target_column: str,
                         target_value, num_buckets: int):
     """→ (src_counts, tgt_counts) int64 arrays of length ``num_buckets``,
@@ -52,23 +119,23 @@ def train_bucket_counts(ds, text_column: str, target_column: str,
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        src: Counter = Counter()
-        tgt: Counter = Counter()
-        cache: dict[str, int] = {}
-        tvals = batch.column(target_column).to_pylist()
-        for t, tv in zip(batch.column(text_column).to_pylist(), tvals):
-            for g in _grams(t):
-                b = cache.get(g)
-                if b is None:
-                    b = cache[g] = _bucket(g, num_buckets)
-                src[b] += 1
-                if tv == target_value:
-                    tgt[b] += 1
-        buckets = sorted(src)
+        gb = _GramBuckets(num_buckets)
+        uni_occ, big_occ, lens, n_big = gb.doc_gram_buckets(
+            batch, text_column)
+        occ = np.concatenate([uni_occ, big_occ])
+        src = np.bincount(occ, minlength=num_buckets)
+        mask = np.fromiter(
+            (tv == target_value
+             for tv in batch.column(target_column).to_pylist()),
+            bool, len(lens))
+        tocc = occ[np.concatenate([np.repeat(mask, lens),
+                                   np.repeat(mask, n_big)])]
+        tgt = np.bincount(tocc, minlength=num_buckets)
+        nz = np.flatnonzero(src)
         return pa.table({
-            "bucket": pa.array(buckets, pa.int64()),
-            "src_n": pa.array([src[b] for b in buckets], pa.int64()),
-            "tgt_n": pa.array([tgt[b] for b in buckets], pa.int64()),
+            "bucket": pa.array(nz.astype(np.int64)),
+            "src_n": pa.array(src[nz].astype(np.int64)),
+            "tgt_n": pa.array(tgt[nz].astype(np.int64)),
         })
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
@@ -101,21 +168,19 @@ class DsirScorer:
             [math.log((int(tgt[i]) + 1.0) / t_tot)
              - math.log((int(src[i]) + 1.0) / s_tot)
              for i in range(self.num_buckets)], dtype=np.float64)
-        self.cache: dict[str, int] = {}
+        self._gb = _GramBuckets(self.num_buckets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_grams, log_w = [], []
-        cache = self.cache
-        for t in batch.column(self.text_column).to_pylist():
-            gs = _grams(t)
-            s = 0.0
-            for g in gs:
-                b = cache.get(g)
-                if b is None:
-                    b = cache[g] = _bucket(g, self.num_buckets)
-                s += self.term[b]
-            n_grams.append(len(gs))
-            log_w.append(round(s, self.digits) if gs else 0.0)
+        uni_occ, big_occ, lens, n_big = self._gb.doc_gram_buckets(
+            batch, self.text_column)
+        # per-doc sum = (unigram-run sum) + (bigram-run sum); the
+        # association differs from the old fully-sequential loop at
+        # ~1 ulp, far inside the round-6 grid
+        s = (_segment_sums(self.term[uni_occ], lens)
+             + _segment_sums(self.term[big_occ], n_big))
+        n_grams = lens + n_big
+        log_w = [round(float(v), self.digits) if g else 0.0
+                 for v, g in zip(s, n_grams)]
         return pa.table({self.key_column: batch.column(self.key_column),
                          "n_grams": pa.array(n_grams, pa.int64()),
                          "log_w": pa.array(log_w, pa.float64())})
