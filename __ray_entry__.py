@@ -933,6 +933,20 @@ def q_quality_tiers(sf_dir: str):
     return tier_by_global_quantiles(ds, "quality")
 
 
+def q_tier_extract(sf_dir: str):
+    """Top-tier extraction — the round's headline routing step: score,
+    tier by global quartiles, and KEEP only the top tier (quality above
+    the q75 threshold), streaming end to end (one histogram exchange
+    for the thresholds, then a pure filter map)."""
+    import pyarrow.compute as pc
+
+    ds = q_quality_tiers(sf_dir)
+    return (ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("tier"), 4)),
+        batch_format="pyarrow")
+        .select_columns(["doc_id", "quality"]))
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup: treat documents with doc_id % 3 == 0 as
     the ALREADY-CURATED corpus and drop any document whose text content
@@ -1606,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": q_host_graph,
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
+        "tier_extract": q_tier_extract,
         "dedup_incremental": q_dedup_incremental,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
@@ -1628,10 +1643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_chunks": q_extract_chunks,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
-        "extract_pptx": q_extract_pptx,
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        "extract_pptx": q_extract_pptx,
         "chunk_token": q_chunk_token,
         "chunk_sentence": q_chunk_sentence,
         "chunk_recursive": q_chunk_recursive,
@@ -2417,6 +2432,13 @@ SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
+        "tier_extract": f"""
+WITH q AS ({quality}), thr AS (
+  SELECT quantile_disc(quality, 0.75) AS t3 FROM q)
+SELECT q.doc_id, q.quality
+FROM q, thr t
+WHERE q.quality > t.t3
+""",
         # same synth variants; ORDER BY quality DESC, doc_id == the Ray
         # side's (neg_quality, doc_id) ascending cap key
         "canonical_best": f"""
