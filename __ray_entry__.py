@@ -933,6 +933,32 @@ def q_quality_tiers(sf_dir: str):
     return tier_by_global_quantiles(ds, "quality")
 
 
+def q_dedup_lines(sf_dir: str):
+    """Within-document exact line dedup over deterministically dirtied
+    text: each document is re-lined into 8-word rows with its first two
+    lines re-appended at the end (so the rule actually fires), then
+    deduped keeping first occurrences — the MassiveText/CCNet line-level
+    repetition scrub.  The SQL oracle builds the SAME dirty lines and
+    dedups them independently with a windowed first-occurrence rank."""
+    from llm_food_ray.functions.repetition import dedup_lines_exact
+
+    def synth_and_dedup(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        out = []
+        for t in texts:
+            ws = t.split()
+            ls = [" ".join(ws[i * 8:(i + 1) * 8])
+                  for i in range((len(ws) + 7) // 8)]
+            if ls:
+                ls = ls + [ls[0], ls[1] if len(ls) >= 2 else ls[0]]
+            out.append(dedup_lines_exact("\n".join(ls)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_and_dedup, batch_format="pyarrow")
+
+
 def q_tier_extract(sf_dir: str):
     """Top-tier extraction — the round's headline routing step: score,
     tier by global quartiles, and KEEP only the top tier (quality above
@@ -1621,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
+        "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
@@ -1642,10 +1669,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_docx": q_extract_docx,
-        "extract_rtf": q_extract_rtf,
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        "extract_rtf": q_extract_rtf,
         "extract_pptx": q_extract_pptx,
         "chunk_token": q_chunk_token,
         "chunk_sentence": q_chunk_sentence,
@@ -2432,6 +2459,41 @@ SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
+        # same 8-word re-lining + first-two-lines re-append; dedup =
+        # windowed first-occurrence rank, reassembled in ord order
+        "dedup_lines": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+                        i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
+  FROM w
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) = 0 THEN ls
+              ELSE ls || [ls[1],
+                          CASE WHEN len(ls) >= 2 THEN ls[2] ELSE ls[1] END]
+         END AS mls
+  FROM l
+), e AS (
+  SELECT doc_id,
+         unnest(range(1, len(mls) + 1)) AS ord,
+         unnest(mls) AS line
+  FROM m
+), r AS (
+  SELECT doc_id, ord, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM e
+), dd AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY ord), chr(10)) AS text
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(dd.text, '') AS text
+FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+""",
         "tier_extract": f"""
 WITH q AS ({quality}), thr AS (
   SELECT quantile_disc(quality, 0.75) AS t3 FROM q)

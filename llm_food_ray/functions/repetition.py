@@ -98,3 +98,17 @@ def passes_repetition_filter(feats: dict) -> bool:
             and feats["top_word_frac"] <= FILTER_MAX_TOP_WORD
             and feats["bullet_line_frac"] <= FILTER_MAX_BULLET
             and feats["ellipsis_line_frac"] <= FILTER_MAX_ELLIPSIS)
+
+
+def dedup_lines_exact(text: str) -> str:
+    """Within-document exact line dedup (the MassiveText/CCNet
+    preprocessing step): keep the FIRST occurrence of every distinct
+    line (raw split on '\n', blanks included), preserving order.  Pure
+    per-document transform — streams embarrassingly parallel."""
+    seen: set[str] = set()
+    out = []
+    for line in text.split("\n"):
+        if line not in seen:
+            seen.add(line)
+            out.append(line)
+    return "\n".join(out)

@@ -66,3 +66,12 @@ def test_repetition_stage_ray(ray_session):
     assert abs(out.loc[1, "dup_line_frac"] - round(1 - 2 / 3, 6)) < 1e-9
     assert out.loc[2, "n_lines"] == 0 and bool(out.loc[2, "keep"])
     assert not bool(out.loc[3, "keep"])   # top_word_frac 5/6 > 0.2
+
+
+def test_dedup_lines_exact_first_occurrence_order():
+    from llm_food_ray.functions.repetition import dedup_lines_exact
+
+    assert dedup_lines_exact("a\nb\na\nc\nb\na") == "a\nb\nc"
+    assert dedup_lines_exact("") == ""
+    assert dedup_lines_exact("\n\n") == ""        # blank lines dedup too
+    assert dedup_lines_exact("x\n\ny\n\nx") == "x\n\ny"
