@@ -610,6 +610,38 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
 
 
+def q_embedding_cov(sf_dir: str):
+    """Distributed covariance of the embedding corpus (the PCA /
+    whitening building block): one streaming pass of d²+d+1-float block
+    partials, driver fold with round-9 sum pins, long-form (i, j, cov)
+    output.  SQL twin rebuilds the identical rounded sums via a double
+    LATERAL unnest."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import embedding_moments
+
+    _, _, cov = embedding_moments(_embeddings(sf_dir))
+    d = cov.shape[0]
+    return rd.from_arrow(pa.table({
+        "i": pa.array(np.repeat(np.arange(d, dtype=np.int64), d)),
+        "j": pa.array(np.tile(np.arange(d, dtype=np.int64), d)),
+        "cov": pa.array(cov.ravel(), pa.float64()),
+    }))
+
+
+def q_pca_project(sf_dir: str):
+    """Top-2 PCA projection of every embedding (driver-side eigh on the
+    distributed covariance, streaming projection matmul).  Eigenvectors
+    are sign/rotation-ambiguous across linear-algebra backends, so this
+    is pytest-pinned (variance ordering + reconstruction), not
+    SQL-oracled; the covariance input IS oracled (`embedding_cov`)."""
+    from llm_food_ray.stages.similarity import pca_project
+
+    return pca_project(_embeddings(sf_dir), k=2)
+
+
 def q_extract_spans(sf_dir: str):
     """north_rule spans column: per-document block offsets into
     ``markdown``, exploded to one row per span (url, span_index, start,
@@ -1652,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
+        "embedding_cov": q_embedding_cov,
         "curate": q_curate,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
@@ -1668,10 +1701,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
-        "extract_docx": q_extract_docx,
         "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
-        # all driver-green in BOTH r2 and r3, untouched by r4 changes ---
+        # all driver-green in BOTH r2 and r3, untouched by r4 changes,
+        # plus pca_project (pytest-pinned by design, like the IVF pair) ---
+        "pca_project": q_pca_project,
+        "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
         "extract_pptx": q_extract_pptx,
         "chunk_token": q_chunk_token,
@@ -2459,6 +2494,28 @@ SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
+        # same round-9 sum pins as embedding_moments; 0-based dims
+        "embedding_cov": """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM e
+), s2 AS (
+  SELECT gi.i AS i, gj.j AS j, round(sum(e.v[gi.i] * e.v[gj.j]), 9) AS s2
+  FROM e,
+       LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) gi,
+       LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS j) gj
+  GROUP BY gi.i, gj.j
+), s1 AS (
+  SELECT gi.i AS i, round(sum(e.v[gi.i]), 9) AS s1
+  FROM e, LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) gi
+  GROUP BY gi.i
+)
+SELECT s2.i - 1 AS i, s2.j - 1 AS j,
+       round((s2.s2 - a.s1 * b.s1 / nn.n) / nn.n, 6) AS cov
+FROM s2 JOIN s1 a ON s2.i = a.i JOIN s1 b ON s2.j = b.i CROSS JOIN nn
+""",
         # same 8-word re-lining + first-two-lines re-append; dedup =
         # windowed first-occurrence rank, reassembled in ord order
         "dedup_lines": r"""

@@ -279,6 +279,27 @@ def run_bench() -> dict:
     n_stats = stats.count()
     queries["textstats"] = round(time.perf_counter() - t0, 3)
 
+    # --- quality-tier extraction (r4 theme): score -> ONE histogram
+    # exchange for the global quartile thresholds -> streaming filter
+    # keeping the top tier ------------------------------------------------
+    import pyarrow.compute as _pc_t
+
+    from llm_food_ray.stages.textstats import tier_by_global_quantiles
+
+    t0 = time.perf_counter()
+    tiers = tier_by_global_quantiles(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks).map_batches(
+            TextStatsStage(text_column="markdown", features=("quality",)),
+            batch_format="pyarrow",
+        ).select_columns(["url", "quality"]),
+        "quality")
+    n_top_tier = tiers.map_batches(
+        lambda b: b.filter(_pc_t.equal(b.column("tier"), 4)),
+        batch_format="pyarrow").count()
+    queries["tier_extract"] = round(time.perf_counter() - t0, 3)
+    assert 0 < n_top_tier < n_pages
+
     # --- bigram-LM perplexity score over the extracted markdown ---------
     # r3: fingerprint-keyed model + searchsorted scoring (was a full
     # string-vocab driver broadcast + per-token dict loop)

@@ -358,3 +358,94 @@ def kmeans_fit(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
                          "cluster": pa.array(a.astype(np.int64))})
 
     return ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+# ------------------------------------------- distributed second moments ----
+
+
+def embedding_moments(ds, *, vec_column: str = "embedding",
+                      digits: int = 9, cov_digits: int = 6):
+    """Distributed mean + covariance of an embedding column — the
+    PCA / whitening building block: ONE streaming pass whose blocks
+    emit (n, Σx (d,), ΣxxT (d,d)) partials (d²+d+1 floats per block,
+    never a row per vector), folded on the driver.  Sums are pinned
+    with per-element Python round at ``digits`` (cross-engine exact:
+    SQL reconstructs the same rounded sums), then
+    cov = round((S2 − s1·s1ᵀ/n)/n, cov_digits) elementwise.
+
+    Returns (n, mean (d,), cov (d,d)) numpy.  The eigendecomposition
+    that turns cov into a projection is a driver-side numpy step on the
+    d×d matrix (d is model-sized, not corpus-sized) — see
+    ``pca_project``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(b.column(vec_column))
+        if not len(mat):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.list_(pa.float64())),
+                             "s2": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "s1": pa.array([list(mat.sum(0))], pa.list_(pa.float64())),
+            "s2": pa.array([list((mat.T @ mat).ravel())],
+                           pa.list_(pa.float64())),
+        })
+
+    n = 0
+    s1 = None
+    s2 = None
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+        if not b.num_rows:
+            continue
+        n += int(b.column("n").to_numpy(zero_copy_only=False).sum())
+        bs1 = vectors_to_matrix(b.column("s1")).sum(0)
+        bs2 = vectors_to_matrix(b.column("s2")).sum(0)
+        s1 = bs1 if s1 is None else s1 + bs1
+        s2 = bs2 if s2 is None else s2 + bs2
+    if not n:
+        raise ValueError("empty embedding dataset")
+    d = len(s1)
+    s1 = np.array([round(float(x), digits) for x in s1], np.float64)
+    s2 = np.array([round(float(x), digits) for x in s2],
+                  np.float64).reshape(d, d)
+    mean = np.array([round(float(x), digits) for x in s1 / n], np.float64)
+    cov_raw = (s2 - np.outer(s1, s1) / n) / n
+    cov = np.array([[round(float(x), cov_digits) for x in row]
+                    for row in cov_raw], np.float64)
+    return n, mean, cov
+
+
+def pca_project(ds, *, k: int = 2, vec_column: str = "embedding",
+                key_column: str = "vec_id", digits: int = 6):
+    """Project every embedding onto the top-k covariance eigenvectors
+    (driver-side ``np.linalg.eigh`` on the d×d matrix from
+    :func:`embedding_moments`), sign-normalized so the largest-|.|
+    component of each eigenvector is positive (eigenvectors are
+    sign-ambiguous — pytest-pinned by variance ordering and
+    reconstruction properties, not a SQL oracle).  Streaming matmul
+    per batch; the k×d projection rides the task closure."""
+    import ray as _ray
+
+    _, mean, cov = embedding_moments(ds, vec_column=vec_column)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T        # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ref = _ray.put((mean, comps))
+
+    def project(b: pa.Table) -> pa.Table:
+        m, c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        proj = ((mat - m[None, :]) @ c.T if len(mat)
+                else np.zeros((0, c.shape[0])))
+        return pa.table({
+            key_column: b.column(key_column),
+            "pc": pa.array([[round(float(x), digits) for x in row]
+                            for row in proj], pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -174,3 +174,42 @@ def test_kmeans_fit_matches_local_lloyd(ray_session):
     expect = _kmeans_assign(m, cent, 9)
     assert (out["cluster"].to_numpy() == expect).all()
     assert len(set(expect)) > 1   # the test corpus actually clusters
+
+
+def test_embedding_moments_and_pca(ray_session):
+    """Distributed moments equal the local ones (same round pins);
+    PCA projections are variance-ordered, centered, and reproduce the
+    local eigen-projection."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import (embedding_moments,
+                                                pca_project)
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(200, 2) @ np.array([[3.0, 0.5, 0.1, 0.0],
+                                        [0.0, 1.0, 0.2, 0.05]])
+    vecs = base + 0.01 * rng.rand(200, 4)
+    items = [{"vec_id": i, "embedding": list(map(float, v))}
+             for i, v in enumerate(vecs)]
+    ds = rd.from_arrow(pa.Table.from_pylist(items)).repartition(7)
+
+    n, mean, cov = embedding_moments(ds)
+    assert n == 200
+    m = vecs.astype(np.float64)
+    s1 = np.array([round(float(x), 9) for x in m.sum(0)])
+    s2 = np.array([round(float(x), 9) for x in (m.T @ m).ravel()])
+    s2 = s2.reshape(4, 4)
+    exp_cov = np.array([[round(float(x), 6) for x in row]
+                        for row in (s2 - np.outer(s1, s1) / n) / n])
+    assert np.array_equal(cov, exp_cov)
+    assert np.allclose(cov, cov.T)
+
+    out = (pca_project(ds, k=2).to_pandas().sort_values("vec_id"))
+    proj = np.array(out["pc"].tolist())
+    assert proj.shape == (200, 2)
+    # component variances come out in descending order and centered
+    assert proj[:, 0].var() >= proj[:, 1].var()
+    assert abs(proj.mean(0)).max() < 1e-3
+    # captures nearly all variance of this rank-2-ish corpus
+    assert proj.var(0).sum() > 0.95 * np.trace(cov)
