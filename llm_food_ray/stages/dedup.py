@@ -49,6 +49,9 @@ from ..functions.hashing import (
 
 _FNV_PRIME_64 = np.uint64(1099511628211)
 
+# telemetry: rounds the last clusters_min_label call took to converge
+LAST_PROPAGATION_ROUNDS = 0
+
 # ------------------------------------------------------------- exact ----
 
 
@@ -1823,8 +1826,56 @@ def _labels_checksum(labels) -> int:
     return res["sum(h)"] or 0
 
 
+def _contract_pairs_locally(pairs_ds):
+    """Block-local union-find pre-contraction: rewrite each block's
+    pairs into (node → block-local min-root) edges.  Components are
+    preserved exactly — within-block merges are encoded by the root
+    edges, and a node spanning blocks carries one edge per block-local
+    root, chaining the components back together — while within-block
+    chains collapse to depth 1, so the distributed propagation's round
+    count drops from the raw pair-graph diameter to the block-hop
+    diameter.  One cheap streaming pass over the materialized pairs;
+    output row count ≤ distinct nodes per block ≤ 2× pairs."""
+    def contract(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        at = b.schema.field("a").type
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], at), "b": pa.array([], at)})
+        # encode both endpoint columns against one shared dictionary, then
+        # rank-remap the codes so code order == key order (min code ≡ min
+        # key); everything after is pure int32/int64 numpy
+        both = pa.concat_arrays([b.column("a").combine_chunks(),
+                                 b.column("b").combine_chunks()])
+        enc = pc.dictionary_encode(both)
+        order = pc.array_sort_indices(enc.dictionary).to_numpy()
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order), dtype=np.int64)
+        codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+        keys_sorted = enc.dictionary.take(pa.array(order))
+        ia, ib = codes[: b.num_rows], codes[b.num_rows:]
+        # vectorized min-label with pointer jumping: O(log diameter)
+        # numpy passes over the block's edges, no per-row Python
+        lab = np.arange(len(order), dtype=np.int64)
+        while True:
+            prev = lab
+            m = np.minimum(lab[ia], lab[ib])
+            lab = lab.copy()
+            np.minimum.at(lab, ia, m)
+            np.minimum.at(lab, ib, m)
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, prev):
+                break
+        nonroot = np.flatnonzero(lab != np.arange(len(lab)))
+        return pa.table({"a": keys_sorted.take(pa.array(nonroot)),
+                         "b": keys_sorted.take(pa.array(lab[nonroot]))})
+
+    return pairs_ds.select_columns(["a", "b"]).map_batches(
+        contract, batch_size=None, batch_format="pyarrow")
+
+
 def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
-                       max_rounds: int = 50):
+                       max_rounds: int = 50, contract: bool = True):
     """Distributed connected components over a confirmed-pairs Dataset via
     iterative min-label propagation — the scale twin of the driver
     union-find (``clusters_from_pairs``): nothing graph-shaped ever lands
@@ -1948,6 +1999,8 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
         })
         return pa.concat_tables([labels_out, contrib])
 
+    if contract:
+        pairs_ds = _contract_pairs_locally(pairs_ds).materialize()
     edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
     state = _nonempty_blocks(
         pairs_ds.map_batches(seed_rows, batch_format="pyarrow")
@@ -1957,6 +2010,8 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
                                        "label": pa.array([], key_type)}))
     # seed multiplicity inflates the first checksum, so round 1 never
     # false-converges before the duplicate seed rows collapse
+    global LAST_PROPAGATION_ROUNDS
+    LAST_PROPAGATION_ROUNDS = 0
     prev = _labels_checksum(state)
     for _ in range(max_rounds):
         nxt = _nonempty_blocks(
@@ -1965,6 +2020,7 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
                  .materialize())
         cur = _labels_checksum(nxt)
         state = nxt
+        LAST_PROPAGATION_ROUNDS += 1
         if cur == prev:
             break
         prev = cur

@@ -501,3 +501,30 @@ def test_dedup_against_empty_seen_is_identity(ray_session):
     seen = rd.from_items([{"text": "x"}]).filter(lambda r: False)
     out = dedup_against(new, seen, text_column="text").to_pandas()
     assert list(out["doc_id"]) == [1]
+
+
+def test_clusters_min_label_contract_plans_equal(ray_session):
+    """Pre-contraction preserves components and labels exactly (same
+    min-original-key labels as the uncontracted propagation), while
+    cutting the round count on a chain graph."""
+    import ray.data as rd
+
+    import llm_food_ray.stages.dedup as dd
+
+    # a 12-node chain (worst-case diameter) + a star + a singleton pair
+    pairs = ([{"a": i, "b": i + 1} for i in range(11)]
+             + [{"a": 100, "b": x} for x in (101, 102, 103)]
+             + [{"a": 200, "b": 201}])
+    ds = rd.from_items(pairs).repartition(3)
+
+    def run(contract):
+        out = (dd.clusters_min_label(ds, contract=contract)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        return out, dd.LAST_PROPAGATION_ROUNDS
+
+    a, rounds_on = run(True)
+    b, rounds_off = run(False)
+    assert a.equals(b)
+    assert (a[a["node"] <= 11]["label"] == 0).all()
+    assert (a[(a["node"] >= 100) & (a["node"] <= 103)]["label"] == 100).all()
+    assert rounds_on <= rounds_off
