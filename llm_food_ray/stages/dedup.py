@@ -157,6 +157,73 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
     return joined.select_columns(out_cols)
 
 
+def crawl_diff(old_ds, new_ds, key_column: str, hash_column: str, *,
+               num_partitions: int | None = None):
+    """Snapshot-to-snapshot crawl diff: which urls were added, removed,
+    or changed between two crawls — the planning step of every re-crawl
+    / delta-curation run (process only the churn, not the whole crawl).
+    Returns (key_column, change) with change ∈ {'added', 'removed',
+    'changed'}; urls whose content hash is identical in both snapshots
+    (the bulk of any re-crawl) are dropped inside the join-output map
+    and never leave the workers.  No reference analogue (llm_food
+    converts one upload at a time); brief-scope.
+
+    Scale shape: ONE hash-partitioned FULL OUTER join of the two
+    (key, content-hash) projections — payloads never ride (hash the
+    content upstream); join partition count is CPU-capped
+    (``_join_partitions``); output is bounded by the churn mass, not
+    the crawl size."""
+    import pyarrow.compute as pc
+
+    def prep(key_out: str, hash_out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({key_out: b.column(key_column),
+                             hash_out: b.column(hash_column)})
+
+        return f
+
+    key_type = None
+    try:
+        key_type = old_ds.schema().base_schema.field(key_column).type
+    except Exception:
+        pass
+    joined = (old_ds.map_batches(prep("__k_old", "__h_old"),
+                                 batch_format="pyarrow")
+              .join(new_ds.map_batches(prep("__k_new", "__h_new"),
+                                       batch_format="pyarrow"),
+                    "full_outer", _join_partitions(num_partitions),
+                    on=("__k_old",), right_on=("__k_new",)))
+
+    def classify(b: pa.Table) -> pa.Table:
+        # the join coalesces the key into the LEFT column and drops the
+        # right one — side presence is read off the HASH columns (the
+        # content hash is non-null by contract)
+        ho, hn = b.column("__h_old"), b.column("__h_new")
+        added = pc.is_null(ho).to_numpy(zero_copy_only=False)
+        removed = pc.is_null(hn).to_numpy(zero_copy_only=False)
+        # equal() is null where either side is null → fill False; those
+        # rows are added/removed, never unchanged
+        same = pc.fill_null(pc.equal(ho, hn),
+                            False).to_numpy(zero_copy_only=False)
+        keep = added | removed | ~same
+        lab = np.where(added, "added", np.where(removed, "removed",
+                                                "changed"))
+        t = pa.table({
+            key_column: b.column("__k_old"),
+            "change": pa.array(lab, pa.string()),
+        })
+        return t.filter(pa.array(keep))
+
+    out = joined.map_batches(classify, batch_format="pyarrow")
+    if key_type is not None:
+        empty = pa.table({key_column: pa.array([], key_type),
+                          "change": pa.array([], pa.string())})
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(empty))
+    return out
+
+
 def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
                 num_buckets: int = 64, reduce: str = "auto",
                 local_budget_rows: int = 50_000_000,
@@ -2008,12 +2075,17 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
     if state is None:   # no pairs → no labels
         return rd.from_arrow(pa.table({"node": pa.array([], key_type),
                                        "label": pa.array([], key_type)}))
-    # seed multiplicity inflates the first checksum, so round 1 never
-    # false-converges before the duplicate seed rows collapse
+    # Round 1 folds NO contributions (the fused pass only emits them for
+    # round 2), so its checksum equals the seed checksum whenever seeds
+    # have no multiplicity (e.g. an isolated pair) — comparing against
+    # the seed state would false-converge with nothing merged.  The
+    # break is therefore armed only from round 2 on: a round-2 checksum
+    # equal to round 1 means the first contribution fold changed no
+    # label, which with distinct-fp endpoints implies convergence.
     global LAST_PROPAGATION_ROUNDS
     LAST_PROPAGATION_ROUNDS = 0
-    prev = _labels_checksum(state)
-    for _ in range(max_rounds):
+    prev = None
+    for rnd in range(max_rounds):
         nxt = _nonempty_blocks(
             state.union(edges).groupby("__pb")
                  .map_groups(propagate, batch_format="pyarrow")
@@ -2021,7 +2093,7 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
         cur = _labels_checksum(nxt)
         state = nxt
         LAST_PROPAGATION_ROUNDS += 1
-        if cur == prev:
+        if rnd > 0 and cur == prev:
             break
         prev = cur
 
@@ -2127,6 +2199,134 @@ def dedup_near_keep(ds, key_column: str, pairs_ds, *,
     if drop is None:   # no duplicates found → corpus unchanged
         return ds
     return ds.join(drop, "left_anti", _join_partitions(num_partitions),
+                   on=(key_column,), right_on=("node",))
+
+
+def dedup_near_keep_best(ds, key_column: str, pairs_ds, order_column: str,
+                         *, descending: bool = True,
+                         num_partitions: int | None = None,
+                         keep_exec: str = "auto",
+                         local_budget_pairs: int = 50_000_000,
+                         local_budget_bytes: int = 2_000_000_000):
+    """Near-dup kept-set with a QUALITY policy: per confirmed-pair
+    cluster keep the row with the best ``order_column`` (max when
+    ``descending=True`` — e.g. longest text, highest quality score —
+    min otherwise), ties broken toward the smallest key; rows in no
+    pair are kept untouched.  The policy twin of
+    :func:`dedup_near_keep` (which keeps the min-KEY root regardless of
+    content) — what production curation actually wants: of N crawl
+    copies of a page, keep the cleanest one, not the
+    lexicographically-first url.
+
+    Plans (byte-equal, pytest-pinned), gated like ``dedup_near_keep``:
+
+    - "local": cluster labels collected (bounded by duplication mass,
+      not the corpus), one streaming pass gathers the contenders'
+      (key, order) pairs, a vectorized pandas sort resolves the
+      winner per cluster, and the loser set broadcasts back as one
+      ``pc.is_in`` drop-filter.
+    - "distributed": inner-join the corpus' (key, order) projection to
+      the cluster labels, per-cluster best via ONE Max aggregate +
+      tie-resolve join + Min-key aggregate, losers = labels LEFT ANTI
+      winners, corpus LEFT ANTI losers — nothing cluster-shaped on the
+      driver; the 100-TB path."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    if keep_exec not in ("auto", "local", "distributed"):
+        raise ValueError(f"keep_exec={keep_exec!r}")
+    if keep_exec == "auto":
+        pairs_ds = pairs_ds.materialize()
+        keep_exec = ("local"
+                     if pairs_ds.count() <= local_budget_pairs
+                     and (pairs_ds.size_bytes() or 0) <= local_budget_bytes
+                     else "distributed")
+
+    labels = clusters_min_label(pairs_ds, num_partitions=num_partitions)
+
+    if keep_exec == "local":
+        import pandas as pd
+
+        lb = list(labels.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+        lb = [t for t in lb if t.num_rows]
+        if not lb:
+            return ds
+        lt = pa.concat_tables(lb, promote_options="default")
+        lmap = pd.Series(lt.column("label").to_pandas().to_numpy(),
+                         index=lt.column("node").to_pandas().to_numpy())
+        node_set = _ray.put(lt.column("node").combine_chunks())
+
+        def contender_cols(b: pa.Table) -> pa.Table:
+            t = pa.table({key_column: b.column(key_column),
+                          order_column: b.column(order_column)})
+            return t.filter(pc.is_in(b.column(key_column),
+                                     value_set=_ray.get(node_set)))
+
+        cb = list(ds.map_batches(contender_cols, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow"))
+        cb = [t for t in cb if t.num_rows]
+        if not cb:
+            return ds
+        cdf = pa.concat_tables(cb, promote_options="default").to_pandas()
+        cdf["__cluster"] = lmap.reindex(cdf[key_column]).to_numpy()
+        cdf = cdf.sort_values(
+            ["__cluster", order_column, key_column],
+            ascending=[True, not descending, True], kind="mergesort")
+        losers = cdf.loc[cdf["__cluster"].duplicated(), key_column]
+        loser_arr = _ray.put(pa.array(losers.to_numpy(),
+                                      lt.schema.field("node").type))
+
+        def drop(b: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(b.column(key_column),
+                                      value_set=_ray.get(loser_arr)))
+            return b.filter(mask)
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max, Min
+
+    parts = _join_partitions(num_partitions)
+    labels = _nonempty_blocks(labels.materialize())
+    if labels is None:
+        return ds
+
+    contenders = _nonempty_blocks(
+        ds.select_columns([key_column, order_column])
+          .join(labels, "inner", parts,
+                on=(key_column,), right_on=("node",))
+          .materialize())
+    if contenders is None:
+        return ds
+
+    def with_v(b: pa.Table) -> pa.Table:
+        v = b.column(order_column)
+        if not descending:
+            v = pc.negate(v)
+        return pa.table({key_column: b.column(key_column),
+                         "label": b.column("label"), "__v": v})
+
+    contenders = _nonempty_blocks(
+        contenders.map_batches(with_v, batch_format="pyarrow")
+                  .materialize())
+    best = contenders.groupby("label").aggregate(
+        Max("__v", alias_name="__best"))
+    tied = _nonempty_blocks(
+        contenders.join(_nonempty_blocks(best.materialize()),
+                        "inner", parts,
+                        on=("label", "__v"), right_on=("label", "__best"))
+                  .materialize())
+    winners = tied.groupby("label").aggregate(
+        Min(key_column, alias_name="__wkey"))
+    losers = _nonempty_blocks(
+        labels.join(_nonempty_blocks(winners.materialize()),
+                    "left_anti", parts,
+                    on=("node",), right_on=("__wkey",))
+              .materialize())
+    if losers is None:
+        return ds
+    return ds.join(losers, "left_anti", parts,
                    on=(key_column,), right_on=("node",))
 
 

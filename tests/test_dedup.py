@@ -528,3 +528,105 @@ def test_clusters_min_label_contract_plans_equal(ray_session):
     assert (a[a["node"] <= 11]["label"] == 0).all()
     assert (a[(a["node"] >= 100) & (a["node"] <= 103)]["label"] == 100).all()
     assert rounds_on <= rounds_off
+
+
+def test_crawl_diff_classifies_churn(ray_session):
+    """added / removed / changed are labeled; unchanged urls never
+    appear in the output."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import crawl_diff
+
+    old = rd.from_items([
+        {"url": "a", "h": "h1"},   # unchanged
+        {"url": "b", "h": "h2"},   # changed
+        {"url": "c", "h": "h3"},   # removed
+    ])
+    new = rd.from_items([
+        {"url": "a", "h": "h1"},
+        {"url": "b", "h": "h2x"},
+        {"url": "d", "h": "h4"},   # added
+    ])
+    out = (crawl_diff(old, new, "url", "h").to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert list(out["url"]) == ["b", "c", "d"]
+    assert list(out["change"]) == ["changed", "removed", "added"]
+
+
+def test_crawl_diff_identical_snapshots_empty(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import crawl_diff
+
+    snap = rd.from_items([{"url": "a", "h": "h1"}, {"url": "b", "h": "h2"}])
+    out = crawl_diff(snap, snap, "url", "h")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"url", "change"}
+
+
+def test_dedup_near_keep_best_policy_and_plans_equal(ray_session):
+    """Keeps the max-order member per cluster (tie -> min key), keeps
+    singletons untouched, and the local and distributed plans agree
+    byte-for-byte."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_keep_best
+
+    # cluster {1,2,3}: 3 has the best score -> keep 3
+    # cluster {10,11}: tied scores -> keep min key 10
+    # 99: singleton, kept
+    docs = rd.from_items([
+        {"doc_id": 1, "score": 5},
+        {"doc_id": 2, "score": 7},
+        {"doc_id": 3, "score": 9},
+        {"doc_id": 10, "score": 4},
+        {"doc_id": 11, "score": 4},
+        {"doc_id": 99, "score": 1},
+    ])
+    pairs = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 10, "b": 11},
+    ])
+
+    def run(exec_):
+        return (dedup_near_keep_best(docs, "doc_id", pairs, "score",
+                                     keep_exec=exec_)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    local = run("local")
+    dist = run("distributed")
+    assert local.equals(dist)
+    assert list(local["doc_id"]) == [3, 10, 99]
+
+
+def test_dedup_near_keep_best_ascending(ray_session):
+    """descending=False keeps the MIN-order member per cluster."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_keep_best
+
+    docs = rd.from_items([
+        {"doc_id": 1, "score": 5.0},
+        {"doc_id": 2, "score": 3.0},
+    ])
+    pairs = rd.from_items([{"a": 1, "b": 2}])
+    out = dedup_near_keep_best(docs, "doc_id", pairs, "score",
+                               descending=False,
+                               keep_exec="distributed").to_pandas()
+    assert list(out["doc_id"]) == [2]
+
+
+def test_clusters_min_label_isolated_pair(ray_session):
+    """Regression: a component whose seeds have NO multiplicity (one
+    isolated pair) must still merge — the fused propagation folds no
+    contributions in round 1, so the convergence break must not arm
+    before round 2."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import clusters_min_label
+
+    for contract in (False, True):
+        out = (clusters_min_label(rd.from_items([{"a": 1, "b": 2}]),
+                                  contract=contract)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(out["node"]) == [1, 2]
+        assert list(out["label"]) == [1, 1]
