@@ -344,6 +344,91 @@ def q_near_dup_clusters(sf_dir: str):
                                    "doc_id", pairs)
 
 
+def q_near_dup_keep_best(sf_dir: str):
+    """Near-dup kept-set under a QUALITY policy: per exact-Jaccard ≥ 0.9
+    cluster keep the LONGEST text (ties → min doc_id), singletons kept —
+    what production curation actually wants from N crawl copies of a
+    page (keep the cleanest copy, not the lexicographically-first key).
+    The injected near-dup copies (doc_id%7==0, text + ' mirror copy')
+    are LONGER than their originals, so the policy provably diverges
+    from the min-key kept-set.  Scale shape: pairs fully distributed,
+    winner per cluster via one Max aggregate + tie-resolve join over the
+    duplication-mass-bounded contender set (`dedup_near_keep_best`)."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import dedup_near_keep_best
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        dups = batch.filter(pa.array(ids % 7 == 0))
+        dups = pa.table({
+            "doc_id": pc.add(dups.column("doc_id"), 1000000),
+            "text": pc.binary_join_element_wise(
+                dups.column("text"), " mirror copy", ""),
+        })
+        return pa.concat_tables([batch.select(["doc_id", "text"]), dups])
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "textlen",
+            pc.cast(pc.utf8_length(b.column("text")), pa.int64()))
+
+    aug = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(dup, batch_format="pyarrow")
+           .map_batches(with_len, batch_format="pyarrow"))
+    pairs = minhash_candidate_pairs(
+        aug, "doc_id", "text", threshold=0.9, verify="exact",
+        num_perm=128, num_bands=32,
+    )
+    kept = dedup_near_keep_best(aug, "doc_id", pairs, "textlen")
+    return kept.select_columns(["doc_id", "textlen"])
+
+
+def q_crawl_diff(sf_dir: str):
+    """Snapshot-to-snapshot crawl diff: which urls were added, removed,
+    or changed between two crawls, by content md5 — the planning step of
+    a delta re-crawl (process the churn, skip the bulk).  Snapshot B is
+    a deterministic variant of the documents table: doc_id%11==0 pages
+    vanish (removed), doc_id%7==0 pages get new content (changed),
+    doc_id%13==0 pages reappear under new ids (added).  Scale shape: ONE
+    hash-partitioned FULL OUTER join of (key, md5) projections — the
+    payload never rides, unchanged rows never leave the join workers
+    (`crawl_diff`)."""
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.stages.dedup import crawl_diff
+
+    def hash_old(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "h": pa.array([md5_hex(t) for t in
+                           b.column("text").to_pylist()], pa.string()),
+        })
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        keep = ids % 11 != 0
+        changed = [t + " v2" if i % 7 == 0 else t
+                   for i, t in zip(ids, texts)]
+        base = pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "h": pa.array([md5_hex(t) for t, k in zip(changed, keep) if k],
+                          pa.string()),
+        })
+        added_mask = ids % 13 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[added_mask] + 2000000, pa.int64()),
+            "h": pa.array([md5_hex(t) for t, a in zip(texts, added_mask)
+                           if a], pa.string()),
+        })
+        return pa.concat_tables([base, added])
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(hash_old, batch_format="pyarrow")
+    new = docs.map_batches(make_new, batch_format="pyarrow")
+    return crawl_diff(old, new, "doc_id", "h")
+
+
 def q_pagerank(sf_dir: str):
     """Weighted PageRank over the customer→supplier purchase graph
     (edges = orders ⋈ lineitem, weight = line count): 5 rounded power
@@ -1669,6 +1754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_keep_best": q_near_dup_keep_best,
+        "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "ngram_lm_score": q_ngram_lm_score,
         "lm_cross_score": q_lm_cross_score,
@@ -1686,8 +1773,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_cov": q_embedding_cov,
         "curate": q_curate,
-        "events_window_sliding": q_events_window_sliding,
-        "asof_last_purchase": q_asof_last_purchase,
         "sessionize": q_sessionize,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
@@ -1705,6 +1790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
+        "events_window_sliding": q_events_window_sliding,
+        "asof_last_purchase": q_asof_last_purchase,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -2290,6 +2377,69 @@ WITH RECURSIVE aug AS (
 SELECT a.doc_id,
        CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster
 FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
+""",
+        # keep-best policy: same pair closure, but per cluster the row
+        # with the max text length wins (ties -> min doc_id); the mirror
+        # copies are longer, so the winner provably differs from min-key.
+        "near_dup_keep_best": """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' mirror copy' FROM documents
+  WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+), lab AS (
+  SELECT a.doc_id,
+         CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster,
+         CAST(length(a.text) AS BIGINT) AS textlen
+  FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
+)
+SELECT doc_id, textlen FROM (
+  SELECT doc_id, textlen,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY textlen DESC, doc_id ASC) AS rn
+  FROM lab)
+WHERE rn = 1
+""",
+        # crawl diff: snapshot B derived deterministically from the
+        # documents table; unchanged urls excluded by the hash predicate.
+        "crawl_diff": """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
 """,
         # dedup_minhash kept-set: connected-component closure over the
         # exact-Jaccard>=0.9 pair graph, min key per component kept —
