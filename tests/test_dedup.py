@@ -524,10 +524,13 @@ def test_clusters_min_label_contract_plans_equal(ray_session):
 
     a, rounds_on = run(True)
     b, rounds_off = run(False)
+    c, rounds_bucketed = run("bucketed")
     assert a.equals(b)
+    assert a.equals(c)
     assert (a[a["node"] <= 11]["label"] == 0).all()
     assert (a[(a["node"] >= 100) & (a["node"] <= 103)]["label"] == 100).all()
     assert rounds_on <= rounds_off
+    assert rounds_bucketed <= rounds_off
 
 
 def test_crawl_diff_classifies_churn(ray_session):
