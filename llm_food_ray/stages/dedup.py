@@ -1875,22 +1875,23 @@ def _col(t: pa.Table, name: str):
     return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
 
-def _labels_checksum(labels) -> int:
-    """Distributed order-free checksum of the fp-space label state (label
-    fingerprint in the (xh, xl) slot, LABEL rows only — the fused state
-    also carries kind-2 contribution rows).  Labels only move downward
-    during propagation, so an unchanged checksum ⟺ converged (up to a
-    ~2^-40 collision chance per round)."""
-    from ray.data.aggregate import Sum
+def _labels_checksum(state) -> int:
+    """Order-free checksum of the fp-space label state, read off the
+    per-bucket kind-3 rows the fused propagate pass already emitted —
+    one tiny filter pass over the materialized state (≤ num_partitions
+    rows reach the driver), NO per-round aggregate exchange.  Labels
+    only move downward during propagation, so an unchanged checksum ⟺
+    converged (up to a ~2^-40 collision chance per round)."""
+    def pick(b: pa.Table) -> pa.Table:
+        m = np.asarray(_col(b, "kind")) == 3
+        return pa.table({"h": pa.array(_u64_col(b, "xh")[m])})
 
-    def h(b: pa.Table) -> pa.Table:
-        m = np.asarray(_col(b, "kind")) == 1
-        v = _u64_col(b, "xh")[m] ^ (_u64_col(b, "xl")[m] * _FNV_PRIME_64)
-        hv = (_mix_u64(v) >> np.uint64(24)).astype(np.int64)   # 40-bit terms
-        return pa.table({"h": pa.array(hv)})
-
-    res = labels.map_batches(h, batch_format="pyarrow").aggregate(Sum("h"))
-    return res["sum(h)"] or 0
+    total = 0
+    for t in (state.map_batches(pick, batch_format="pyarrow")
+                   .iter_batches(batch_size=None, batch_format="pyarrow")):
+        if t.num_rows:
+            total += int(t.column("h").to_numpy().sum(dtype=np.uint64))
+    return total
 
 
 def _contract_block(b: pa.Table) -> pa.Table:
@@ -2054,13 +2055,19 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
         })
 
     def propagate(t: pa.Table) -> pa.Table:
-        """Per bucket, fused reduce+lookup: (i) min label per node over
-        its label + contribution rows (the node's key rides on the
-        always-present label row), then (ii) rewrite each edge into a
+        """Per bucket, fused reduce+lookup+checksum: (i) min label per
+        node over its label + contribution rows (the node's key rides on
+        the always-present label row), (ii) rewrite each edge into a
         contribution (src node, neighbor's FRESH label) for the next
-        round's bucket."""
+        round's bucket, (iii) emit ONE kind-3 row carrying this bucket's
+        label checksum, so convergence detection is a tiny filter+take
+        over the materialized state instead of a per-round aggregate
+        exchange."""
         kind = np.asarray(_col(t, "kind"))
-        keep = np.flatnonzero(kind != 0)
+        keep = np.flatnonzero((kind == 1) | (kind == 2))
+        if not len(keep):
+            # bucket holding only last round's kind-3 checksum rows
+            return t.slice(0, 0)
         nfp = _fp_pack(_u64_col(t, "nh"), _u64_col(t, "nl"))
         lfp = _fp_pack(_u64_col(t, "xh"), _u64_col(t, "xl"))
         nk = nfp[keep]
@@ -2084,9 +2091,25 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
             "xh": pa.array(xh), "xl": pa.array(xl),
             "key": _take_arr(t.column("key"), key_src),
         })
+        pieces = [labels_out]
+        if n:
+            # per-bucket label checksum (same 40-bit terms the old
+            # aggregate computed) rides the state as ONE kind-3 row
+            v = xh ^ (xl * _FNV_PRIME_64)
+            ck = np.uint64((_mix_u64(v) >> np.uint64(24))
+                           .astype(np.int64).sum())
+            zero = np.zeros(1, np.uint64)
+            pieces.append(pa.table({
+                "__pb": pa.array((zero % Cu).astype(np.int32)),
+                "kind": pa.array(np.full(1, 3, dtype=np.int8)),
+                "nh": pa.array(zero), "nl": pa.array(zero),
+                "xh": pa.array(np.array([ck], np.uint64)),
+                "xl": pa.array(zero),
+                "key": pa.nulls(1, t.schema.field("key").type),
+            }))
         em = np.flatnonzero(kind == 0)
         if not len(em) or not n:
-            return labels_out
+            return pa.concat_tables(pieces)
         # every edge's neighbor is seeded, so the lookup always hits
         pos = np.searchsorted(uniq_nodes, nfp[em])
         ch, cl = _fp_unpack(new_lab[pos])
@@ -2100,7 +2123,7 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
             "xh": pa.array(ch), "xl": pa.array(cl),
             "key": pa.nulls(ne, t.schema.field("key").type),
         })
-        return pa.concat_tables([labels_out, contrib])
+        return pa.concat_tables(pieces + [contrib])
 
     if contract == "bucketed":
         pairs_ds = _contract_pairs_bucketed(
