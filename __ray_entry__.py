@@ -1235,6 +1235,48 @@ def q_host_stats(sf_dir: str):
                                  "mean_chars"))
 
 
+def q_host_tier_filter(sf_dir: str):
+    """FineWeb/RefinedWeb-style DOMAIN-level quality gate: score each
+    HOST by its mean document size, tier the hosts by global quartiles
+    of those means, keep only documents from top-tier hosts — the
+    domain-filtering step that drops content-farm domains wholesale
+    before any per-document scoring spend.  Scale shape: ONE
+    hosts×blocks combiner exchange for the per-host means (integer
+    partials, mean = one exact-int division — bit-stable across
+    engines), a quantile pass over the tiny host table for the
+    thresholds, then an inner hash join of the corpus against the
+    hosts-bounded top-tier table (the corpus side ships only
+    (doc_id, host))."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.textstats import (grouped_rollup,
+                                               tier_by_global_quantiles)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        tld = {0: "com", 1: "org", 2: "net"}
+        hosts = [f"site{d % 23}.example.{tld[d % 3]}" for d in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "host": pa.array(hosts, pa.string()),
+                         "n_chars": batch.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        synth, batch_format="pyarrow")
+    hm = grouped_rollup(ds, "host", "n_chars",
+                        names=("n_docs", "total_chars", "max_chars",
+                               "mean_chars"))
+    ht = tier_by_global_quantiles(
+        hm.select_columns(["host", "mean_chars"]), "mean_chars")
+    top = ht.map_batches(
+        lambda b: b.filter(pc.equal(b.column("tier"), 4))
+                   .select(["host"]),
+        batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "host"])
+              .join(top, "inner", _join_partitions(8),
+                    on=("host",), right_on=("host",)))
+
+
 def q_dedup_paragraph(sf_dir: str):
     """C4-style global paragraph dedup: paragraphs occurring in more
     than 2 documents (corpus boilerplate) are dropped, documents rebuilt
@@ -1766,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
+        "host_tier_filter": q_host_tier_filter,
         "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
         "ccnet_buckets": q_ccnet_buckets,
@@ -1783,7 +1826,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
         "normalize_text": q_normalize_text,
-        "url_canonicalize": q_url_canonicalize,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
@@ -1792,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
+        "url_canonicalize": q_url_canonicalize,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -2962,6 +3005,31 @@ SELECT q.doc_id, q.quality,
             WHEN q.quality <= t.t3 THEN 3
             ELSE 4 END AS tier
 FROM q, thr t
+""",
+        # domain-level gate: per-host mean size (exact-int division,
+        # same formulation as host_stats), quartile tiers over the host
+        # means, corpus filtered to top-tier hosts
+        "host_tier_filter": """
+WITH d AS (
+  SELECT doc_id,
+         'site' || (doc_id % 23) || '.example.' ||
+         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              ELSE 'net' END AS host,
+         n_chars
+  FROM documents
+), hm AS (
+  SELECT host,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS m
+  FROM d GROUP BY host
+), thr AS (
+  SELECT quantile_disc(m, 0.25) AS t1,
+         quantile_disc(m, 0.5)  AS t2,
+         quantile_disc(m, 0.75) AS t3
+  FROM hm
+), top AS (
+  SELECT host FROM hm, thr WHERE m > t3
+)
+SELECT d.doc_id, d.host FROM d JOIN top USING (host)
 """,
         # md5 content equality == text equality (collision-free oracle)
         "dedup_incremental": """
