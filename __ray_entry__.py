@@ -384,6 +384,37 @@ def q_near_dup_keep_best(sf_dir: str):
     return kept.select_columns(["doc_id", "textlen"])
 
 
+def q_dedup_near_against(sf_dir: str):
+    """Incremental NEAR dedup against an archived corpus: today's crawl
+    (documents) is scrubbed of every doc whose near-dup component
+    (exact-Jaccard ≥ 0.9, 3-gram shingles) touches the archive — the
+    delta-crawl near-dup step (`dedup_against` handles the exact-match
+    twin).  The archive = every doc_id%5==0 document re-suffixed
+    (' archived copy'), so ~1/5 of the new crawl near-dups the archive
+    and is dropped.  Scale shape: ONE LSH pass over the union, min-label
+    components, three duplication-mass-bounded joins; nothing on the
+    driver (`dedup_near_against`)."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import dedup_near_against
+
+    def archive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        old = batch.filter(pa.array(ids % 5 == 0))
+        return pa.table({
+            "doc_id": pc.add(old.column("doc_id"), 3000000),
+            "text": pc.binary_join_element_wise(
+                old.column("text"), " archived copy", ""),
+        })
+
+    new = _docs(sf_dir, ["doc_id", "lang", "text"])
+    seen = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(archive, batch_format="pyarrow"))
+    return (dedup_near_against(new, seen, "doc_id", "text",
+                               threshold=0.9)
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_crawl_diff(sf_dir: str):
     """Snapshot-to-snapshot crawl diff: which urls were added, removed,
     or changed between two crawls, by content md5 — the planning step of
@@ -1797,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
+        "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "ngram_lm_score": q_ngram_lm_score,
@@ -1825,7 +1857,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
-        "normalize_text": q_normalize_text,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
@@ -1835,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         "url_canonicalize": q_url_canonicalize,
+        "normalize_text": q_normalize_text,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -2464,6 +2496,47 @@ SELECT doc_id, textlen FROM (
                             ORDER BY textlen DESC, doc_id ASC) AS rn
   FROM lab)
 WHERE rn = 1
+""",
+        # incremental near-dedup: closure over the new ∪ archive pair
+        # graph; new docs sharing a component with an archive doc drop.
+        "dedup_near_against": """
+WITH RECURSIVE comb AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' archived copy' FROM documents
+  WHERE doc_id % 5 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM comb
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+), lab AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(LEAST(m.src, m.mn), c.doc_id) AS BIGINT) AS cluster
+  FROM comb c LEFT JOIN mins m ON c.doc_id = m.src
+), bad AS (
+  SELECT DISTINCT cluster FROM lab WHERE doc_id >= 3000000
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+WHERE l.cluster NOT IN (SELECT cluster FROM bad)
 """,
         # crawl diff: snapshot B derived deterministically from the
         # documents table; unchanged urls excluded by the hash predicate.

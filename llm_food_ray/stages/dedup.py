@@ -2392,6 +2392,70 @@ def dedup_near_keep_best(ds, key_column: str, pairs_ds, order_column: str,
                    on=(key_column,), right_on=("node",))
 
 
+def dedup_near_against(new_ds, seen_ds, key_column: str, text_column: str,
+                       *, seen_text_column: str | None = None,
+                       threshold: float = 0.9, num_perm: int = 128,
+                       num_bands: int = 32, verify: str = "exact",
+                       num_partitions: int | None = None):
+    """Incremental NEAR dedup: drop every row of ``new_ds`` whose
+    near-dup component (in the combined new ∪ seen pair graph) contains
+    a ``seen_ds`` document — the delta-crawl twin of :func:`dedup_against`
+    for near-duplicates instead of exact content matches.  Component
+    semantics (what LSH-cluster dedup gives in production): a new doc
+    connected to a seen doc through a chain of near-dups is dropped too.
+    Keys must be globally unique across both sets (e.g. crawl-qualified
+    urls).
+
+    Scale shape: ONE LSH pass over the union of the two (key, text)
+    projections (star pairs, fp-space banding), min-label components,
+    then three bounded joins — labels LEFT SEMI seen keys → contaminated
+    label set, labels LEFT SEMI that set → drop nodes, new LEFT ANTI
+    drop nodes.  Everything after the banding is bounded by duplication
+    mass, never corpus size; nothing lands on the driver."""
+    seen_tc = seen_text_column or text_column
+
+    def proj(tc: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({key_column: b.column(key_column),
+                             text_column: b.column(tc)})
+
+        return f
+
+    combined = (new_ds.map_batches(proj(text_column),
+                                   batch_format="pyarrow")
+                .union(seen_ds.map_batches(proj(seen_tc),
+                                           batch_format="pyarrow")))
+    pairs = minhash_candidate_pairs(
+        combined, key_column, text_column, threshold=threshold,
+        verify=verify, num_perm=num_perm, num_bands=num_bands,
+        pair_mode="star", num_partitions=num_partitions,
+    )
+    labels = _nonempty_blocks(
+        clusters_min_label(pairs, num_partitions=num_partitions)
+        .materialize())
+    if labels is None:   # no near-dups anywhere → new corpus unchanged
+        return new_ds
+    parts = _join_partitions(num_partitions)
+    bad_labels = _nonempty_blocks(
+        labels.join(seen_ds.select_columns([key_column]), "left_semi",
+                    parts, on=("node",), right_on=(key_column,))
+              .map_batches(lambda b: b.select(["label"]),
+                           batch_format="pyarrow")
+              .materialize())
+    if bad_labels is None:   # no component touches the seen corpus
+        return new_ds
+    drop = _nonempty_blocks(
+        labels.join(bad_labels, "left_semi", parts,
+                    on=("label",), right_on=("label",))
+              .map_batches(lambda b: b.select(["node"]),
+                           batch_format="pyarrow")
+              .materialize())
+    if drop is None:
+        return new_ds
+    return new_ds.join(drop, "left_anti", parts,
+                       on=(key_column,), right_on=("node",))
+
+
 def near_dup_cluster_labels(ds, key_column: str, pairs_ds, *,
                             num_partitions: int | None = None,
                             label_exec: str = "auto",

@@ -633,3 +633,36 @@ def test_clusters_min_label_isolated_pair(ray_session):
                .to_pandas().sort_values("node").reset_index(drop=True))
         assert list(out["node"]) == [1, 2]
         assert list(out["label"]) == [1, 1]
+
+
+def test_dedup_near_against_component_semantics(ray_session):
+    """New docs whose near-dup COMPONENT touches the seen corpus are
+    dropped (even without a direct pair to a seen doc); unrelated new
+    docs survive."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_against
+
+    base = " ".join(f"w{i}" for i in range(50))
+    new = rd.from_items([
+        {"doc_id": 1, "text": base},                 # near-dups seen 100
+        {"doc_id": 2, "text": base + " extra"},      # near-dups 1 -> chain
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(50))},
+    ])
+    seen = rd.from_items([{"doc_id": 100, "text": base + " archived"}])
+    out = (dedup_near_against(new, seen, "doc_id", "text", threshold=0.9)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == [3]
+
+
+def test_dedup_near_against_no_overlap_is_identity(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_against
+
+    new = rd.from_items([
+        {"doc_id": 1, "text": " ".join(f"a{i}" for i in range(30))}])
+    seen = rd.from_items([
+        {"doc_id": 9, "text": " ".join(f"b{i}" for i in range(30))}])
+    out = dedup_near_against(new, seen, "doc_id", "text").to_pandas()
+    assert list(out["doc_id"]) == [1]
