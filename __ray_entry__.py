@@ -1471,6 +1471,19 @@ def q_quantiles_len(sf_dir: str):
                              "lang", "n_chars", qs=(0.25, 0.5, 0.75))
 
 
+def q_percent_rank_len(sf_dir: str):
+    """Per-language length percent_rank for every document — the
+    window-function analogue (rank normalization within a group) that a
+    naive port would run as a per-group corpus sort.  ONE value-histogram
+    exchange resolves the (lang, n_chars) → (min-rank, n) table, which
+    broadcasts once; the corpus streams through a vectorized hash-index
+    lookup (`grouped_percent_rank`)."""
+    from llm_food_ray.stages.textstats import grouped_percent_rank
+
+    return grouped_percent_rank(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), "lang", "n_chars")
+
+
 def q_token_budget_mix(sf_dir: str):
     """Token-budget training mix: fill each language's TOKEN quota in
     md5(doc_id) order (en 5k, de 2k, es 10k ≈ whole group, zh 1.5k; fr
@@ -1820,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
+        "percent_rank_len": q_percent_rank_len,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1856,7 +1870,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
-        "pii_scrub": q_pii_scrub,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
@@ -1867,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": q_asof_last_purchase,
         "url_canonicalize": q_url_canonicalize,
         "normalize_text": q_normalize_text,
+        "pii_scrub": q_pii_scrub,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -3236,6 +3250,12 @@ UNION ALL
 SELECT lang, 0.75 AS q,
        round(quantile_disc(n_chars, 0.75)::DOUBLE, 6) AS quantile
 FROM documents GROUP BY lang
+""",
+        "percent_rank_len": """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+             9) AS pct_rank
+FROM documents
 """,
         "median_len": """
 SELECT lang, round(median(n_chars)::DOUBLE, 6) AS median

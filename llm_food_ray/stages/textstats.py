@@ -353,6 +353,80 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
     }))
 
 
+def grouped_percent_rank(ds, key_column: str, value_column: str, *,
+                         rank_column: str = "pct_rank", digits: int = 9):
+    """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` as
+    a streaming map — the per-group rank normalization step ("where does
+    this doc sit within its language's length/quality distribution")
+    that SQL engines express as a window function and a naive port would
+    run as a per-group sort of the whole corpus.
+
+    Plan: ONE value-histogram exchange (keys × distinct values per
+    block — the grouped_quantiles partial; right for telemetry domains
+    like lengths and rounded scores, the same boundedness assumption
+    grouped_median documents), the merged (key, value) → (min-rank, n)
+    table broadcasts once via ``ray.put``, and every corpus row gets
+    ``(rank_min − 1) / (n − 1)`` through one vectorized hash-index
+    lookup (pandas MultiIndex ``get_indexer`` — C hash path, no per-row
+    Python).  Ties share the min rank (SQL RANK semantics);
+    single-row groups get 0.0 (SQL convention)."""
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column])
+        g = t.group_by([key_column, value_column]).aggregate(
+            [(value_column, "count")])
+        return g.rename_columns([key_column, value_column, "n"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    merged = merged.sort_values([key_column, value_column])
+    import numpy as np
+    import pandas as pd
+
+    k = merged[key_column].to_numpy()
+    if len(k):
+        counts = merged["n"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        # min rank of each (key, value) = 1 + count of smaller values in
+        # the group: global cumsum minus the group's running base
+        cum = np.cumsum(counts)
+        before = np.r_[0, cum[:-1]]
+        group_base = np.repeat(before[starts],
+                               np.diff(np.r_[starts, len(k)]))
+        rank_min = before - group_base + 1
+        group_n = np.repeat(np.add.reduceat(counts, starts),
+                            np.diff(np.r_[starts, len(k)]))
+        denom = np.maximum(group_n - 1, 1)
+        pct = np.round((rank_min - 1) / denom, digits)
+        pct[group_n == 1] = 0.0
+        midx = pd.MultiIndex.from_arrays(
+            [merged[key_column], merged[value_column]])
+        table_ref = _ray.put((midx, pct))
+    else:
+        table_ref = _ray.put((None, None))
+
+    def assign(b: pa.Table) -> pa.Table:
+        midx_b, pct_b = _ray.get(table_ref)
+        if midx_b is None:
+            return b.append_column(rank_column,
+                                   pa.nulls(b.num_rows, pa.float64()))
+        keys = b.column(key_column).to_numpy(zero_copy_only=False)
+        vals = b.column(value_column).to_numpy(zero_copy_only=False)
+        pos = midx_b.get_indexer(
+            pd.MultiIndex.from_arrays([keys, vals]))
+        if (pos < 0).any():
+            raise ValueError("(key, value) absent from rank table — "
+                             "non-deterministic upstream?")
+        return b.append_column(rank_column,
+                               pa.array(pct_b[pos], pa.float64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def tier_by_global_quantiles(ds, value_column: str, *,
                              qs=(0.25, 0.5, 0.75), digits: int = 6,
                              tier_column: str = "tier"):

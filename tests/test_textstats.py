@@ -203,3 +203,32 @@ def test_tier_by_group_quantiles_per_group_tertiles(ray_session):
     assert list(out[out["g"] == "b"]["tier"]) == [1, 2, 3]
     # group c: every value equals both thresholds -> all tier 1
     assert list(out[out["g"] == "c"]["tier"]) == [1, 1, 1, 1]
+
+
+def test_grouped_percent_rank_matches_sql_semantics(ray_session):
+    """percent_rank = (min-rank - 1) / (n - 1), ties share the min rank,
+    single-row groups are 0.0 — pinned against DuckDB's window function
+    on the same frame."""
+    import duckdb
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import grouped_percent_rank
+
+    rows = ([{"doc_id": i, "g": "a", "v": [5, 1, 3, 3, 9][i]}
+             for i in range(5)]
+            + [{"doc_id": 10, "g": "b", "v": 42}])
+    out = (grouped_percent_rank(rd.from_items(rows), "g", "v")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+
+    ref = duckdb.sql("""
+        SELECT doc_id, g, v,
+               round(percent_rank() OVER (PARTITION BY g ORDER BY v), 9)
+                 AS pct_rank
+        FROM (SELECT unnest([0,1,2,3,4]) AS doc_id,
+                     'a' AS g, unnest([5,1,3,3,9]) AS v
+              UNION ALL SELECT 10, 'b', 42)
+        ORDER BY doc_id
+    """).df()
+    assert list(out["pct_rank"]) == list(ref["pct_rank"])
+    assert out.loc[out["doc_id"] == 10, "pct_rank"].iloc[0] == 0.0
