@@ -368,6 +368,54 @@ def run_bench() -> dict:
                  .aggregate(_Sum("pn", alias_name="n_links"))).count()
     queries["host_graph"] = round(time.perf_counter() - t0, 3)
 
+    # --- crawl snapshot diff: full-outer hash join of two 500k-key
+    # (url, content_hash) projections derived from the extracted corpus
+    # (drop 1/11 -> removed, rehash 1/7 -> changed, clone 1/13 under new
+    # urls -> added); the engine's join-throughput leg ------------------
+    from llm_food_ray.stages.dedup import _fingerprint128, crawl_diff
+
+    t0 = time.perf_counter()
+
+    def snap_new(b):
+        import numpy as _np
+
+        import pyarrow as _pa3
+        import pyarrow.compute as _pc3
+
+        h, _ = _fingerprint128(b.column("url"))
+        keep = (h % _np.uint64(11)) != 0
+        changed = (h % _np.uint64(7)) == 0
+        hashes = _pc3.if_else(
+            _pa3.array(changed),
+            _pc3.binary_join_element_wise(
+                b.column("content_hash").cast(_pa3.string()), "v2", ""),
+            b.column("content_hash").cast(_pa3.string()))
+        base = _pa3.table({"url": b.column("url"),
+                           "h": hashes}).filter(_pa3.array(keep))
+        added_mask = (h % _np.uint64(13)) == 0
+        added = _pa3.table({
+            "url": _pc3.binary_join_element_wise(
+                b.column("url"), "?added=1", ""),
+            "h": b.column("content_hash").cast(_pa3.string()),
+        }).filter(_pa3.array(added_mask))
+        return _pa3.concat_tables([base, added])
+
+    def snap_old(b):
+        import pyarrow as _pa3
+
+        return _pa3.table({"url": b.column("url"),
+                           "h": b.column("content_hash").cast(_pa3.string())})
+
+    old_snap = rd.read_parquet(out_dir, columns=["url", "content_hash"],
+                               override_num_blocks=nblocks).map_batches(
+        snap_old, batch_format="pyarrow")
+    new_snap = rd.read_parquet(out_dir, columns=["url", "content_hash"],
+                               override_num_blocks=nblocks).map_batches(
+        snap_new, batch_format="pyarrow")
+    n_churn = crawl_diff(old_snap, new_snap, "url", "h").count()
+    queries["crawl_diff"] = round(time.perf_counter() - t0, 3)
+    assert 0 < n_churn < n_pages
+
     # --- windowed aggregate over the events table -----------------------
     import __ray_entry__ as _entry
 
