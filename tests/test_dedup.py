@@ -666,3 +666,52 @@ def test_dedup_near_against_no_overlap_is_identity(ray_session):
         {"doc_id": 9, "text": " ".join(f"b{i}" for i in range(30))}])
     out = dedup_near_against(new, seen, "doc_id", "text").to_pandas()
     assert list(out["doc_id"]) == [1]
+
+
+def test_clusters_min_label_random_graphs_match_union_find(ray_session):
+    """Seeded random graphs (including isolated pairs, chains, stars,
+    singletons-by-absence) — the distributed propagation must equal the
+    driver union-find's min-root labels on every component, for both
+    contraction plans."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (clusters_from_pairs,
+                                           clusters_min_label)
+
+    rng = np.random.RandomState(1234)
+    for trial in range(3):
+        n_nodes = 120
+        n_edges = [15, 60, 200][trial]   # sparse -> isolated pairs; dense
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        mask = a != b
+        pairs = [{"a": int(x), "b": int(y)}
+                 for x, y in zip(a[mask], b[mask])]
+        expect = clusters_from_pairs([(p["a"], p["b"]) for p in pairs])
+        ds = rd.from_items(pairs).repartition(5)
+        for contract in (True, False, "bucketed"):
+            got = dict(zip(*[
+                clusters_min_label(ds, contract=contract)
+                .to_pandas()[c] for c in ("node", "label")]))
+            assert got == expect, f"trial={trial} contract={contract}"
+
+
+def test_dedup_near_keep_best_string_keys(ray_session):
+    """String (url-like) keys through both plans: the fp->key restore,
+    tie packing, and anti-join all take different code paths than ints."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_keep_best
+
+    docs = rd.from_items([
+        {"url": "http://a/1", "q": 2.0},
+        {"url": "http://a/2", "q": 8.0},
+        {"url": "http://b/1", "q": 5.0},
+    ])
+    pairs = rd.from_items([{"a": "http://a/1", "b": "http://a/2"}])
+    for exec_ in ("local", "distributed"):
+        out = (dedup_near_keep_best(docs, "url", pairs, "q",
+                                    keep_exec=exec_)
+               .to_pandas().sort_values("url"))
+        assert list(out["url"]) == ["http://a/2", "http://b/1"], exec_
