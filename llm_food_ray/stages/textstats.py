@@ -354,7 +354,8 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
 
 
 def grouped_percent_rank(ds, key_column: str, value_column: str, *,
-                         rank_column: str = "pct_rank", digits: int = 9):
+                         rank_column: str = "pct_rank", digits: int = 9,
+                         max_table_rows: int = 5_000_000):
     """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` as
     a streaming map — the per-group rank normalization step ("where does
     this doc sit within its language's length/quality distribution")
@@ -369,7 +370,13 @@ def grouped_percent_rank(ds, key_column: str, value_column: str, *,
     ``(rank_min − 1) / (n − 1)`` through one vectorized hash-index
     lookup (pandas MultiIndex ``get_indexer`` — C hash path, no per-row
     Python).  Ties share the min rank (SQL RANK semantics);
-    single-row groups get 0.0 (SQL convention)."""
+    single-row groups get 0.0 (SQL convention).
+
+    The broadcast table is keys × distinct values; ``max_table_rows``
+    turns a continuous-domain misuse (every row a distinct float) into
+    a loud contract error instead of a driver OOM — quantize/bin the
+    value first (cf. ``grouped_median(method="hist")``) and rank the
+    bins."""
     from ray.data.aggregate import Sum
 
     import ray as _ray
@@ -380,9 +387,16 @@ def grouped_percent_rank(ds, key_column: str, value_column: str, *,
             [(value_column, "count")])
         return g.rename_columns([key_column, value_column, "n"])
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby([key_column, value_column])
-                .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    merged_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby([key_column, value_column])
+                 .aggregate(Sum("n", alias_name="n"))).materialize()
+    n_rows = merged_ds.count()   # distributed — nothing gathered yet
+    if n_rows > max_table_rows:
+        raise ValueError(
+            f"grouped_percent_rank: {n_rows} distinct (key, value) rows "
+            f"exceed max_table_rows={max_table_rows}; quantize the value "
+            "column first (see grouped_median method='hist')")
+    merged = merged_ds.to_pandas()
     merged = merged.sort_values([key_column, value_column])
     import numpy as np
     import pandas as pd

@@ -232,3 +232,16 @@ def test_grouped_percent_rank_matches_sql_semantics(ray_session):
     """).df()
     assert list(out["pct_rank"]) == list(ref["pct_rank"])
     assert out.loc[out["doc_id"] == 10, "pct_rank"].iloc[0] == 0.0
+
+
+def test_grouped_percent_rank_table_budget_guard(ray_session):
+    """Continuous-domain misuse fails loudly instead of gathering an
+    unbounded rank table on the driver."""
+    import pytest
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import grouped_percent_rank
+
+    ds = rd.from_items([{"g": "a", "v": float(i)} for i in range(20)])
+    with pytest.raises(ValueError, match="max_table_rows"):
+        grouped_percent_rank(ds, "g", "v", max_table_rows=5).to_pandas()
