@@ -1001,6 +1001,18 @@ def q_lang_counts(sf_dir: str):
     return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def q_distinct_lengths(sf_dir: str):
+    """Exact per-language COUNT(DISTINCT n_chars) — cardinality
+    telemetry (vocabulary sizes, hosts per TLD, distinct lengths per
+    language) via per-batch distinct partials, one (key, value)-keyed
+    exchange, and a tiny key-keyed count; nothing on the driver
+    (`grouped_count_distinct`)."""
+    from llm_food_ray.stages.textstats import grouped_count_distinct
+
+    return grouped_count_distinct(_docs(sf_dir, ["lang", "n_chars"]),
+                                  "lang", "n_chars")
+
+
 def q_token_stats(sf_dir: str):
     """Token counting per document."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1834,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
+        "distinct_lengths": q_distinct_lengths,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_window": q_events_window,
@@ -1869,7 +1882,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
         "decontaminate": q_decontaminate,
-        "hash_split": q_hash_split,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
@@ -1881,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "normalize_text": q_normalize_text,
         "pii_scrub": q_pii_scrub,
+        "hash_split": q_hash_split,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -3249,6 +3262,10 @@ FROM documents GROUP BY lang
 UNION ALL
 SELECT lang, 0.75 AS q,
        round(quantile_disc(n_chars, 0.75)::DOUBLE, 6) AS quantile
+FROM documents GROUP BY lang
+""",
+        "distinct_lengths": """
+SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
 FROM documents GROUP BY lang
 """,
         "percent_rank_len": """

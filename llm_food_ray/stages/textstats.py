@@ -353,6 +353,33 @@ def grouped_quantiles(ds, key_column: str, value_column: str, *,
     }))
 
 
+def grouped_count_distinct(ds, key_column: str, value_column: str, *,
+                           name: str = "n_distinct"):
+    """Exact ``COUNT(DISTINCT value)`` per key, fully distributed: each
+    batch emits its distinct (key, value) pairs (an Arrow group_by — no
+    values repeated within a block leave it), ONE (key, value)-keyed
+    exchange collapses cross-block duplicates, and a tiny key-keyed
+    Count finishes.  Exchange volume = keys × distinct values per
+    block, never data rows; nothing lands on the driver (the
+    cardinality telemetry every corpus report needs — vocabulary sizes,
+    hosts per TLD, lengths per language)."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select([key_column, value_column])
+                .group_by([key_column, value_column]).aggregate([]))
+
+    def project_key(b: pa.Table) -> pa.Table:
+        return b.select([key_column])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_column, value_column])
+            .aggregate(Count(alias_name="__c"))
+            .map_batches(project_key, batch_format="pyarrow")
+            .groupby(key_column)
+            .aggregate(Count(alias_name=name)))
+
+
 def grouped_percent_rank(ds, key_column: str, value_column: str, *,
                          rank_column: str = "pct_rank", digits: int = 9,
                          max_table_rows: int = 5_000_000):

@@ -245,3 +245,18 @@ def test_grouped_percent_rank_table_budget_guard(ray_session):
     ds = rd.from_items([{"g": "a", "v": float(i)} for i in range(20)])
     with pytest.raises(ValueError, match="max_table_rows"):
         grouped_percent_rank(ds, "g", "v", max_table_rows=5).to_pandas()
+
+
+def test_grouped_count_distinct(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import grouped_count_distinct
+
+    rows = ([{"g": "a", "v": x} for x in [1, 1, 2, 2, 2, 3]]
+            + [{"g": "b", "v": 9}, {"g": "b", "v": 9}])
+    out = (grouped_count_distinct(rd.from_items(rows).repartition(3),
+                                  "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["n_distinct"]) == [3, 1]
