@@ -1987,7 +1987,10 @@ def clusters_min_label(pairs_ds, *, num_partitions: int | None = None,
 
     → Dataset (node, label) covering every key that appears in a pair;
     ``label`` = the minimum key in ``node``'s component (identical to the
-    union-find's min-root by induction on merges).
+    union-find's min-root by induction on merges).  Pairs must satisfy
+    ``a != b`` — every candidate generator in this module emits a < b —
+    a self-pair would survive the uncontracted plan as a self-labeled
+    singleton but be elided by the contraction.
 
     The propagation runs entirely in 128-bit fingerprint space over ONE
     7-column row shape (__pb bucket, kind, node fp, payload fp, key):
