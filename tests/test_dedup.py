@@ -715,3 +715,37 @@ def test_dedup_near_keep_best_string_keys(ray_session):
                                     keep_exec=exec_)
                .to_pandas().sort_values("url"))
         assert list(out["url"]) == ["http://a/2", "http://b/1"], exec_
+
+
+def test_dedup_near_keep_best_plans_equal_randomized(ray_session):
+    """Seeded random cluster structures with tied scores: local and
+    distributed keep-best plans must agree row-for-row."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_near_keep_best
+
+    rng = np.random.RandomState(77)
+    docs, pairs = [], []
+    nid = 0
+    for c in range(12):
+        size = int(rng.randint(1, 6))
+        members = list(range(nid, nid + size))
+        nid += size
+        for m in members:
+            docs.append({"doc_id": m,
+                         "score": int(rng.randint(0, 4))})  # many ties
+        root = members[0]
+        for m in members[1:]:
+            pairs.append({"a": root, "b": m})
+    docs_ds = rd.from_items(docs).repartition(4)
+    pairs_ds = rd.from_items(pairs).repartition(3)
+
+    def run(exec_):
+        return (dedup_near_keep_best(docs_ds, "doc_id", pairs_ds, "score",
+                                     keep_exec=exec_)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    local, dist = run("local"), run("distributed")
+    assert local.equals(dist)
+    assert len(local) == 12   # exactly one survivor per cluster
