@@ -460,6 +460,38 @@ def q_crawl_diff(sf_dir: str):
     return crawl_diff(old, new, "doc_id", "h")
 
 
+def q_supplier_components(sf_dir: str):
+    """Connected components with a DRIVER-CHECKED oracle: per-nation
+    supplier chains (consecutive suppkeys within a nation, built in a
+    25-group coarse map) are the WORST case for min-label propagation —
+    the component diameter equals the chain length, so every round of
+    the distributed propagation is exercised, and the expected labels
+    are independently derivable (min suppkey per nation) without a
+    recursive CTE.  Singleton nations label themselves via the
+    cluster-label fill."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import near_dup_cluster_labels
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+
+    def chain(t: pa.Table) -> pa.Table:
+        keys = np.sort(t.column("s_suppkey").to_numpy())
+        if len(keys) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(keys[:-1]),
+                         "b": pa.array(keys[1:])})
+
+    edges = sup.groupby("s_nationkey").map_groups(
+        chain, batch_format="pyarrow")
+    return near_dup_cluster_labels(sup.select_columns(["s_suppkey"]),
+                                   "s_suppkey", edges)
+
+
 def q_pagerank(sf_dir: str):
     """Weighted PageRank over the customer→supplier purchase graph
     (edges = orders ⋈ lineitem, weight = line count): 5 rounded power
@@ -1858,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
+        "supplier_components": q_supplier_components,
         "ngram_lm_score": q_ngram_lm_score,
         "lm_cross_score": q_lm_cross_score,
         "tfidf_terms": q_tfidf_terms,
@@ -1881,7 +1914,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
-        "decontaminate": q_decontaminate,
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
@@ -1894,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "pii_scrub": q_pii_scrub,
         "hash_split": q_hash_split,
+        "decontaminate": q_decontaminate,
         "pca_project": q_pca_project,
         "extract_docx": q_extract_docx,
         "extract_rtf": q_extract_rtf,
@@ -3267,6 +3300,13 @@ FROM documents GROUP BY lang
         "distinct_lengths": """
 SELECT lang, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
 FROM documents GROUP BY lang
+""",
+        # chain components == per-nation min suppkey, no closure needed
+        "supplier_components": """
+SELECT s_suppkey,
+       CAST(min(s_suppkey) OVER (PARTITION BY s_nationkey) AS BIGINT)
+         AS cluster
+FROM supplier
 """,
         "percent_rank_len": """
 SELECT doc_id, lang, n_chars,
