@@ -1716,6 +1716,29 @@ def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicate-window spans (word-level ExactSubstr, Lee et al. ACL'22):
+    maximal merged spans of words covered by an 8-word window whose exact
+    text occurs >= 2 times anywhere in the corpus (within-doc repeats
+    count).  Plan: streaming per-batch window-count partials in 64-bit
+    fp space -> one groupby(fp).sum -> auto-gated broadcast-searchsorted
+    / partitioned-semijoin apply (stages/dupspans.py).  Reference: llm-food
+    has no corpus-level operator (its only dedup is the CLI input de-list,
+    cli.py:206-218); brief-scope training-data op."""
+    from llm_food_ray.stages.dupspans import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dup_span_strip(sf_dir: str):
+    """Companion cleaner: rebuild each document with every duplicated-span
+    word removed -> (doc_id, text, n_removed); whitespace normalized to
+    single spaces by the rebuild (oracle's ordered string_agg matches)."""
+    from llm_food_ray.stages.dupspans import duplicate_span_strip
+
+    return duplicate_span_strip(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table.
 
@@ -1903,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_tier_filter": q_host_tier_filter,
         "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
+        "dup_spans": q_dup_spans,
+        "dup_span_strip": q_dup_span_strip,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1915,11 +1940,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "top_bigrams": q_top_bigrams,
         "extract_hash": q_extract_hash,
-        "extract_chunks": q_extract_chunks,
-        "extract_spans": q_extract_spans,
         # --- long-green rotation tail (driver checks the first 50):
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
+        "extract_chunks": q_extract_chunks,
+        "extract_spans": q_extract_spans,
         "events_window_sliding": q_events_window_sliding,
         "asof_last_purchase": q_asof_last_purchase,
         "url_canonicalize": q_url_canonicalize,
@@ -2137,6 +2162,42 @@ base AS (
 
 
 _REPETITION_BASE = "WITH " + _repetition_cte("documents")
+
+# Shared CTE chain for the duplicate-window span family (dup_spans /
+# dup_span_strip): whitespace tokens (empties filtered == Python
+# str.split), 8-word windows, windows with >= 2 total occurrences,
+# covered intervals, gaps-and-islands group ids.
+_DUPSPAN_BASE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), wins AS (
+  SELECT doc_id, i + 1 AS start_w,
+         array_to_string(toks[(i + 1):(i + 8)], ' ') AS win
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 8)) AS i) g
+), dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+), marked AS (
+  SELECT w.doc_id, w.start_w, w.start_w + 7 AS end_w
+  FROM wins w JOIN dup USING (win)
+), brk AS (
+  SELECT doc_id, start_w, end_w,
+         CASE WHEN lag(end_w) OVER w IS NULL
+                   OR start_w > lag(end_w) OVER w + 1
+              THEN 1 ELSE 0 END AS is_brk
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start_w)
+), grp AS (
+  SELECT doc_id, start_w, end_w,
+         sum(is_brk) OVER (PARTITION BY doc_id ORDER BY start_w
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3170,6 +3231,38 @@ SELECT d.doc_id, d.lang
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM documents o
                   WHERE o.doc_id % 3 = 0 AND o.text = d.text)
+""",
+        # ExactSubstr-style duplicate-window spans: 8-word windows with
+        # >= 2 corpus occurrences, merged gaps-and-islands per doc (the
+        # previous window's end IS the running max because width is
+        # fixed). Tokenization parity: list_filter of a \s+ split ==
+        # Python str.split().
+        "dup_spans": _DUPSPAN_BASE + """
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY min(start_w))
+         AS span_no,
+       min(start_w) AS start_word,
+       max(end_w) AS end_word,
+       max(end_w) - min(start_w) + 1 AS n_words
+FROM grp GROUP BY doc_id, g
+""",
+        "dup_span_strip": _DUPSPAN_BASE + """
+, cov AS (
+  SELECT DISTINCT m.doc_id, j.j AS pos
+  FROM marked m,
+       LATERAL (SELECT unnest(generate_series(m.start_w, m.end_w)) AS j) j
+), wpos AS (
+  SELECT doc_id, i + 1 AS pos, toks[i + 1] AS wrd
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+)
+SELECT d.doc_id,
+       coalesce(string_agg(CASE WHEN c.pos IS NULL THEN w.wrd END,
+                           ' ' ORDER BY w.pos), '') AS text,
+       count(c.pos)::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN wpos w ON w.doc_id = d.doc_id
+LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.pos = w.pos
+GROUP BY d.doc_id
 """,
         # Gopher-style repetition fractions: list-function reconstruction
         # of functions/repetition.py (ASCII whitespace classes on both

@@ -81,6 +81,38 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(arr >> np.uint64(4))   # 60-bit (< Mersenne prime 2^61-1)
 
 
+def window_fps(text: str, w: int = 8) -> np.ndarray:
+    """POSITIONAL 64-bit window fingerprints for duplicate-span
+    detection: output[i] is the fingerprint of words i..i+w-1 (0-based;
+    whitespace split), NOT uniqued — unlike ``shingle_hashes``, position
+    is the payload here.  Texts shorter than ``w`` words yield an empty
+    array (no window fits; a shorter-text fallback would break the
+    "exactly w words" duplicate semantics the SQL oracle checks).
+
+    Same hot path as ``shingle_hashes`` (one crc32 per token at C speed,
+    vectorized polynomial combine over the window).  Collision posture:
+    a 64-bit alias between two DIFFERENT window strings would mark a
+    false duplicate span; expected alias count is ~n_windows²/2⁶⁵
+    (negligible at bench scale).  The 100-TB dial is a second
+    independent-base combine (128-bit pair), the same widening
+    ``stages/dedup.py:_fingerprint128`` applies to content keys."""
+    import zlib
+
+    toks = text.split()
+    n = len(toks)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    th = _mix64(
+        np.fromiter((zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64, count=n) + _GOLDEN
+    )
+    m = n - w + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        acc = acc * _FNV_PRIME + th[j:j + m]
+    return _mix64(acc)
+
+
 class MinHasher:
     """num_perm universal-hash minhash ((a*x + b) mod p, p = 2^61-1), fixed
     seed → identical signatures across workers/runs.  a is drawn < 2^31 so

@@ -1,0 +1,481 @@
+"""Duplicate-window span detection + strip (ExactSubstr-style dedup).
+
+Word-level analogue of the suffix-array substring dedup in Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL 2022):
+a ``window``-word window is DUPLICATED when its exact text occurs at
+least ``min_count`` times anywhere in the corpus (within-document
+repeats count).  Every word covered by at least one duplicated window
+lies in a duplicated span; spans are maximal merged runs (overlapping
+OR adjacent windows merge).  ``duplicate_spans`` reports the spans per
+document; ``duplicate_span_strip`` rebuilds each document's text with
+all covered words removed.
+
+Reference anchor: llm-food has no corpus-level operator (its only dedup
+is the CLI input de-list at ``cli.py:206-218``); this family is
+brief-scope ("Deduplication ... a core part of what makes this engine
+useful at 100 TB").
+
+Scale shape
+-----------
+Phase 1 (model): one streaming pass emits per-batch PARTIAL window
+counts in 64-bit fingerprint space (``functions/hashing.py:window_fps``
+— crc32/token + vectorized polynomial combine, no window string ever
+leaves a worker), one ``groupby(fp).sum`` merges them, a filter keeps
+fingerprints with count >= min_count.  The exchange ships 16 B/distinct
+window, pre-shrunk by the per-batch combiner — the same fp-space
+posture as the LM / TF-IDF corpus models (``stages/lm.py``).
+
+Phase 2 (apply), auto-gated like ``dedup_exact``'s reduce= gate:
+
+- ``exec="broadcast"`` (dup-fp set under ``broadcast_budget_rows``):
+  the sorted fp array rides ``ray.put`` once; a second streaming pass
+  recomputes each document's positional fps locally and marks windows
+  via ``np.searchsorted`` — zero further exchange, spans merge
+  vectorized per batch.
+- ``exec="distributed"`` (the 100-TB path): the window pass emits
+  (id, start, fp) rows, a partitioned LEFT SEMI join against the dup-fp
+  table keeps duplicated occurrences, and span merge runs inside
+  hash(id)-coarse buckets (``num_buckets`` Python group calls TOTAL,
+  vectorized run-length island merge inside — never one group per key).
+
+Both plans are row-equal (pytest-pinned).  Collision posture: 64-bit
+window fps; see ``window_fps``'s docstring for the 128-bit dial.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64, window_fps
+from .dedup import _join_partitions, _nonempty_blocks
+
+_SPAN_FIELDS = ["span_no", "start_word", "end_word", "n_words"]
+
+
+def _id_field(ds, id_column: str) -> pa.Field:
+    sch = ds.schema()   # ray.data.Schema — names/types, not a pa.Schema
+    return pa.field(id_column, dict(zip(sch.names, sch.types))[id_column])
+
+
+def _empty_spans_table(id_field: pa.Field) -> pa.Table:
+    cols: dict[str, pa.Array] = {id_field.name: pa.array([], id_field.type)}
+    for f in _SPAN_FIELDS:
+        cols[f] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def _merge_islands(ids: np.ndarray, starts: np.ndarray, window: int):
+    """Vectorized gaps-and-islands merge over (id, start) rows SORTED by
+    (id, start).  Fixed window width makes per-doc window ends monotonic
+    in start, so the previous row's end IS the running max — one
+    comparison per row, no scan.  Returns (row_idx_of_span_head,
+    span_start, span_end, span_no) with 0-based word positions."""
+    n = len(starts)
+    ends = starts + window - 1
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (ids[1:] != ids[:-1]) | (starts[1:] > ends[:-1] + 1)
+    gidx = np.flatnonzero(brk)
+    span_start = starts[gidx]
+    last = np.concatenate([gidx[1:] - 1, np.array([n - 1])])
+    span_end = ends[last]
+    span_ids = ids[gidx]
+    g = len(gidx)
+    docbrk = np.empty(g, dtype=bool)
+    docbrk[0] = True
+    docbrk[1:] = span_ids[1:] != span_ids[:-1]
+    ordinal = np.arange(g, dtype=np.int64)
+    doc_first = np.maximum.accumulate(np.where(docbrk, ordinal, 0))
+    span_no = ordinal - doc_first + 1
+    return gidx, span_start, span_end, span_no
+
+
+def _dup_fp_model(ds, *, text_column: str, window: int, min_count: int):
+    """Streaming corpus model: Dataset of one int64 ``fp`` column, the
+    fingerprints of windows occurring >= min_count times."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chunks = [
+            window_fps(t or "", window)
+            for t in batch.column(text_column).to_pylist()
+        ]
+        allfp = (np.concatenate(chunks) if chunks
+                 else np.empty(0, dtype=np.uint64))
+        if allfp.size == 0:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(allfp, return_counts=True)
+        # int64 VIEW: Ray's groupby object-boxes uint64 (Ray 2.49)
+        return pa.table({"fp": pa.array(u.view(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("fp").aggregate(Sum("cnt", alias_name="n")))
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(batch.column("n"), pa.scalar(min_count))
+        return batch.filter(mask).select(["fp"])
+
+    return merged.map_batches(keep_dups, batch_format="pyarrow")
+
+
+def _gather_sorted_fps(model) -> np.ndarray:
+    parts = [b.column("fp").to_numpy()
+             for b in model.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+class _SpanEmitter:
+    """Second streaming pass (broadcast plan): recompute window fps per
+    document, mark membership against the SORTED broadcast dup array
+    (searchsorted — no Python set), merge islands, emit span rows.
+    The fp array rides the actor constructor via an ObjectRef so each
+    actor resolves it once (restart-safe), not once per batch."""
+
+    def __init__(self, fps_ref, id_column: str, text_column: str,
+                 window: int, emit):
+        if type(fps_ref).__name__ == "ObjectRef":
+            import ray
+
+            fps_ref = ray.get(fps_ref)
+        self._fps = np.asarray(fps_ref)
+        self._id = id_column
+        self._text = text_column
+        self._w = window
+        self._emit = emit   # "spans" | "strip"
+
+    def _doc_mask(self, text: str):
+        fps = window_fps(text or "", self._w).view(np.int64)
+        if fps.size == 0 or self._fps.size == 0:
+            return fps, np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(self._fps, fps)
+        pos[pos == self._fps.size] = 0
+        hit = self._fps[pos] == fps
+        return fps, np.flatnonzero(hit).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id)
+        texts = batch.column(self._text).to_pylist()
+        if self._emit == "spans":
+            return self._spans(ids, texts)
+        return self._strip(ids, texts)
+
+    def _spans(self, ids, texts) -> pa.Table:
+        take_idx: list[int] = []
+        id_rows: list[np.ndarray] = []
+        start_rows: list[np.ndarray] = []
+        for row, text in enumerate(texts):
+            _, hits = self._doc_mask(text)
+            if hits.size:
+                take_idx.append(row)
+                id_rows.append(np.full(hits.size, row, dtype=np.int64))
+                start_rows.append(hits)
+        if not take_idx:
+            return _empty_spans_table(pa.field(self._id, ids.type))
+        rows = np.concatenate(id_rows)
+        starts = np.concatenate(start_rows)
+        gidx, s, e, no = _merge_islands(rows, starts, self._w)
+        out_ids = ids.take(pa.array(rows[gidx]))
+        return pa.table({
+            self._id: out_ids,
+            "span_no": pa.array(no),
+            "start_word": pa.array(s + 1),
+            "end_word": pa.array(e + 1),
+            "n_words": pa.array(e - s + 1),
+        })
+
+    def _strip(self, ids, texts) -> pa.Table:
+        clean: list[str] = []
+        removed = np.zeros(len(texts), dtype=np.int64)
+        w = self._w
+        for row, text in enumerate(texts):
+            words = (text or "").split()
+            _, hits = self._doc_mask(text)
+            if hits.size == 0:
+                clean.append(" ".join(words))
+                continue
+            diff = np.zeros(len(words) + 1, dtype=np.int64)
+            np.add.at(diff, hits, 1)
+            np.add.at(diff, np.minimum(hits + w, len(words)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            removed[row] = int(covered.sum())
+            kept = [t for t, c in zip(words, covered) if not c]
+            clean.append(" ".join(kept))
+        return pa.table({
+            self._id: ids,
+            "text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(removed),
+        })
+
+
+def _window_rows(ds, *, id_column: str, text_column: str, window: int):
+    """(id, start, fp) occurrence rows — the distributed plan's join
+    left side.  start is 0-based here; +1 happens at span emit."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column)
+        take: list[np.ndarray] = []
+        starts: list[np.ndarray] = []
+        fps: list[np.ndarray] = []
+        for row, t in enumerate(batch.column(text_column).to_pylist()):
+            f = window_fps(t or "", window)
+            if f.size:
+                take.append(np.full(f.size, row, dtype=np.int64))
+                starts.append(np.arange(f.size, dtype=np.int64))
+                fps.append(f.view(np.int64))
+        if not take:
+            return pa.table({
+                id_column: pa.array([], ids.type),
+                "start": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            })
+        rows = np.concatenate(take)
+        return pa.table({
+            id_column: ids.take(pa.array(rows)),
+            "start": pa.array(np.concatenate(starts)),
+            "fp": pa.array(np.concatenate(fps)),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def _bucket_column(ids_col, num_buckets: int) -> pa.Array:
+    """hash(id) % num_buckets, vectorized for integer ids (splitmix64),
+    per-row stable_hash64 only for string keys."""
+    if pa.types.is_integer(ids_col.type):
+        x = ids_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return pa.array((x % np.uint64(num_buckets)).astype(np.int32))
+    return pa.array(
+        [stable_hash64(str(v)) % num_buckets for v in ids_col.to_pylist()],
+        pa.int32())
+
+
+def _spans_distributed(ds, model, *, id_column: str, text_column: str,
+                       window: int, num_buckets: int,
+                       num_partitions: int | None):
+    import ray.data as rd
+
+    id_field = _id_field(ds, id_column)
+    model_mat = _nonempty_blocks(model.materialize())
+    if model_mat is None:
+        return rd.from_arrow(_empty_spans_table(id_field))
+    wins = _window_rows(ds, id_column=id_column, text_column=text_column,
+                        window=window)
+    hits = wins.join(model_mat, "left_semi",
+                     _join_partitions(num_partitions),
+                     on=("fp",), right_on=("fp",)).materialize()
+    hits = _nonempty_blocks(hits)
+    if hits is None:
+        return rd.from_arrow(_empty_spans_table(id_field))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__pb",
+                               _bucket_column(b.column(id_column),
+                                              num_buckets))
+
+    def bucket_spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_spans_table(id_field)
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            t, sort_keys=[(id_column, "ascending"), ("start", "ascending")])
+        t = t.take(order)
+        idc = t.column(id_column)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        starts = t.column("start").to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(id_field.type):
+            ids_np = idc.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            # group by dictionary code, stable because already sorted
+            enc = idc.dictionary_encode()
+            ids_np = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+        gidx, s, e, no = _merge_islands(ids_np, starts.astype(np.int64),
+                                        window)
+        return pa.table({
+            id_column: idc.take(pa.array(gidx)),
+            "span_no": pa.array(no),
+            "start_word": pa.array(s + 1),
+            "end_word": pa.array(e + 1),
+            "n_words": pa.array(e - s + 1),
+        })
+
+    return (hits.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__pb")
+                .map_groups(bucket_spans, batch_format="pyarrow"))
+
+
+def duplicate_spans(ds, *, id_column: str = "doc_id",
+                    text_column: str = "text", window: int = 8,
+                    min_count: int = 2, exec: str = "auto",
+                    broadcast_budget_rows: int = 2_000_000,
+                    num_buckets: int = 64,
+                    num_partitions: int | None = None):
+    """Spans of words covered by corpus-duplicated windows, per doc:
+    (id, span_no, start_word, end_word, n_words), word positions
+    1-based inclusive.  See module docstring for the two plans."""
+    import ray
+
+    if exec not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"exec={exec!r}")
+    model = _dup_fp_model(ds, text_column=text_column, window=window,
+                          min_count=min_count).materialize()
+    if exec == "auto":
+        exec = ("broadcast" if model.count() <= broadcast_budget_rows
+                else "distributed")
+    if exec == "distributed":
+        return _spans_distributed(
+            ds, model, id_column=id_column, text_column=text_column,
+            window=window, num_buckets=num_buckets,
+            num_partitions=num_partitions)
+    fps_ref = ray.put(_gather_sorted_fps(model))
+    return ds.map_batches(
+        _SpanEmitter, batch_format="pyarrow",
+        fn_constructor_args=(fps_ref, id_column, text_column, window,
+                             "spans"),
+        concurrency=_emitter_pool())
+
+
+def duplicate_span_strip(ds, *, id_column: str = "doc_id",
+                         text_column: str = "text", window: int = 8,
+                         min_count: int = 2, exec: str = "auto",
+                         broadcast_budget_rows: int = 2_000_000,
+                         num_buckets: int = 64,
+                         num_partitions: int | None = None):
+    """Rebuild each document's text with every duplicated-span word
+    removed: (id, text, n_removed).  Whitespace is normalized to single
+    spaces by the rebuild (' '.join of surviving words) — the SQL
+    oracle's ordered string_agg does the same.
+
+    Distributed plan: merged spans (disjoint by construction) are packed
+    per doc into one binary column inside the coarse buckets, then a
+    partitioned LEFT OUTER join brings them onto the documents — the one
+    pass where payload text rides an exchange, inherent to any rebuild
+    whose dup set exceeds driver memory."""
+    import ray
+
+    if exec not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"exec={exec!r}")
+    model = _dup_fp_model(ds, text_column=text_column, window=window,
+                          min_count=min_count).materialize()
+    if exec == "auto":
+        exec = ("broadcast" if model.count() <= broadcast_budget_rows
+                else "distributed")
+    if exec == "broadcast":
+        fps_ref = ray.put(_gather_sorted_fps(model))
+        return ds.map_batches(
+            _SpanEmitter, batch_format="pyarrow",
+            fn_constructor_args=(fps_ref, id_column, text_column, window,
+                                 "strip"),
+            concurrency=_emitter_pool())
+
+    spans = _spans_distributed(ds, model, id_column=id_column,
+                               text_column=text_column, window=window,
+                               num_buckets=num_buckets,
+                               num_partitions=num_partitions)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__pb",
+                               _bucket_column(b.column(id_column),
+                                              num_buckets))
+
+    id_field = _id_field(ds, id_column)
+
+    def pack_per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_column: pa.array([], id_field.type),
+                             "__spans": pa.array([], pa.binary())})
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            t, sort_keys=[(id_column, "ascending"),
+                          ("start_word", "ascending")])
+        t = t.take(order)
+        idc = t.column(id_column)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        s = t.column("start_word").to_numpy(zero_copy_only=False)
+        e = t.column("end_word").to_numpy(zero_copy_only=False)
+        flat = np.empty(2 * len(s), dtype=np.int64)
+        flat[0::2] = s
+        flat[1::2] = e
+        # run-length per id over the sorted rows
+        if pa.types.is_integer(id_field.type):
+            ids_np = idc.to_numpy(zero_copy_only=False)
+            newdoc = np.concatenate([[True], ids_np[1:] != ids_np[:-1]])
+        else:
+            enc = idc.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            newdoc = np.concatenate([[True], codes[1:] != codes[:-1]])
+        heads = np.flatnonzero(newdoc)
+        counts = np.diff(np.concatenate([heads, [len(s)]]))
+        total = int(counts.sum()) * 16
+        if total > 2**31 - 1:   # Arrow binary offsets are int32
+            raise ValueError(
+                "span pack exceeds 2 GiB in one bucket; raise num_buckets")
+        byte_off = np.concatenate(
+            [[0], np.cumsum(counts * 16)]).astype(np.int32)
+        packed = pa.Array.from_buffers(
+            pa.binary(), len(heads),
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        return pa.table({id_column: idc.take(pa.array(heads)),
+                         "__spans": packed})
+
+    packed = (spans.map_batches(add_bucket, batch_format="pyarrow")
+                   .groupby("__pb")
+                   .map_groups(pack_per_doc, batch_format="pyarrow")
+                   .materialize())
+    packed = _nonempty_blocks(packed)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        sp = (batch.column("__spans").to_pylist()
+              if "__spans" in batch.column_names else [None] * len(texts))
+        clean: list[str] = []
+        removed = np.zeros(len(texts), dtype=np.int64)
+        for row, (text, blob) in enumerate(zip(texts, sp)):
+            words = (text or "").split()
+            if not blob:
+                clean.append(" ".join(words))
+                continue
+            se = np.frombuffer(blob, dtype=np.int64)
+            starts = se[0::2] - 1          # back to 0-based
+            ends = se[1::2]                # exclusive after -1+1
+            diff = np.zeros(len(words) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(ends, len(words)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            removed[row] = int(covered.sum())
+            clean.append(" ".join(
+                t for t, c in zip(words, covered) if not c))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(removed),
+        })
+
+    if packed is None:
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+    joined = ds.join(packed, "left_outer",
+                     _join_partitions(num_partitions),
+                     on=(id_column,), right_on=(id_column,))
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _emitter_pool() -> tuple[int, int]:
+    from .pools import scoring_pool
+
+    return scoring_pool()

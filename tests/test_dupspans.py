@@ -1,0 +1,163 @@
+"""Duplicate-window span family (stages/dupspans.py): brute-force
+differential on adversarial cases, broadcast ≡ distributed plan
+equality (including randomized corpora), and window_fps contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from llm_food_ray.functions.hashing import window_fps
+from llm_food_ray.stages.dupspans import (
+    _merge_islands,
+    duplicate_span_strip,
+    duplicate_spans,
+)
+
+W = 8
+
+
+def _brute_spans(docs, w=W, mc=2):
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        ws = t.split()
+        for i in range(len(ws) - w + 1):
+            cnt[" ".join(ws[i:i + w])] += 1
+    dup = {k for k, v in cnt.items() if v >= mc}
+    rows = []
+    for d, t in docs:
+        ws = t.split()
+        hits = [i for i in range(len(ws) - w + 1)
+                if " ".join(ws[i:i + w]) in dup]
+        spans: list[tuple[int, int]] = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], i + w - 1))
+            else:
+                spans.append((i, i + w - 1))
+        for no, (s, e) in enumerate(spans, 1):
+            rows.append((d, no, s + 1, e + 1, e - s + 1))
+    return sorted(rows)
+
+
+def _brute_strip(docs, w=W, mc=2):
+    sp = _brute_spans(docs, w, mc)
+    out = []
+    for d, t in docs:
+        ws = t.split()
+        cov: set[int] = set()
+        for dd, _no, s, e, _n in sp:
+            if dd == d:
+                cov.update(range(s - 1, e))
+        out.append((d, " ".join(x for i, x in enumerate(ws)
+                                if i not in cov), len(cov)))
+    return sorted(out)
+
+
+def _ds(docs):
+    import ray.data as rd
+
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+
+
+ADVERSARIAL = [
+    (0, "a b c d e f g h i j k l"),                 # head overlap w/ 1
+    (1, "x a b c d e f g h i y z"),
+    (2, "one two three four five six seven"),        # 7 words: no window
+    (3, "p q r s t u v w " * 3),                     # within-doc repeat
+    (4, "totally unique words nine ten eleven twelve thirteen fifteen"),
+    (5, ""),                                         # empty text
+    (6, "a b c d e f g h"),                          # exactly one window
+    (7, "a b c d e f g h"),                          # its exact twin
+]
+
+
+@pytest.mark.parametrize("exec_mode", ["broadcast", "distributed"])
+def test_spans_match_brute_force(ray_session, exec_mode):
+    got = sorted(tuple(r.values()) for r in
+                 duplicate_spans(_ds(ADVERSARIAL), exec=exec_mode).take_all())
+    assert got == _brute_spans(ADVERSARIAL)
+
+
+@pytest.mark.parametrize("exec_mode", ["broadcast", "distributed"])
+def test_strip_match_brute_force(ray_session, exec_mode):
+    got = sorted(tuple(r.values()) for r in
+                 duplicate_span_strip(_ds(ADVERSARIAL),
+                                      exec=exec_mode).take_all())
+    assert got == _brute_strip(ADVERSARIAL)
+
+
+def test_plans_equal_on_random_corpus(ray_session):
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(60):
+        n = int(rng.randint(0, 40))
+        docs.append((d, " ".join(vocab[j] for j in rng.randint(0, 30, n))))
+    ds = _ds(docs)
+    b = sorted(tuple(r.values()) for r in
+               duplicate_spans(ds, exec="broadcast").take_all())
+    dist = sorted(tuple(r.values()) for r in
+                  duplicate_spans(ds, exec="distributed").take_all())
+    assert b == dist == _brute_spans(docs)
+    bs = sorted(tuple(r.values()) for r in
+                duplicate_span_strip(ds, exec="broadcast").take_all())
+    dss = sorted(tuple(r.values()) for r in
+                 duplicate_span_strip(ds, exec="distributed").take_all())
+    assert bs == dss == _brute_strip(docs)
+
+
+def test_no_duplicates_yields_empty_and_identity(ray_session):
+    docs = [(0, " ".join(f"a{i}" for i in range(20))),
+            (1, " ".join(f"b{i}" for i in range(20)))]
+    assert duplicate_spans(_ds(docs), exec="broadcast").count() == 0
+    assert duplicate_spans(_ds(docs), exec="distributed").count() == 0
+    for mode in ("broadcast", "distributed"):
+        rows = sorted(tuple(r.values()) for r in
+                      duplicate_span_strip(_ds(docs), exec=mode).take_all())
+        assert rows == [(d, t, 0) for d, t in docs]
+
+
+def test_min_count_dial(ray_session):
+    docs = [(0, "a b c d e f g h"), (1, "a b c d e f g h"),
+            (2, "a b c d e f g h")]
+    # min_count=4 > 3 occurrences -> nothing duplicated
+    assert duplicate_spans(_ds(docs), min_count=4).count() == 0
+    got = duplicate_spans(_ds(docs), min_count=3).take_all()
+    assert sorted(tuple(r.values()) for r in got) == [
+        (0, 1, 1, 8, 8), (1, 1, 1, 8, 8), (2, 1, 1, 8, 8)]
+
+
+def test_bad_exec_raises(ray_session):
+    with pytest.raises(ValueError):
+        duplicate_spans(_ds([(0, "a")]), exec="nope")
+
+
+def test_window_fps_contract():
+    assert window_fps("", 8).size == 0
+    assert window_fps("a b c", 8).size == 0          # shorter than window
+    f = window_fps("a b c d e f g h i", 8)
+    assert f.shape == (2,) and f.dtype == np.uint64
+    # positional: same window text -> same fp at both positions
+    g = window_fps("a b c d e f g h a b c d e f g h", 8)
+    assert g[0] == g[8]
+    # different windows -> different fps (collision would be 2^-64)
+    assert len(set(g[:2].tolist())) == 2
+
+
+def test_merge_islands_adjacent_and_new_doc():
+    ids = np.array([1, 1, 1, 2], dtype=np.int64)
+    starts = np.array([0, 8, 10, 0], dtype=np.int64)   # w=8: 0-7, 8-15, 10-17
+    gidx, s, e, no = _merge_islands(ids, starts, 8)
+    # 0-7 and 8-15 are ADJACENT -> merged; 10-17 overlaps -> merged too;
+    # doc 2 restarts its own span and numbering
+    assert s.tolist() == [0, 0] and e.tolist() == [17, 7]
+    assert no.tolist() == [1, 1]
+    # a true gap (word 8 uncovered) stays two spans
+    gidx, s, e, no = _merge_islands(
+        np.array([1, 1], dtype=np.int64),
+        np.array([0, 9], dtype=np.int64), 8)
+    assert s.tolist() == [0, 9] and e.tolist() == [7, 16]
+    assert no.tolist() == [1, 2]
