@@ -733,6 +733,76 @@ def q_bm25_search(sf_dir: str):
     )
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 top-50 lexical candidates fused with an
+    embedding cosine rerank via Reciprocal Rank Fusion (RRF, constant
+    60 — Cormack et al. SIGIR'09).  Rank fusion sidesteps score-scale
+    mismatch AND float-parity pitfalls: the fused score is a pure
+    function of integer ranks, each deterministic under the raw-score
+    + id tiebreak that the bm25/ann oracles already pin.
+
+    Scale shape: corpus-sized work is bm25_topk's two streaming passes
+    plus ONE is_in-filtered scan of the embeddings table (the filter +
+    cosine are vectorized per batch; the query vector ships once in the
+    task closure).  Everything after is k-bounded (<= 50 rows), so the
+    fusion itself is legitimate driver work.  Reference: llm-food has
+    no retrieval surface at all (SURVEY §2.5 'Top-k ... absent');
+    brief-scope similarity-search component."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import bm25_topk
+    from llm_food_ray.stages.similarity import vectors_to_matrix
+
+    K_CAND, K_OUT, RRF = 50, 20, 60
+    cands = bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                      ("vector", "query", "hash"), K_CAND).take_all()
+    ids = np.array([r["doc_id"] for r in cands], dtype=np.int64)
+    bscore = np.array([r["score"] for r in cands], dtype=np.float64)
+    order_b = np.lexsort((ids, -bscore))
+    r_b = np.empty(len(ids), dtype=np.int64)
+    r_b[order_b] = np.arange(1, len(ids) + 1)
+
+    q = np.asarray(_query_vec(sf_dir), dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    id_set = pa.array(np.sort(ids))
+
+    def cos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.is_in(batch.column("vec_id"),
+                                  value_set=id_set))
+        if m.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cs": pa.array([], pa.float64())})
+        mat = vectors_to_matrix(m.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        # DuckDB-style dot/(|a|·|b|) so both sides order identically
+        cs = (mat @ q) / (norms * qn)
+        return pa.table({"vec_id": m.column("vec_id"),
+                         "cs": pa.array(cs, pa.float64())})
+
+    reranked = pa.concat_tables(
+        b for b in _embeddings(sf_dir)
+        .map_batches(cos, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    cid = reranked.column("vec_id").to_numpy()
+    cs = reranked.column("cs").to_numpy()
+    order_c = np.lexsort((cid, -cs))
+    rank_of = {int(cid[i]): r + 1 for r, i in enumerate(order_c)}
+    r_c = np.array([rank_of[int(d)] for d in ids], dtype=np.int64)
+
+    rrf = 1.0 / (RRF + r_b) + 1.0 / (RRF + r_c)
+    top = np.lexsort((ids, -rrf))[:K_OUT]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids[top]),
+        "rank_bm25": pa.array(r_b[top]),
+        "rank_cos": pa.array(r_c[top]),
+        "rrf": pa.array(np.round(rrf[top], 6), pa.float64()),
+    }))
+
+
 def q_cluster_assign(sf_dir: str):
     """Corpus clustering by nearest-seed cosine: 8 deterministic seed
     vectors (smallest vec_ids with vec_id % 61 == 0), every vector
@@ -1739,6 +1809,29 @@ def q_dup_span_strip(sf_dir: str):
     return duplicate_span_strip(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dup_spans_against(sf_dir: str):
+    """Incremental ExactSubstr vs an archive: documents with
+    doc_id % 3 == 0 are the ALREADY-ARCHIVED corpus (same convention as
+    dedup_incremental); output = duplicated spans in the remaining NEW
+    documents covered by any 8-word window seen anywhere in the archive
+    (min_count=1 on the archive side).  The crawl-refresh shape: model
+    from the archive once, apply scans only the new snapshot."""
+    from llm_food_ray.stages.dupspans import duplicate_spans_against
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(keep_seen: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if keep_seen else (ids % 3 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    seen = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return duplicate_spans_against(new, seen)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table.
 
@@ -1928,21 +2021,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
+        "dup_spans_against": q_dup_spans_against,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_cov": q_embedding_cov,
+        "hybrid_search": q_hybrid_search,
         "curate": q_curate,
         "sessionize": q_sessionize,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
-        "top_bigrams": q_top_bigrams,
-        "extract_hash": q_extract_hash,
         # --- long-green rotation tail (driver checks the first 50):
+        "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
+        "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
         "events_window_sliding": q_events_window_sliding,
@@ -2163,11 +2258,49 @@ base AS (
 
 _REPETITION_BASE = "WITH " + _repetition_cte("documents")
 
+# BM25 scored-set CTE chain, shared by bm25_search (direct top-k) and
+# hybrid_search (candidate generation for the RRF rerank).  The float64
+# expression shape mirrors stages/search.py exactly — factored, not
+# rewritten, so the long-green bm25_search oracle text is unchanged.
+_BM25_SCORED = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), tf AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, w -> w = 'vector')) AS tf0,
+         len(list_filter(ws, w -> w = 'query'))  AS tf1,
+         len(list_filter(ws, w -> w = 'hash'))   AS tf2
+  FROM toks
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum((tf0 > 0)::INT)::DOUBLE AS df0,
+         sum((tf1 > 0)::INT)::DOUBLE AS df1,
+         sum((tf2 > 0)::INT)::DOUBLE AS df2
+  FROM tf
+), scored AS (
+  SELECT doc_id,
+      ln(1.0::DOUBLE + (n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE))
+        * ((tf0 * 2.2::DOUBLE)
+           / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    + ln(1.0::DOUBLE + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
+        * ((tf1 * 2.2::DOUBLE)
+           / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    + ln(1.0::DOUBLE + (n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
+        * ((tf2 * 2.2::DOUBLE)
+           / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+    AS score
+  FROM tf, stats
+)
+"""
+
 # Shared CTE chain for the duplicate-window span family (dup_spans /
 # dup_span_strip): whitespace tokens (empties filtered == Python
 # str.split), 8-word windows, windows with >= 2 total occurrences,
 # covered intervals, gaps-and-islands group ids.
-_DUPSPAN_BASE = """
+_DUPSPAN_TOKS = """
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'),
@@ -2179,12 +2312,9 @@ WITH t AS (
   SELECT doc_id, i + 1 AS start_w,
          array_to_string(toks[(i + 1):(i + 8)], ' ') AS win
   FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 8)) AS i) g
-), dup AS (
-  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
-), marked AS (
-  SELECT w.doc_id, w.start_w, w.start_w + 7 AS end_w
-  FROM wins w JOIN dup USING (win)
-), brk AS (
+)"""
+
+_DUPSPAN_ISLANDS = """, brk AS (
   SELECT doc_id, start_w, end_w,
          CASE WHEN lag(end_w) OVER w IS NULL
                    OR start_w > lag(end_w) OVER w + 1
@@ -2198,6 +2328,21 @@ WITH t AS (
   FROM brk
 )
 """
+
+_DUPSPAN_BASE = _DUPSPAN_TOKS + """, dup AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+), marked AS (
+  SELECT w.doc_id, w.start_w, w.start_w + 7 AS end_w
+  FROM wins w JOIN dup USING (win)
+)""" + _DUPSPAN_ISLANDS
+
+_DUPSPAN_AGAINST_BASE = _DUPSPAN_TOKS + """, seen AS (
+  SELECT DISTINCT win FROM wins WHERE doc_id % 3 = 0
+), marked AS (
+  SELECT w.doc_id, w.start_w, w.start_w + 7 AS end_w
+  FROM wins w JOIN seen USING (win)
+  WHERE w.doc_id % 3 <> 0
+)""" + _DUPSPAN_ISLANDS
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3110,41 +3255,37 @@ SELECT seq_id,
 FROM exploded
 GROUP BY seq_id
 """,
-        "bm25_search": r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
-  FROM documents
-), tf AS (
-  SELECT doc_id, len(ws) AS dl,
-         len(list_filter(ws, w -> w = 'vector')) AS tf0,
-         len(list_filter(ws, w -> w = 'query'))  AS tf1,
-         len(list_filter(ws, w -> w = 'hash'))   AS tf2
-  FROM toks
-), stats AS (
-  SELECT count(*)::DOUBLE AS n,
-         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         sum((tf0 > 0)::INT)::DOUBLE AS df0,
-         sum((tf1 > 0)::INT)::DOUBLE AS df1,
-         sum((tf2 > 0)::INT)::DOUBLE AS df2
-  FROM tf
-), scored AS (
-  SELECT doc_id,
-      ln(1.0::DOUBLE + (n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE))
-        * ((tf0 * 2.2::DOUBLE)
-           / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
-    + ln(1.0::DOUBLE + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE))
-        * ((tf1 * 2.2::DOUBLE)
-           / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
-    + ln(1.0::DOUBLE + (n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE))
-        * ((tf2 * 2.2::DOUBLE)
-           / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
-    AS score
-  FROM tf, stats
-)
+        "bm25_search": _BM25_SCORED + """
 SELECT doc_id, round(score, 4) AS score
 FROM scored
 ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+        # RRF hybrid: ranks over the raw-score orderings the bm25/ann
+        # oracles already pin; fused score is a pure function of the
+        # integer ranks (no cross-engine float mixing)
+        "hybrid_search": _BM25_SCORED + """
+, cand AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_b
+  FROM scored
+  ORDER BY score DESC, doc_id
+  LIMIT 50
+), cos AS (
+  SELECT c.doc_id, c.r_b,
+         list_cosine_similarity(e.embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+           AS cs
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+), ranked AS (
+  SELECT doc_id, r_b,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS r_c
+  FROM cos
+)
+SELECT doc_id, r_b AS rank_bm25, r_c AS rank_cos,
+       round(1.0 / (60 + r_b) + 1.0 / (60 + r_c), 6) AS rrf
+FROM ranked
+ORDER BY (1.0 / (60 + r_b) + 1.0 / (60 + r_c)) DESC, doc_id
 LIMIT 20
 """,
         "cluster_assign": """
@@ -3238,6 +3379,17 @@ WHERE NOT EXISTS (SELECT 1 FROM documents o
         # fixed). Tokenization parity: list_filter of a \s+ split ==
         # Python str.split().
         "dup_spans": _DUPSPAN_BASE + """
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY min(start_w))
+         AS span_no,
+       min(start_w) AS start_word,
+       max(end_w) AS end_word,
+       max(end_w) - min(start_w) + 1 AS n_words
+FROM grp GROUP BY doc_id, g
+""",
+        # incremental variant: same islands chain over windows of NEW
+        # docs (doc_id % 3 <> 0) seen anywhere in the archive third
+        "dup_spans_against": _DUPSPAN_AGAINST_BASE + """
 SELECT doc_id,
        row_number() OVER (PARTITION BY doc_id ORDER BY min(start_w))
          AS span_no,

@@ -335,6 +335,20 @@ def run_bench() -> dict:
     assert n_lm2 == n_pages
     lm_model_stats = lm_model2["stats"]
 
+    # --- duplicate-window spans (ExactSubstr-style) over the extracted
+    # markdown: two streaming crc32-window passes + one fp groupby; the
+    # replicated corpus makes every in-text window a ~REPL-way dup, so
+    # nearly every page emits a span --------------------------------------
+    from llm_food_ray.stages.dupspans import duplicate_spans
+
+    t0 = time.perf_counter()
+    n_dup_spans = duplicate_spans(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks),
+        id_column="url", text_column="markdown").count()
+    queries["dup_spans"] = round(time.perf_counter() - t0, 3)
+    assert n_dup_spans > 0
+
     # --- web-graph: outlink extraction + host-graph rollup over the
     # 500k raw pages (regex anchor parse per page, hosts² groupby) -----
     import pyarrow as _pa2

@@ -89,23 +89,21 @@ def window_fps(text: str, w: int = 8) -> np.ndarray:
     array (no window fits; a shorter-text fallback would break the
     "exactly w words" duplicate semantics the SQL oracle checks).
 
-    Same hot path as ``shingle_hashes`` (one crc32 per token at C speed,
-    vectorized polynomial combine over the window).  Collision posture:
-    a 64-bit alias between two DIFFERENT window strings would mark a
-    false duplicate span; expected alias count is ~n_windows²/2⁶⁵
-    (negligible at bench scale).  The 100-TB dial is a second
-    independent-base combine (128-bit pair), the same widening
-    ``stages/dedup.py:_fingerprint128`` applies to content keys."""
-    import zlib
-
+    This is the REFERENCE definition (per-doc, md5 token hash matching
+    ``stages/lm.py:_TokenHasher``) of the fingerprint the vectorized
+    batch path in ``stages/dupspans.py:_batch_windows`` computes via
+    one dictionary-encode per batch — the two are pinned equal by
+    pytest.  Collision posture: a 64-bit alias between two DIFFERENT
+    window strings would mark a false duplicate span; expected alias
+    count is ~n_windows²/2⁶⁵ (negligible at bench scale).  The 100-TB
+    dial is a second independent-base combine (128-bit pair), the same
+    widening ``stages/dedup.py:_fingerprint128`` applies to keys."""
     toks = text.split()
     n = len(toks)
     if n < w:
         return np.empty(0, dtype=np.uint64)
-    th = _mix64(
-        np.fromiter((zlib.crc32(t.encode("utf-8")) for t in toks),
-                    dtype=np.uint64, count=n) + _GOLDEN
-    )
+    th = np.fromiter((stable_hash64(t) for t in toks),
+                     dtype=np.uint64, count=n)
     m = n - w + 1
     acc = np.zeros(m, dtype=np.uint64)
     for j in range(w):

@@ -47,10 +47,59 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64, window_fps
+from ..functions.hashing import _FNV_PRIME, _mix64, stable_hash64
 from .dedup import _join_partitions, _nonempty_blocks
 
 _SPAN_FIELDS = ["span_no", "start_word", "end_word", "n_words"]
+
+_HASHER = None
+
+
+def _hasher():
+    """Per-worker-process token-fingerprint cache (lm.py's _TokenHasher:
+    Arrow split + dictionary-encode per batch, md5 once per DISTINCT
+    token through the cache).  Module-level singleton: Ray task workers
+    are single-threaded processes, so one shared cache per process is
+    race-free and survives across batches."""
+    global _HASHER
+    if _HASHER is None:
+        from .lm import _TokenHasher
+
+        _HASHER = _TokenHasher()
+    return _HASHER
+
+
+def _batch_windows(batch: pa.Table, text_column: str, w: int):
+    """Whole-batch positional window fingerprints, fully vectorized:
+    ONE Arrow whitespace split + dictionary-encode for the batch, md5
+    per distinct token, one polynomial combine over the flat token
+    stream, then windows crossing document boundaries are masked out by
+    offset arithmetic.  Equals ``functions.hashing.window_fps`` per doc
+    (differential pytest).
+
+    Returns (fps u64, row_index i64, local_start i64, per-doc token
+    counts i64, flat dictionary indices i64, dictionary StringArray) —
+    window rows are ordered by (row, start) by construction."""
+    h = _hasher()
+    idx, dictionary, lens, hu = h.flat_token_enc(batch, text_column)
+    th = hu[idx] if len(idx) else np.empty(0, np.uint64)
+    n = th.size
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if n < w:
+        return (*empty, lens, idx, dictionary)
+    m = n - w + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        acc = acc * _FNV_PRIME + th[j:j + m]
+    fps = _mix64(acc)
+    doc_off = np.r_[0, np.cumsum(lens)]          # doc start offsets
+    pos = np.arange(m, dtype=np.int64)
+    row = np.searchsorted(doc_off, pos, side="right") - 1
+    valid = pos + w <= doc_off[row + 1]          # window inside one doc
+    row = row[valid]
+    pos = pos[valid]
+    return (fps[valid], row, pos - doc_off[row], lens, idx, dictionary)
 
 
 def _id_field(ds, id_column: str) -> pa.Field:
@@ -97,12 +146,7 @@ def _dup_fp_model(ds, *, text_column: str, window: int, min_count: int):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        chunks = [
-            window_fps(t or "", window)
-            for t in batch.column(text_column).to_pylist()
-        ]
-        allfp = (np.concatenate(chunks) if chunks
-                 else np.empty(0, dtype=np.uint64))
+        allfp = _batch_windows(batch, text_column, window)[0]
         if allfp.size == 0:
             return pa.table({"fp": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
@@ -151,68 +195,79 @@ class _SpanEmitter:
         self._w = window
         self._emit = emit   # "spans" | "strip"
 
-    def _doc_mask(self, text: str):
-        fps = window_fps(text or "", self._w).view(np.int64)
-        if fps.size == 0 or self._fps.size == 0:
-            return fps, np.empty(0, dtype=np.int64)
-        pos = np.searchsorted(self._fps, fps)
+    def _hits(self, batch: pa.Table):
+        """(hit row index, hit local start, lens, idx, dictionary) for
+        the batch: all windows fingerprinted in one vectorized pass,
+        membership via ONE searchsorted against the broadcast array."""
+        fps, row, start, lens, idx, dictionary = _batch_windows(
+            batch, self._text, self._w)
+        f64 = fps.view(np.int64)
+        if f64.size == 0 or self._fps.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, lens, idx, dictionary
+        pos = np.searchsorted(self._fps, f64)
         pos[pos == self._fps.size] = 0
-        hit = self._fps[pos] == fps
-        return fps, np.flatnonzero(hit).astype(np.int64)
+        hit = self._fps[pos] == f64
+        return row[hit], start[hit], lens, idx, dictionary
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self._id)
-        texts = batch.column(self._text).to_pylist()
         if self._emit == "spans":
-            return self._spans(ids, texts)
-        return self._strip(ids, texts)
+            return self._spans(batch)
+        return self._strip(batch)
 
-    def _spans(self, ids, texts) -> pa.Table:
-        take_idx: list[int] = []
-        id_rows: list[np.ndarray] = []
-        start_rows: list[np.ndarray] = []
-        for row, text in enumerate(texts):
-            _, hits = self._doc_mask(text)
-            if hits.size:
-                take_idx.append(row)
-                id_rows.append(np.full(hits.size, row, dtype=np.int64))
-                start_rows.append(hits)
-        if not take_idx:
+    def _spans(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id)
+        rows, starts, _, _, _ = self._hits(batch)
+        if rows.size == 0:
             return _empty_spans_table(pa.field(self._id, ids.type))
-        rows = np.concatenate(id_rows)
-        starts = np.concatenate(start_rows)
         gidx, s, e, no = _merge_islands(rows, starts, self._w)
-        out_ids = ids.take(pa.array(rows[gidx]))
         return pa.table({
-            self._id: out_ids,
+            self._id: ids.take(pa.array(rows[gidx])),
             "span_no": pa.array(no),
             "start_word": pa.array(s + 1),
             "end_word": pa.array(e + 1),
             "n_words": pa.array(e - s + 1),
         })
 
-    def _strip(self, ids, texts) -> pa.Table:
-        clean: list[str] = []
-        removed = np.zeros(len(texts), dtype=np.int64)
-        w = self._w
-        for row, text in enumerate(texts):
-            words = (text or "").split()
-            _, hits = self._doc_mask(text)
-            if hits.size == 0:
-                clean.append(" ".join(words))
-                continue
-            diff = np.zeros(len(words) + 1, dtype=np.int64)
-            np.add.at(diff, hits, 1)
-            np.add.at(diff, np.minimum(hits + w, len(words)), -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            removed[row] = int(covered.sum())
-            kept = [t for t, c in zip(words, covered) if not c]
-            clean.append(" ".join(kept))
+    def _strip(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id)
+        rows, starts, lens, idx, dictionary = self._hits(batch)
+        clean, removed = _rebuild_clean(lens, idx, dictionary, rows,
+                                        starts, starts + self._w)
         return pa.table({
             self._id: ids,
-            "text": pa.array(clean, pa.string()),
+            "text": clean,
             "n_removed": pa.array(removed),
         })
+
+
+def _rebuild_clean(lens: np.ndarray, idx: np.ndarray, dictionary,
+                   rowids: np.ndarray, starts0: np.ndarray,
+                   ends0: np.ndarray):
+    """Arrow-side text rebuild shared by both strip plans: covered-word
+    mask from interval diffs over the FLAT token stream, one filter for
+    the surviving tokens, ListArray re-slice + ``pc.binary_join`` —
+    no per-document Python.  Intervals are 0-based [start, end) in each
+    row's local word positions; overlaps are fine (diff-cumsum).
+    Returns (clean string Array, n_removed int64 per row)."""
+    import pyarrow.compute as pc
+
+    doc_off = np.r_[0, np.cumsum(lens)]
+    n = int(doc_off[-1])
+    diff = np.zeros(n + 1, dtype=np.int64)
+    if rowids.size:
+        np.add.at(diff, doc_off[rowids] + starts0, 1)
+        np.add.at(diff, doc_off[rowids] + np.minimum(ends0, lens[rowids]),
+                  -1)
+    keep = np.cumsum(diff[:-1]) <= 0
+    ckeep = np.r_[0, np.cumsum(keep)]
+    new_off = ckeep[doc_off]
+    kept_tokens = dictionary.take(pa.array(idx[keep]))
+    lists = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), kept_tokens)
+    clean = pc.binary_join(lists, " ")
+    n_removed = lens - np.diff(new_off)
+    return clean, n_removed
 
 
 def _window_rows(ds, *, id_column: str, text_column: str, window: int):
@@ -221,26 +276,18 @@ def _window_rows(ds, *, id_column: str, text_column: str, window: int):
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column)
-        take: list[np.ndarray] = []
-        starts: list[np.ndarray] = []
-        fps: list[np.ndarray] = []
-        for row, t in enumerate(batch.column(text_column).to_pylist()):
-            f = window_fps(t or "", window)
-            if f.size:
-                take.append(np.full(f.size, row, dtype=np.int64))
-                starts.append(np.arange(f.size, dtype=np.int64))
-                fps.append(f.view(np.int64))
-        if not take:
+        fps, rows, starts, _, _, _ = _batch_windows(batch, text_column,
+                                                    window)
+        if fps.size == 0:
             return pa.table({
                 id_column: pa.array([], ids.type),
                 "start": pa.array([], pa.int64()),
                 "fp": pa.array([], pa.int64()),
             })
-        rows = np.concatenate(take)
         return pa.table({
             id_column: ids.take(pa.array(rows)),
-            "start": pa.array(np.concatenate(starts)),
-            "fp": pa.array(np.concatenate(fps)),
+            "start": pa.array(starts),
+            "fp": pa.array(fps.view(np.int64)),
         })
 
     return ds.map_batches(emit, batch_format="pyarrow")
@@ -326,12 +373,44 @@ def duplicate_spans(ds, *, id_column: str = "doc_id",
     """Spans of words covered by corpus-duplicated windows, per doc:
     (id, span_no, start_word, end_word, n_words), word positions
     1-based inclusive.  See module docstring for the two plans."""
+    model = _dup_fp_model(ds, text_column=text_column, window=window,
+                          min_count=min_count).materialize()
+    return _apply_spans(ds, model, id_column=id_column,
+                        text_column=text_column, window=window, exec=exec,
+                        broadcast_budget_rows=broadcast_budget_rows,
+                        num_buckets=num_buckets,
+                        num_partitions=num_partitions)
+
+
+def duplicate_spans_against(new_ds, seen_ds, *,
+                            id_column: str = "doc_id",
+                            text_column: str = "text", window: int = 8,
+                            exec: str = "auto",
+                            broadcast_budget_rows: int = 2_000_000,
+                            num_buckets: int = 64,
+                            num_partitions: int | None = None):
+    """Incremental ExactSubstr: spans in NEW documents covered by any
+    window that occurs ANYWHERE in the archived corpus (min_count=1 on
+    the archive side — one prior occurrence makes a window 'seen').
+    The crawl-refresh shape: the archive model is built once and only
+    the new snapshot is scanned for the apply; same auto-gated plans as
+    :func:`duplicate_spans`."""
+    model = _dup_fp_model(seen_ds, text_column=text_column, window=window,
+                          min_count=1).materialize()
+    return _apply_spans(new_ds, model, id_column=id_column,
+                        text_column=text_column, window=window, exec=exec,
+                        broadcast_budget_rows=broadcast_budget_rows,
+                        num_buckets=num_buckets,
+                        num_partitions=num_partitions)
+
+
+def _apply_spans(ds, model, *, id_column: str, text_column: str,
+                 window: int, exec: str, broadcast_budget_rows: int,
+                 num_buckets: int, num_partitions: int | None):
     import ray
 
     if exec not in ("auto", "broadcast", "distributed"):
         raise ValueError(f"exec={exec!r}")
-    model = _dup_fp_model(ds, text_column=text_column, window=window,
-                          min_count=min_count).materialize()
     if exec == "auto":
         exec = ("broadcast" if model.count() <= broadcast_budget_rows
                 else "distributed")
@@ -441,29 +520,35 @@ def duplicate_span_strip(ds, *, id_column: str = "doc_id",
     packed = _nonempty_blocks(packed)
 
     def rebuild(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_column).to_pylist()
+        nrows = batch.num_rows
         sp = (batch.column("__spans").to_pylist()
-              if "__spans" in batch.column_names else [None] * len(texts))
-        clean: list[str] = []
-        removed = np.zeros(len(texts), dtype=np.int64)
-        for row, (text, blob) in enumerate(zip(texts, sp)):
-            words = (text or "").split()
-            if not blob:
-                clean.append(" ".join(words))
-                continue
-            se = np.frombuffer(blob, dtype=np.int64)
-            starts = se[0::2] - 1          # back to 0-based
-            ends = se[1::2]                # exclusive after -1+1
-            diff = np.zeros(len(words) + 1, dtype=np.int64)
-            np.add.at(diff, starts, 1)
-            np.add.at(diff, np.minimum(ends, len(words)), -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            removed[row] = int(covered.sum())
-            clean.append(" ".join(
-                t for t, c in zip(words, covered) if not c))
+              if "__spans" in batch.column_names else [None] * nrows)
+        # unpack the per-doc span blobs (tiny Python loop over ROWS WITH
+        # SPANS only); the token-level work below is all Arrow/numpy
+        rid: list[np.ndarray] = []
+        st: list[np.ndarray] = []
+        en: list[np.ndarray] = []
+        for row, blob in enumerate(sp):
+            if blob:
+                se = np.frombuffer(blob, dtype=np.int64)
+                k = se.size // 2
+                rid.append(np.full(k, row, dtype=np.int64))
+                st.append(se[0::2] - 1)    # back to 0-based start
+                en.append(se[1::2])        # inclusive 1-based == excl 0-based
+        _, _, _, lens, idx, dictionary = _batch_windows(
+            batch, text_column, 10**9)   # w > any doc: tokenize only
+        if rid:
+            rows = np.concatenate(rid)
+            clean, removed = _rebuild_clean(lens, idx, dictionary, rows,
+                                            np.concatenate(st),
+                                            np.concatenate(en))
+        else:
+            clean, removed = _rebuild_clean(
+                lens, idx, dictionary, np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
         return pa.table({
             id_column: batch.column(id_column),
-            "text": pa.array(clean, pa.string()),
+            "text": clean,
             "n_removed": pa.array(removed),
         })
 

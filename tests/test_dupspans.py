@@ -109,6 +109,22 @@ def test_plans_equal_on_random_corpus(ray_session):
     assert bs == dss == _brute_strip(docs)
 
 
+def test_spans_against_archive(ray_session):
+    """Incremental: windows seen ANYWHERE in the archive (even once)
+    mark spans in new docs; archive-internal dups alone don't."""
+    from llm_food_ray.stages.dupspans import duplicate_spans_against
+
+    archive = [(100, "a b c d e f g h i"),
+               (101, "z y x w v u t s r q")]
+    new = [(0, "a b c d e f g h unseen tail here"),   # head seen
+           (1, "completely fresh words one two three four five six")]
+    exp = [(0, 1, 1, 8, 8)]
+    for mode in ("broadcast", "distributed", "auto"):
+        got = sorted(tuple(r.values()) for r in duplicate_spans_against(
+            _ds(new), _ds(archive), exec=mode).take_all())
+        assert got == exp, (mode, got)
+
+
 def test_no_duplicates_yields_empty_and_identity(ray_session):
     docs = [(0, " ".join(f"a{i}" for i in range(20))),
             (1, " ".join(f"b{i}" for i in range(20)))]
@@ -133,6 +149,23 @@ def test_min_count_dial(ray_session):
 def test_bad_exec_raises(ray_session):
     with pytest.raises(ValueError):
         duplicate_spans(_ds([(0, "a")]), exec="nope")
+
+
+def test_batch_windows_equals_reference():
+    import pyarrow as pa
+
+    from llm_food_ray.stages.dupspans import _batch_windows
+
+    texts = [t for _, t in ADVERSARIAL] + ["lone", None, "a b  c\td"]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    fps, rows, starts, lens, _, _ = _batch_windows(batch, "text", 4)
+    # reassemble per-doc and compare against the per-doc reference fn
+    for d, t in enumerate(texts):
+        ref = window_fps(t or "", 4)
+        mine = fps[rows == d]
+        assert mine.tolist() == ref.tolist(), d
+        assert starts[rows == d].tolist() == list(range(ref.size))
+        assert lens[d] == len((t or "").split())
 
 
 def test_window_fps_contract():

@@ -112,3 +112,25 @@ def test_bm25_single_scan_matches_two_pass(ray_session):
     b = (bm25_topk(dataset_from_items(rows), ("alpha", "w3"), k=5,
                    single_scan=True).to_pandas().reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_hybrid_search_rrf(ray_session):
+    """RRF fusion sanity on the real sf0.001 tables: 20 rows, ranks are
+    a permutation-consistent pairing, the fused score is exactly
+    1/(60+r_b) + 1/(60+r_c), and ordering follows (rrf desc, doc_id)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry_mod
+
+    df = entry_mod.q_hybrid_search("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 20
+    assert list(df.columns) == ["doc_id", "rank_bm25", "rank_cos", "rrf"]
+    assert df["rank_bm25"].between(1, 50).all()
+    assert df["rank_cos"].between(1, 50).all()
+    assert not df["doc_id"].duplicated().any()
+    want = (1.0 / (60 + df["rank_bm25"]) + 1.0 / (60 + df["rank_cos"])).round(6)
+    assert (df["rrf"] == want).all()
+    # sorted by fused score with doc_id tiebreak
+    key = list(zip(-df["rrf"], df["doc_id"]))
+    assert key == sorted(key)
