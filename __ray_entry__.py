@@ -1566,6 +1566,65 @@ def q_resample_mix(sf_dir: str):
             .select_columns(["doc_id", "lang"]))
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled multilingual rebalancing (p_g ∝ n_g^0.5, the
+    mBERT/XLM-R mixing rule): per-language budgets derived from the
+    corpus's own language histogram, rows kept bottom-k-by-md5 within
+    each language.  One groups-sized histogram exchange + the broadcast
+    keep-set machinery — no corpus shuffle."""
+    from llm_food_ray.stages.textstats import temperature_sample
+
+    return (temperature_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                               "lang", "doc_id", budget=300, alpha=0.5)
+            .select_columns(["doc_id", "lang"]))
+
+
+def q_mode_source(sf_dir: str):
+    """Exact per-language MODE of the source column (dominant crawl
+    source per language, smallest-value tiebreak): distinct-pair
+    partials → one (lang, source) exchange → hash-bucketed vectorized
+    argmax (64 Python group calls total, key-cardinality independent)."""
+    from llm_food_ray.stages.textstats import grouped_mode
+
+    return grouped_mode(_docs(sf_dir, ["lang", "source"]),
+                        "lang", "source", name="mode_source")
+
+
+def q_bpe_pairs(sf_dir: str):
+    """BPE merge-step pair count: corpus-wide top-20 adjacent character
+    pairs (whitespace never pairs), counted in packed-int64 codepoint
+    space with numpy per-batch bincounts — pair strings exist only for
+    the final 20 rows."""
+    from llm_food_ray.stages.vocab import top_char_pairs
+
+    return top_char_pairs(_docs(sf_dir, ["text"]), "text", k=20)
+
+
+def q_url_blocklist(sf_dir: str):
+    """UT1-style domain blocklist gate: drop every document whose
+    (synthesised, deterministic) host has ANY dot-suffix in the
+    blocklist — subdomains of a blocked domain and every host under a
+    blocked TLD-level entry go too.  Broadcast blocklist + one streaming
+    vectorized suffix-match pass; no shuffle."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.webfilter import filter_blocked_hosts
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        tld = {0: "com", 1: "org", 2: "net"}
+        sub = {0: "cdn.img.", 1: "www.", 2: "", 3: "", 4: ""}
+        hosts = [f"{sub[int(d) % 5]}site{int(d) % 23}.example."
+                 f"{tld[int(d) % 3]}" for d in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "host": pa.array(hosts, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
+    return filter_blocked_hosts(
+        ds, "host",
+        blocked={"site5.example.com", "site11.example.org", "example.net"})
+
+
 def q_median_len(sf_dir: str):
     """Exact per-language median document length via value-histogram
     partials (no corpus sort)."""
@@ -1982,11 +2041,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # untouched this round AND driver-green in BOTH r2 and r3 rotate to
     # the tail (incl. the two rows-only IVF variants, which have had
     # their two driver row-checks and stay recall-pytest-pinned).
+    # r4-cont rotation: the 4 most-driver-checked entries (extract_pages
+    # ×3, dedup_exact ×3, lang_id ×2, doc_fingerprint ×2) rotate to the
+    # tail to make room for the 4 new operators (temperature_mix,
+    # mode_source, bpe_pairs, url_blocklist) inside the first-50 window.
     return {
-        "extract_pages": q_extract_pages,
         "cap_per_lang": q_cap_per_lang,
         "sample_per_lang": q_sample_per_lang,
         "resample_mix": q_resample_mix,
+        "temperature_mix": q_temperature_mix,
         "corpus_sample": q_corpus_sample,
         "token_budget_mix": q_token_budget_mix,
         "weighted_sample": q_weighted_sample,
@@ -1995,11 +2058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
         "distinct_lengths": q_distinct_lengths,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "mode_source": q_mode_source,
         "events_window": q_events_window,
         "multimodal_probe": q_multimodal_probe,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
@@ -2010,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_lm_score": q_ngram_lm_score,
         "lm_cross_score": q_lm_cross_score,
         "tfidf_terms": q_tfidf_terms,
+        "bpe_pairs": q_bpe_pairs,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
@@ -2017,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
         "host_tier_filter": q_host_tier_filter,
+        "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
@@ -2034,6 +2097,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
         # --- long-green rotation tail (driver checks the first 50):
+        "extract_pages": q_extract_pages,
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -3487,6 +3554,64 @@ QUALIFY row_number() OVER (PARTITION BY lang
         "corpus_sample": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) <= 100
+""",
+        # temperature mixing: quotas derived in-SQL from the language
+        # histogram with the SAME sqrt/round-9/floor rule as
+        # textstats.temperature_sample (sqrt is IEEE-correctly-rounded
+        # on both engines; round-9 absorbs denominator summation-order
+        # ulp noise before the floor)
+        "temperature_mix": """
+WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+den AS (SELECT sum(sqrt(n::DOUBLE)) AS d FROM g),
+q AS (SELECT lang,
+        CAST(floor(round(300 * sqrt(n::DOUBLE) / d, 9)) AS BIGINT) AS quota
+      FROM g, den)
+SELECT doc_id, lang FROM documents JOIN q USING (lang)
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR)) <= quota
+""",
+        "mode_source": """
+WITH c AS (SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY lang, source)
+SELECT lang, source AS mode_source, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, source ASC) = 1
+""",
+        # adjacent char pairs, whitespace never pairs; binary UTF-8
+        # collation on the 2-char pair == codepoint order == the packed
+        # int64 order the Ray plan sorts by
+        "bpe_pairs": r"""
+WITH p AS (
+  SELECT unnest(list_transform(range(1, length(text)),
+                i -> substring(text, CAST(i AS INTEGER), 2))) AS pair
+  FROM documents
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+WHERE NOT regexp_matches(pair, '[ \t\r\n\f\v]|\x00')
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+""",
+        "url_blocklist": """
+WITH h AS (
+  SELECT doc_id,
+    (CASE doc_id % 5 WHEN 0 THEN 'cdn.img.' WHEN 1 THEN 'www.' ELSE '' END)
+    || 'site' || (doc_id % 23) || '.example.'
+    || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      AS host
+  FROM documents
+), parts AS (
+  SELECT doc_id, host, string_split(host, '.') AS p FROM h
+), suf AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(p) + 1),
+           i -> array_to_string(p[CAST(i AS INTEGER):], '.'))) AS suffix
+  FROM parts
+), bad AS (
+  SELECT DISTINCT doc_id FROM suf
+  WHERE suffix IN ('site5.example.com', 'site11.example.org', 'example.net')
+)
+SELECT doc_id, host FROM h
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
         # hash-Gumbel weighted sample: identical score expression on
         # both sides (round-then-rank), ties by ascending doc_id

@@ -861,6 +861,129 @@ def quota_sample(ds, group_column: str, key_column: str, *,
     return capped.drop_columns(["__rank"])
 
 
+def temperature_sample(ds, group_column: str, key_column: str, *,
+                       budget: int, alpha: float = 0.5,
+                       round_digits: int = 9):
+    """Temperature-scaled mixture sampling (the standard multilingual /
+    multi-domain rebalancing rule, e.g. mBERT/XLM-R's ``p_g ∝ n_g^α``):
+    the per-group keep budgets are derived FROM the corpus's own group
+    counts — ``quota_g = floor(budget · n_g^α / Σ_h n_h^α)`` — so a
+    single ``alpha`` dial flattens (α<1) or sharpens (α>1) the natural
+    skew instead of hand-writing a quota table.  Rows within each group
+    are then kept bottom-k-by-md5 exactly as :func:`quota_sample`.
+
+    Determinism across engines: for the default ``α=0.5`` the weight is
+    computed with ``sqrt`` (IEEE-754 correctly rounded in both numpy/
+    libm and SQL engines, unlike general ``pow``), and the ratio is
+    rounded to ``round_digits`` decimals before the floor so last-ulp
+    summation-order noise in the (groups-sized) denominator cannot flip
+    a quota.
+
+    Scale shape: ONE groups×blocks partial-count exchange for the group
+    histogram, a groups-bounded driver gather to derive the quota
+    table (training mixes have at most thousands of groups), then the
+    :func:`cap_per_group` broadcast keep-set machinery — the corpus
+    itself is never shuffled."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([group_column])
+             .group_by([group_column])
+             .aggregate([(group_column, "count")]))
+        return g.rename_columns([group_column, "pn"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("pn", alias_name="n")))
+    rows = sorted((r[group_column], int(r["n"])) for r in merged.take_all())
+    if not rows:
+        return ds.limit(0)
+    if alpha == 0.5:
+        weights = [math.sqrt(n) for _, n in rows]
+    else:
+        weights = [float(n) ** alpha for _, n in rows]
+    den = 0.0
+    for w in weights:  # left-to-right in sorted-group order (pinned)
+        den += w
+    quotas = {g: int(math.floor(round(budget * w / den, round_digits)))
+              for (g, _), w in zip(rows, weights)}
+    return quota_sample(ds, group_column, key_column, quotas=quotas)
+
+
+def grouped_mode(ds, key_column: str, value_column: str, *,
+                 name: str = "mode_value", count_name: str = "n",
+                 num_buckets: int = 64):
+    """Exact per-key MODE (most frequent value, ties broken by the
+    smallest value — fully deterministic): the categorical analogue of
+    :func:`grouped_median`, e.g. the dominant source/content-type/TLD
+    per language in a corpus report.
+
+    Scale shape: each batch pre-aggregates (key, value) → partial count
+    (the exchange ships distinct pairs, never rows), one
+    ``groupby.sum`` merges them, and the per-key argmax runs inside
+    hash(key)-coarse buckets (``num_buckets`` Python group calls TOTAL,
+    independent of key cardinality — the repo's no-group-per-key rule).
+    Inside a bucket: one Arrow sort by (key asc, n desc, value asc) and
+    a vectorized run-length pass — the first row of each key run IS the
+    mode."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([key_column, value_column])
+             .group_by([key_column, value_column])
+             .aggregate([(value_column, "count")]))
+        return g.rename_columns([key_column, value_column, "pn"])
+
+    merged = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("pn", alias_name="__n")))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        pb = pa.array([stable_hash64(str(k)) % num_buckets for k in keys],
+                      pa.int32())
+        return batch.append_column("__pb", pb)
+
+    def bucket_argmax(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({key_column: pa.array([], pa.string()),
+                             name: pa.array([], pa.string()),
+                             count_name: pa.array([], pa.int64())})
+        order = pc.sort_indices(
+            t, sort_keys=[(key_column, "ascending"),
+                          ("__n", "descending"),
+                          (value_column, "ascending")])
+        t = t.take(order)
+        k = t.column(key_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if t.num_rows == 1:
+            starts = np.array([0], np.int64)
+        else:
+            ne = pc.fill_null(
+                pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)), True)
+            starts = np.flatnonzero(
+                np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        head = pa.array(starts)
+        return pa.table({
+            key_column: k.take(head),
+            name: t.column(value_column).take(head),
+            count_name: pc.cast(t.column("__n").take(head), pa.int64()),
+        })
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(bucket_argmax, batch_format="pyarrow"))
+
+
 def corpus_sample(ds, key_column: str, *, n: int = 1000):
     """Global deterministic uniform sample: keep the ``n`` rows with the
     smallest md5(key) across the WHOLE corpus (the RNG-free analogue of

@@ -1,0 +1,142 @@
+"""Tests for the round-4 additions: temperature mixing, grouped mode,
+BPE pair counting, and the domain-suffix blocklist filter."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from llm_food_ray.stages.textstats import grouped_mode, temperature_sample
+from llm_food_ray.stages.vocab import top_char_pairs
+from llm_food_ray.stages.webfilter import filter_blocked_hosts
+
+
+def _from_pandas(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_temperature_sample_budgets_match_closed_form(ray_session):
+    df = pd.DataFrame({"g": ["en"] * 100 + ["zh"] * 25 + ["de"] * 4,
+                       "id": range(129)})
+    out = temperature_sample(_from_pandas(df), "g", "id",
+                             budget=30).to_pandas()
+    got = out.groupby("g").size().to_dict()
+    den = math.sqrt(100) + math.sqrt(25) + math.sqrt(4)
+    want = {g: int(math.floor(round(30 * math.sqrt(n) / den, 9)))
+            for g, n in [("en", 100), ("zh", 25), ("de", 4)]}
+    assert got == want
+    # flattening: the big group's share shrinks vs its natural share
+    assert got["en"] / 30 < 100 / 129
+    assert got["de"] / 30 > 4 / 129
+
+
+def test_temperature_sample_alpha_one_is_proportional(ray_session):
+    df = pd.DataFrame({"g": ["a"] * 80 + ["b"] * 20, "id": range(100)})
+    out = temperature_sample(_from_pandas(df), "g", "id",
+                             budget=50, alpha=1.0).to_pandas()
+    got = out.groupby("g").size().to_dict()
+    assert got == {"a": 40, "b": 10}
+
+
+def test_temperature_sample_is_deterministic_subset(ray_session):
+    df = pd.DataFrame({"g": ["a"] * 40 + ["b"] * 10, "id": range(50)})
+    a = temperature_sample(_from_pandas(df), "g", "id", budget=20)
+    b = temperature_sample(_from_pandas(df), "g", "id", budget=20)
+    assert sorted(a.to_pandas()["id"]) == sorted(b.to_pandas()["id"])
+
+
+def test_grouped_mode_ties_break_to_smallest_value(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "b", "b", "c"],
+        "v": ["y", "y", "x", "w", "z", "z", "w", "q"],
+    })
+    out = (grouped_mode(_from_pandas(df), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert list(out["mode_value"]) == ["y", "w", "q"]  # b: w/z tie → w
+    assert list(out["n"]) == [2, 2, 1]
+
+
+def test_grouped_mode_matches_pandas_on_random_data(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcdefgh"), 500),
+        "v": rng.randint(0, 6, 500),
+    })
+    out = (grouped_mode(_from_pandas(df), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby(["k", "v"]).size().rename("n").reset_index()
+            .sort_values(["k", "n", "v"], ascending=[True, False, True])
+            .groupby("k").head(1).sort_values("k").reset_index(drop=True))
+    assert list(out["mode_value"]) == list(want["v"])
+    assert list(out["n"]) == list(want["n"])
+
+
+def test_top_char_pairs_matches_naive_count(ray_session):
+    texts = ["hello world", "hello there world", "汉字汉字 mixed up",
+             "tab\tsplit and\nnewline", ""]
+    df = pd.DataFrame({"text": texts})
+    out = top_char_pairs(_from_pandas(df), k=50).to_pandas()
+    naive: Counter = Counter()
+    seps = set(" \t\r\n\f\v\x00")
+    for t in texts:
+        for a, b in zip(t, t[1:]):
+            if a not in seps and b not in seps:
+                naive[a + b] += 1
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == dict(naive)
+    # deterministic (n desc, pair asc) order
+    keys = list(zip(-out["n"], out["pair"]))
+    assert keys == sorted(keys)
+
+
+def test_top_char_pairs_never_pairs_across_documents(ray_session):
+    df = pd.DataFrame({"text": ["ab", "ba"]})
+    out = top_char_pairs(_from_pandas(df), k=10).to_pandas()
+    assert sorted(out["pair"]) == ["ab", "ba"]  # no "b|a" doc-crossing pair
+
+
+def test_blocklist_suffix_semantics(ray_session):
+    hosts = ["a.b.example.com", "example.com", "notexample.com",
+             "x.example.net", "good.org", "com"]
+    df = pd.DataFrame({"h": hosts})
+    kept = filter_blocked_hosts(
+        _from_pandas(df), "h",
+        blocked={"example.com", "example.net"}).to_pandas()
+    assert sorted(kept["h"]) == ["com", "good.org", "notexample.com"]
+    only = filter_blocked_hosts(
+        _from_pandas(df), "h", blocked={"example.com"},
+        keep_blocked=True).to_pandas()
+    assert sorted(only["h"]) == ["a.b.example.com", "example.com"]
+
+
+def test_blocklist_tld_level_entry_blocks_subtree(ray_session):
+    df = pd.DataFrame({"h": ["deep.sub.x.net", "x.net", "net", "x.org"]})
+    kept = filter_blocked_hosts(_from_pandas(df), "h",
+                                blocked={"net"}).to_pandas()
+    assert sorted(kept["h"]) == ["x.org"]
+
+
+def test_blocklist_handles_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"h": pa.array(["bad.com", None, "ok.org"], pa.string())})
+    kept = filter_blocked_hosts(rd.from_arrow(t), "h",
+                                blocked={"bad.com"}).to_pandas()
+    assert list(kept["h"].fillna("<null>")) == ["<null>", "ok.org"]
+
+
+@pytest.mark.parametrize("alpha", [0.5, 1.0])
+def test_temperature_budget_never_exceeded(ray_session, alpha):
+    df = pd.DataFrame({"g": ["a"] * 30 + ["b"] * 3, "id": range(33)})
+    out = temperature_sample(_from_pandas(df), "g", "id",
+                             budget=10, alpha=alpha).to_pandas()
+    assert len(out) <= 10
