@@ -1625,6 +1625,19 @@ def q_url_blocklist(sf_dir: str):
         blocked={"site5.example.com", "site11.example.org", "example.net"})
 
 
+def q_nb_lang_classify(sf_dir: str):
+    """Distributed multinomial Naive Bayes: train per-language token
+    models over the corpus (fingerprint-space partial counts, one
+    (label, fp) exchange, classes×vocab-bounded gather) and predict a
+    language for every document in one broadcast-model actor-pool pass.
+    Scores round to 6 decimals BEFORE the argmax; ties break to the
+    smallest label — bit-reproducible across engines."""
+    from llm_food_ray.stages.classify import nb_classify
+
+    return nb_classify(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                       label_column="lang")
+
+
 def q_median_len(sf_dir: str):
     """Exact per-language median document length via value-histogram
     partials (no corpus sort)."""
@@ -2059,8 +2072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_len": q_percent_rank_len,
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
+        "nb_lang_classify": q_nb_lang_classify,
         "events_window": q_events_window,
-        "multimodal_probe": q_multimodal_probe,
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
@@ -2101,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_probe": q_multimodal_probe,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -3576,6 +3590,45 @@ WITH c AS (SELECT lang, source, count(*) AS n
 SELECT lang, source AS mode_source, n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n DESC, source ASC) = 1
+""",
+        # multinomial NB: identical add-one-smoothed score formula,
+        # round-6 before the argmax, min-label tiebreak
+        "nb_lang_classify": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+), cnt AS (
+  SELECT d.lang, t.w, count(*)::BIGINT AS c
+  FROM t JOIN documents d USING (doc_id) GROUP BY d.lang, t.w
+), tot AS (
+  SELECT lang, sum(c)::BIGINT AS tt FROM cnt GROUP BY lang
+), dcs AS (
+  SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY lang
+), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM t),
+cls AS (SELECT DISTINCT lang FROM documents),
+term AS (
+  SELECT t.doc_id, c.lang, ln(COALESCE(cnt.c, 0) + 1.0) AS lt
+  FROM t CROSS JOIN cls c
+  LEFT JOIN cnt ON c.lang = cnt.lang AND t.w = cnt.w
+), persum AS (
+  SELECT doc_id, lang, sum(lt) AS s, count(*)::BIGINT AS ntok
+  FROM term GROUP BY doc_id, lang
+), alldc AS (
+  SELECT d.doc_id, c.lang FROM documents d CROSS JOIN cls c
+), score AS (
+  SELECT a.doc_id, a.lang,
+    round(ln(dcs.nd / nn.n) + COALESCE(p.s, 0)
+          - COALESCE(p.ntok, 0) * ln(tot.tt + vv.v), 6) AS sc
+  FROM alldc a JOIN dcs USING (lang) JOIN tot USING (lang)
+  CROSS JOIN nn CROSS JOIN vv
+  LEFT JOIN persum p ON a.doc_id = p.doc_id AND a.lang = p.lang
+)
+SELECT doc_id, lang AS pred, sc AS score FROM score
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 """,
         # adjacent char pairs, whitespace never pairs; binary UTF-8
         # collation on the 2-char pair == codepoint order == the packed

@@ -1,0 +1,219 @@
+"""Distributed multinomial Naive Bayes — train a text classifier on the
+corpus and score every document, both as streaming Ray Data passes.
+
+The supervised sibling of the ``stages/lm.py`` bigram LM: the canonical
+cheap corpus classifier (fastText-without-embeddings, the CCNet/Gopher
+quality-vs-label triage shape) trained and applied without the data ever
+leaving the workers.
+
+Shape (mirrors the LM's r3 design):
+
+1. **Train**: per-batch PARTIAL (label, token-fingerprint, count) rows
+   via one Arrow ``group_by`` over the batch's flat fingerprint stream
+   (tokens hashed once per distinct token per actor — the
+   ``_TokenHasher`` cache), plus one (label, doc-count) row per label;
+   one ``groupby.sum`` merges the partials.  The gather is
+   classes×vocab bounded (the model, not the corpus); per-class token
+   totals fall out of the gathered counts, the shared vocabulary size V
+   from one ``np.unique`` over the gathered fingerprints.
+2. **Score**: an actor-pool ``map_batches`` hashes each batch's tokens
+   once, then for each class fetches token counts with ONE
+   ``np.searchsorted`` against the broadcast sorted arrays;
+   ``score_c(d) = ln(docs_c/N) + Σ_w ln(cnt_c(w)+1) − n_d·ln(T_c+V)``
+   (add-one smoothing over the shared vocab), per-doc sums via
+   ``np.add.reduceat``, rounded to ``digits`` BEFORE the argmax so
+   cross-engine summation-order ulps can't flip the prediction; ties
+   break to the lexicographically smallest label.
+
+Same 64-bit-fingerprint collision argument as ``stages/lm.py``; any
+collision is deterministic and the oracle gate would catch it.  No
+reference analogue (llm-food has no model training); brief-scope
+training-data operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .lm import _TokenHasher, _lookup_counts
+
+
+class _ClassCountPartials(_TokenHasher):
+    """Per-batch partials: kind 0 = (label, token fp, n) occurrence
+    counts (Arrow group_by — C-speed, vocabulary-sized output), kind 1 =
+    (label, 0, n_docs).  Fingerprints ride as int64 views (Ray's
+    groupby object-boxes uint64)."""
+
+    def __init__(self, text_column: str, label_column: str):
+        super().__init__()
+        self.text_column = text_column
+        self.label_column = label_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx, _, lens, hu = self.flat_token_enc(batch, self.text_column)
+        fps = (hu[idx] if len(idx) else np.empty(0, np.uint64))
+        labels = batch.column(self.label_column)
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        tok_labels = labels.take(
+            pa.array(np.repeat(np.arange(len(lens), dtype=np.int64), lens)))
+        tok = pa.table({"label": tok_labels,
+                        "h": pa.array(fps.view(np.int64), pa.int64())})
+        g = tok.group_by(["label", "h"]).aggregate([("h", "count")])
+        g = g.rename_columns(["label", "h", "n"])
+        d = (batch.select([self.label_column])
+             .group_by([self.label_column])
+             .aggregate([(self.label_column, "count")])
+             .rename_columns(["label", "n"]))
+        return pa.table({
+            "kind": pa.array([0] * g.num_rows + [1] * d.num_rows, pa.int8()),
+            "label": pa.concat_arrays(
+                [g.column("label").combine_chunks().cast(pa.string()),
+                 d.column("label").combine_chunks().cast(pa.string())]),
+            "h": pa.concat_arrays(
+                [g.column("h").combine_chunks(),
+                 pa.array([0] * d.num_rows, pa.int64())]),
+            "n": pa.concat_arrays(
+                [g.column("n").combine_chunks().cast(pa.int64()),
+                 d.column("n").combine_chunks().cast(pa.int64())]),
+        })
+
+
+def train_nb_model(ds, text_column: str = "text",
+                   label_column: str = "lang") -> dict:
+    """→ packed model: per-label sorted fingerprint/count arrays plus
+    (docs_c, T_c) scalars, shared vocab size V, total doc count.  The
+    only driver materialization is the merged (label, fp) count table —
+    classes×vocab bounded, the model itself."""
+    from ray.data.aggregate import Sum
+
+    merged = (ds.map_batches(
+                  _ClassCountPartials(text_column, label_column),
+                  batch_format="pyarrow")
+                .groupby(["kind", "label", "h"])
+                .aggregate(Sum("n", alias_name="n")))
+    tables = [b for b in merged.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")
+              if len(b)]
+    if not tables:
+        return {"labels": [], "classes": {}, "v": 0.0, "n_docs": 0}
+    t = pa.concat_tables(tables, promote_options="default")
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    label = np.asarray(t.column("label").to_pylist(), dtype=object)
+    h = (t.column("h").to_numpy(zero_copy_only=False)
+         .astype(np.int64).view(np.uint64))
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    tok = kind == 0
+    v = len(np.unique(h[tok]))
+    classes: dict = {}
+    for lab in np.unique(label):
+        sel = tok & (label == lab)
+        hk, nk = h[sel], n[sel]
+        order = np.argsort(hk)
+        dsel = (~tok) & (label == lab)
+        classes[str(lab)] = {
+            "h": hk[order],
+            "n": nk[order],
+            "t": int(nk.sum()),
+            "docs": int(n[dsel].sum()),
+        }
+    n_docs = sum(c["docs"] for c in classes.values())
+    return {"labels": sorted(classes), "classes": classes,
+            "v": float(v), "n_docs": int(n_docs)}
+
+
+class NBScorer(_TokenHasher):
+    """Per-batch argmax scoring against the broadcast NB model (see
+    module docstring for the score formula and determinism pinning)."""
+
+    def __init__(self, model, key_column: str = "doc_id",
+                 text_column: str = "text", digits: int = 6):
+        super().__init__()
+        self._model_src = model
+        self._model = None
+        self.key_column = key_column
+        self.text_column = text_column
+        self.digits = digits
+
+    def _get_model(self) -> dict:
+        if self._model is None:
+            src = self._model_src
+            if type(src).__name__ == "ObjectRef":
+                import ray as _ray
+
+                src = _ray.get(src)
+            self._model = src
+        return self._model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self._get_model()
+        labels = m["labels"]
+        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        n_rows = len(lens)
+        if not labels:
+            return pa.table({
+                self.key_column: batch.column(self.key_column),
+                "pred": pa.array([None] * n_rows, pa.string()),
+                "score": pa.array([0.0] * n_rows, pa.float64()),
+            })
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        pos = lens > 0  # reduceat mishandles zero-length segments
+        scores = np.empty((n_rows, len(labels)), np.float64)
+        for j, lab in enumerate(labels):
+            c = m["classes"][lab]
+            prior = math.log(c["docs"] / m["n_docs"])
+            denom = math.log(c["t"] + m["v"])
+            sums = np.zeros(n_rows)
+            if len(th_all) and pos.any():
+                terms = np.log(
+                    _lookup_counts(c["h"], c["n"], th_all) + 1.0)
+                sums[pos] = np.add.reduceat(terms, starts[pos])
+            scores[:, j] = prior + sums - lens * denom
+        scores = np.round(scores, self.digits)
+        best = np.argmax(scores, axis=1)  # first max → smallest label
+        return pa.table({
+            self.key_column: batch.column(self.key_column),
+            "pred": pa.array([labels[b] for b in best], pa.string()),
+            "score": pa.array(scores[np.arange(n_rows), best], pa.float64()),
+        })
+
+
+def nb_classify(ds, *, key_column: str = "doc_id",
+                text_column: str = "text", label_column: str = "lang",
+                concurrency=None):
+    """Train the NB model on ``ds`` and predict a label for every row in
+    one streaming actor-pool pass (model rides the actor-constructor
+    spec — broadcast once, restart-safe)."""
+    from .pools import scoring_pool
+
+    model = train_nb_model(ds, text_column, label_column)
+    return ds.map_batches(
+        NBScorer,
+        fn_constructor_kwargs={"model": model,
+                               "key_column": key_column,
+                               "text_column": text_column},
+        concurrency=scoring_pool(concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def nb_classify_against(ds, train_ds, *, key_column: str = "doc_id",
+                        text_column: str = "text",
+                        label_column: str = "lang", concurrency=None):
+    """Train on a LABELED reference corpus, predict over ``ds`` (the
+    production shape: a small curated labeled set classifies the crawl)."""
+    from .pools import scoring_pool
+
+    model = train_nb_model(train_ds, text_column, label_column)
+    return ds.map_batches(
+        NBScorer,
+        fn_constructor_kwargs={"model": model,
+                               "key_column": key_column,
+                               "text_column": text_column},
+        concurrency=scoring_pool(concurrency),
+        batch_format="pyarrow",
+    )
