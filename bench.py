@@ -335,6 +335,33 @@ def run_bench() -> dict:
     assert n_lm2 == n_pages
     lm_model_stats = lm_model2["stats"]
 
+    # --- Naive Bayes train+classify over the extracted markdown (label
+    # = doc_type): per-class fingerprint counts -> one (label, fp)
+    # exchange -> broadcast-model actor-pool argmax scoring ------------
+    from llm_food_ray.stages.classify import nb_classify
+
+    t0 = time.perf_counter()
+    n_nb = nb_classify(
+        rd.read_parquet(out_dir, columns=["url", "markdown", "doc_type"],
+                        override_num_blocks=nblocks),
+        key_column="url", text_column="markdown",
+        label_column="doc_type").count()
+    queries["nb_classify"] = round(time.perf_counter() - t0, 3)
+    assert n_nb == n_pages
+
+    # --- BPE merge-step pair count over the extracted markdown: numpy
+    # per-batch bincounts in packed codepoint space -> one pair-vocab
+    # groupby -> deterministic top-k -----------------------------------
+    from llm_food_ray.stages.vocab import top_char_pairs
+
+    t0 = time.perf_counter()
+    n_bpe = top_char_pairs(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", k=20).count()
+    queries["bpe_pairs"] = round(time.perf_counter() - t0, 3)
+    assert n_bpe == 20
+
     # --- duplicate-window spans (ExactSubstr-style) over the extracted
     # markdown: two streaming crc32-window passes + one fp groupby; the
     # replicated corpus makes every in-text window a ~REPL-way dup, so
