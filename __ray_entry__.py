@@ -1625,6 +1625,24 @@ def q_url_blocklist(sf_dir: str):
         blocked={"site5.example.com", "site11.example.org", "example.net"})
 
 
+def q_term_lookup(sf_dir: str):
+    """Persisted inverted index: one shuffle-free streaming build pass
+    writes (term, doc_id, tf) postings hive-partitioned by
+    hash(term)%64, then the lookup reads ONLY the bucket directories
+    the three query terms hash into (I/O-level pruning — the IVF
+    layout story applied to text retrieval)."""
+    import os
+    import shutil
+
+    from llm_food_ray.stages.index import build_term_index, term_lookup
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/term_index_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    build_term_index(_docs(sf_dir, ["doc_id", "text"]), d)
+    return term_lookup(d, ["the", "der", "data"])
+
+
 def q_nb_lang_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes: train per-language token
     models over the corpus (fingerprint-space partial counts, one
@@ -2073,7 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
-        "events_window": q_events_window,
+        "term_lookup": q_term_lookup,
         "dedup_minhash": q_dedup_minhash,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
@@ -2115,6 +2133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_probe": q_multimodal_probe,
+        "events_window": q_events_window,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -3590,6 +3609,16 @@ WITH c AS (SELECT lang, source, count(*) AS n
 SELECT lang, source AS mode_source, n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n DESC, source ASC) = 1
+""",
+        "term_lookup": r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM t
+WHERE term IN ('the', 'der', 'data') GROUP BY term, doc_id
 """,
         # multinomial NB: identical add-one-smoothed score formula,
         # round-6 before the argmax, min-label tiebreak

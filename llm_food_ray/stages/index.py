@@ -1,0 +1,108 @@
+"""Persisted inverted index: bucket-partitioned postings on Parquet.
+
+The retrieval-side counterpart of the IVF layout in
+``stages/similarity.py``: build once as hive-partitioned Parquet keyed
+by ``bucket = hash(term) % num_buckets``, then serve term lookups by
+reading ONLY the bucket directories the queried terms hash into —
+I/O-level pruning, the property that matters when the index itself is
+TB-sized.  Posting rows are ``(term, doc_id, tf)`` — vocabulary×docs
+bounded, which is what an inverted index is.
+
+Build is shuffle-free: each batch computes its per-doc term frequencies
+with one Arrow ``group_by`` (C-speed, no Python token loops) and the
+partitioned write routes rows into bucket directories per block — no
+global exchange, because postings for one term may span files within its
+bucket directory and the reader re-aggregates nothing (tf is exact per
+(doc, term) within a batch, and a document lives in exactly one batch).
+
+No reference analogue (llm-food has no retrieval); brief-scope
+training-data operator complementing ``stages/search.py``'s BM25.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+
+def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
+                     text_column: str = "text", num_buckets: int = 64):
+    """Write the inverted index for ``ds`` under
+    ``out_dir/bucket=<b>/``; returns the posting-row count.
+
+    Scale shape: one streaming pass; per-batch Arrow group_by emits
+    (term, id, tf) rows; the hive write fans each block's rows into its
+    bucket subdirectories.  ``num_buckets`` bounds lookup I/O (a term
+    lookup reads 1/num_buckets of the index) — size it so one bucket
+    directory stays well under a node's read bandwidth budget."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def postings(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(
+            np.repeat(np.arange(len(lens), dtype=np.int64), lens)))
+        t = pa.table({"term": flat, id_column: rep})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        g = (t.group_by(["term", id_column])
+             .aggregate([(id_column, "count")])
+             .rename_columns(["term", id_column, "tf"]))
+        # bucket via the cached-hash loop over the batch's DISTINCT terms
+        enc = g.column("term").combine_chunks().dictionary_encode()
+        bd = np.fromiter((stable_hash64(w) % num_buckets
+                          for w in enc.dictionary.to_pylist()),
+                         np.int64, len(enc.dictionary))
+        bucket = bd[enc.indices.to_numpy(zero_copy_only=False)]
+        return g.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    out = ds.map_batches(postings, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["bucket"])
+    return out
+
+
+def term_lookup(index_dir: str, terms, *, id_column: str = "doc_id",
+                num_buckets: int = 64):
+    """Postings for ``terms`` from a :func:`build_term_index` directory,
+    reading ONLY the bucket partitions the terms hash into.  Returns a
+    Dataset of (term, id, tf)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    import os
+
+    terms = sorted(set(terms))
+    buckets = sorted({stable_hash64(t) % num_buckets for t in terms})
+    # a bucket no indexed term hashed into has no directory (a term
+    # absent from the corpus) — skip it; list concrete files because a
+    # LIST of paths is treated as files by read_parquet
+    paths = []
+    for b in buckets:
+        p = f"{index_dir}/bucket={b}"
+        if os.path.isdir(p):
+            paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+    tset = pa.array(terms, pa.string())
+    if not paths:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            id_column: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64())}))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.is_in(batch.column("term"), value_set=tset))
+        return keep.select(["term", id_column, "tf"])
+
+    return rd.read_parquet(paths).map_batches(filt, batch_format="pyarrow")

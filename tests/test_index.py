@@ -1,0 +1,62 @@
+"""Inverted-index tests: build/lookup round-trip, bucket pruning, and
+absent-term handling."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from llm_food_ray.functions.hashing import stable_hash64
+from llm_food_ray.stages.index import build_term_index, term_lookup
+
+
+def _from_pandas(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_index_roundtrip_and_tf(ray_session, tmp_path):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat dog cat", "dog dog", "bird  cat\tdog"],
+    })
+    d = str(tmp_path / "ix")
+    build_term_index(_from_pandas(df), d)
+    out = (term_lookup(d, ["cat", "dog"]).to_pandas()
+           .sort_values(["term", "doc_id"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "term": ["cat", "cat", "dog", "dog", "dog"],
+        "doc_id": [1, 3, 1, 2, 3],
+        "tf": [2, 1, 1, 2, 1],
+    })
+    assert out.astype({"tf": "int64"}).equals(want)
+
+
+def test_lookup_reads_only_matching_buckets(ray_session, tmp_path):
+    df = pd.DataFrame({"doc_id": range(50),
+                       "text": [f"w{i} shared" for i in range(50)]})
+    d = str(tmp_path / "ix")
+    build_term_index(_from_pandas(df), d, num_buckets=16)
+    out = term_lookup(d, ["shared"], num_buckets=16).to_pandas()
+    assert len(out) == 50
+    # the lookup path only touches the one bucket 'shared' hashes into
+    b = stable_hash64("shared") % 16
+    assert os.path.isdir(os.path.join(d, f"bucket={b}"))
+
+
+def test_lookup_absent_term_is_empty(ray_session, tmp_path):
+    df = pd.DataFrame({"doc_id": [1], "text": ["alpha beta"]})
+    d = str(tmp_path / "ix")
+    build_term_index(_from_pandas(df), d)
+    out = term_lookup(d, ["nosuchterm"]).to_pandas()
+    assert len(out) == 0
+    # Ray drops the schema of fully-filtered (all-empty-block) datasets,
+    # so columns are only guaranteed when the bucket dir didn't exist at
+    # all (the typed-empty return path)
+    assert (len(out.columns) == 0
+            or list(out.columns) == ["term", "doc_id", "tf"])
+
+    out2 = term_lookup(d, ["zz-no-bucket"], num_buckets=1024).to_pandas()
+    assert len(out2) == 0
