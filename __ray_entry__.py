@@ -1643,6 +1643,19 @@ def q_term_lookup(sf_dir: str):
     return term_lookup(d, ["the", "der", "data"])
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT n_chars) per language —
+    the mergeable-sketch replacement for the exchange-heavy exact count
+    (`distinct_lengths` is the exact twin): fixed 4 KiB registers per
+    (group, block), elementwise-max merge, deterministic md5-prefix
+    hashing — so the ESTIMATE itself is value-checked against a full
+    SQL replica, not just a tolerance test."""
+    from llm_food_ray.stages.sketch import hll_count_distinct
+
+    return hll_count_distinct(_docs(sf_dir, ["lang", "n_chars"]),
+                              "lang", "n_chars")
+
+
 def q_nb_lang_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes: train per-language token
     models over the corpus (fingerprint-space partial counts, one
@@ -2092,7 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
         "term_lookup": q_term_lookup,
-        "dedup_minhash": q_dedup_minhash,
+        "hll_distinct": q_hll_distinct,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
@@ -2134,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_probe": q_multimodal_probe,
         "events_window": q_events_window,
+        "dedup_minhash": q_dedup_minhash,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -3609,6 +3623,39 @@ WITH c AS (SELECT lang, source, count(*) AS n
 SELECT lang, source AS mode_source, n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n DESC, source ASC) = 1
+""",
+        # full HLL replica: same md5-prefix hash, integer rho via
+        # bin()-length, same alpha/linear-counting estimator, round-6
+        "hll_distinct": """
+WITH v AS (
+  SELECT DISTINCT lang, n_chars::VARCHAR AS s FROM documents
+), h AS (
+  SELECT lang, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM v
+), b AS (
+  SELECT lang, CAST(h >> 52 AS BIGINT) AS bucket,
+         CAST(h & ((1::UBIGINT << 52) - 1) AS BIGINT) AS rem
+  FROM h
+), r AS (
+  SELECT lang, bucket,
+         max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
+  FROM b GROUP BY lang, bucket
+), agg AS (
+  SELECT lang,
+         sum(pow(2.0, -rho)) AS s_present,
+         count(*)::BIGINT AS n_present
+  FROM r GROUP BY lang
+), est AS (
+  SELECT lang,
+         (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+           / (s_present + (4096 - n_present) * 1.0) AS e_raw,
+         4096 - n_present AS zeros
+  FROM agg
+)
+SELECT lang,
+       round(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096 * ln(4096.0 / zeros) ELSE e_raw END, 6)
+         AS approx_distinct
+FROM est
 """,
         "term_lookup": r"""
 WITH t AS (

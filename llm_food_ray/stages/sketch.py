@@ -1,0 +1,110 @@
+"""Mergeable cardinality sketches: HyperLogLog distinct counting.
+
+Exact ``COUNT(DISTINCT)`` (``textstats.grouped_count_distinct``) ships
+one exchange row per distinct (key, value) pair — at 100 TB a
+trillion-row exchange for a telemetry number.  The HLL sketch replaces
+it with a FIXED 2^p bytes per (group, block): each batch folds its
+values into max-of-rho registers locally, the merge is an elementwise
+byte max over blocks-bounded rows, and the estimate reads off the merged
+registers.  Exchange volume: groups × blocks × 4 KiB, independent of
+both corpus size and cardinality.
+
+Everything is deterministic and engine-reproducible — the hash is the
+md5-prefix ``stable_hash64`` (replicable as DuckDB
+``('0x' || substr(md5(v), 1, 16))::UBIGINT``), rho is integer bit
+arithmetic, and the estimator is the standard Flajolet et al. 2007
+alpha_m correction with the small-range linear-counting branch, rounded
+to 6 decimals so summation-order ulps cancel — so unlike most sketches
+this one has a FULL value-level SQL oracle, not just a tolerance test.
+
+No reference analogue; brief-scope ("a novel sketch") training-data
+operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _alpha(m: int) -> float:
+    # Flajolet et al. 2007 bias constant (m >= 128 branch)
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _registers_for(values, p: int) -> np.ndarray:
+    """Max-rho register array (2^p int8) for a list of value strings."""
+    from ..functions.hashing import stable_hash64
+
+    m = 1 << p
+    regs = np.zeros(m, np.int8)
+    if not len(values):
+        return regs
+    h = np.fromiter((stable_hash64(v) for v in values), np.uint64,
+                    len(values))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.int64)
+    # bit_length via frexp — exact because rem < 2^52 < 2^53
+    bl = np.frexp(rem.astype(np.float64))[1]
+    rho = np.where(rem > 0, (64 - p) + 1 - bl, (64 - p) + 1).astype(np.int8)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray, p: int, digits: int = 6) -> float:
+    m = 1 << p
+    s = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    e = _alpha(m) * m * m / s
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return round(e, digits)
+
+
+def hll_count_distinct(ds, key_column: str, value_column: str, *,
+                       p: int = 12, name: str = "approx_distinct"):
+    """Approximate ``COUNT(DISTINCT value)`` per key via a 2^p-register
+    HLL — one (group, registers) row per (group, block) on the
+    exchange, elementwise-max merge, deterministic estimate (standard
+    error ≈ 1.04/sqrt(2^p) ≈ 1.6% at the default p=12).
+
+    Scale shape: the per-batch fold hashes only the batch's DISTINCT
+    (key, value) pairs (Arrow group_by first), register rows ride as
+    opaque 4 KiB binary, and the merge is ``groupby(key).map_groups``
+    over GROUPS — bounded by the group cardinality the report is about,
+    with blocks-bounded rows per group, not corpus rows."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (batch.select([key_column, value_column])
+             .group_by([key_column, value_column]).aggregate([]))
+        keys = t.column(key_column).to_pylist()
+        vals = [str(v) for v in t.column(value_column).to_pylist()]
+        out_k, out_r = [], []
+        by_key: dict = {}
+        for k, v in zip(keys, vals):
+            by_key.setdefault(k, []).append(v)
+        for k, vs in by_key.items():
+            out_k.append(k)
+            out_r.append(_registers_for(vs, p).tobytes())
+        return pa.table({key_column: pa.array(out_k),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_column: pa.array([], pa.string()),
+                             name: pa.array([], pa.float64())})
+        stack = np.stack([np.frombuffer(b, np.int8)
+                          for b in t.column("regs").to_pylist()])
+        regs = stack.max(axis=0)
+        assert regs.size == m
+        return pa.table({
+            key_column: t.column(key_column).slice(0, 1),
+            name: pa.array([_estimate(regs, p)], pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key_column)
+              .map_groups(merge, batch_format="pyarrow"))
