@@ -140,3 +140,37 @@ def test_temperature_budget_never_exceeded(ray_session, alpha):
     out = temperature_sample(_from_pandas(df), "g", "id",
                              budget=10, alpha=alpha).to_pandas()
     assert len(out) <= 10
+
+
+def test_temperature_quota_derivation_matches_duckdb_randomized():
+    """Cross-engine pin for the sqrt/round-9/floor quota rule: the
+    derivation must agree with DuckDB bit-for-bit across random group
+    histograms (the round-9 step is what absorbs denominator
+    summation-order ulps — this is the empirical evidence)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    for _ in range(40):
+        k = rng.randint(1, 12)
+        sizes = {f"g{i:02d}": rng.randint(1, 10 ** rng.randint(0, 6))
+                 for i in range(k)}
+        budget = rng.randint(1, 10 ** 5)
+        rows = sorted(sizes.items())
+        weights = [math.sqrt(n) for _, n in rows]
+        den = 0.0
+        for w in weights:
+            den += w
+        py = {g: int(math.floor(round(budget * w / den, 9)))
+              for (g, _), w in zip(rows, weights)}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE g(lang VARCHAR, n BIGINT)")
+        con.executemany("INSERT INTO g VALUES (?, ?)", list(sizes.items()))
+        db = dict(con.sql(
+            f"""WITH den AS (SELECT sum(sqrt(n::DOUBLE)) AS d FROM g)
+            SELECT lang,
+                   CAST(floor(round({budget} * sqrt(n::DOUBLE) / d, 9))
+                        AS BIGINT)
+            FROM g, den""").fetchall())
+        assert py == db
