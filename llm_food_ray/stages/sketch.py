@@ -89,7 +89,10 @@ def hll_count_distinct(ds, key_column: str, value_column: str, *,
         for k, vs in by_key.items():
             out_k.append(k)
             out_r.append(_registers_for(vs, p).tobytes())
-        return pa.table({key_column: pa.array(out_k),
+        # type the key column explicitly — pa.array([]) on an empty
+        # batch would infer null and clash with sibling blocks' schema
+        ktype = batch.schema.field(key_column).type
+        return pa.table({key_column: pa.array(out_k, ktype),
                          "regs": pa.array(out_r, pa.binary())})
 
     def merge(t: pa.Table) -> pa.Table:
