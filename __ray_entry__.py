@@ -1656,6 +1656,42 @@ def q_hll_distinct(sf_dir: str):
                               "lang", "n_chars")
 
 
+def q_snapshot_overlap(sf_dir: str):
+    """Crawl-churn telemetry from two 4 KiB sketches: HLL register
+    arrays for two synthesised url snapshots (B drops every 10th url
+    and adds new ones), union = elementwise max (sketch mergeability),
+    overlap by inclusion–exclusion — no join, no exchange beyond
+    blocks-bounded register rows.  The exact-join twin is
+    `crawl_diff`."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.sketch import hll_overlap
+
+    def urls_a(batch: pa.Table) -> pa.Table:
+        v = pc.binary_join_element_wise(
+            "u", pc.cast(batch.column("doc_id"), pa.string()), "")
+        return pa.table({"v": v})
+
+    def urls_b(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = batch.filter(pa.array(ids % 10 != 0))
+        new = batch.filter(pa.array(ids % 7 == 0))
+        va = pc.binary_join_element_wise(
+            "u", pc.cast(keep.column("doc_id"), pa.string()), "")
+        vb = pc.binary_join_element_wise(
+            "new", pc.cast(new.column("doc_id"), pa.string()), "")
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        if isinstance(vb, pa.ChunkedArray):
+            vb = vb.combine_chunks()
+        return pa.table({"v": pa.concat_arrays([va, vb])})
+
+    docs = _docs(sf_dir, ["doc_id"])
+    a = docs.map_batches(urls_a, batch_format="pyarrow")
+    b = docs.map_batches(urls_b, batch_format="pyarrow")
+    return hll_overlap(a, b, "v")
+
+
 def q_nb_lang_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes: train per-language token
     models over the corpus (fingerprint-space partial counts, one
@@ -2106,13 +2142,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": q_nb_lang_classify,
         "term_lookup": q_term_lookup,
         "hll_distinct": q_hll_distinct,
+        "snapshot_overlap": q_snapshot_overlap,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "supplier_components": q_supplier_components,
-        "ngram_lm_score": q_ngram_lm_score,
         "lm_cross_score": q_lm_cross_score,
         "tfidf_terms": q_tfidf_terms,
         "bpe_pairs": q_bpe_pairs,
@@ -2148,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_probe": q_multimodal_probe,
         "events_window": q_events_window,
         "dedup_minhash": q_dedup_minhash,
+        "ngram_lm_score": q_ngram_lm_score,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -2194,6 +2231,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ---------------------------------------------------------- oracle SQL ----
+
+
+def _hll_est_sql(src: str) -> str:
+    """Scalar HLL-estimate subquery over ``src`` (a CTE exposing a `v`
+    string column) — the same md5-prefix/bin()-rho/alpha/linear-count
+    replica as the `hll_distinct` oracle, shared by the overlap query's
+    three sketches."""
+    return f"""(
+  SELECT round(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096 * ln(4096.0 / zeros) ELSE e_raw END, 6)
+  FROM (
+    SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+             / (s_present + (4096 - n_present) * 1.0) AS e_raw,
+           4096 - n_present AS zeros
+    FROM (
+      SELECT sum(pow(2.0, -rho)) AS s_present,
+             count(*)::BIGINT AS n_present
+      FROM (
+        SELECT bucket,
+               max(CASE WHEN rem = 0 THEN 53
+                        ELSE 53 - length(bin(rem)) END) AS rho
+        FROM (
+          SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+                 CAST(h & ((1::UBIGINT << 52) - 1) AS BIGINT) AS rem
+          FROM (SELECT DISTINCT ('0x' || substr(md5(v), 1, 16))::UBIGINT
+                  AS h FROM {src})
+        ) GROUP BY bucket
+      )
+    )
+  )
+)"""
 
 
 def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61) -> str:
@@ -3656,6 +3724,19 @@ SELECT lang,
                   THEN 4096 * ln(4096.0 / zeros) ELSE e_raw END, 6)
          AS approx_distinct
 FROM est
+""",
+        "snapshot_overlap": f"""
+WITH a AS (SELECT 'u' || doc_id AS v FROM documents),
+b AS (SELECT 'u' || doc_id AS v FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT 'new' || doc_id AS v FROM documents WHERE doc_id % 7 = 0),
+u AS (SELECT v FROM a UNION ALL SELECT v FROM b),
+e AS (SELECT {_hll_est_sql('a')} AS ea,
+             {_hll_est_sql('b')} AS eb,
+             {_hll_est_sql('u')} AS eu)
+SELECT ea AS n_a, eb AS n_b, eu AS n_union,
+       round(ea + eb - eu, 6) AS n_overlap
+FROM e
 """,
         "term_lookup": r"""
 WITH t AS (

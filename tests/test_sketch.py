@@ -7,7 +7,7 @@ import numpy as np
 import pandas as pd
 
 from llm_food_ray.stages.sketch import (_estimate, _registers_for,
-                                        hll_count_distinct)
+                                        hll_count_distinct, hll_overlap)
 
 
 def _from_pandas(df):
@@ -59,3 +59,33 @@ def test_hll_deterministic(ray_session):
     a = hll_count_distinct(_from_pandas(df), "k", "v").to_pandas()
     b = hll_count_distinct(_from_pandas(df), "k", "v").to_pandas()
     assert float(a["approx_distinct"][0]) == float(b["approx_distinct"][0])
+
+
+def test_hll_overlap_inclusion_exclusion(ray_session):
+    import ray.data as rd
+
+    a = pd.DataFrame({"v": [f"u{i}" for i in range(2000)]})
+    b = pd.DataFrame({"v": [f"u{i}" for i in range(1000, 3000)]})
+    out = (hll_overlap(rd.from_pandas(a), rd.from_pandas(b), "v")
+           .to_pandas().iloc[0])
+    # true: |A|=2000 |B|=2000 |A∪B|=3000 |A∩B|=1000
+    assert abs(out["n_a"] - 2000) / 2000 < 0.05
+    assert abs(out["n_b"] - 2000) / 2000 < 0.05
+    assert abs(out["n_union"] - 3000) / 3000 < 0.05
+    # overlap inherits three estimates' noise — wider band
+    assert abs(out["n_overlap"] - 1000) / 1000 < 0.2
+    assert round(out["n_a"] + out["n_b"] - out["n_union"], 6) == out["n_overlap"]
+
+
+def test_hll_overlap_disjoint_and_identical(ray_session):
+    import ray.data as rd
+
+    a = pd.DataFrame({"v": [f"x{i}" for i in range(500)]})
+    b = pd.DataFrame({"v": [f"y{i}" for i in range(500)]})
+    out = (hll_overlap(rd.from_pandas(a), rd.from_pandas(b), "v")
+           .to_pandas().iloc[0])
+    assert abs(out["n_overlap"]) / 500 < 0.1  # ≈ disjoint
+    same = (hll_overlap(rd.from_pandas(a), rd.from_pandas(a), "v")
+            .to_pandas().iloc[0])
+    assert same["n_union"] == same["n_a"] == same["n_b"]
+    assert same["n_overlap"] == round(same["n_a"], 6)
