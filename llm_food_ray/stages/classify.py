@@ -83,11 +83,24 @@ class _ClassCountPartials(_TokenHasher):
 
 
 def train_nb_model(ds, text_column: str = "text",
-                   label_column: str = "lang") -> dict:
+                   label_column: str = "lang", *,
+                   min_count: int = 1) -> dict:
     """→ packed model: per-label sorted fingerprint/count arrays plus
     (docs_c, T_c) scalars, shared vocab size V, total doc count.  The
     only driver materialization is the merged (label, fp) count table —
-    classes×vocab bounded, the model itself."""
+    classes×vocab bounded, the model itself.
+
+    ``min_count`` (the LM's Zipf posture, `stages/lm.py`): (label, fp)
+    rows below the threshold are pruned BEFORE the driver gather, so
+    the broadcast model size is Zipf-bounded at web scale; V and the
+    per-class token totals T_c are computed exactly PRE-prune (V from a
+    model-sized groupby(h) distinct pass, T_c from per-block scalar
+    sums), so the smoothing denominators — and every score of a
+    surviving token — are bit-identical to the unpruned model.
+    ``min_count=1`` (default) prunes nothing.  ``model["stats"]``
+    records rows before/after (the exchange-vs-broadcast mass)."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Sum
 
     merged = (ds.map_batches(
@@ -95,8 +108,54 @@ def train_nb_model(ds, text_column: str = "text",
                   batch_format="pyarrow")
                 .groupby(["kind", "label", "h"])
                 .aggregate(Sum("n", alias_name="n")))
-    tables = [b for b in merged.iter_batches(batch_size=None,
-                                             batch_format="pyarrow")
+    if min_count > 1:
+        merged = merged.materialize()
+
+        def block_scalars(b: pa.Table) -> pa.Table:
+            tb = b.filter(pc.equal(b.column("kind"), 0))
+            g = tb.group_by(["label"]).aggregate([("n", "sum")])
+            return g.rename_columns(["label", "t"])
+
+        # exact pre-prune per-class totals from model-sized block scalars
+        pre_t: dict = {}
+        for b in merged.map_batches(block_scalars, batch_format="pyarrow") \
+                       .iter_batches(batch_size=None, batch_format="pyarrow"):
+            for lab, tt in zip(b.column("label").to_pylist(),
+                               b.column("t").to_pylist()):
+                pre_t[lab] = pre_t.get(lab, 0) + int(tt)
+        # exact pre-prune V: distinct token fp across labels — one
+        # model-sized groupby, counted from per-block scalars
+        def tok_h(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), 0)).select(["h"])
+
+        def block_rows(b: pa.Table) -> pa.Table:
+            return pa.table({"nv": pa.array([b.num_rows], pa.int64())})
+
+        from ray.data.aggregate import Count
+
+        v_exact = sum(
+            bb.column("nv")[0].as_py()
+            for bb in merged.map_batches(tok_h, batch_format="pyarrow")
+                            .groupby("h").aggregate(Count(alias_name="c"))
+                            .map_batches(block_rows, batch_format="pyarrow")
+                            .iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+
+        def prune(b: pa.Table) -> pa.Table:
+            keep = pc.or_(pc.not_equal(b.column("kind"), 0),
+                          pc.greater_equal(b.column("n"), min_count))
+            return b.filter(keep)
+
+        rows_merged = merged.count()
+        gathered = merged.map_batches(prune, batch_format="pyarrow")
+    else:
+        pre_t = None
+        v_exact = None
+        rows_merged = None
+        gathered = merged
+
+    tables = [b for b in gathered.iter_batches(batch_size=None,
+                                               batch_format="pyarrow")
               if len(b)]
     if not tables:
         return {"labels": [], "classes": {}, "v": 0.0, "n_docs": 0}
@@ -108,7 +167,7 @@ def train_nb_model(ds, text_column: str = "text",
     n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
 
     tok = kind == 0
-    v = len(np.unique(h[tok]))
+    v = len(np.unique(h[tok])) if v_exact is None else v_exact
     classes: dict = {}
     for lab in np.unique(label):
         sel = tok & (label == lab)
@@ -118,12 +177,18 @@ def train_nb_model(ds, text_column: str = "text",
         classes[str(lab)] = {
             "h": hk[order],
             "n": nk[order],
-            "t": int(nk.sum()),
+            "t": (int(nk.sum()) if pre_t is None
+                  else int(pre_t.get(lab, 0))),
             "docs": int(n[dsel].sum()),
         }
     n_docs = sum(c["docs"] for c in classes.values())
-    return {"labels": sorted(classes), "classes": classes,
-            "v": float(v), "n_docs": int(n_docs)}
+    model = {"labels": sorted(classes), "classes": classes,
+             "v": float(v), "n_docs": int(n_docs)}
+    if rows_merged is not None:
+        model["stats"] = {"min_count": int(min_count),
+                          "rows_merged": int(rows_merged),
+                          "rows_model": int(len(h))}
+    return model
 
 
 class NBScorer(_TokenHasher):
@@ -184,13 +249,14 @@ class NBScorer(_TokenHasher):
 
 def nb_classify(ds, *, key_column: str = "doc_id",
                 text_column: str = "text", label_column: str = "lang",
-                concurrency=None):
+                min_count: int = 1, concurrency=None):
     """Train the NB model on ``ds`` and predict a label for every row in
     one streaming actor-pool pass (model rides the actor-constructor
     spec — broadcast once, restart-safe)."""
     from .pools import scoring_pool
 
-    model = train_nb_model(ds, text_column, label_column)
+    model = train_nb_model(ds, text_column, label_column,
+                           min_count=min_count)
     return ds.map_batches(
         NBScorer,
         fn_constructor_kwargs={"model": model,
@@ -203,12 +269,14 @@ def nb_classify(ds, *, key_column: str = "doc_id",
 
 def nb_classify_against(ds, train_ds, *, key_column: str = "doc_id",
                         text_column: str = "text",
-                        label_column: str = "lang", concurrency=None):
+                        label_column: str = "lang",
+                        min_count: int = 1, concurrency=None):
     """Train on a LABELED reference corpus, predict over ``ds`` (the
     production shape: a small curated labeled set classifies the crawl)."""
     from .pools import scoring_pool
 
-    model = train_nb_model(train_ds, text_column, label_column)
+    model = train_nb_model(train_ds, text_column, label_column,
+                           min_count=min_count)
     return ds.map_batches(
         NBScorer,
         fn_constructor_kwargs={"model": model,

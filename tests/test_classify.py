@@ -113,3 +113,26 @@ def test_nb_model_shape_and_totals(ray_session):
     assert m["classes"]["x"]["t"] == 3
     assert m["classes"]["y"]["t"] == 2
     assert m["classes"]["y"]["docs"] == 2  # empty doc still counts
+
+
+def test_nb_min_count_prune_preserves_denominators(ray_session):
+    import numpy as np
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    ds_fn = lambda: _from_pandas(docs)  # noqa: E731
+    m1 = train_nb_model(ds_fn())
+    m2 = train_nb_model(ds_fn(), min_count=3)
+    # V and per-class totals/docs are PRE-prune exact — identical
+    assert m1["v"] == m2["v"]
+    for lab in m1["labels"]:
+        assert m1["classes"][lab]["t"] == m2["classes"][lab]["t"]
+        assert m1["classes"][lab]["docs"] == m2["classes"][lab]["docs"]
+    # surviving rows keep their exact counts, all >= min_count
+    for lab in m1["labels"]:
+        c1, c2 = m1["classes"][lab], m2["classes"][lab]
+        pos = np.searchsorted(c1["h"], c2["h"])
+        assert (c1["h"][pos] == c2["h"]).all()
+        assert (c1["n"][pos] == c2["n"]).all()
+        assert (c2["n"] >= 3).all()
+    assert m2["stats"]["rows_model"] <= m2["stats"]["rows_merged"]
