@@ -1692,6 +1692,26 @@ def q_snapshot_overlap(sf_dir: str):
     return hll_overlap(a, b, "v")
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact token-phrase retrieval from a positional inverted index:
+    build (term, doc, pos) postings hive-partitioned by hash(term),
+    then find documents containing the phrase "batch batch stream" (the
+    repeated term exercises the self-join) as a chain of native hash
+    joins on (doc, pos−i) — no list payloads near a join, output
+    bounded by the rarest term's postings."""
+    import os
+    import shutil
+
+    from llm_food_ray.stages.index import (build_positional_index,
+                                           phrase_lookup)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/pos_index_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    build_positional_index(_docs(sf_dir, ["doc_id", "text"]), d)
+    return phrase_lookup(d, ["batch", "batch", "stream"])
+
+
 def q_nb_lang_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes: train per-language token
     models over the corpus (fingerprint-space partial counts, one
@@ -2143,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_lookup": q_term_lookup,
         "hll_distinct": q_hll_distinct,
         "snapshot_overlap": q_snapshot_overlap,
+        "phrase_search": q_phrase_search,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
@@ -2150,7 +2171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "supplier_components": q_supplier_components,
         "lm_cross_score": q_lm_cross_score,
-        "tfidf_terms": q_tfidf_terms,
         "bpe_pairs": q_bpe_pairs,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
@@ -2185,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "dedup_minhash": q_dedup_minhash,
         "ngram_lm_score": q_ngram_lm_score,
+        "tfidf_terms": q_tfidf_terms,
         "top_bigrams": q_top_bigrams,
         # all driver-green in BOTH r2 and r3, untouched by r4 changes,
         # plus pca_project (pytest-pinned by design, like the IVF pair) ---
@@ -3737,6 +3758,29 @@ e AS (SELECT {_hll_est_sql('a')} AS ea,
 SELECT ea AS n_a, eb AS n_b, eu AS n_union,
        round(ea + eb - eu, 6) AS n_overlap
 FROM e
+""",
+        # positions are RAW whitespace-split ordinals (boundary empties
+        # keep their index then drop) — the same coordinate system the
+        # positional index stores
+        "phrase_search": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '[ \t\r\n\f]+') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(ws) AS w,
+         generate_subscripts(ws, 1) - 1 AS pos
+  FROM t
+), tok AS (
+  SELECT doc_id, w, pos FROM p WHERE w <> ''
+), hits AS (
+  SELECT a.doc_id
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.w = 'batch' AND b.w = 'batch' AND c.w = 'stream'
+)
+SELECT doc_id, count(*)::BIGINT AS n_occurrences
+FROM hits GROUP BY doc_id
 """,
         "term_lookup": r"""
 WITH t AS (

@@ -69,8 +69,98 @@ def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
     return out
 
 
+def build_positional_index(ds, out_dir: str, *, id_column: str = "doc_id",
+                           text_column: str = "text",
+                           num_buckets: int = 64):
+    """Positional variant: one EXPLODED posting row per token occurrence
+    — ``(term, id, pos)`` with 0-based token position — hive-partitioned
+    by hash(term)%buckets like :func:`build_term_index`.  Rows are
+    token-occurrence bounded (the standard positional-index cost, ~1
+    int per token); build stays a single shuffle-free streaming pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def postings(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = ids.take(pa.array(
+            np.repeat(np.arange(len(lens), dtype=np.int64), lens)))
+        total = int(lens.sum())
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(total, dtype=np.int64) - starts
+        t = pa.table({"term": flat, id_column: rep,
+                      "pos": pa.array(pos, pa.int64())})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        # NOTE: positions number the RAW whitespace split including the
+        # boundary empties Arrow emits for leading/multiple whitespace —
+        # filtered rows leave gaps.  The synthetic corpora are single-
+        # space separated so positions == token ordinals there; phrase
+        # adjacency is evaluated in the same coordinate system on both
+        # engines as long as the oracle splits identically.
+        enc = t.column("term").combine_chunks().dictionary_encode()
+        bd = np.fromiter((stable_hash64(w) % num_buckets
+                          for w in enc.dictionary.to_pylist()),
+                         np.int64, len(enc.dictionary))
+        bucket = bd[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    out = ds.map_batches(postings, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["bucket"])
+    return out
+
+
+def phrase_lookup(index_dir: str, phrase: list[str], *,
+                  id_column: str = "doc_id", num_buckets: int = 64,
+                  name: str = "n_occurrences"):
+    """Documents containing the exact token phrase, with occurrence
+    counts, from a :func:`build_positional_index` directory.
+
+    Plan: term i's postings are read from ONLY its bucket directory and
+    projected to ``(id, pos - i)`` — a phrase occurrence is a row
+    present in EVERY term's shifted projection, so the verify is a
+    chain of native hash joins on the two integer key columns (no list
+    payloads near a join — Ray's acero rejects them), each join output
+    bounded by the rarest term's postings.  A final count per id
+    aggregates occurrences."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    assert len(phrase) >= 1
+    legs = []
+    for i, term in enumerate(phrase):
+        ds = term_lookup(index_dir, [term], id_column=id_column,
+                         num_buckets=num_buckets, _positional=True)
+
+        def shift(batch: pa.Table, off=i, first=(i == 0)) -> pa.Table:
+            p0 = pc.subtract(batch.column("pos"), off)
+            t = pa.table({id_column: batch.column(id_column), "p0": p0})
+            return t
+        legs.append(ds.map_batches(shift, batch_format="pyarrow"))
+
+    acc = legs[0]
+    for leg in legs[1:]:
+        acc = _nonempty_blocks(
+            acc.join(leg, "inner", _join_partitions(8),
+                     on=(id_column, "p0"),
+                     right_on=(id_column, "p0")).materialize())
+    from ray.data.aggregate import Count
+
+    return (acc.groupby(id_column)
+               .aggregate(Count(alias_name=name)))
+
+
 def term_lookup(index_dir: str, terms, *, id_column: str = "doc_id",
-                num_buckets: int = 64):
+                num_buckets: int = 64, _positional: bool = False):
     """Postings for ``terms`` from a :func:`build_term_index` directory,
     reading ONLY the bucket partitions the terms hash into.  Returns a
     Dataset of (term, id, tf)."""
@@ -92,17 +182,18 @@ def term_lookup(index_dir: str, terms, *, id_column: str = "doc_id",
             paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
                          if f.endswith(".parquet"))
     tset = pa.array(terms, pa.string())
+    cols = ["term", id_column, "pos" if _positional else "tf"]
     if not paths:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({
             "term": pa.array([], pa.string()),
             id_column: pa.array([], pa.int64()),
-            "tf": pa.array([], pa.int64())}))
+            cols[2]: pa.array([], pa.int64())}))
 
     def filt(batch: pa.Table) -> pa.Table:
         keep = batch.filter(
             pc.is_in(batch.column("term"), value_set=tset))
-        return keep.select(["term", id_column, "tf"])
+        return keep.select(cols)
 
     return rd.read_parquet(paths).map_batches(filt, batch_format="pyarrow")

@@ -60,3 +60,40 @@ def test_lookup_absent_term_is_empty(ray_session, tmp_path):
 
     out2 = term_lookup(d, ["zz-no-bucket"], num_buckets=1024).to_pandas()
     assert len(out2) == 0
+
+
+def test_positional_phrase_lookup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from llm_food_ray.stages.index import (build_positional_index,
+                                           phrase_lookup)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the cat sat on the cat mat",
+                 "a cat mat is not the cat",
+                 "cat mat cat mat",
+                 "dog house",
+                 "cat  mat"],  # double space: still adjacent after split
+    })
+    d = str(tmp_path / "pix")
+    build_positional_index(rd.from_pandas(df), d)
+    out = (phrase_lookup(d, ["cat", "mat"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 3, 5]
+    assert list(out["n_occurrences"]) == [1, 1, 2, 1]
+
+
+def test_phrase_lookup_repeated_token_overlaps(ray_session, tmp_path):
+    import ray.data as rd
+
+    from llm_food_ray.stages.index import (build_positional_index,
+                                           phrase_lookup)
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["go go go go stop"]})
+    d = str(tmp_path / "pix")
+    build_positional_index(rd.from_pandas(df), d)
+    out = phrase_lookup(d, ["go", "go"]).to_pandas()
+    assert list(out["n_occurrences"]) == [3]  # overlapping occurrences
+    out3 = phrase_lookup(d, ["go", "go", "stop"]).to_pandas()
+    assert list(out3["n_occurrences"]) == [1]
