@@ -362,6 +362,24 @@ def run_bench() -> dict:
     queries["bpe_pairs"] = round(time.perf_counter() - t0, 3)
     assert n_bpe == 20
 
+    # --- inverted-index build + pruned term lookup over the extracted
+    # markdown (hive bucket layout; lookup reads only matching buckets)
+    import tempfile as _tf
+
+    from llm_food_ray.stages.index import build_term_index, term_lookup
+
+    ix_dir = _tf.mkdtemp(prefix="bench_ix_")
+    t0 = time.perf_counter()
+    build_term_index(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks),
+        ix_dir, id_column="url", text_column="markdown")
+    n_postings = term_lookup(ix_dir, ["the", "data", "stream"],
+                             id_column="url").count()
+    queries["term_index"] = round(time.perf_counter() - t0, 3)
+    assert n_postings > 0
+    shutil.rmtree(ix_dir, ignore_errors=True)
+
     # --- duplicate-window spans (ExactSubstr-style) over the extracted
     # markdown: two streaming crc32-window passes + one fp groupby; the
     # replicated corpus makes every in-text window a ~REPL-way dup, so
