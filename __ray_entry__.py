@@ -1712,6 +1712,15 @@ def q_phrase_search(sf_dir: str):
     return phrase_lookup(d, ["batch", "batch", "stream"])
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-document character-entropy quality signal (nats): one
+    streaming vectorized pass (packed (doc, codepoint) np.unique +
+    reduceat), no exchange."""
+    from llm_food_ray.stages.textstats import char_entropy
+
+    return char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_nb_lang_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes: train per-language token
     models over the corpus (fingerprint-space partial counts, one
@@ -2164,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "snapshot_overlap": q_snapshot_overlap,
         "phrase_search": q_phrase_search,
+        "char_entropy": q_char_entropy,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
@@ -2195,8 +2205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
-        "token_stats": q_token_stats,
         # --- long-green rotation tail (driver checks the first 50):
+        "token_stats": q_token_stats,
         "extract_pages": q_extract_pages,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
@@ -3758,6 +3768,23 @@ e AS (SELECT {_hll_est_sql('a')} AS ea,
 SELECT ea AS n_a, eb AS n_b, eu AS n_union,
        round(ea + eb - eu, 6) AS n_overlap
 FROM e
+""",
+        "char_entropy": """
+WITH c AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                        i -> substring(text, CAST(i AS INTEGER), 1))) AS ch
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM c GROUP BY doc_id, ch
+), n AS (
+  SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id
+), h AS (
+  SELECT cnt.doc_id, round(-sum((c / n.n) * ln(c / n.n)), 6) AS entropy
+  FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, COALESCE(h.entropy, 0.0) AS entropy,
+       CAST(length(d.text) AS BIGINT) AS n_chars_text
+FROM documents d LEFT JOIN h USING (doc_id)
 """,
         # positions are RAW whitespace-split ordinals (boundary empties
         # keep their index then drop) — the same coordinate system the

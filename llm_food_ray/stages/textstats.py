@@ -1300,6 +1300,49 @@ def grouped_string_agg(ds, key_column: str, value_column: str, *,
                   .map_groups(bucket_agg, batch_format="pyarrow"))
 
 
+def char_entropy(ds, text_column: str = "text", *,
+                 id_column: str = "doc_id", digits: int = 6):
+    """Per-document character-distribution Shannon entropy (nats) — the
+    classic cheap detector for OCR garbage, base64 blobs and
+    key-mashing (too HIGH) vs repeated-character padding (too LOW) that
+    complements the word-level repetition signals.
+
+    Fully vectorized, zero exchanges: each batch views its concatenated
+    text as utf-32 codepoints, counts (doc, codepoint) pairs with ONE
+    ``np.unique`` over packed int64 keys, and folds
+    ``−Σ p·ln p`` per doc via ``np.add.reduceat`` at the doc boundaries
+    of the sorted key space.  Rounded to ``digits`` so cross-engine
+    summation-order ulps cancel (the SQL twin sums in arbitrary
+    order)."""
+    import numpy as np
+
+    def ent(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_column).to_pylist()]
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        out = np.zeros(len(texts), np.float64)
+        if lens.sum():
+            cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                               np.uint32).astype(np.int64)
+            doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            key = doc * 0x110000 + cp
+            uniq, cnt = np.unique(key, return_counts=True)
+            udoc = uniq // 0x110000
+            p = cnt / lens[udoc]
+            terms = p * np.log(p)
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            sums = -np.add.reduceat(terms, starts)
+            out[udoc[starts]] = np.round(sums, digits)
+        # -0.0 → 0.0 (single-repeated-char docs: p=1, ln 1 = 0)
+        out[out == 0.0] = 0.0
+        return pa.table({
+            id_column: batch.column(id_column),
+            "entropy": pa.array(out, pa.float64()),
+            "n_chars_text": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
 def decontaminate(ds, text_column: str = "text", *, contaminated,
                   n: int = 13):
     """Benchmark decontamination: drop every document whose text contains

@@ -260,3 +260,30 @@ def test_grouped_count_distinct(ray_session):
            .to_pandas().sort_values("g").reset_index(drop=True))
     assert list(out["g"]) == ["a", "b"]
     assert list(out["n_distinct"]) == [3, 1]
+
+
+def test_char_entropy_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import char_entropy
+
+    texts = ["aabb", "aaaa", "", "abcd", "汉字汉 mixed"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (char_entropy(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    for i, t in enumerate(texts):
+        if t:
+            c = Counter(t)
+            want = round(-sum((v / len(t)) * math.log(v / len(t))
+                              for _, v in sorted(c.items())), 6)
+        else:
+            want = 0.0
+        assert abs(out.loc[i, "entropy"] - want) < 1e-9, (i, t)
+        assert out.loc[i, "n_chars_text"] == len(t)
+    # uniform 4-char doc: exactly ln 4; constant doc: exactly 0
+    assert abs(out.loc[3, "entropy"] - round(math.log(4), 6)) < 1e-9
+    assert out.loc[1, "entropy"] == 0.0
