@@ -1528,6 +1528,36 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user cumulative window over the events stream: 1-based
+    row_number and integer-exact running cents sum in (ts, event_id)
+    order — the SUM ... OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING)
+    analogue; one user-bucketed exchange, vectorized segmented cumsum."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import running_totals
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return running_totals(ev, "user_id", "ts", "event_id", "value")
+
+
+def q_range_join(sf_dir: str):
+    """Equi-key + interval range join (self, orders): per order, the
+    count and cents-sum of the same customer's OTHER orders dated within
+    ±90 days — dense-rank composite + two global searchsorted sweeps per
+    bucket, no per-key groups, no pair materialization."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import range_join_nearby
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return range_join_nearby(orders, "o_custkey", "o_orderdate",
+                             "o_orderkey", "o_totalprice", window_days=90)
+
+
 def q_asof_last_purchase(sf_dir: str):
     """As-of (fill-forward) self-join: each event annotated with the
     same user's most recent 'purchase' timestamp at-or-before it —
@@ -2200,12 +2230,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_cov": q_embedding_cov,
         "hybrid_search": q_hybrid_search,
-        "curate": q_curate,
+        "running_totals": q_running_totals,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
-        "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         # --- long-green rotation tail (driver checks the first 50):
+        # (r4-cont-2: curate [driver-green r2+r3] and quality_stats
+        # [driver-green r2, sweep-green locally today] rotate out to make
+        # room for the two new window/join operators.)
+        "curate": q_curate,
+        "quality_stats": q_quality_stats,
         "token_stats": q_token_stats,
         "extract_pages": q_extract_pages,
         "dedup_exact": q_dedup_exact,
@@ -3674,6 +3709,26 @@ FROM (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 )
+""",
+        "running_totals": """
+SELECT event_id, user_id, ts,
+  row_number() OVER w AS row_idx,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+    AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+        "range_join": """
+SELECT o1.o_orderkey,
+       count(o2.o_orderkey)::BIGINT AS n_nearby,
+       CAST(coalesce(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS nearby_cents
+FROM orders o1 LEFT JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey AND o2.o_orderkey <> o1.o_orderkey
+ AND o2.o_orderdate BETWEEN o1.o_orderdate - INTERVAL 90 DAY
+                        AND o1.o_orderdate + INTERVAL 90 DAY
+GROUP BY o1.o_orderkey
 """,
         "hash_split": """
 SELECT doc_id, lang,

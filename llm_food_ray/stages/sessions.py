@@ -139,3 +139,163 @@ def asof_last_match(ds, user_column: str = "user_id", ts_column: str = "ts",
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__ub")
               .map_groups(per_bucket, batch_format="pyarrow"))
+
+def running_totals(ds, user_column: str = "user_id", ts_column: str = "ts",
+                   id_column: str = "event_id", value_column: str = "value",
+                   *, num_buckets: int = 64):
+    """Per-key cumulative window — the ``SUM(v) OVER (PARTITION BY user
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` / ``row_number()``
+    analogue over an event stream.
+
+    → Dataset (id, user, ts, row_idx, run_cents): ``row_idx`` is the
+    1-based position of the event within its user's (ts, id) order and
+    ``run_cents`` the running sum of ``round(value * 100)``.
+
+    Integer-exact by construction: the value is scaled to cents (round
+    half away from zero, matching SQL ``round()`` for the non-negative
+    amounts this targets) BEFORE accumulating, so the running sum is an
+    int64 segmented cumsum with no float summation-order divergence vs
+    the SQL window the oracle runs.
+
+    Scale shape: same as :func:`sessionize` — ONE coarse user-bucketed
+    exchange (a cumulative window inherently co-locates each user's
+    events), then a fully vectorized per-bucket sweep: lexsort by
+    (user, ts, id), one global cumsum, per-user bases peeled off via a
+    forward-filled segment-start index.  No per-user Python groups.
+    """
+    from ..stages.dedup import _u64_col
+
+    Cu = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = _u64_col(batch, user_column)
+        return batch.append_column(
+            "__ub", pa.array((u % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        users = _u64_col(t, user_column)
+        ids = _u64_col(t, id_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        vcol = t.column(value_column)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        order = np.lexsort((ids, ts_us, users))
+        u = users[order]
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(u)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # index of each row's segment start, forward-filled
+        start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n, dtype=np.int64), 0))
+        cs = np.cumsum(cents)
+        base = cs[start] - cents[start]          # exclusive prefix at start
+        run_cents = cs - base
+        row_idx = np.arange(n, dtype=np.int64) - start + 1
+        idx = pa.array(order)
+
+        def take(name):
+            c = t.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return c.take(idx)
+
+        return pa.table({
+            id_column: take(id_column),
+            user_column: take(user_column),
+            ts_column: ts_arr.take(idx),
+            "row_idx": pa.array(row_idx),
+            "run_cents": pa.array(run_cents),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def range_join_nearby(ds, key_column: str = "o_custkey",
+                      ts_column: str = "o_orderdate",
+                      id_column: str = "o_orderkey",
+                      value_column: str = "o_totalprice", *,
+                      window_days: int = 90, num_buckets: int = 64):
+    """Equi-key + interval range join (self): for every row, the count
+    and cents-sum of OTHER rows sharing its key whose timestamp falls in
+    [t − window, t + window] — the band/range-join shape (``ON a.k = b.k
+    AND b.t BETWEEN a.t − w AND a.t + w``) that a plain hash join cannot
+    express without a quadratic per-key expansion.
+
+    → Dataset (id, n_nearby, nearby_cents), one row per input row
+    (LEFT-join semantics: rows with no in-window neighbor get 0/0).
+
+    Scale shape: ONE coarse key-bucketed exchange co-locates each key's
+    rows, then a fully vectorized per-bucket sweep — lexsort by
+    (key, t), dense-rank the keys, pack (rank, t) into one int64
+    composite (rank stride = time span + 2·window + 2, so a key's
+    window can never bleed into a neighboring rank block), and answer
+    ALL rows' windows with two global ``np.searchsorted`` calls plus an
+    exclusive prefix-sum read-off for the value.  No per-key Python
+    groups, no pair materialization — output stays one row per input
+    regardless of window density.
+    """
+    from ..stages.dedup import _u64_col
+
+    Cu = np.uint64(num_buckets)
+    w_us = np.int64(window_days) * 86_400 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = _u64_col(batch, key_column)
+        return batch.append_column(
+            "__ub", pa.array((k % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        keys = _u64_col(t, key_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        # normalize to µs first — the window is in µs, and pandas-born
+        # inputs arrive as timestamp[ns]
+        ts_us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        vcol = t.column(value_column)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        order = np.lexsort((ts_us, keys))
+        k = keys[order]
+        t_rel = ts_us[order] - (ts_us.min() if len(ts_us) else 0)
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(k)
+        new_key = np.r_[True, k[1:] != k[:-1]] if n else np.zeros(0, bool)
+        rank = np.cumsum(new_key).astype(np.int64) - 1
+        span = np.int64((t_rel.max() if n else 0) + 2 * w_us + 2)
+        n_ranks = np.int64(rank[-1] + 1 if n else 0)
+        if n and n_ranks > np.iinfo(np.int64).max // span:
+            # 100-TB dial: at extreme keys-per-bucket × time-span products
+            # raise num_buckets (more, smaller buckets) instead of losing
+            # exactness to a coarser time resolution.
+            raise ValueError(
+                "range_join_nearby: rank x span composite would overflow "
+                "int64; increase num_buckets")
+        comp = rank * span + t_rel
+        lo = np.searchsorted(comp, comp - w_us, side="left")
+        hi = np.searchsorted(comp, comp + w_us, side="right")
+        psum = np.concatenate([np.zeros(1, np.int64), np.cumsum(cents)])
+        n_nearby = (hi - lo - 1).astype(np.int64)      # minus self
+        nearby_cents = psum[hi] - psum[lo] - cents
+        idx = pa.array(order)
+        idc = t.column(id_column)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        return pa.table({
+            id_column: idc.take(idx),
+            "n_nearby": pa.array(n_nearby),
+            "nearby_cents": pa.array(nearby_cents),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(per_bucket, batch_format="pyarrow"))
