@@ -1558,6 +1558,17 @@ def q_range_join(sf_dir: str):
                              "o_orderkey", "o_totalprice", window_days=90)
 
 
+def q_top_k_per_lang(sf_dir: str):
+    """Per-group top-k window analogue: the 5 longest documents per
+    language with their 1-based rank (n_chars DESC, doc_id tiebreak) —
+    per-block local prune, one bounded candidate exchange, per-bucket
+    vectorized resolve; the winners are the output, no second pass."""
+    from llm_food_ray.stages.textstats import top_k_per_group
+
+    return top_k_per_group(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                           "lang", "n_chars", "doc_id", k=5)
+
+
 def q_asof_last_purchase(sf_dir: str):
     """As-of (fill-forward) self-join: each event annotated with the
     same user's most recent 'purchase' timestamp at-or-before it —
@@ -2232,15 +2243,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q_hybrid_search,
         "running_totals": q_running_totals,
         "range_join": q_range_join,
+        "top_k_per_lang": q_top_k_per_lang,
         "sessionize": q_sessionize,
-        "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         # --- long-green rotation tail (driver checks the first 50):
-        # (r4-cont-2: curate [driver-green r2+r3] and quality_stats
-        # [driver-green r2, sweep-green locally today] rotate out to make
-        # room for the two new window/join operators.)
+        # (r4-cont-2: curate [driver-green r2+r3] plus quality_stats and
+        # repetition_stats [driver-green r2, sweep-green locally today]
+        # rotate out to make room for the three new window/join
+        # operators.)
         "curate": q_curate,
         "quality_stats": q_quality_stats,
+        "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
         "extract_pages": q_extract_pages,
         "dedup_exact": q_dedup_exact,
@@ -3709,6 +3722,14 @@ FROM (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 )
+""",
+        "top_k_per_lang": """
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= 5
 """,
         "running_totals": """
 SELECT event_id, user_id, ts,

@@ -1370,3 +1370,78 @@ def decontaminate(ds, text_column: str = "text", *, contaminated,
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+def top_k_per_group(ds, group_column: str, order_column: str,
+                    tiebreak_column: str, *, k: int = 10,
+                    num_buckets: int = 64):
+    """Per-group top-k with an explicit 1-based rank — the
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC, id ASC) <= k``
+    window analogue, descending (largest values win).
+
+    → Dataset (group, tiebreak, order, rank) — the winners ARE the
+    output; nothing else ships.
+
+    Scale shape (fully distributed, unlike :func:`cap_per_group`'s
+    broadcast keep-set — top-k needs no second corpus pass because the
+    result rows are exactly the resolved candidates): each block
+    locally prunes to its own per-group top-k (one Arrow sort + the
+    shared run-length head helper — a block never emits more than
+    groups-in-block × k rows), the pruned candidates take ONE coarse
+    hash(group)-bucketed exchange, and each bucket resolves its groups'
+    exact top-k and ranks with the same vectorized sweep.  No driver
+    materialization, no per-group Python groups, group cardinality
+    unbounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import _fingerprint128
+
+    key_cols = [group_column, order_column, tiebreak_column]
+    sort_keys = [(group_column, "ascending"), (order_column, "descending"),
+                 (tiebreak_column, "ascending")]
+    limit_of = (lambda _g, _default=0, _k=k: _k)
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_cols)
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        idx = _sorted_group_head_indices(
+            t, group_column, order_column, limit_of, False)
+        return t.take(pa.array(idx))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hi, _lo = _fingerprint128(batch.column(group_column))
+        buck = (hi % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("__gb", pa.array(buck))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(key_cols)
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        idx = _sorted_group_head_indices(
+            t, group_column, order_column, limit_of, False)
+        out = t.take(pa.array(idx))
+        # 1-based rank within group over the kept (already sorted) rows
+        n = out.num_rows
+        g = out.column(group_column)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if n == 0:
+            rank = np.empty(0, np.int64)
+        elif n == 1:
+            rank = np.ones(1, np.int64)
+        else:
+            a, b = g.slice(1), g.slice(0, n - 1)
+            ne = pc.fill_null(pc.not_equal(a, b), True)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            boundary = pc.and_(ne, pc.invert(both_null))
+            starts_mask = np.r_[True,
+                                boundary.to_numpy(zero_copy_only=False)]
+            starts = np.flatnonzero(starts_mask)
+            seg = np.maximum.accumulate(
+                np.where(starts_mask, np.arange(n, dtype=np.int64), 0))
+            rank = np.arange(n, dtype=np.int64) - seg + 1
+        return out.append_column("rank", pa.array(rank))
+
+    return (ds.map_batches(local_candidates, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__gb")
+              .map_groups(per_bucket, batch_format="pyarrow"))

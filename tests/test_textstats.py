@@ -287,3 +287,38 @@ def test_char_entropy_matches_naive(ray_session):
     # uniform 4-char doc: exactly ln 4; constant doc: exactly 0
     assert abs(out.loc[3, "entropy"] - round(math.log(4), 6)) < 1e-9
     assert out.loc[1, "entropy"] == 0.0
+
+
+def test_top_k_per_group_brute_force(ray_session):
+    """Randomized differential vs a pandas window rank, with duplicated
+    order values (tiebreak decides) and groups smaller than k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import top_k_per_group
+
+    rng = np.random.default_rng(3)
+    n = 2500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(list("abcdefghij"), n),
+        # small value domain → heavy ties at every rank boundary
+        "n_chars": rng.integers(0, 40, n).astype(np.int64),
+    })
+    # one tiny group (smaller than k)
+    df.loc[df.index[:2], "lang"] = "zz"
+    df = df[~((df.lang == "j") & (df.index > 30))]
+
+    out = (top_k_per_group(rd.from_pandas(df), "lang", "n_chars", "doc_id",
+                           k=7)
+           .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+
+    ref = df.sort_values(["lang", "n_chars", "doc_id"],
+                         ascending=[True, False, True]).copy()
+    ref["rank"] = ref.groupby("lang").cumcount() + 1
+    ref = (ref[ref["rank"] <= 7]
+           .sort_values(["lang", "rank"]).reset_index(drop=True))
+    assert len(out) == len(ref)
+    for c in ["lang", "doc_id", "n_chars", "rank"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
