@@ -1258,6 +1258,27 @@ def q_dedup_incremental(sf_dir: str):
         ["doc_id", "lang"])
 
 
+def q_dedup_incremental_bloom(sf_dir: str):
+    """Same incremental exact dedup as ``dedup_incremental`` but on the
+    ``exec='bloom'`` plan: broadcast Bloom filter (10 bits/key) routes
+    definitely-new rows straight to the output; only bloom-positive
+    candidates (true dups + ~1% fp) pay the partitioned LEFT ANTI join.
+    Identical oracle — the exact join clears every false positive."""
+    import numpy as np
+
+    from llm_food_ray.stages.dedup import dedup_against
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def seen_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    seen = docs.map_batches(seen_only, batch_format="pyarrow")
+    return dedup_against(docs, seen, text_column="text",
+                         exec="bloom").select_columns(["doc_id", "lang"])
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail routing (Wenzek et al. 2020): score every
     document's perplexity against the English-reference bigram LM
@@ -2233,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
         "dup_spans_against": q_dup_spans_against,
@@ -2245,15 +2267,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "top_k_per_lang": q_top_k_per_lang,
         "sessionize": q_sessionize,
-        "quality_filter": q_quality_filter,
         # --- long-green rotation tail (driver checks the first 50):
-        # (r4-cont-2: curate [driver-green r2+r3] plus quality_stats and
-        # repetition_stats [driver-green r2, sweep-green locally today]
-        # rotate out to make room for the three new window/join
-        # operators.)
+        # (r4-cont-2: curate [driver-green r2+r3] plus quality_stats,
+        # repetition_stats and quality_filter [driver-green r2,
+        # sweep-green locally today] rotate out to make room for the
+        # four new window/join/bloom operators.)
         "curate": q_curate,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "token_stats": q_token_stats,
         "extract_pages": q_extract_pages,
         "dedup_exact": q_dedup_exact,
@@ -3629,6 +3651,12 @@ SELECT d.doc_id, d.host FROM d JOIN top USING (host)
 """,
         # md5 content equality == text equality (collision-free oracle)
         "dedup_incremental": """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 3 = 0 AND o.text = d.text)
+""",
+        "dedup_incremental_bloom": """
 SELECT d.doc_id, d.lang
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM documents o

@@ -88,12 +88,21 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
       them — nothing on the driver, the 100-TB path.
     - ``exec="auto"`` (default): the dedup_exact gate — materialize the
       seen partials once, broadcast while their row count and byte size
-      fit the local budgets, else anti-join."""
+      fit the local budgets, else anti-join.
+    - ``exec="bloom"``: the low-dup-rate 100-TB plan — a Bloom filter
+      (10 bits/key, k=7, ~1% fp) over the seen hashes broadcasts once;
+      bloom-NEGATIVE rows (definitely new — the bulk of a delta crawl)
+      stream straight to the output and never enter the join, and only
+      bloom-positive candidates (true dups + ~1% false positives) pay
+      the partitioned LEFT ANTI join, shrinking the exchange from
+      |ds| to ≈ (dup_rate + 1%) × |ds|.  Output is byte-equal to the
+      other plans (the exact join clears every false positive);
+      pytest-pinned."""
     import pyarrow.compute as pc
 
     import ray as _ray
 
-    if exec not in ("auto", "broadcast", "anti"):
+    if exec not in ("auto", "broadcast", "anti", "bloom"):
         raise ValueError(f"exec={exec!r}")
     seen_col = seen_text_column or text_column
     out_cols = ds.schema().names
@@ -143,6 +152,41 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
         return pd.DataFrame(
             {"content_md5": group["content_md5"].unique()})
 
+    join_input = ds
+    bloom_pass = None
+    if exec == "bloom":
+        partials = partials.materialize()
+        n_keys = partials.count()
+        if n_keys == 0:
+            return ds
+        m = max(64, int(n_keys) * _BLOOM_BITS_PER_KEY)
+        bits = np.zeros((m + 7) // 8, np.uint8)
+        # driver-streamed build: O(m/8) driver memory, one pass over the
+        # (distinct, 32 B/row) seen-hash partials — never the corpus
+        for b in partials.iter_batches(batch_size=65_536,
+                                       batch_format="pyarrow"):
+            _bloom_set(bits,
+                       _md5_u64(b.column("content_md5").to_pylist()), m,
+                       _BLOOM_K)
+        bits_ref = _ray.put(bits)
+
+        def definitely_new(batch: pa.Table) -> pa.Table:
+            u = _md5_u64([md5_hex(t or "")
+                          for t in batch.column(text_column).to_pylist()])
+            hit = _bloom_might_contain(_ray.get(bits_ref), u, m, _BLOOM_K)
+            return batch.filter(pa.array(~hit))
+
+        def bloom_candidates(batch: pa.Table) -> pa.Table:
+            hs = [md5_hex(t or "")
+                  for t in batch.column(text_column).to_pylist()]
+            hit = _bloom_might_contain(_ray.get(bits_ref), _md5_u64(hs),
+                                       m, _BLOOM_K)
+            return (batch.append_column("__md5", pa.array(hs, pa.string()))
+                         .filter(pa.array(hit)))
+
+        bloom_pass = ds.map_batches(definitely_new, batch_format="pyarrow")
+        join_input = ds.map_batches(bloom_candidates, batch_format="pyarrow")
+
     seen_keys = _nonempty_blocks(
         partials.map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("__bucket")
@@ -150,11 +194,24 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
                 .materialize())
     if seen_keys is None:
         return ds
-    joined = (ds.map_batches(add_md5, batch_format="pyarrow")
-                .join(seen_keys, "left_anti",
-                      _join_partitions(num_partitions),
-                      on=("__md5",), right_on=("content_md5",)))
-    return joined.select_columns(out_cols)
+    if exec == "bloom":
+        joined = join_input.join(seen_keys, "left_anti",
+                                 _join_partitions(num_partitions),
+                                 on=("__md5",), right_on=("content_md5",))
+    else:
+        joined = (join_input.map_batches(add_md5, batch_format="pyarrow")
+                            .join(seen_keys, "left_anti",
+                                  _join_partitions(num_partitions),
+                                  on=("__md5",), right_on=("content_md5",)))
+    joined = joined.select_columns(out_cols)
+    if bloom_pass is None:
+        return joined
+    # the anti-join survivors are bounded by the bloom candidates (true
+    # dups never survive; ~1% false positives do) — materialize the tiny
+    # leg so a fully-filtered (schema-less) join output can't poison the
+    # union with the streaming bloom-negative pass
+    joined = _nonempty_blocks(joined.materialize())
+    return bloom_pass if joined is None else bloom_pass.union(joined)
 
 
 def crawl_diff(old_ds, new_ds, key_column: str, hash_column: str, *,
@@ -2689,3 +2746,46 @@ def dedup_paragraph_global(ds, key_column: str = "doc_id",
                          "clean": pa.array(out, pa.string())})
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+# ------------------------------------------------------------- bloom ----
+# Blocked? No — one flat Bloom bitmap per job: at the default 10 bits/key
+# a 10^9-key archive is a 1.25 GB bitmap (one ray.put, zero-copy reads in
+# every filter task); at 10^11+ keys raise bits-per-key pressure by
+# sharding the ARCHIVE (run dedup_against per key-range partition), not
+# by growing one bitmap past object-store comfort.
+
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 7
+
+
+def _bloom_positions(u: np.ndarray, m: int, k: int) -> np.ndarray:
+    """uint64 key hashes → (k·n,) bit positions via double hashing
+    (h1 + i·h2 mod m, h2 odd); wraparound mod 2^64 is harmless (still a
+    deterministic mix applied identically on build and probe)."""
+    h1 = u % np.uint64(m)
+    h2 = ((u >> np.uint64(33)) << np.uint64(1)) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).reshape(-1)
+
+
+def _bloom_set(bits: np.ndarray, u: np.ndarray, m: int, k: int) -> None:
+    pos = _bloom_positions(u, m, k)
+    np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                     np.left_shift(np.uint8(1),
+                                   (pos & np.uint64(7)).astype(np.uint8)))
+
+
+def _bloom_might_contain(bits: np.ndarray, u: np.ndarray, m: int,
+                         k: int) -> np.ndarray:
+    """Per-key bool: True = possibly in the set (all k bits set),
+    False = DEFINITELY absent."""
+    if len(u) == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(u, m, k)
+    probed = bits[(pos >> np.uint64(3)).astype(np.int64)] & np.left_shift(
+        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    return (probed != 0).reshape(k, -1).all(axis=0)
+
+
+def _md5_u64(hexes: list) -> np.ndarray:
+    return np.array([int(h[:16], 16) for h in hexes], np.uint64)

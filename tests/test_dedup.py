@@ -488,8 +488,50 @@ def test_dedup_against_plans_byte_equal_and_drop(ray_session):
     a = run("broadcast")
     b = run("anti")
     c = run("auto")
+    d = run("bloom")
     assert list(a["doc_id"]) == [2, 3]
-    assert a.equals(b) and a.equals(c)
+    assert a.equals(b) and a.equals(c) and a.equals(d)
+
+
+def test_dedup_against_bloom_randomized(ray_session):
+    """Randomized differential: the bloom plan equals the broadcast plan
+    on a corpus big enough that Bloom false positives are near-certain
+    to occur (and must be cleared by the exact join)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (
+        _bloom_might_contain, _bloom_set, dedup_against)
+
+    rng = np.random.default_rng(5)
+    seen_texts = [f"seen document {i}" for i in range(4000)]
+    dup_idx = rng.integers(0, 4000, 300)
+    new_df = pd.DataFrame({
+        "doc_id": np.arange(6000, dtype=np.int64),
+        "text": [f"new document {i}" for i in range(5700)]
+                + [seen_texts[j] for j in dup_idx],
+    })
+    new = rd.from_pandas(new_df)
+    seen = rd.from_pandas(pd.DataFrame({"text": seen_texts}))
+
+    a = (dedup_against(new, seen, text_column="text", exec="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup_against(new, seen, text_column="text", exec="bloom")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == 5700
+    assert a.equals(b)
+
+    # unit sanity on the primitive: inserted keys always hit, and the
+    # false-positive rate on fresh keys is near the designed ~1%
+    m = 4000 * 10
+    bits = np.zeros((m + 7) // 8, np.uint8)
+    keys = rng.integers(0, 2**63, 4000).astype(np.uint64)
+    _bloom_set(bits, keys, m, 7)
+    assert _bloom_might_contain(bits, keys, m, 7).all()
+    fresh = rng.integers(0, 2**63, 20000).astype(np.uint64)
+    fp = _bloom_might_contain(bits, fresh, m, 7).mean()
+    assert fp < 0.05
 
 
 def test_dedup_against_empty_seen_is_identity(ray_session):
