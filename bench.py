@@ -199,6 +199,39 @@ def run_bench() -> dict:
     n_kept = kept.count()
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
+    # --- dedup: incremental (delta-crawl) — partitioned anti join vs the
+    # Bloom-prefilter plan. The archive is every third url's markdown
+    # (~33% dup rate in the "new" corpus); bloom routes the other ~67%
+    # straight to the output and only candidates pay the join.
+    from llm_food_ray.stages.dedup import dedup_against
+
+    def _make_sides():
+        new_side = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                                   override_num_blocks=nblocks)
+
+        def third(b):
+            import pyarrow as _p
+
+            # archive every third UNDERLYING doc (url carries
+            # doc + replica*1e7; replicas share content) → ~33% of the
+            # new corpus is a content dup, ~67% is definitely new
+            h = [(int(u.rsplit("/", 1)[1]) % 10_000_000) % 3 == 0
+                 for u in b.column("url").to_pylist()]
+            return b.filter(_p.array(h))
+
+        seen_side = new_side.map_batches(third, batch_format="pyarrow")
+        return new_side, seen_side
+
+    n_incr = {}
+    for plan in ("anti", "bloom"):
+        new_side, seen_side = _make_sides()
+        t0 = time.perf_counter()
+        n_incr[plan] = dedup_against(
+            new_side, seen_side, text_column="markdown", exec=plan).count()
+        queries[f"dedup_incremental_{plan}"] = round(
+            time.perf_counter() - t0, 3)
+    assert n_incr["anti"] == n_incr["bloom"], n_incr
+
     # --- dedup: minhash-LSH estimate over extracted markdown ------------
     # measured in all three verify regimes: "broadcast" (the auto-picked
     # default at this corpus size — signature index ray.put once, pairs
