@@ -154,6 +154,40 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_pages / neardup_sec, 1),
         }
 
+    if os.environ.get("BENCH_ONLY") == "lm":
+        # wide-op scaling leg #2: bigram-LM train+score — ONE
+        # fingerprint-space model exchange + driver gather + broadcast,
+        # then tokenize-heavy scoring (compute-dominated, unlike the
+        # round-latency-bound neardup leg).  Extraction runs UNTIMED to
+        # produce the corpus; timed = train + score.
+        from llm_food_ray.stages.lm import lm_score as _lm_score
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (extract_dataset(read_pages(), ExtractConfig(), whale_leg=False)
+         .write_parquet(out_dir))
+        lm_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_lm_leg = _lm_score(
+                rd.read_parquet(out_dir, columns=["url", "markdown"],
+                                override_num_blocks=nblocks),
+                key_column="url", text_column="markdown").count()
+            lm_sec = min(lm_sec, time.perf_counter() - t0)
+        queries["lm_score"] = round(lm_sec, 3)
+        ray.shutdown()
+        return {
+            "metric": "bigram-LM train+score seconds (fingerprint model "
+                      "exchange + broadcast scoring) over extracted corpus",
+            "value": round(lm_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "n_pages": n_pages,
+            "n_lm": n_lm_leg,
+            "docs_per_sec": round(n_pages / lm_sec, 1),
+        }
+
     # --- headline: extraction end-to-end (best-of-2: single measurements
     # swing ~20% on this host from page-cache / hugepage state) ----------
     extract_sec = float("inf")
@@ -552,10 +586,13 @@ def run_scaling() -> dict:
     """Same jobs in fresh processes at N and 4N cores → efficiency.
 
     Proxy for the north rule's N-vs-4N cluster-size criterion (no real
-    cluster in this sandbox): efficiency = (t_N / t_4N) / 4.  Two legs:
-    the zero-exchange extraction headline AND the fully-distributed
-    near-dup kept-set (the engine's heaviest shuffle plan), so the
-    efficiency claim covers both pipeline shapes.
+    cluster in this sandbox): efficiency = (t_N / t_4N) / 4.  Three legs:
+    the zero-exchange extraction headline, the fully-distributed
+    near-dup kept-set (the engine's heaviest shuffle plan — fixed
+    per-round exchange latency dominates at this corpus size), and the
+    bigram-LM train+score (a compute-dominated wide op: ONE model
+    exchange + tokenize-heavy scoring), so the efficiency claim covers
+    all three pipeline shapes.
 
     Default N=4 (pair 4→16): on this single box, 32 concurrent extract
     processes saturate the VM's memory bandwidth — a shared-resource
@@ -598,6 +635,10 @@ def run_scaling() -> dict:
         # the near-dup leg already runs minutes per measurement (its
         # timed section is all shuffle + best-of-2 inside run_bench)
         "neardup": (int(user_repl) if user_repl else REPL, 1),
+        # compute-dominated wide op (model exchange + tokenize scoring):
+        # the shuffle-bearing shape whose efficiency is NOT hidden by
+        # fixed per-round exchange latency
+        "lm": (int(user_repl) if user_repl else REPL, 1),
     }
     which = os.environ.get("BENCH_SCALE_LEGS")
     if which:
