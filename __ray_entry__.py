@@ -1221,6 +1221,38 @@ def q_dedup_lines(sf_dir: str):
         synth_and_dedup, batch_format="pyarrow")
 
 
+def q_strip_boilerplate(sf_dir: str):
+    """Cross-document per-host template strip (trafilatura/CCNet
+    frequent-line rule corpus-wide): hosts synthesized from doc_id (23
+    sites × 3 TLDs, the host_stats scheme), each document re-lined into
+    8-word rows and wrapped in a host-specific nav header + copyright
+    footer — the shared chrome the operator must detect (>= 4 distinct
+    docs per host carry it) and strip, leaving the content lines.  The
+    SQL oracle rebuilds the SAME dirty pages and applies the same
+    count-distinct-docs-per-(host, line) rule independently."""
+    from llm_food_ray.stages.dedup import strip_host_boilerplate
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        tld = {0: "com", 1: "org", 2: "net"}
+        hosts = [f"site{d % 23}.example.{tld[d % 3]}" for d in ids]
+        texts = []
+        for h, t in zip(hosts, batch.column("text").to_pylist()):
+            ws = (t or "").split()
+            ls = [" ".join(ws[i * 8:(i + 1) * 8])
+                  for i in range((len(ws) + 7) // 8)]
+            texts.append("\n".join(
+                [f"welcome to {h} home about contact"] + ls +
+                [f"copyright {h} all rights reserved"]))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "host": pa.array(hosts, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow")
+    return strip_host_boilerplate(ds, "host", "doc_id", "text", min_docs=4)
+
+
 def q_tier_extract(sf_dir: str):
     """Top-tier extraction — the round's headline routing step: score,
     tier by global quartiles, and KEEP only the top tier (quality above
@@ -2253,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_tier_filter": q_host_tier_filter,
         "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
+        "strip_boilerplate": q_strip_boilerplate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
@@ -3365,6 +3398,41 @@ WITH w AS (
 )
 SELECT d.doc_id, COALESCE(dd.text, '') AS text
 FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+""",
+        "strip_boilerplate": r"""
+WITH base AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'com'
+                           WHEN 1 THEN 'org'
+                           ELSE 'net' END AS host,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), l AS (
+  SELECT doc_id, host,
+         ['welcome to ' || host || ' home about contact'] ||
+         list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+                        i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) ||
+         ['copyright ' || host || ' all rights reserved'] AS ls
+  FROM base
+), e AS (
+  SELECT doc_id, host,
+         unnest(range(1, len(ls) + 1)) AS ord,
+         unnest(ls) AS line
+  FROM l
+), freq AS (
+  SELECT host, line FROM e GROUP BY host, line
+  HAVING COUNT(DISTINCT doc_id) >= 4
+), kept AS (
+  SELECT e.doc_id, e.ord, e.line
+  FROM e LEFT JOIN freq f ON e.host = f.host AND e.line = f.line
+  WHERE f.line IS NULL
+), agg AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY ord), chr(10)) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean, '') AS clean
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """,
         "tier_extract": f"""
 WITH q AS ({quality}), thr AS (

@@ -2747,6 +2747,186 @@ def dedup_paragraph_global(ds, key_column: str = "doc_id",
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
+
+def strip_host_boilerplate(ds, host_column: str = "host",
+                           key_column: str = "doc_id",
+                           text_column: str = "text", *,
+                           min_docs: int = 4,
+                           exec: str = "auto",
+                           num_buckets: int = 64,
+                           local_budget_rows: int = 20_000_000,
+                           local_budget_bytes: int = 1_000_000_000,
+                           num_partitions: int | None = None,
+                           out_column: str = "clean"):
+    """Cross-document per-host template removal: drop every line whose
+    EXACT text occurs in at least ``min_docs`` DISTINCT documents of
+    the SAME host — nav bars, cookie banners, footers and other
+    site-template chrome that per-document heuristics can't see
+    (trafilatura/CCNet's "frequent line" boilerplate rule applied
+    corpus-wide).  The in-repo per-document analogue is the DOM
+    link-density strip in ``functions/html_md.py``; this operator is
+    its statistical cross-document complement, the step a crawl
+    pipeline runs AFTER extraction.  Returns one row per input row:
+    (``key_column``, ``out_column``) with surviving lines re-joined by
+    ``\\n`` in original order (documents whose every line is template
+    become the empty string).
+
+    Plans (byte-equal, pytest-pinned):
+
+    - ``exec="broadcast"``: pass 1 counts docs-per-(host, line-md5)
+      with a per-batch combiner (the exchange ships 48 B rows, never
+      line text); the hot set (count >= ``min_docs``) is by definition
+      template mass — small relative to the corpus — so it broadcasts
+      once via ``ray.put`` as packed ``host\\0md5`` strings and pass 2
+      re-streams the corpus filtering lines in memory.
+    - ``exec="anti"``: the 100-TB path when the hot set outgrows one
+      node — explode documents to (key, idx, host, line-md5, line)
+      rows plus a per-document sentinel (idx=-1, md5=""), LEFT ANTI
+      join against the hot (host, md5) table, then rebuild documents
+      inside hash(key)-coarse buckets with vectorized sort →
+      run-length → ``binary_join`` (the sentinel guarantees every
+      document survives; its leading "" is sliced back off, so a
+      fully-templated document still emits "").
+    - ``exec="auto"`` (default): the dedup_exact gate — materialize
+      the hot set once, broadcast while its row count and byte size
+      fit the local budgets, else anti-join."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex, stable_hash64
+
+    if exec not in ("auto", "broadcast", "anti"):
+        raise ValueError(f"exec={exec!r}")
+
+    def line_doc_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for h, t in zip(batch.column(host_column).to_pylist(),
+                        batch.column(text_column).to_pylist()):
+            for lh in {md5_hex(ln) for ln in (t or "").split("\n")}:
+                k = (h, lh)
+                counts[k] = counts.get(k, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            host_column: pa.array([k[0] for k in ks], pa.string()),
+            "__lh": pa.array([k[1] for k in ks], pa.string()),
+            "pn": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.greater_equal(b.column("__n"), min_docs))
+                 .select([host_column, "__lh"]))
+
+    hot = (ds.map_batches(line_doc_partial, batch_format="pyarrow")
+             .groupby([host_column, "__lh"])
+             .aggregate(Sum("pn", alias_name="__n"))
+             .map_batches(hot_only, batch_format="pyarrow"))
+
+    if exec == "auto":
+        hot = hot.materialize()
+        exec = ("broadcast"
+                if hot.count() <= local_budget_rows
+                and (hot.size_bytes() or 0) <= local_budget_bytes
+                else "anti")
+
+    if exec == "broadcast":
+        packed: set[str] = set()
+        for b in hot.iter_batches(batch_size=65_536,
+                                  batch_format="pyarrow"):
+            packed.update(pc.binary_join_element_wise(
+                b.column(host_column), b.column("__lh"),
+                "\x00").to_pylist())
+        hot_ref = _ray.put(packed)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            hotset = _ray.get(hot_ref)
+            out = []
+            for h, t in zip(batch.column(host_column).to_pylist(),
+                            batch.column(text_column).to_pylist()):
+                pre = h + "\x00"
+                out.append("\n".join(
+                    ln for ln in (t or "").split("\n")
+                    if pre + md5_hex(ln) not in hotset))
+            return pa.table({key_column: batch.column(key_column),
+                             out_column: pa.array(out, pa.string())})
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    hot_keys = _nonempty_blocks(hot.materialize())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, hosts, idxs, lhs, lines = [], [], [], [], []
+        for k, h, t in zip(batch.column(key_column).to_pylist(),
+                           batch.column(host_column).to_pylist(),
+                           batch.column(text_column).to_pylist()):
+            keys.append(k)
+            hosts.append(h)
+            idxs.append(-1)
+            lhs.append("")          # sentinel: never a 32-hex md5
+            lines.append("")
+            for i, ln in enumerate((t or "").split("\n")):
+                keys.append(k)
+                hosts.append(h)
+                idxs.append(i)
+                lhs.append(md5_hex(ln))
+                lines.append(ln)
+        kt = batch.schema.field(key_column).type
+        return pa.table({key_column: pa.array(keys, kt),
+                         host_column: pa.array(hosts, pa.string()),
+                         "__idx": pa.array(idxs, pa.int64()),
+                         "__lh": pa.array(lhs, pa.string()),
+                         "__line": pa.array(lines, pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    if hot_keys is not None:
+        exploded = exploded.join(
+            hot_keys, "left_anti", _join_partitions(num_partitions),
+            on=(host_column, "__lh"), right_on=(host_column, "__lh"))
+    survivors = _nonempty_blocks(exploded.materialize())
+    if survivors is None:  # pathological: every doc fully templated
+        def empty_out(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                key_column: batch.column(key_column),
+                out_column: pa.array([""] * batch.num_rows, pa.string())})
+
+        return ds.map_batches(empty_out, batch_format="pyarrow")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pb = pa.array([stable_hash64(str(k)) % num_buckets
+                       for k in batch.column(key_column).to_pylist()],
+                      pa.int32())
+        return (batch.select([key_column, "__idx", "__line"])
+                     .append_column("__pb", pb))
+
+    def bucket_agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key_column: pa.array([], t.schema.field(key_column).type),
+                out_column: pa.array([], pa.string())})
+        order = pc.sort_indices(t, sort_keys=[(key_column, "ascending"),
+                                              ("__idx", "ascending")])
+        t = t.take(order)
+        k = t.column(key_column).combine_chunks()
+        v = t.column("__line").combine_chunks()
+        ne = pc.fill_null(pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)),
+                          True)
+        starts = np.flatnonzero(np.r_[True,
+                                      ne.to_numpy(zero_copy_only=False)])
+        offsets = pa.array(np.r_[starts, len(k)].astype(np.int32), pa.int32())
+        # the sentinel ("" at __idx=-1) heads every document's run, so
+        # the join is "\n" + text — slice exactly one codeunit back off
+        joined = pc.utf8_slice_codeunits(
+            pc.binary_join(pa.ListArray.from_arrays(offsets, v), "\n"), 1)
+        return pa.table({key_column: k.take(pa.array(starts)),
+                         out_column: joined})
+
+    return (survivors.map_batches(bucket, batch_format="pyarrow")
+                     .groupby("__pb")
+                     .map_groups(bucket_agg, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------- bloom ----
 # Blocked? No — one flat Bloom bitmap per job: at the default 10 bits/key
 # a 10^9-key archive is a 1.25 GB bitmap (one ray.put, zero-copy reads in

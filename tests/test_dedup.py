@@ -791,3 +791,43 @@ def test_dedup_near_keep_best_plans_equal_randomized(ray_session):
     local, dist = run("local"), run("distributed")
     assert local.equals(dist)
     assert len(local) == 12   # exactly one survivor per cluster
+
+
+def test_strip_host_boilerplate_plans_byte_equal(ray_session):
+    """Per-host frequent-line strip: the shared nav/footer chrome is
+    removed, unique content survives verbatim, a fully-templated page
+    becomes "", and broadcast / anti / auto plans are byte-equal —
+    including a host below min_docs whose chrome must be KEPT."""
+    from llm_food_ray.stages.dedup import strip_host_boilerplate
+
+    from helpers import dataset_from_items
+
+    rows = []
+    for d in range(12):                      # big host: chrome strips
+        h = "big.example.com"
+        rows.append({"doc_id": d, "host": h,
+                     "text": f"nav {h}\ncontent {d} alpha\n"
+                             f"content {d} beta\n(c) {h}"})
+    for d in range(12, 15):                  # small host (3 < min_docs)
+        h = "small.example.net"
+        rows.append({"doc_id": d, "host": h,
+                     "text": f"nav {h}\ncontent {d}\n(c) {h}"})
+    rows.append({"doc_id": 20, "host": "big.example.com",
+                 "text": "nav big.example.com\n(c) big.example.com"})
+    rows.append({"doc_id": 21, "host": "big.example.com", "text": ""})
+    ds = dataset_from_items(rows)
+
+    def run(exec):
+        return (strip_host_boilerplate(ds, "host", "doc_id", "text",
+                                       min_docs=4, exec=exec)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    a, b, c = run("broadcast"), run("anti"), run("auto")
+    assert a.equals(b) and a.equals(c)
+    assert len(a) == len(rows)
+    by = dict(zip(a["doc_id"], a["clean"]))
+    assert by[0] == "content 0 alpha\ncontent 0 beta"  # chrome stripped
+    assert by[20] == ""                                # fully templated
+    assert by[21] == ""                                # empty input
+    assert by[12] == ("nav small.example.net\ncontent 12\n"
+                      "(c) small.example.net")         # under threshold
