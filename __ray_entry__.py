@@ -1346,6 +1346,19 @@ def q_top_bigrams(sf_dir: str):
     return top_ngrams(_docs(sf_dir, ["text"]), "text", n=2, k=20)
 
 
+def q_top_bigrams_sketch(sf_dir: str):
+    """Heavy-hitters top-20 bigrams via Misra–Gries batch summaries +
+    exact candidate verification — byte-identical to q_top_bigrams but
+    the merge exchange is capacity×blocks rows instead of the full
+    vocabulary (the 100-TB plan; provable-exactness gate falls back to
+    the full groupby when the distribution is too flat).  Small
+    capacity here so the summaries actually drop mass at test scale."""
+    from llm_food_ray.stages.textstats import top_ngrams_sketch
+
+    return top_ngrams_sketch(_docs(sf_dir, ["text"]), "text",
+                             n=2, k=20, capacity=512)
+
+
 def q_url_canonicalize(sf_dir: str):
     """URL canonicalization (lowercase scheme/host, default-port strip,
     fragment drop, tracking-param removal, trailing-slash trim) over
@@ -2286,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
         "strip_boilerplate": q_strip_boilerplate,
+        "top_bigrams_sketch": q_top_bigrams_sketch,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
@@ -4336,6 +4350,21 @@ SELECT doc_id, url,
 FROM canon
 """,
         "top_bigrams": r"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM words WHERE len(ws) >= 2
+)
+SELECT gram, count(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram ASC
+LIMIT 20
+""",
+        "top_bigrams_sketch": r"""
 WITH words AS (
   SELECT list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
                      w -> w <> '') AS ws

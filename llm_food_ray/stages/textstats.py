@@ -144,6 +144,125 @@ def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
                   .limit(k))
 
 
+def top_ngrams_sketch(ds, text_column: str = "text", *, n: int = 2,
+                      k: int = 20, capacity: int = 4096):
+    """Exact corpus-wide top-k n-grams WITHOUT a full-vocabulary
+    shuffle: the heavy-hitters plan for the 100-TB regime where the
+    distinct-gram vocabulary (trillions of shingles) dwarfs the result.
+
+    Plan (Misra–Gries/SpaceSaving summaries + exact verification):
+
+    1. Each batch counts locally, keeps only its ``capacity`` most
+       frequent grams, and emits one stats row carrying (batch token
+       total, max-dropped-count bound err_b).  The merge exchange is
+       ≤ capacity × blocks rows — independent of vocabulary size.
+    2. Any gram with true global count > T = Σ_b err_b must survive in
+       at least one batch summary (if it survived nowhere, each batch
+       counted it ≤ err_b).  Merged survivor counts are LOWER bounds L;
+       candidates with L + T < L_k (the k-th largest lower bound) are
+       provably outside the top-k and pruned before the driver gather.
+    3. A second streaming pass exact-counts ONLY the surviving
+       candidates (broadcast set, per-batch combiner, candidate-sized
+       groupby).  If the k-th exact count > T the top-k is PROVABLY
+       complete and exact (any non-candidate is ≤ T, strictly beaten),
+       and ties resolve deterministically because every gram tied with
+       the k-th is itself a candidate.
+    4. Otherwise (flat distribution / capacity too small) fall back to
+       the exact full-vocabulary :func:`top_ngrams` — the output is
+       byte-identical either way, so the operator keeps a value-level
+       SQL oracle while the sketch path never ships the long tail.
+    """
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.repetition import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        total = 0
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            total += len(grams)
+            counts.update(grams)
+        if len(counts) > capacity:
+            items = counts.most_common(capacity)
+            err = items[-1][1]    # every dropped count ≤ smallest kept
+        else:
+            items, err = list(counts.items()), 0
+        return pa.table({
+            "gram": pa.array([g for g, _ in items] + [None], pa.string()),
+            "n": pa.array([c for _, c in items] + [total], pa.int64()),
+            "__err": pa.array([0] * len(items) + [err], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    T = 0
+    for b in partials.iter_batches(batch_size=65_536,
+                                   batch_format="pyarrow"):
+        stats = b.filter(pc.is_null(b.column("gram")))
+        T += int(pc.sum(stats.column("__err")).as_py() or 0)
+
+    def survivors_only(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.is_valid(b.column("gram")))
+                 .select(["gram", "n"]))
+
+    merged = (partials.map_batches(survivors_only, batch_format="pyarrow")
+                      .groupby("gram")
+                      .aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("n", "descending"),
+                                                  ("gram", "ascending")])
+        return batch.take(order[:k])
+
+    top_lb = (merged.map_batches(local_topk, batch_format="pyarrow")
+                    .sort(["n", "gram"], descending=[True, False])
+                    .limit(k).take_all())
+    if not top_lb:
+        return merged.limit(0)
+    L_k = top_lb[min(k, len(top_lb)) - 1]["n"]
+
+    cand_parts = list(
+        merged.filter(expr=f"n >= {L_k - T}")
+              .iter_batches(batch_size=65_536, batch_format="pyarrow"))
+    cand = set(pa.concat_tables(cand_parts, promote_options="default")
+                 .column("gram").to_pylist()) if cand_parts else set()
+    cand_ref = _ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        want = _ray.get(cand_ref)
+        counts: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            counts.update(g for g in
+                          (" ".join(ws[i:i + n])
+                           for i in range(len(ws) - n + 1))
+                          if g in want)
+        return pa.table({"gram": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+               .groupby("gram")
+               .aggregate(Sum("n", alias_name="n"))
+               .map_batches(local_topk, batch_format="pyarrow")
+               .sort(["n", "gram"], descending=[True, False])
+               .limit(k)
+               .materialize())
+    rows = exact.take_all()
+    kth_exact = rows[-1]["n"] if len(rows) >= k else 0
+    if kth_exact > T or T == 0:
+        return exact
+    # guarantee failed (flat distribution vs capacity): exact fallback
+    return top_ngrams(ds, text_column, n=n, k=k)
+
+
 def normalize_dataset(ds, text_column: str = "text",
                       out_column: str = "norm_text"):
     """Text normalization map (NFC → control-strip → whitespace-collapse,

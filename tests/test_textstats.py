@@ -322,3 +322,35 @@ def test_top_k_per_group_brute_force(ray_session):
     assert len(out) == len(ref)
     for c in ["lang", "doc_id", "n_chars", "rank"]:
         assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_top_ngrams_sketch_matches_exact(ray_session):
+    """Randomized differential: the Misra–Gries heavy-hitters plan is
+    byte-identical to the full-vocabulary exact top_ngrams, both when
+    the sketch path holds (capacity drops real mass but the guarantee
+    proves the result) and when the flat-distribution fallback fires
+    (capacity far too small)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import top_ngrams, top_ngrams_sketch
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(300)]
+    wts = [1.0 / (i + 1) for i in range(300)]       # Zipf: real heavy mass
+    rows = [{"doc_id": d,
+             "text": " ".join(random.choices(vocab, weights=wts, k=80))}
+            for d in range(400)]
+    rows.append({"doc_id": 400, "text": ""})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+
+    exact = top_ngrams(ds, "text", n=2, k=15).to_pandas()
+    sketch = top_ngrams_sketch(ds, "text", n=2, k=15,
+                               capacity=64).to_pandas()
+    fallback = top_ngrams_sketch(ds, "text", n=2, k=15,
+                                 capacity=4).to_pandas()
+    assert exact.equals(sketch)
+    assert exact.equals(fallback)
+    assert len(exact) == 15 and (exact["n"].diff().dropna() <= 0).all()
