@@ -2263,7 +2263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # mode_source, bpe_pairs, url_blocklist) inside the first-50 window.
     return {
         "cap_per_lang": q_cap_per_lang,
-        "sample_per_lang": q_sample_per_lang,
         "resample_mix": q_resample_mix,
         "temperature_mix": q_temperature_mix,
         "corpus_sample": q_corpus_sample,
@@ -2314,11 +2313,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "top_k_per_lang": q_top_k_per_lang,
         "sessionize": q_sessionize,
+        "sample_per_lang": q_sample_per_lang,
         # --- long-green rotation tail (driver checks the first 50):
         # (r4-cont-2: curate [driver-green r2+r3] plus quality_stats,
         # repetition_stats and quality_filter [driver-green r2,
         # sweep-green locally today] rotate out to make room for the
-        # four new window/join/bloom operators.)
+        # four new window/join/bloom operators.  r4-cont-3:
+        # strip_boilerplate and top_bigrams_sketch enter the window;
+        # sessionize [driver-green r3] and sample_per_lang
+        # [driver-green r2+r3] rotate out so the never-driver-checked
+        # top_k_per_lang stays inside.)
         "curate": q_curate,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
