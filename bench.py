@@ -461,6 +461,50 @@ def run_bench() -> dict:
     queries["dup_spans"] = round(time.perf_counter() - t0, 3)
     assert n_dup_spans > 0
 
+    # --- cross-document per-host boilerplate strip over the extracted
+    # markdown (hosts from the url scheme: 100 hosts × ~5k docs):
+    # (host, line-md5) doc-count combiner exchange → auto-gated
+    # broadcast second pass.  min_docs sits just above the replication
+    # factor so only lines shared by DISTINCT source documents of a
+    # host count as chrome, not the REPL-way exact copies ---------------
+    import pyarrow as _pa3
+
+    from llm_food_ray.functions.urltools import url_host
+    from llm_food_ray.stages.dedup import strip_host_boilerplate
+
+    def with_host(b):
+        hosts = [url_host(u) for u in b.column("url").to_pylist()]
+        return b.append_column("host", _pa3.array(hosts, _pa3.string()))
+
+    t0 = time.perf_counter()
+    n_clean = strip_host_boilerplate(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks)
+          .map_batches(with_host, batch_format="pyarrow"),
+        "host", "url", "markdown", min_docs=REPL + 1).count()
+    queries["strip_boilerplate"] = round(time.perf_counter() - t0, 3)
+    assert n_clean == n_pages
+
+    # --- heavy-hitters top-20 bigrams: the Misra–Gries sketch plan
+    # (capacity×blocks exchange + exact candidate verify) timed against
+    # the full-vocabulary exact groupby on the same corpus; results
+    # asserted identical — a bench-time differential ---------------------
+    from llm_food_ray.stages.textstats import top_ngrams, top_ngrams_sketch
+
+    t0 = time.perf_counter()
+    sk_rows = top_ngrams_sketch(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", n=2, k=20, capacity=4096).take_all()
+    queries["top_bigrams_sketch"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ex_rows = top_ngrams(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", n=2, k=20).take_all()
+    queries["top_bigrams_exact"] = round(time.perf_counter() - t0, 3)
+    assert sk_rows == ex_rows
+
     # --- web-graph: outlink extraction + host-graph rollup over the
     # 500k raw pages (regex anchor parse per page, hosts² groupby) -----
     import pyarrow as _pa2
