@@ -2007,6 +2007,45 @@ def q_decontaminate(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def q_contamination_frac(sf_dir: str):
+    """Scored decontamination: every document annotated with its
+    positional 13-gram count, eval-set hit count, and round-6 overlap
+    fraction (the graded leakage signal; q_decontaminate's boolean drop
+    is the frac > 0 special case).  Same eval-set construction as
+    q_decontaminate; same broadcast-once / single-streaming-pass shape,
+    no shuffle."""
+    import pyarrow.parquet as pq
+
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import contamination_scores
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    bad = set()
+    for d, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        if d % 50 == 0:
+            ws = split_words(txt or "")
+            if len(ws) >= 13:
+                bad.add(" ".join(ws[:13]))
+    return (contamination_scores(_docs(sf_dir, ["doc_id", "text"]), "text",
+                                 contaminated=bad, n=13)
+            .select_columns(["doc_id", "n_grams", "n_hits",
+                             "contamination_frac"]))
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Per-language distinctive terms (c-TF-IDF): token counts per
+    (lang, term) in one vocabulary-sized pre-aggregated exchange, df
+    per term over the merged counts, one vocab-sized hash join, then
+    the coarse-bucketed top-k winner resolve — top 10 per lang, score
+    = n * ln(n_langs / df) rounded to 6."""
+    from llm_food_ray.stages.search import distinctive_terms
+
+    return distinctive_terms(_docs(sf_dir, ["lang", "text"]), "lang",
+                             "text", k=10)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -2379,6 +2418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q_lang_counts,
         "host_stats": q_host_stats,
         "dedup_paragraph": q_dedup_paragraph,
+        "contamination_frac": q_contamination_frac,
+        "distinctive_terms": q_distinctive_terms,
     }
 
 
@@ -4205,6 +4246,59 @@ WITH words AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+""",
+        # scored twin of decontaminate: positional 13-gram hit fraction
+        # per document (bad grams are DISTINCT on both sides, so each
+        # position joins at most once)
+        "contamination_frac": r"""
+WITH words AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                w -> w <> '') AS ws
+  FROM documents
+), bad AS (
+  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
+  FROM words WHERE doc_id % 50 = 0 AND len(ws) >= 13
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 11),
+                        i -> array_to_string(ws[i:i + 12], ' '))) AS gram
+  FROM words WHERE len(ws) >= 13
+), hits AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_hits
+  FROM grams g JOIN bad USING (gram) GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(w.ws) - 12, 0) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       CASE WHEN len(w.ws) >= 13
+            THEN round(COALESCE(h.n_hits, 0)::DOUBLE / (len(w.ws) - 12), 6)
+            ELSE 0.0 END AS contamination_frac
+FROM words w LEFT JOIN hits h USING (doc_id)
+""",
+        # c-TF-IDF per language: token counts per (lang, term), df =
+        # distinct langs containing the term, score = n * ln(g / df)
+        "distinctive_terms": r"""
+WITH words AS (
+  SELECT lang, unnest(list_filter(
+           regexp_split_to_array(text, '[ \t\r\n\f]+'),
+           w -> w <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT lang, term, count(*)::BIGINT AS n FROM words GROUP BY lang, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM cnt GROUP BY term
+), ng AS (
+  SELECT count(DISTINCT lang) AS g FROM cnt
+), sc AS (
+  SELECT lang, round(n * ln(g::DOUBLE / df), 6) AS score, term
+  FROM cnt JOIN df USING (term) CROSS JOIN ng
+)
+SELECT lang, score, term, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, score, term,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc)
+WHERE rank <= 10
 """,
         # composed curation flagship: repetition filter over AUGMENTED
         # docs → exact dedup (min doc_id per text) → PII scrub → split

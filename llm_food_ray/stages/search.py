@@ -361,3 +361,84 @@ def tfidf_top_terms(ds, *, key_column: str = "doc_id",
         concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )
+
+
+def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
+                      k: int = 10, num_partitions: int | None = None):
+    """Per-group distinctive terms (c-TF-IDF, the corpus-report /
+    cluster-labeling signal): for group g and term w,
+    ``score = n_gw * ln(n_groups / df_w)`` where n_gw is w's token count
+    inside g and df_w the number of DISTINCT groups containing w —
+    large when a term is frequent in g and absent elsewhere, exactly 0
+    for corpus-universal terms.  → (group, score, term, rank), the k
+    highest-scoring terms per group, ties by ascending term; score
+    rounds to 6 decimals so the SQL oracle matches value-level.
+
+    Scale shape: per-batch (group, term) Counter partials — the same
+    vocabulary-sized pre-aggregation as :func:`textstats.top_ngrams`
+    (the exchange ships groups × vocab count rows, never token
+    occurrences) — ONE ``groupby.sum``, a term-keyed ``Count`` over the
+    merged rows for df (vocab-sized), one vocab-sized hash join to
+    attach df, a vectorized score map, and
+    :func:`textstats.top_k_per_group`'s coarse-bucketed winner resolve
+    (no per-group Python groups).  Nothing corpus-sized materializes;
+    for trillion-shingle vocabularies compose the candidate prune of
+    :func:`textstats.top_ngrams_sketch` in front.  No reference
+    analogue (brief-scope corpus analysis)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.repetition import split_words
+    from .dedup import _join_partitions, _nonempty_blocks
+    from .textstats import top_k_per_group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_column).to_pylist(),
+                        batch.column(text_column).to_pylist()):
+            for w in split_words(t or ""):
+                c[(g, w)] += 1
+        ktype = batch.schema.field(group_column).type
+        return pa.table({
+            group_column: pa.array([g for g, _ in c], ktype),
+            "term": pa.array([w for _, w in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, "term"])
+                .aggregate(Sum("n", alias_name="n"))).materialize()
+    merged = _nonempty_blocks(merged)
+    if merged is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            group_column: pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "term": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64())}))
+    n_groups = len(merged.unique(group_column))
+
+    df = (merged.groupby("term").aggregate(Count(alias_name="df"))
+                .map_batches(lambda b: b.rename_columns(["__t", "df"]),
+                             batch_format="pyarrow"))
+    joined = _nonempty_blocks(
+        merged.join(df, "inner", _join_partitions(num_partitions),
+                    on=("term",), right_on=("__t",)).materialize())
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = (batch.column("n").to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        dfv = (batch.column("df").to_numpy(zero_copy_only=False)
+               .astype(np.float64))
+        s = n * np.log(float(n_groups) / dfv)
+        # scalar round(): np.round's scale-rint can drift a last-decimal
+        # ulp from Python/DuckDB round, and the oracle is value-level
+        out = np.fromiter((round(float(x), 6) for x in s), np.float64,
+                          len(s))
+        return (batch.select([group_column, "term"])
+                     .append_column("score", pa.array(out, pa.float64())))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(scored, group_column, "score", "term", k=k)

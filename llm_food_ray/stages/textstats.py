@@ -1490,6 +1490,47 @@ def decontaminate(ds, text_column: str = "text", *, contaminated,
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
+
+def contamination_scores(ds, text_column: str = "text", *, contaminated,
+                         n: int = 13):
+    """Scored benchmark-contamination: instead of :func:`decontaminate`'s
+    boolean drop, annotate every document with how MUCH of it overlaps
+    the eval set — ``n_grams`` (positional n-gram count), ``n_hits``
+    (positions whose n-gram is in the contaminated set), and
+    ``contamination_frac = n_hits / n_grams`` (round-6; 0.0 for
+    too-short documents).  The graded signal is what threshold-tuning
+    and leakage reports need; the hard filter is the frac > 0 cut.
+
+    Scale shape: identical to :func:`decontaminate` — the eval-sized
+    set broadcasts once via ``ray.put``, the corpus streams through one
+    ``map_batches``, no shuffle.  Reference has no analogue
+    (decontamination is brief-scope); the boolean twin cites
+    llm-food's hygiene gap."""
+    import ray as _ray
+
+    from ..functions.repetition import split_words
+
+    ref = _ray.put(frozenset(contaminated))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bad = _ray.get(ref)
+        n_grams, n_hits, frac = [], [], []
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            total = max(len(ws) - n + 1, 0)
+            hits = sum(1 for i in range(total)
+                       if " ".join(ws[i:i + n]) in bad)
+            n_grams.append(total)
+            n_hits.append(hits)
+            frac.append(round(hits / total, 6) if total else 0.0)
+        return (batch.append_column("n_grams", pa.array(n_grams, pa.int64()))
+                     .append_column("n_hits", pa.array(n_hits, pa.int64()))
+                     .append_column("contamination_frac",
+                                    pa.array(frac, pa.float64())))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def top_k_per_group(ds, group_column: str, order_column: str,
                     tiebreak_column: str, *, k: int = 10,
                     num_buckets: int = 64):

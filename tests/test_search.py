@@ -134,3 +134,38 @@ def test_hybrid_search_rrf(ray_session):
     # sorted by fused score with doc_id tiebreak
     key = list(zip(-df["rrf"], df["doc_id"]))
     assert key == sorted(key)
+
+
+def test_distinctive_terms_ctfidf(ray_session):
+    """Hand-checkable c-TF-IDF: a term unique to one group scores
+    n*ln(g); a term present in every group scores exactly 0 and falls
+    below unique terms; ties break by ascending term."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import distinctive_terms
+
+    rows = [
+        {"lang": "en", "text": "shared apple apple"},
+        {"lang": "en", "text": "shared apple"},
+        {"lang": "fr", "text": "shared pomme"},
+        {"lang": "de", "text": "shared apfel apfel apfel"},
+    ]
+    out = (distinctive_terms(
+               rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2),
+               "lang", "text", k=2)
+           .to_pandas().sort_values(["lang", "rank"])
+           .reset_index(drop=True))
+    ln3 = math.log(3.0)
+    # en: apple n=3 unique → 3*ln3; fr: pomme 1*ln3; de: apfel 3*ln3;
+    # 'shared' df=3 → score 0, still ranks 2nd (only other term)
+    got = {(r.lang, r.term): (r.score, r["rank"])
+           for _, r in out.iterrows()}
+    assert got[("en", "apple")] == (round(3 * ln3, 6), 1)
+    assert got[("fr", "pomme")] == (round(1 * ln3, 6), 1)
+    assert got[("de", "apfel")] == (round(3 * ln3, 6), 1)
+    for g in ("en", "fr", "de"):
+        assert got[(g, "shared")] == (0.0, 2)
+    assert len(out) == 6

@@ -354,3 +354,28 @@ def test_top_ngrams_sketch_matches_exact(ray_session):
     assert exact.equals(sketch)
     assert exact.equals(fallback)
     assert len(exact) == 15 and (exact["n"].diff().dropna() <= 0).all()
+
+
+def test_contamination_scores_counts_and_frac(ray_session):
+    """Hand-computable grid: hit counts are POSITIONAL (duplicate grams
+    in one doc count every occurrence), short docs score 0.0."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from llm_food_ray.stages.textstats import contamination_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d"},    # grams: "a b","b c","c d"
+        {"doc_id": 1, "text": "a b a b"},    # "a b","b a","a b" → 2 hits
+        {"doc_id": 2, "text": "x"},          # too short → 0 grams
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "z z b c z"},  # "b c" hit once of 4
+    ]
+    out = (contamination_scores(
+               rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3),
+               "text", contaminated={"a b", "b c"}, n=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_grams"].tolist() == [3, 3, 0, 0, 4]
+    assert out["n_hits"].tolist() == [2, 2, 0, 0, 1]
+    assert out["contamination_frac"].tolist() == [
+        round(2 / 3, 6), round(2 / 3, 6), 0.0, 0.0, 0.25]
