@@ -2046,6 +2046,37 @@ def q_distinctive_terms(sf_dir: str):
                              "text", k=10)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Scalar int8 embedding quantization: global per-dimension min/max
+    (dims × blocks exchange) → broadcast scale → one streaming
+    vectorized code map; flattened to (vec_id, dim, code) so the SQL
+    twin value-checks every code."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.similarity import embedding_quantize
+
+    out = embedding_quantize(_embeddings(sf_dir), "embedding", "vec_id",
+                             levels=256)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        col = b.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray(col.value_lengths(), dtype=np.int64)
+        ids = np.repeat(
+            b.column("vec_id").to_numpy(zero_copy_only=False), lens)
+        dims = (np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens))
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "code": pc.cast(col.flatten(), pa.int64()),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -2420,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraph": q_dedup_paragraph,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -4274,6 +4306,27 @@ SELECT w.doc_id,
             THEN round(COALESCE(h.n_hits, 0)::DOUBLE / (len(w.ws) - 12), 6)
             ELSE 0.0 END AS contamination_frac
 FROM words w LEFT JOIN hits h USING (doc_id)
+""",
+        # scalar quantization: global per-dim min/max over DOUBLE-cast
+        # floats (exact — min/max never rounds), code = round-9 before
+        # floor (the established float-parity recipe), clamp [0, 255]
+        "embedding_quantize": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), f AS (
+  SELECT vec_id, gi.i AS i, e.v[gi.i] AS val
+  FROM e, LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) gi
+), mm AS (
+  SELECT i, min(val) AS mn, max(val) AS mx FROM f GROUP BY i
+)
+SELECT f.vec_id, CAST(f.i - 1 AS BIGINT) AS dim,
+       CAST(CASE WHEN mm.mx > mm.mn
+            THEN least(greatest(floor(round(
+                   (f.val - mm.mn) / (mm.mx - mm.mn) * 256.0, 9)),
+                 0), 255)
+            ELSE 0 END AS BIGINT) AS code
+FROM f JOIN mm USING (i)
 """,
         # c-TF-IDF per language: token counts per (lang, term), df =
         # distinct langs containing the term, score = n * ln(g / df)

@@ -213,3 +213,34 @@ def test_embedding_moments_and_pca(ray_session):
     assert abs(proj.mean(0)).max() < 1e-3
     # captures nearly all variance of this rank-2-ish corpus
     assert proj.var(0).sum() > 0.95 * np.trace(cov)
+
+
+def test_embedding_quantize_extremes_and_constant_dim(ray_session):
+    """Global per-dim extrema map to code 0 / levels-1; a constant
+    dimension codes to 0 everywhere; all codes in range; row order and
+    vector length preserved."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import embedding_quantize
+
+    rng = np.random.default_rng(7)
+    n, d = 200, 5
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[:, 3] = 2.5                      # constant dim
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in mat],
+                              pa.list_(pa.float32())),
+    })
+    out = (embedding_quantize(rd.from_arrow(t).repartition(4),
+                              "embedding", "vec_id", levels=256)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.shape == (n, d) and codes.dtype == np.uint8
+    assert (codes[:, 3] == 0).all()
+    f64 = mat.astype(np.float64)
+    for j in (0, 1, 2, 4):
+        assert codes[np.argmin(f64[:, j]), j] == 0
+        assert codes[np.argmax(f64[:, j]), j] == 255
