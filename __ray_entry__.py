@@ -2077,6 +2077,24 @@ def q_embedding_quantize(sf_dir: str):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_ann_topk_quantized(sf_dir: str):
+    """Asymmetric quantized ANN: cosine top-10 vs the vec_id-0 raw query
+    where every corpus vector is scored through its int8 scalar-quantized
+    reconstruction — one dims×blocks min/max exchange, broadcast scale,
+    then brute_topk's prune+sort plan."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.similarity import quantized_topk
+
+    q = _query_vec(sf_dir)
+    top = quantized_topk(_embeddings(sf_dir), q, 10)
+    return top.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow",
+    )
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -2452,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
+        "ann_topk_quantized": q_ann_topk_quantized,
     }
 
 
@@ -4327,6 +4346,38 @@ SELECT f.vec_id, CAST(f.i - 1 AS BIGINT) AS dim,
                  0), 255)
             ELSE 0 END AS BIGINT) AS code
 FROM f JOIN mm USING (i)
+""",
+        # asymmetric quantized ANN: same code CTE as embedding_quantize,
+        # reconstruction mn + (code + 0.5)(mx − mn)/256, full-precision
+        # query; order by the RAW cosine (round-4 only displayed), ties
+        # (identically-coded vectors) break by vec_id
+        "ann_topk_quantized": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), f AS (
+  SELECT vec_id, gi.i AS i, e.v[gi.i] AS val
+  FROM e, LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) gi
+), mm AS (
+  SELECT i, min(val) AS mn, max(val) AS mx FROM f GROUP BY i
+), r AS (
+  SELECT f.vec_id, f.i,
+         mm.mn + (CASE WHEN mm.mx > mm.mn
+                  THEN least(greatest(floor(round(
+                        (f.val - mm.mn) / (mm.mx - mm.mn) * 256.0, 9)),
+                       0), 255)
+                  ELSE 0 END + 0.5) * (mm.mx - mm.mn) / 256.0 AS rv
+  FROM f JOIN mm USING (i)
+), rl AS (
+  SELECT vec_id, list(rv ORDER BY i) AS rvec FROM r GROUP BY vec_id
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(rvec, (SELECT qv FROM q)), 4) AS score
+FROM rl
+ORDER BY list_cosine_similarity(rvec, (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
 """,
         # c-TF-IDF per language: token counts per (lang, term), df =
         # distinct langs containing the term, score = n * ln(g / df)

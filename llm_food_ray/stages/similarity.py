@@ -451,25 +451,11 @@ def pca_project(ds, *, k: int = 2, vec_column: str = "embedding",
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def embedding_quantize(ds, vec_column: str = "embedding",
-                       key_column: str = "vec_id", *, levels: int = 256):
-    """Scalar per-dimension quantization of an embedding column: map
-    each float to ``floor((v - mn_d) / (mx_d - mn_d) * levels)`` clamped
-    to [0, levels-1] (constant dimensions code to 0), where mn/mx are
-    the GLOBAL per-dimension extrema — the 4×-8× memory shrink that
-    makes billion-vector ANN shards fit in worker heaps, with the codes
-    riding as ``list<uint8>``.
-
-    Scale shape: pass 1 emits one (dim, mn, mx) row per (batch, dim) —
-    a dims × blocks exchange, independent of corpus size — merged by
-    one tiny ``groupby(dim)`` Min/Max; the d-row result broadcasts via
-    ``ray.put`` and pass 2 is a single streaming vectorized map (the
-    arithmetic rounds to 9 decimals before the floor so the SQL oracle
-    lands on the same integer across float ulps).  No reference
-    analogue (brief-scope similarity-search component).
-    """
-    import ray as _ray
-
+def _dim_minmax(ds, vec_column: str):
+    """Global per-dimension (min, max) float64 arrays: one (dim, mn, mx)
+    row per (batch, dim) — a dims × blocks exchange, corpus-independent
+    — merged by a tiny ``groupby(dim)`` Min/Max (min/max never rounds,
+    so the extrema are exact on every engine)."""
     from ray.data.aggregate import Max, Min
 
     def mm_partial(b: pa.Table) -> pa.Table:
@@ -489,18 +475,47 @@ def embedding_quantize(ds, vec_column: str = "embedding",
             .aggregate(Min("mn", alias_name="mn"),
                        Max("mx", alias_name="mx"))
             .to_pandas().sort_values("dim"))
-    mn = mm["mn"].to_numpy(np.float64)
-    mx = mm["mx"].to_numpy(np.float64)
+    return (mm["mn"].to_numpy(np.float64), mm["mx"].to_numpy(np.float64))
+
+
+def _quantize_codes(mat: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                    levels: int) -> np.ndarray:
+    """Float matrix → float code grid (round-9 before floor — the
+    engine's established float-parity recipe — clamped to
+    [0, levels-1]; constant dimensions code to 0)."""
+    rng = hi - lo
+    safe = np.where(rng > 0, rng, 1.0)
+    q = np.floor(np.round((mat - lo) / safe * float(levels), 9))
+    return np.where(rng > 0, np.clip(q, 0, levels - 1), 0.0)
+
+
+def embedding_quantize(ds, vec_column: str = "embedding",
+                       key_column: str = "vec_id", *, levels: int = 256):
+    """Scalar per-dimension quantization of an embedding column: map
+    each float to ``floor((v - mn_d) / (mx_d - mn_d) * levels)`` clamped
+    to [0, levels-1] (constant dimensions code to 0), where mn/mx are
+    the GLOBAL per-dimension extrema — the 4×-8× memory shrink that
+    makes billion-vector ANN shards fit in worker heaps, with the codes
+    riding as ``list<uint8>``.
+
+    Scale shape: pass 1 emits one (dim, mn, mx) row per (batch, dim) —
+    a dims × blocks exchange, independent of corpus size — merged by
+    one tiny ``groupby(dim)`` Min/Max; the d-row result broadcasts via
+    ``ray.put`` and pass 2 is a single streaming vectorized map (the
+    arithmetic rounds to 9 decimals before the floor so the SQL oracle
+    lands on the same integer across float ulps).  No reference
+    analogue (brief-scope similarity-search component).
+    """
+    import ray as _ray
+
+    mn, mx = _dim_minmax(ds, vec_column)
     ref = _ray.put((mn, mx))
 
     def quantize(b: pa.Table) -> pa.Table:
         lo, hi = _ray.get(ref)
         mat = vectors_to_matrix(b.column(vec_column))
         n = mat.shape[0]
-        rng = hi - lo
-        safe = np.where(rng > 0, rng, 1.0)
-        q = np.floor(np.round((mat - lo) / safe * float(levels), 9))
-        q = np.where(rng > 0, np.clip(q, 0, levels - 1), 0.0)
+        q = _quantize_codes(mat, lo, hi, levels)
         flat = pa.array(q.astype(np.uint8).ravel(), pa.uint8())
         offsets = pa.array(
             np.arange(0, (n + 1) * mat.shape[1] if n else 1,
@@ -509,3 +524,49 @@ def embedding_quantize(ds, vec_column: str = "embedding",
         return pa.table({key_column: b.column(key_column), "codes": codes})
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def quantized_topk(ds, query_vec, k: int, *, key_column: str = "vec_id",
+                   vec_column: str = "embedding", levels: int = 256):
+    """Asymmetric quantized ANN: brute-force cosine top-k where corpus
+    vectors are scored through their int8 scalar-quantized
+    reconstruction ``mn + (code + 0.5)·(mx − mn)/levels`` while the
+    query stays full-precision — the standard asymmetric-distance
+    trade (SQ analogue of PQ/ADC): the shard in memory is the 4–8×
+    smaller code matrix, the query loses nothing.  Exact ties between
+    identically-coded vectors break toward the smallest key, so the
+    result is deterministic and fully SQL-replicable (unlike a float
+    re-rank it needs no tolerance).
+
+    Scale shape: one dims × blocks min/max exchange
+    (:func:`_dim_minmax`), broadcast scale, then exactly
+    :func:`brute_topk`'s plan — per-batch quantize→reconstruct→matmul
+    with a local top-k prune, one k × blocks-row global sort."""
+    import ray as _ray
+
+    mn, mx = _dim_minmax(ds, vec_column)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    ref = _ray.put((mn, mx))
+
+    def score(b: pa.Table) -> pa.Table:
+        lo, hi = _ray.get(ref)
+        keys = np.asarray(b.column(key_column).to_pylist())
+        mat = vectors_to_matrix(b.column(vec_column))
+        codes = _quantize_codes(mat, lo, hi, levels)
+        recon = lo + (codes + 0.5) * (hi - lo) / float(levels)
+        norms = np.linalg.norm(recon, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (recon @ q) / (norms * qn)
+        if len(keys) > k:
+            idx = np.argpartition(-scores, k)[:k]
+        else:
+            idx = np.arange(len(keys))
+        return pa.Table.from_arrays(
+            [pa.array(keys[idx].tolist()),
+             pa.array(scores[idx], pa.float64())],
+            names=[key_column, "score"])
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score", key_column], descending=[True, False])
+              .limit(k))

@@ -244,3 +244,35 @@ def test_embedding_quantize_extremes_and_constant_dim(ray_session):
     for j in (0, 1, 2, 4):
         assert codes[np.argmin(f64[:, j]), j] == 0
         assert codes[np.argmax(f64[:, j]), j] == 255
+
+
+def test_quantized_topk_recall_and_ties(ray_session):
+    """Asymmetric SQ ANN: at 8-bit the top-10 should largely agree with
+    exact brute force on smooth data; exact duplicate vectors quantize
+    identically and tie-break by ascending key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import brute_topk, quantized_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[7] = mat[3]          # duplicate pair: 3 and 7 must tie
+    q = mat[3].astype(np.float64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    qt = (quantized_topk(ds, q, 10).to_pandas()
+          .reset_index(drop=True))
+    ex = brute_topk(ds, q, 10).to_pandas()
+    # duplicates rank 1-2 in key order with equal scores
+    assert qt["vec_id"].tolist()[:2] == [3, 7]
+    assert qt["score"][0] == qt["score"][1]
+    assert (qt["score"].diff().dropna() <= 0).all()
+    overlap = len(set(qt["vec_id"]) & set(ex["vec_id"]))
+    assert overlap >= 8, overlap
