@@ -2195,6 +2195,28 @@ def q_dup_spans_against(sf_dir: str):
     return duplicate_spans_against(new, seen)
 
 
+def q_ngram_coverage(sf_dir: str):
+    """Cross-corpus window coverage: same archive split as
+    dup_spans_against (doc_id % 3 == 0 = archived), every NEW document
+    scored with the fraction of its positional 8-word windows seen
+    anywhere in the archive — fp-keyed JOIN membership (the
+    corpus-sized-reference shape), not a broadcast set."""
+    from llm_food_ray.stages.dupspans import window_coverage_against
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(keep_seen: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if keep_seen else (ids % 3 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    seen = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return window_coverage_against(new, seen)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table.
 
@@ -2471,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_quantized": q_ann_topk_quantized,
+        "ngram_coverage": q_ngram_coverage,
     }
 
 
@@ -3864,6 +3887,27 @@ SELECT doc_id,
        max(end_w) AS end_word,
        max(end_w) - min(start_w) + 1 AS n_words
 FROM grp GROUP BY doc_id, g
+""",
+        # graded coverage twin of dup_spans_against: positional window
+        # hit count / total windows per NEW doc (string-window equality
+        # in SQL ↔ 64-bit window fps in the engine, the span-family
+        # convention); short/empty docs → 0 windows → 0.0
+        "ngram_coverage": _DUPSPAN_TOKS + """, seen AS (
+  SELECT DISTINCT win FROM wins WHERE doc_id % 3 = 0
+), hits AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_seen
+  FROM wins w JOIN seen USING (win)
+  WHERE w.doc_id % 3 <> 0 GROUP BY w.doc_id
+), tot AS (
+  SELECT doc_id, greatest(n - 8 + 1, 0) AS n_windows
+  FROM n_t WHERE doc_id % 3 <> 0
+)
+SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+       COALESCE(h.n_seen, 0)::BIGINT AS n_seen,
+       CASE WHEN t.n_windows > 0
+            THEN round(COALESCE(h.n_seen, 0)::DOUBLE / t.n_windows, 6)
+            ELSE 0.0 END AS coverage_frac
+FROM tot t LEFT JOIN hits h USING (doc_id)
 """,
         "dup_span_strip": _DUPSPAN_BASE + """
 , cov AS (

@@ -564,3 +564,119 @@ def _emitter_pool() -> tuple[int, int]:
     from .pools import scoring_pool
 
     return scoring_pool()
+
+
+def window_coverage_against(new_ds, seen_ds, *, id_column: str = "doc_id",
+                            text_column: str = "text", window: int = 8,
+                            num_partitions: int | None = None):
+    """Per-document reference-corpus window coverage: for every NEW
+    document, how many of its ``window``-token positional windows occur
+    ANYWHERE in the reference corpus → (id, n_windows, n_seen,
+    coverage_frac round-6).  The graded cross-corpus twin of
+    :func:`duplicate_spans_against` (spans) and
+    ``textstats.contamination_scores`` (broadcast eval sets): here the
+    reference is corpus-sized, so membership is resolved by a
+    fingerprint-keyed JOIN instead of a broadcast set.
+
+    Scale shape: both sides reuse :func:`_batch_windows`' vectorized
+    window fingerprints; the reference collapses to DISTINCT fps
+    (per-batch ``np.unique`` then one fp-keyed groupby — 8 B rows,
+    never a window string); the new side ships one row per DISTINCT
+    (doc, fp) carrying its positional multiplicity plus one kind-0
+    totals row per doc, ONE fp-keyed hash join against the reference
+    (bounded by distinct-window mass, not corpus rows), a doc-keyed sum
+    of matched multiplicities, and a left join back onto the totals.
+    Collision posture: same 64-bit window fps as the span family."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def seen_partial(batch: pa.Table) -> pa.Table:
+        fps, *_rest = _batch_windows(batch, text_column, window)
+        h = np.unique(fps)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    seen = (seen_ds.map_batches(seen_partial, batch_format="pyarrow")
+                   .groupby("h").aggregate(Count(alias_name="__c")))
+
+    id_field = _id_field(new_ds, id_column)
+
+    def new_partial(batch: pa.Table) -> pa.Table:
+        fps, row, _start, lens, _idx, _dict = _batch_windows(
+            batch, text_column, window)
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if fps.size:
+            order = np.lexsort((fps, row))
+            r_s, f_s = row[order], fps[order]
+            first = np.r_[True, (r_s[1:] != r_s[:-1])
+                          | (f_s[1:] != f_s[:-1])]
+            heads = np.flatnonzero(first)
+            cnt = np.diff(np.r_[heads, r_s.size])
+            rr, ff = r_s[heads], f_s[heads]
+        else:
+            rr = np.empty(0, np.int64)
+            ff = np.empty(0, np.uint64)
+            cnt = np.empty(0, np.int64)
+        totals = np.maximum(lens - window + 1, 0)
+        doc_rows = np.arange(len(lens), dtype=np.int64)
+        kind = np.r_[np.zeros(len(lens), np.int8), np.ones(len(rr), np.int8)]
+        take = pa.array(np.r_[doc_rows, rr])
+        return pa.table({
+            "kind": pa.array(kind, pa.int8()),
+            id_column: ids.take(take),
+            "h": pa.array(np.r_[np.zeros(len(lens), np.int64),
+                                ff.view(np.int64)], pa.int64()),
+            "n": pa.array(np.r_[totals, cnt.astype(np.int64)], pa.int64()),
+        })
+
+    parts = _nonempty_blocks(
+        new_ds.map_batches(new_partial, batch_format="pyarrow")
+              .materialize())
+    if parts is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            id_column: pa.array([], id_field.type),
+            "n_windows": pa.array([], pa.int64()),
+            "n_seen": pa.array([], pa.int64()),
+            "coverage_frac": pa.array([], pa.float64())}))
+
+    def keep_kind(k):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), k))
+        return f
+
+    totals = (parts.map_batches(keep_kind(0), batch_format="pyarrow")
+                   .select_columns([id_column, "n"]))
+    win_rows = parts.map_batches(keep_kind(1), batch_format="pyarrow")
+    hits = _nonempty_blocks(
+        win_rows.join(seen, "inner", _join_partitions(num_partitions),
+                      on=("h",), right_on=("h",))
+                .groupby(id_column)
+                .aggregate(Sum("n", alias_name="n_seen"))
+                .materialize())
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        seen_n = (pc.fill_null(b.column("n_seen"), 0)
+                  .to_numpy(zero_copy_only=False).astype(np.int64)
+                  if "n_seen" in b.column_names
+                  else np.zeros(len(tot), np.int64))
+        frac = np.fromiter(
+            (round(int(s) / int(t), 6) if t else 0.0
+             for s, t in zip(seen_n, tot)), np.float64, len(tot))
+        return pa.table({
+            id_column: b.column(id_column),
+            "n_windows": pa.array(tot, pa.int64()),
+            "n_seen": pa.array(seen_n, pa.int64()),
+            "coverage_frac": pa.array(frac, pa.float64()),
+        })
+
+    if hits is None:
+        return totals.map_batches(finish, batch_format="pyarrow")
+    joined = totals.join(hits, "left_outer",
+                         _join_partitions(num_partitions),
+                         on=(id_column,), right_on=(id_column,))
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -194,3 +194,28 @@ def test_merge_islands_adjacent_and_new_doc():
         np.array([0, 9], dtype=np.int64), 8)
     assert s.tolist() == [0, 9] and e.tolist() == [7, 16]
     assert no.tolist() == [1, 2]
+
+
+def test_window_coverage_against_hand_case(ray_session):
+    """Positional counting (repeated seen windows count every
+    occurrence), unseen docs 0.0, short docs 0 windows, full-copy 1.0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import window_coverage_against
+
+    seen = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 100, "text": "a b c d e"},      # windows: "a b c","b c d","c d e"
+    ]))
+    new = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 0, "text": "a b c d e"},        # exact copy → 3/3
+        {"doc_id": 1, "text": "a b c x b c d"},    # "a b c","b c d" hit → 2/5
+        {"doc_id": 2, "text": "z z z z"},          # 0/2
+        {"doc_id": 3, "text": "a b"},              # too short → 0 windows
+        {"doc_id": 4, "text": "a b c a b c d"},    # windows: abc,bca,cab,abc,bcd → 3/5
+    ])).repartition(2)
+    out = (window_coverage_against(new, seen, window=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_windows"].tolist() == [3, 5, 2, 0, 5]
+    assert out["n_seen"].tolist() == [3, 2, 0, 0, 3]
+    assert out["coverage_frac"].tolist() == [1.0, 0.4, 0.0, 0.0, 0.6]
