@@ -2095,6 +2095,80 @@ def q_ann_topk_quantized(sf_dir: str):
     )
 
 
+_BM25_MULTI_QUERIES = {"qa": ("vector", "query", "hash"),
+                       "qb": ("data", "stream"),
+                       "qc": ("hash", "table", "data")}
+
+
+def q_bm25_multi(sf_dir: str):
+    """Batch lexical retrieval: top-10 per query for 3 bag-of-terms
+    queries over ONE shared stats pass + ONE shared scoring scan
+    (union-vocabulary tf computed once per batch, per-query local
+    top-k, coarse-bucketed per-query winner resolve)."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.search import bm25_multi_topk
+
+    top = bm25_multi_topk(_docs(sf_dir, ["doc_id", "text"]),
+                          _BM25_MULTI_QUERIES, 10)
+    return top.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow",
+    )
+
+
+def _bm25_multi_sql(queries: dict, k: int) -> str:
+    """SQL twin builder for q_bm25_multi: union-vocabulary tf/df CTEs,
+    one left-to-right `+`-chained score expression per query in the
+    query's own term order (the Bm25Scorer float-parity rule), window
+    rank per query."""
+    union = sorted({t for ts in queries.values() for t in ts})
+    col = {t: i for i, t in enumerate(union)}
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(union))
+    df_cols = ",\n         ".join(
+        f"sum((tf_{i} > 0)::INT)::DOUBLE AS df_{i}"
+        for i in range(len(union)))
+    term_expr = (
+        "ln(1.0::DOUBLE + (n - df_{i} + 0.5::DOUBLE) / (df_{i} + 0.5::DOUBLE))"
+        " * ((tf_{i} * 2.2::DOUBLE) / (tf_{i} + 1.2::DOUBLE *"
+        " (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))")
+    per_q = []
+    for qid, terms in sorted(queries.items()):
+        expr = "\n      + ".join(term_expr.format(i=col[t]) for t in terms)
+        per_q.append(f"  SELECT '{qid}' AS query_id, doc_id,\n"
+                     f"        {expr} AS score\n  FROM tf, stats")
+    scored = "\n  UNION ALL\n".join(per_q)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), tf AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM toks
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM tf
+), scored AS (
+{scored}
+), rk AS (
+  SELECT query_id, score, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, round(score, 4) AS score, doc_id,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
     over documents with a deterministic PII footer injected — both sides
@@ -2494,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_quantized": q_ann_topk_quantized,
         "ngram_coverage": q_ngram_coverage,
+        "bm25_multi": q_bm25_multi,
     }
 
 
@@ -3739,6 +3814,7 @@ SELECT seq_id,
 FROM exploded
 GROUP BY seq_id
 """,
+        "bm25_multi": _bm25_multi_sql(_BM25_MULTI_QUERIES, 10),
         "bm25_search": _BM25_SCORED + """
 SELECT doc_id, round(score, 4) AS score
 FROM scored

@@ -442,3 +442,88 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
 
     scored = joined.map_batches(score, batch_format="pyarrow")
     return top_k_per_group(scored, group_column, "score", "term", k=k)
+
+
+def bm25_multi_topk(ds, queries: dict, k: int = 10, *,
+                    text_column: str = "text", key_column: str = "doc_id",
+                    single_scan: bool = False):
+    """Batch lexical retrieval — top-k documents for EVERY query in one
+    shared stats pass + one shared scoring scan (the hard-negative
+    mining / eval-set retrieval shape: Q queries cost one corpus read
+    pair, not Q of them).  ``queries`` maps query_id → bag-of-terms
+    tuple; → (query_id, score, key, rank), rank 1..k per query, ties by
+    ascending key.
+
+    Scale shape: corpus stats run ONCE over the union vocabulary of all
+    queries (blocks-sized partial rows); scoring computes the per-term
+    normalized tf matrix once per batch and accumulates each query's
+    score left-to-right over ITS terms (the SQL `+`-chain float-parity
+    rule of :class:`Bm25Scorer`), emits a per-query local top-k (≤ Q·k
+    rows per block), and :func:`textstats.top_k_per_group` resolves
+    winners per query on one coarse exchange.  Q rides the task
+    closure; at thousands of queries move to an actor pool and a
+    (terms × queries) indicator matmul."""
+    qitems = sorted(queries.items())
+    union = tuple(sorted({t for _, ts in qitems for t in ts}))
+    if single_scan:
+        ds = ds.select_columns([key_column, text_column]).materialize()
+    parts = ds.map_batches(Bm25CorpusStats(union, text_column),
+                           batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["pn"].sum()) if "pn" in parts.columns else 0
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            key_column: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    avgdl = float(parts["pdl"].sum()) / n_docs
+    idf = {}
+    for i, term in enumerate(union):
+        df = int(parts[f"pdf{i}"].sum())
+        idf[term] = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    col_of = {term: i for i, term in enumerate(union)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        n = len(texts)
+        tf = np.zeros((n, len(union)), dtype=np.float64)
+        dl = np.zeros(n, dtype=np.float64)
+        for r, t in enumerate(texts):
+            ws = _tokens(t)
+            dl[r] = len(ws)
+            for i, term in enumerate(union):
+                tf[r, i] = ws.count(term)
+        denom = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        keys = batch.column(key_column)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        qcol: list[str] = []
+        key_parts = []
+        score_parts = []
+        for qid, terms in qitems:
+            s = np.zeros(n, dtype=np.float64)
+            for term in terms:           # query's own order == SQL chain
+                i = col_of[term]
+                s = s + idf[term] * ((tf[:, i] * 2.2) / (tf[:, i] + denom))
+            if n > k:
+                idx = np.argpartition(-s, k)[:k]
+            else:
+                idx = np.arange(n)
+            qcol.extend([qid] * len(idx))
+            key_parts.append(keys.take(pa.array(idx)))
+            score_parts.append(s[idx])
+        return pa.table({
+            "query_id": pa.array(qcol, pa.string()),
+            key_column: (pa.concat_arrays(key_parts) if key_parts
+                         else pa.array([], keys.type)),
+            "score": pa.array(np.concatenate(score_parts)
+                              if score_parts else np.empty(0),
+                              pa.float64()),
+        })
+
+    from .textstats import top_k_per_group
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(cand, "query_id", "score", key_column, k=k)

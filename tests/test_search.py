@@ -169,3 +169,30 @@ def test_distinctive_terms_ctfidf(ray_session):
     for g in ("en", "fr", "de"):
         assert got[(g, "shared")] == (0.0, 2)
     assert len(out) == 6
+
+
+def test_bm25_multi_matches_single_query(ray_session):
+    """Each query's multi-retrieval top-k equals the standalone
+    bm25_topk run (same stats, same chain order), with per-query
+    1..k ranks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import bm25_multi_topk, bm25_topk
+
+    rows = [{"doc_id": i,
+             "text": " ".join(
+                 (["vector"] * (i % 3)) + (["data"] * (i % 4))
+                 + ["filler"] * (i % 5) + ["query"])}
+            for i in range(60)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    multi = (bm25_multi_topk(ds, {"qa": ("vector", "query"),
+                                  "qb": ("data",)}, 5)
+             .to_pandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+    for qid, terms in (("qa", ("vector", "query")), ("qb", ("data",))):
+        solo = bm25_topk(ds, terms, 5).to_pandas()
+        part = multi[multi.query_id == qid].reset_index(drop=True)
+        assert part["doc_id"].tolist() == solo["doc_id"].tolist(), qid
+        assert part["score"].tolist() == solo["score"].tolist(), qid
+        assert part["rank"].tolist() == [1, 2, 3, 4, 5]
