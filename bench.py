@@ -505,6 +505,45 @@ def run_bench() -> dict:
     queries["top_bigrams_exact"] = round(time.perf_counter() - t0, 3)
     assert sk_rows == ex_rows
 
+    # --- cross-corpus n-gram window coverage: archive = every third
+    # underlying doc's markdown, new = the other ~67% (333k docs); the
+    # wide step is the distinct-window fp hash join + doc-keyed sum ----
+    from llm_food_ray.stages.dupspans import window_coverage_against
+
+    def _cov_side(keep_seen: bool):
+        side = rd.read_parquet(out_dir, columns=["url", "markdown"],
+                               override_num_blocks=nblocks)
+
+        def f(b):
+            import pyarrow as _p
+
+            h = [((int(u.rsplit("/", 1)[1]) % 10_000_000) % 3 == 0)
+                 == keep_seen for u in b.column("url").to_pylist()]
+            return b.filter(_p.array(h))
+
+        return side.map_batches(f, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    n_cov = window_coverage_against(
+        _cov_side(False), _cov_side(True),
+        id_column="url", text_column="markdown").count()
+    queries["ngram_coverage"] = round(time.perf_counter() - t0, 3)
+    assert n_cov > 0
+
+    # --- per-host c-TF-IDF distinctive terms (100 hosts × ~5k docs):
+    # vocab×hosts pre-aggregated exchange, term-keyed df, vocab join,
+    # coarse-bucketed top-10 resolve --------------------------------------
+    from llm_food_ray.stages.search import distinctive_terms
+
+    t0 = time.perf_counter()
+    n_dterms = distinctive_terms(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks)
+          .map_batches(with_host, batch_format="pyarrow"),
+        "host", "markdown", k=10).count()
+    queries["distinctive_terms"] = round(time.perf_counter() - t0, 3)
+    assert n_dterms > 0
+
     # --- web-graph: outlink extraction + host-graph rollup over the
     # 500k raw pages (regex anchor parse per page, hosts² groupby) -----
     import pyarrow as _pa2
