@@ -1707,6 +1707,19 @@ def q_bpe_pairs(sf_dir: str):
     return top_char_pairs(_docs(sf_dir, ["text"]), "text", k=20)
 
 
+def q_bpe_train(sf_dir: str):
+    """Iterative BPE tokenizer training (8 merges): ONE corpus scan
+    builds the word-frequency table, then each merge step runs entirely
+    over the materialized word vocabulary — packed-int64 pair partials,
+    pair-vocab groupby, blocks×ties driver argmax, vectorized
+    left-to-right rewrite (run-parity rule for self-overlapping pairs).
+    Deterministic: ties break on (count desc, left, right) in codepoint
+    order == SQL binary UTF-8 collation."""
+    from llm_food_ray.stages.vocab import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["text"]), "text", num_merges=8)
+
+
 def q_url_blocklist(sf_dir: str):
     """UT1-style domain blocklist gate: drop every document whose
     (synthesised, deterministic) host has ANY dot-suffix in the
@@ -2472,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_components": q_supplier_components,
         "lm_cross_score": q_lm_cross_score,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "chunk_spans": q_chunk_spans,
         "outlinks": q_outlinks,
         "host_graph": q_host_graph,
@@ -2604,6 +2618,70 @@ def _hll_est_sql(src: str) -> str:
     )
   )
 )"""
+
+
+def _bpe_train_sql(num_merges: int = 8, min_word_len: int = 2) -> str:
+    """Unrolled-CTE twin of ``vocab.py:bpe_train``: per merge step —
+    adjacent-pair count over the word table (weighted by word
+    frequency), (cnt desc, l, r) argmax, then the left-to-right
+    non-overlapping rewrite via the run-parity window trick (matches in
+    a run of consecutive positions keep odd row_numbers).  Every CTE is
+    MATERIALIZED — the steps chain, and DuckDB's default inlining would
+    re-evaluate each step exponentially often."""
+    parts = [f"""WITH w0 AS MATERIALIZED (
+  SELECT word, COUNT(*)::BIGINT AS n FROM (
+    SELECT UNNEST(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+')) AS word
+    FROM documents)
+  WHERE LENGTH(word) >= {min_word_len}
+  GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, n, LIST(SUBSTRING(word, i, 1) ORDER BY i) AS s
+  FROM (SELECT word, n, UNNEST(GENERATE_SERIES(1, LENGTH(word))) AS i FROM w0)
+  GROUP BY word, n
+)"""]
+    for k in range(1, num_merges + 1):
+        prev = f"s{k - 1}"
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i+1] AS r, SUM(n)::BIGINT AS cnt
+  FROM (SELECT n, s, UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS i FROM {prev})
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+pos{k} AS MATERIALIZED (
+  SELECT q.word, q.n, q.i, q.s[q.i] AS sym,
+         (q.i < LEN(q.s) AND q.s[q.i] = b.l AND q.s[q.i+1] = b.r) AS m
+  FROM (SELECT word, n, s, UNNEST(GENERATE_SERIES(1, LEN(s))) AS i
+        FROM {prev}) q, b{k} b
+),
+mm{k} AS MATERIALIZED (
+  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rk
+  FROM pos{k} WHERE m
+),
+keep{k} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, rk ORDER BY i) AS j
+    FROM mm{k})
+  WHERE j % 2 = 1
+),
+s{k} AS MATERIALIZED (
+  SELECT p.word, p.n,
+         LIST(CASE WHEN k1.i IS NOT NULL THEN b.l || b.r ELSE p.sym END
+              ORDER BY p.i) AS s
+  FROM pos{k} p
+  CROSS JOIN b{k} b
+  LEFT JOIN keep{k} k1 ON k1.word = p.word AND k1.i = p.i
+  LEFT JOIN keep{k} k2 ON k2.word = p.word AND k2.i = p.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY p.word, p.n
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS n FROM b{k}"
+        for k in range(1, num_merges + 1))
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY merge_rank")
+    return "".join(parts)
 
 
 def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61) -> str:
@@ -4275,6 +4353,7 @@ GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
+        "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
         "url_blocklist": """
 WITH h AS (
   SELECT doc_id,

@@ -429,6 +429,18 @@ def run_bench() -> dict:
     queries["bpe_pairs"] = round(time.perf_counter() - t0, 3)
     assert n_bpe == 20
 
+    # --- iterative BPE training (8 merges) over the same markdown: one
+    # corpus scan for the word table, then 8 vocab-sized merge rounds --
+    from llm_food_ray.stages.vocab import bpe_train
+
+    t0 = time.perf_counter()
+    n_bpet = bpe_train(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", num_merges=8).count()
+    queries["bpe_train"] = round(time.perf_counter() - t0, 3)
+    assert n_bpet == 8
+
     # --- inverted-index build + pruned term lookup over the extracted
     # markdown (hive bucket layout; lookup reads only matching buckets)
     import tempfile as _tf

@@ -174,3 +174,131 @@ def test_temperature_quota_derivation_matches_duckdb_randomized():
                         AS BIGINT)
             FROM g, den""").fetchall())
         assert py == db
+
+
+# --------------------------------------------------------------------------
+# bpe_train
+# --------------------------------------------------------------------------
+
+def _ref_bpe(texts, num_merges=8, min_word_len=2):
+    """Pure-Python Sennrich-style reference: Counter word frequencies,
+    naive overlapping pair counts, left-to-right non-overlapping merge."""
+    import re
+    from collections import Counter
+
+    split_re = re.compile("[ \t\n\r\f\v]+")
+    wc = Counter(w for t in texts for w in split_re.split(t or "")
+                 if len(w) >= min_word_len)
+    words = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        best_cnt = max(pairs.values())
+        l, r = min(p for p, c in pairs.items() if c == best_cnt)
+        merges.append((rank, l, r, l + r, best_cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def _bpe_rows(ds):
+    return [(r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+             r["n"]) for r in ds.take_all()]
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    texts = ["the cat sat on the mat", "the hat of the cat",
+             "low lower lowest newest newer new", ""]
+    ds = rd.from_items([{"text": t} for t in texts])
+    for nm in (1, 4, 10):
+        assert _bpe_rows(bpe_train(ds, num_merges=nm)) == \
+            _ref_bpe(texts, num_merges=nm)
+
+
+def test_bpe_train_self_overlapping_chains(ray_session):
+    """'aaaa' must merge left-to-right non-overlapping: (aa)(aa), then
+    (aa,aa) — the run-parity rule, where a single string-replace or
+    naive mask would drift."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    texts = ["aa aaa aaaa aaaaa aaaaaa", "ababab ababa bb"]
+    ds = rd.from_items([{"text": t} for t in texts])
+    for nm in (1, 2, 3, 6):
+        assert _bpe_rows(bpe_train(ds, num_merges=nm)) == \
+            _ref_bpe(texts, num_merges=nm)
+
+
+def test_bpe_train_stops_when_no_pairs_left(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    ds = rd.from_items([{"text": "ab ab cd"}])
+    rows = _bpe_rows(bpe_train(ds, num_merges=50))
+    assert [r[3] for r in rows] == ["ab", "cd"]
+
+
+def test_bpe_train_unicode_words(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    texts = ["héllo héllo wörld", "héllo wörld wörld ééé"]
+    ds = rd.from_items([{"text": t} for t in texts])
+    assert _bpe_rows(bpe_train(ds, num_merges=5)) == \
+        _ref_bpe(texts, num_merges=5)
+
+
+def test_bpe_train_plans_are_byte_equal(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    texts = ["the cat sat on the mat", "aaaa aaaa baaa",
+             "low lower lowest"]
+    ds = rd.from_items([{"text": t} for t in texts])
+    a = _bpe_rows(bpe_train(ds, num_merges=6, exec="driver"))
+    b = _bpe_rows(bpe_train(ds, num_merges=6, exec="distributed"))
+    assert a == b == _ref_bpe(texts, num_merges=6)
+
+
+def test_bpe_train_duplicate_merged_strings_unify(ray_session):
+    """Two merge paths can build the same STRING ('ab'+'c' vs 'a'+'bc');
+    the reference identifies symbols by string, so the id-space plan
+    must reuse the existing id — counts after the collision diverge
+    otherwise."""
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_train
+
+    rng = random.Random(7)
+    for trial in range(8):
+        words = ["".join(rng.choice("ab") for _ in range(rng.randint(2, 6)))
+                 for _ in range(rng.randint(4, 30))]
+        texts = [" ".join(words[i::3]) for i in range(3)]
+        for nm in (3, 6, 10):
+            got = _bpe_rows(bpe_train(
+                rd.from_items([{"text": t} for t in texts]), num_merges=nm))
+            assert got == _ref_bpe(texts, num_merges=nm), (trial, nm, texts)
