@@ -828,6 +828,19 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDedup over the duplicate-augmented embeddings: bit-exact
+    distributed k-means (k=8, 2 iters) assigns clusters, then each
+    cluster drops every vector dominated by a lower-key neighbour with
+    round-4 cosine ≥ 0.4 — exact duplicates and natural semantic
+    near-pairs both go.  One hash partition by cluster; per-group
+    matmul bounded by the k ≈ N/5k operating regime."""
+    from llm_food_ray.stages.similarity import semdedup
+
+    return semdedup(_augmented_embeddings(sf_dir), k=8, iters=2,
+                    modulus=61, tau=0.4)
+
+
 def q_embedding_cov(sf_dir: str):
     """Distributed covariance of the embedding corpus (the PCA /
     whitening building block): one streaming pass of d²+d+1-float block
@@ -2505,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         "embedding_cov": q_embedding_cov,
         "hybrid_search": q_hybrid_search,
         "running_totals": q_running_totals,
@@ -2684,14 +2698,17 @@ s{k} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61) -> str:
+def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61,
+                source: str = "embeddings") -> str:
     """Unrolled-CTE twin of ``similarity.py:kmeans_fit`` (the pagerank
     recipe): per iteration — round-9 distances, (dist, cid) argmin,
     per-dimension round-9 sums and means, empty clusters COALESCE to
-    the previous centroid — then one final assignment."""
+    the previous centroid — then one final assignment.  ``source`` is
+    any table/CTE with (vec_id, embedding) — ``_semdedup_sql`` feeds
+    the duplicate-augmented set through the same twin."""
     ctes = [f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM {source}
 )""", f"""s AS (
   SELECT vec_id, v FROM e WHERE vec_id % {modulus} = 0
   ORDER BY vec_id LIMIT {k}
@@ -2732,6 +2749,35 @@ def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61) -> str:
 )""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, cid AS cluster FROM a{iters + 1}")
+
+
+def _semdedup_sql(iters: int = 2, k: int = 8, modulus: int = 61,
+                  tau: float = 0.4) -> str:
+    """Twin of ``similarity.py:semdedup`` over the duplicate-augmented
+    embeddings: the unrolled k-means CTE assigns clusters, then a
+    within-cluster NOT EXISTS drops every vector dominated by a
+    lower-key neighbour with round-4 cosine ≥ tau."""
+    km = _kmeans_sql(iters=iters, k=k, modulus=modulus, source="aug")
+    return f"""WITH aug AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 9 = 0
+),
+assign AS MATERIALIZED (
+  SELECT * FROM ({km}) t
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM aug
+)
+SELECT a.vec_id, a.cluster FROM assign a
+WHERE NOT EXISTS (
+  SELECT 1 FROM assign b
+  JOIN ev u ON u.vec_id = b.vec_id
+  JOIN ev w ON w.vec_id = a.vec_id
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND round(list_cosine_similarity(u.v, w.v), 4) >= {tau})
+"""
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -3628,6 +3674,7 @@ SELECT t.doc_id, COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
+        "semdedup": _semdedup_sql(iters=2, k=8, modulus=61, tau=0.4),
         # same round-9 sum pins as embedding_moments; 0-based dims
         "embedding_cov": """
 WITH e AS (

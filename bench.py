@@ -656,6 +656,38 @@ def run_bench() -> dict:
     top.to_pandas()
     queries["ann_topk"] = round(time.perf_counter() - t0, 3)
 
+    # --- semdedup: k-means + within-cluster cosine pruning over a
+    # 20x-replicated embedding corpus (replicas are scaled copies ->
+    # cosine-1 near-dups; ~95% of the corpus should drop) --------------
+    from llm_food_ray.stages.similarity import semdedup
+
+    def _replicate_emb(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b.column("vec_id").to_numpy()
+        mat = _np.asarray(b.column("embedding").combine_chunks().flatten(),
+                          _np.float64).reshape(len(ids), -1)
+        out_ids, out_vecs = [], []
+        for r in range(20):
+            out_ids.append(ids + r * 10_000_000)
+            out_vecs.append(mat * (1.0 + r * 1e-6))
+        allv = _np.concatenate(out_vecs)
+        return _pa.table({
+            "vec_id": _pa.array(_np.concatenate(out_ids), _pa.int64()),
+            "embedding": _pa.FixedSizeListArray.from_arrays(
+                _pa.array(allv.ravel(), _pa.float64()), allv.shape[1]).cast(
+                    _pa.list_(_pa.float64())),
+        })
+
+    emb20 = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+              .map_batches(_replicate_emb, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    n_sem = semdedup(emb20, k=32, iters=2, modulus=7, tau=0.95).count()
+    queries["semdedup"] = round(time.perf_counter() - t0, 3)
+    assert 0 < n_sem < emb20.count()
+
     ray.shutdown()
     return {
         "metric": "end-to-end extraction seconds over replicated pages corpus "

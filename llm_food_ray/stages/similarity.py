@@ -299,6 +299,31 @@ def kmeans_fit(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
     than object-store residency."""
     import ray as _ray
 
+    cent = kmeans_centroids(ds, k=k, iters=iters, modulus=modulus,
+                            key_column=key_column, vec_column=vec_column,
+                            digits=digits)
+    ref = _ray.put(cent)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        a = (_kmeans_assign(mat, c, digits) if len(mat)
+             else np.empty(0, np.int64))
+        return pa.table({key_column: b.column(key_column),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def kmeans_centroids(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
+                     key_column: str = "vec_id",
+                     vec_column: str = "embedding", digits: int = 9):
+    """The centroid-fitting loop of :func:`kmeans_fit` (same rounding
+    pins, same plan — one blocks×k partial pass per iteration), returned
+    as the final k×d float64 matrix for downstream stages that need the
+    model rather than the assignment (``semdedup``)."""
+    import ray as _ray
+
     seed_ids, seeds = strided_seed_vectors(
         ds, modulus=modulus, k=k,
         key_column=key_column, vec_column=vec_column)
@@ -347,17 +372,7 @@ def kmeans_fit(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
                 _round_rows(S[nz], digits) / N[nz, None], digits)
         cent = new
 
-    ref = _ray.put(cent)
-
-    def assign_final(b: pa.Table) -> pa.Table:
-        c = _ray.get(ref)
-        mat = vectors_to_matrix(b.column(vec_column))
-        a = (_kmeans_assign(mat, c, digits) if len(mat)
-             else np.empty(0, np.int64))
-        return pa.table({key_column: b.column(key_column),
-                         "cluster": pa.array(a.astype(np.int64))})
-
-    return ds.map_batches(assign_final, batch_format="pyarrow")
+    return cent
 
 
 # ------------------------------------------- distributed second moments ----
@@ -570,3 +585,67 @@ def quantized_topk(ds, query_vec, k: int, *, key_column: str = "vec_id",
     return (ds.map_batches(score, batch_format="pyarrow")
               .sort(["score", key_column], descending=[True, False])
               .limit(k))
+
+
+# ------------------------------------------------------------- SemDedup ----
+
+
+def semdedup(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
+             tau: float = 0.85, key_column: str = "vec_id",
+             vec_column: str = "embedding", digits: int = 9,
+             sim_digits: int = 4):
+    """SemDedup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning.  A vector is dropped iff
+    SOME lower-key vector in the same cluster has cosine similarity
+    ≥ ``tau`` (the deterministic dominance variant of the paper's
+    keep-one-per-near-set rule — no sequential dependence, so it is
+    order-free and SQL-expressible).  Returns the kept (key, cluster)
+    rows.
+
+    Determinism / SQL parity: centroids come from
+    :func:`kmeans_centroids` (round-``digits`` pins, bit-exact vs the
+    unrolled-CTE twin); similarities are rounded to ``sim_digits``
+    before the threshold compare on both engines, so near-``tau`` ulp
+    noise can't flip a verdict.
+
+    Scale shape: the centroid fit is iters blocks×k partial passes (no
+    shuffle); the assignment+vector exchange is ONE hash partition by
+    cluster (`groupby(cluster)`), and the within-cluster pairwise
+    matmul is O(|cluster|²·d) per group — the SemDedup operating regime
+    picks k ≈ N/5k so a cluster (≈5k × d floats) fits one worker; with
+    k bounded this is the repo's coarse-bucket pattern, not a
+    group-per-key."""
+    import ray as _ray
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, modulus=modulus,
+                            key_column=key_column, vec_column=vec_column,
+                            digits=digits)
+    ref = _ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        a = (_kmeans_assign(mat, c, digits) if len(mat)
+             else np.empty(0, np.int64))
+        return pa.table({key_column: b.column(key_column),
+                         "cluster": pa.array(a.astype(np.int64)),
+                         vec_column: b.column(vec_column)})
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        mat = _unit(vectors_to_matrix(g.column(vec_column)))[order]
+        sims = np.round(mat @ mat.T, sim_digits)
+        # v is a duplicate iff any EARLIER u (key order) clears tau
+        dup = np.triu(sims >= tau, k=1).any(axis=0)
+        kept = np.flatnonzero(~dup)
+        return pa.table({
+            key_column: pa.array(keys[kept]),
+            "cluster": g.column("cluster").take(
+                pa.array(order[kept], pa.int64())),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("cluster")
+              .map_groups(dedup_group, batch_format="pyarrow"))

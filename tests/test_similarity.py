@@ -276,3 +276,80 @@ def test_quantized_topk_recall_and_ties(ray_session):
     assert (qt["score"].diff().dropna() <= 0).all()
     overlap = len(set(qt["vec_id"]) & set(ex["vec_id"]))
     assert overlap >= 8, overlap
+
+
+# ------------------------------------------------------------- SemDedup ----
+
+
+def _semdedup_ds(vecs, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(vecs)))
+    return rd.from_items([
+        {"vec_id": i, "embedding": [float(x) for x in v]}
+        for i, v in zip(ids, vecs)])
+
+
+def test_semdedup_drops_exact_duplicates_keeps_lowest_key(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 8)
+    vecs = list(base) + [base[4], base[11], base[4]]  # dup ids 40,41,42
+    out = semdedup(_semdedup_ds(vecs), k=4, iters=2, modulus=5, tau=0.95)
+    kept = sorted(r["vec_id"] for r in out.take_all())
+    assert 4 in kept and 11 in kept
+    assert 40 not in kept and 41 not in kept and 42 not in kept
+    assert len(kept) == 40  # random gaussians never clear tau=0.95
+
+
+def test_semdedup_matches_brute_force_dominance(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import (
+        _kmeans_assign, _unit, kmeans_centroids, semdedup)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6)
+    vecs[17] = vecs[3] + 0.01 * rng.randn(6)   # near-dup pair
+    vecs[44] = vecs[20] + 0.005 * rng.randn(6)
+    ds = _semdedup_ds(vecs)
+    tau = 0.9
+    got = sorted(r["vec_id"] for r in
+                 semdedup(ds, k=4, iters=2, modulus=7, tau=tau).take_all())
+
+    cent = kmeans_centroids(ds, k=4, iters=2, modulus=7)
+    a = _kmeans_assign(np.asarray(vecs, np.float64), cent, 9)
+    u = _unit(np.asarray(vecs, np.float64))
+    sims = np.round(u @ u.T, 4)
+    want = [v for v in range(60)
+            if not any(a[x] == a[v] and sims[x, v] >= tau
+                       for x in range(v))]
+    assert got == want
+    assert 17 not in got or a[17] != a[3]  # same cluster -> dropped
+
+
+def test_semdedup_cross_cluster_pairs_survive(ray_session):
+    """Two identical vectors forced into different clusters must BOTH
+    survive — SemDedup only prunes within a cluster."""
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import (
+        _kmeans_assign, kmeans_centroids, semdedup)
+
+    # two tight, well-separated blobs; seeds (modulus=2 -> ids 0,2) land
+    # one per blob, so the blobs are the clusters
+    blob_a = [[10.0, 0.0], [10.1, 0.05], [9.9, -0.05]]
+    blob_b = [[-10.0, 0.0], [-10.1, 0.05], [-9.9, -0.05]]
+    vecs = [blob_a[0], blob_a[1], blob_b[0], blob_b[1], blob_a[2], blob_b[2]]
+    ds = _semdedup_ds(vecs)
+    cent = kmeans_centroids(ds, k=2, iters=2, modulus=2)
+    a = _kmeans_assign(np.asarray(vecs, np.float64), cent, 9)
+    assert a[0] != a[2]  # blobs really are distinct clusters
+    kept = sorted(r["vec_id"] for r in
+                  semdedup(ds, k=2, iters=2, modulus=2, tau=0.99).take_all())
+    # within each blob all vectors are ~parallel (cos>0.99): one
+    # survivor per blob, the lowest key
+    assert kept == [0, 2]
