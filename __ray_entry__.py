@@ -344,6 +344,23 @@ def q_near_dup_clusters(sf_dir: str):
                                    "doc_id", pairs)
 
 
+def q_leakage_split(sf_dir: str):
+    """Leakage-safe train/valid/test split: the whole near-dup
+    connected component (exact-Jaccard ≥ 0.9 graph over the augmented
+    docs) hashes to ONE split via the md5 bucket of its cluster id —
+    near-copies can never straddle train and eval.  Same pair/label
+    plan as `near_dup_clusters`, plus one streaming tag map."""
+    from llm_food_ray.stages.dedup import leakage_safe_split
+
+    aug = _augmented_docs(sf_dir)
+    pairs = minhash_candidate_pairs(
+        aug, "doc_id", "text", threshold=0.9, verify="exact",
+        num_perm=128, num_bands=32,
+    )
+    return leakage_safe_split(aug.select_columns(["doc_id"]), "doc_id",
+                              pairs, test_pct=10, valid_pct=10)
+
+
 def q_near_dup_keep_best(sf_dir: str):
     """Near-dup kept-set under a QUALITY policy: per exact-Jaccard ≥ 0.9
     cluster keep the LONGEST text (ties → min doc_id), singletons kept —
@@ -2491,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
         "near_dup_clusters": q_near_dup_clusters,
+        "leakage_split": q_leakage_split,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
@@ -2993,6 +3011,40 @@ _DUPSPAN_AGAINST_BASE = _DUPSPAN_TOKS + """, seen AS (
 )""" + _DUPSPAN_ISLANDS
 
 
+_NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+)
+SELECT a.doc_id,
+       CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster
+FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ext_base = f"""
 SELECT {_URL} AS url,
@@ -3335,37 +3387,18 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)
-        "near_dup_clusters": """
-WITH RECURSIVE aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-), toks_t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
-), n_t AS (
-  SELECT doc_id, toks, len(toks) AS n FROM toks_t
-), grams AS (
-  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
-  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
-), sh AS (
-  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(a.s || b.s)) >= 0.9
-), edges AS (
-  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-), reach(src, node) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-), mins AS (
-  SELECT src, min(node) AS mn FROM reach GROUP BY src
-)
-SELECT a.doc_id,
-       CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster
-FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+        # whole component -> one split: hash_split's md5 bucket rule
+        # applied to the CLUSTER id, so near-copies never straddle
+        # train and eval
+        "leakage_split": f"""
+SELECT doc_id, cluster,
+  CASE WHEN ('0x' || substring(md5(cluster::VARCHAR), 1, 8))::UBIGINT
+            % 100 < 10 THEN 'test'
+       WHEN ('0x' || substring(md5(cluster::VARCHAR), 1, 8))::UBIGINT
+            % 100 < 20 THEN 'valid'
+       ELSE 'train' END AS split
+FROM ({_NEAR_DUP_CLUSTERS_SQL}) t
 """,
         # keep-best policy: same pair closure, but per cluster the row
         # with the max text length wins (ties -> min doc_id); the mirror

@@ -2598,6 +2598,41 @@ def near_dup_cluster_labels(ds, key_column: str, pairs_ds, *,
               .map_batches(coalesce, batch_format="pyarrow"))
 
 
+def leakage_safe_split(ds, key_column: str, pairs_ds, *,
+                       test_pct: int = 10, valid_pct: int = 10,
+                       label_exec: str = "auto"):
+    """Train/valid/test split that never separates near-duplicates:
+    every document inherits its connected-component cluster label
+    (:func:`near_dup_cluster_labels` — min key of the component,
+    singletons label themselves), then the whole COMPONENT maps to one
+    split via the md5 bucket of its cluster id — the exact rule
+    ``textstats.hash_split`` applies per row, lifted to components.
+    Splitting per row leaks: a near-copy of a training document landing
+    in test silently inflates eval (the decontamination failure mode);
+    hashing the cluster id instead moves the entire component together.
+
+    Returns (key, cluster, split) for every input row.  Deterministic,
+    RNG-free, engine-reproducible (md5 on the stringified cluster id).
+
+    Scale shape: inherits the label plan's byte-gated local/distributed
+    machinery; the split tag itself is a pure streaming map."""
+    labels = near_dup_cluster_labels(ds, key_column, pairs_ds,
+                                     label_exec=label_exec)
+    from ..functions.hashing import md5_hex
+
+    def tag(batch: pa.Table) -> pa.Table:
+        clusters = batch.column("cluster").to_pylist()
+        names = []
+        for c in clusters:
+            b = int(md5_hex(str(c))[:8], 16) % 100
+            names.append("test" if b < test_pct
+                         else "valid" if b < test_pct + valid_pct
+                         else "train")
+        return batch.append_column("split", pa.array(names, pa.string()))
+
+    return labels.map_batches(tag, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- union-find ----
 
 

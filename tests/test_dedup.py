@@ -831,3 +831,32 @@ def test_strip_host_boilerplate_plans_byte_equal(ray_session):
     assert by[21] == ""                                # empty input
     assert by[12] == ("nav small.example.net\ncontent 12\n"
                       "(c) small.example.net")         # under threshold
+
+
+def test_leakage_safe_split_components_stay_together(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import leakage_safe_split
+
+    docs = rd.from_items([{"doc_id": i} for i in range(200)])
+    # components: {0..4}, {10,11}, {42,43,44}; everything else singleton
+    pairs = rd.from_items([
+        {"a": 0, "b": 1}, {"a": 1, "b": 2}, {"a": 2, "b": 3},
+        {"a": 3, "b": 4}, {"a": 10, "b": 11}, {"a": 42, "b": 43},
+        {"a": 43, "b": 44},
+    ])
+    out = {r["doc_id"]: (r["cluster"], r["split"])
+           for r in leakage_safe_split(docs, "doc_id", pairs).take_all()}
+    assert len(out) == 200
+    for comp in ([0, 1, 2, 3, 4], [10, 11], [42, 43, 44]):
+        labels = {out[d][0] for d in comp}
+        splits = {out[d][1] for d in comp}
+        assert labels == {comp[0]} and len(splits) == 1
+    # split of a component == hash_split's rule on the cluster id
+    from llm_food_ray.functions.hashing import md5_hex
+
+    for d, (c, s) in out.items():
+        b = int(md5_hex(str(c))[:8], 16) % 100
+        want = "test" if b < 10 else "valid" if b < 20 else "train"
+        assert s == want
+    assert {s for _, s in out.values()} == {"train", "valid", "test"}
