@@ -551,6 +551,47 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=5)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities over the same customer→supplier purchase
+    graph (a natural bipartite case: customers are pure hubs, suppliers
+    pure authorities): 5 rounds, two streaming edge passes per round
+    with a broadcast score vector, max-normalized (L∞) so every
+    denominator is order-independent — bit-exact vs the unrolled-CTE
+    SQL twin."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from llm_food_ray.stages.graph import hits
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    joined = orders.join(lineitem, "inner", _join_partitions(16),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.binary_join_element_wise(
+            pa.array(["c"] * b.num_rows),
+            pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows),
+            pc.cast(b.column("l_suppkey"), pa.string()), "")
+        return pa.table({"src": c, "dst": s})
+
+    edges = (joined.map_batches(tag, batch_format="pyarrow")
+                   .groupby(["src", "dst"])
+                   .aggregate(Count(alias_name="w")))
+    return hits(edges, iters=5)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup kept-set, fully distributed end to end:
     bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
@@ -2513,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "supplier_components": q_supplier_components,
         "lm_cross_score": q_lm_cross_score,
         "bpe_pairs": q_bpe_pairs,
@@ -2796,6 +2838,45 @@ WHERE NOT EXISTS (
   WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(u.v, w.v), 4) >= {tau})
 """
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS twin (``stages/graph.py:hits``): the same edge CTE
+    as pagerank's, then per round two join+sum half-steps with round-12
+    pins and an order-independent MAX denominator."""
+    ctes = ["""edges AS MATERIALIZED (
+  SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)""", """nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+)""", """nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)""",
+            "h0 AS MATERIALIZED (SELECT node, round(1.0 / nn.n, 12) AS s "
+            "FROM nodes, nn)"]
+    for t in range(1, iters + 1):
+        for raw, prev, in_c, out_c in (
+                (f"ar{t}", f"h{t - 1}", "src", "dst"),
+                (f"hr{t}", f"a{t}", "dst", "src")):
+            out = "a" + str(t) if raw.startswith("ar") else "h" + str(t)
+            ctes.append(f"""{raw} AS MATERIALIZED (
+  SELECT nd.node, round(COALESCE(x.c, 0.0), 12) AS s
+  FROM nodes nd LEFT JOIN (
+    SELECT e.{out_c} AS node, sum(p.s * e.w) AS c
+    FROM edges e JOIN {prev} p ON e.{in_c} = p.node
+    GROUP BY e.{out_c}) x
+  ON nd.node = x.node
+)""")
+            ctes.append(f"""{out} AS MATERIALIZED (
+  SELECT node, CASE WHEN d = 0 THEN s ELSE round(s / d, 12) END AS s
+  FROM {raw}, (SELECT max(s) AS d FROM {raw})
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT n.node, h.s AS hub, a.s AS authority
+FROM nodes n
+JOIN h{iters} h ON h.node = n.node
+JOIN a{iters} a ON a.node = n.node""")
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -3385,6 +3466,7 @@ WITH aug AS (
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
+        "hits": _hits_sql(iters=5),
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,

@@ -263,3 +263,124 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
                          "component": b.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst",
+         weight: str | None = "w", iters: int = 5, digits: int = 12,
+         broadcast_budget_nodes: int = 20_000_000):
+    """→ Dataset (node, hub, authority) after ``iters`` HITS rounds
+    (Kleinberg): per round
+
+        a_raw(v) = round(Σ_{(u,v,w)} h(u)·w, digits)
+        a        = round(a_raw / max(a_raw), digits)
+        h_raw(u) = round(Σ_{(u,v,w)} a(v)·w, digits)
+        h        = round(h_raw / max(h_raw), digits)
+
+    starting from h₀ = round(1/N, digits).  Normalization is by MAX
+    (the L∞ HITS variant), deliberately: a max over already-rounded
+    values is order-independent and bit-identical across engines,
+    where an L1/L2 denominator is a global float SUM whose
+    summation-order ulps sit exactly at the rounding grid for large N.
+    Per-step rounding absorbs the remaining per-group ulps so an
+    unrolled-CTE SQL twin reproduces both scores bit-for-bit — the
+    pagerank recipe, applied twice per round.
+
+    Scale shape (the pagerank broadcast plan, run twice per round):
+    edges are materialized once and stream every half-round as
+    per-batch (node, partial) Arrow combiners + one nodes-bounded
+    ``groupby.sum``; the score vector broadcasts via ONE ``ray.put``
+    per half-round; driver state is two nodes-sized numpy arrays.
+    Beyond ``broadcast_budget_nodes`` this raises — the documented swap
+    is the ``_pagerank_join`` state-as-Dataset pattern (same exchange
+    volume, no driver state), which pagerank demonstrates end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    import ray as _ray
+    import ray.data as rd
+
+    cols = [src, dst] + ([weight] if weight else [])
+    edges = edges.select_columns(cols).materialize()
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    # node universe (sources ∪ destinations), one nodes-bounded gather
+    def node_partial(b: pa.Table) -> pa.Table:
+        s = b.column(src)
+        d = b.column(dst)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return pa.table({"node": pc.unique(pa.concat_arrays(
+            [s.cast(pa.string()), d.cast(pa.string())]))})
+
+    uniq = (edges.map_batches(node_partial, batch_format="pyarrow")
+                 .groupby("node").count())
+    n = uniq.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64())}))
+    if n > broadcast_budget_nodes:
+        raise NotImplementedError(
+            "hits: node set exceeds the broadcast budget; port the "
+            "_pagerank_join state-as-Dataset plan for 10^8+-node graphs")
+    nodes_t = pa.concat_tables(
+        uniq.iter_batches(batch_size=None, batch_format="pyarrow"))
+    nodes = nodes_t.column("node").combine_chunks().sort()
+
+    def _round_vec(vals: np.ndarray) -> np.ndarray:
+        return np.fromiter((round(v, digits) for v in vals.tolist()),
+                           np.float64, len(vals))
+
+    def _half_round(score: np.ndarray, in_col: str, out_col: str):
+        """One streaming pass: out_raw(x) = Σ score(in)·w over edges,
+        folded into a nodes-sized array (rounded)."""
+        ref = _ray.put((nodes, score))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            node_arr, score_arr = _ray.get(ref)
+            w = (b.column(weight).to_numpy(zero_copy_only=False)
+                 .astype(np.float64) if weight
+                 else np.ones(b.num_rows, np.float64))
+            idx = pc.fill_null(
+                pc.index_in(b.column(in_col).cast(pa.string()),
+                            value_set=node_arr), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = np.where(idx >= 0, score_arr[idx], 0.0)
+            t = pa.table({"node": b.column(out_col).cast(pa.string()),
+                          "c": pa.array(sc * w, pa.float64())})
+            g = t.group_by(["node"]).aggregate([("c", "sum")])
+            return g.rename_columns(["node", "pc"])
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+                    .groupby("node")
+                    .aggregate(Sum("pc", alias_name="c")))
+        sums = np.zeros(n, np.float64)
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+            pos = pc.index_in(b.column("node"), value_set=nodes).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sums[pos] = b.column("c").to_numpy(zero_copy_only=False)
+        raw = _round_vec(sums)
+        denom = float(raw.max()) if n else 0.0
+        if denom == 0.0:
+            return raw
+        return _round_vec(raw / denom)
+
+    h = np.full(n, round(1.0 / n, digits), np.float64)
+    a = np.zeros(n, np.float64)
+    for _ in range(iters):
+        a = _half_round(h, src, dst)   # authorities from hubs
+        h = _half_round(a, dst, src)   # hubs from authorities
+
+    return rd.from_arrow(pa.table({
+        "node": nodes,
+        "hub": pa.array(h, pa.float64()),
+        "authority": pa.array(a, pa.float64()),
+    }))

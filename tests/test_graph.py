@@ -75,3 +75,65 @@ def test_connected_components_wrapper(ray_session):
     out = (connected_components(dataset_from_items(edges))
            .to_pandas().set_index("node")["component"].to_dict())
     assert out == {2: 2, 5: 2, 9: 2, 30: 30, 31: 30}
+
+
+def test_hits_bipartite_directions(ray_session):
+    """On a bipartite src→dst graph, sources are pure hubs and
+    destinations pure authorities."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import hits
+
+    edges = rd.from_items([
+        {"src": "u1", "dst": "v1", "w": 1.0},
+        {"src": "u1", "dst": "v2", "w": 1.0},
+        {"src": "u2", "dst": "v1", "w": 1.0},
+        {"src": "u3", "dst": "v3", "w": 1.0},
+    ])
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(edges, iters=3).take_all()}
+    assert len(out) == 6
+    for u in ("u1", "u2", "u3"):
+        assert out[u][0] > 0 and out[u][1] == 0.0
+    for v in ("v1", "v2", "v3"):
+        assert out[v][0] == 0.0 and out[v][1] > 0
+    # u1 links to both popular targets -> the max hub (score 1 after
+    # max-normalization); v1 has two hubs pointing in -> max authority
+    assert out["u1"][0] == 1.0
+    assert out["v1"][1] == 1.0
+    assert out["u1"][0] > out["u2"][0]
+    assert out["v1"][1] > out["v3"][1]
+
+
+def test_hits_weighted_edges_shift_scores(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import hits
+
+    def scores(w13):
+        edges = rd.from_items([
+            {"src": "a", "dst": "x", "w": 1.0},
+            {"src": "b", "dst": "y", "w": 1.0},
+            {"src": "a", "dst": "y", "w": w13},
+        ])
+        return {r["node"]: (r["hub"], r["authority"])
+                for r in hits(edges, iters=4).take_all()}
+
+    light, heavy = scores(0.1), scores(10.0)
+    # pushing weight onto a->y raises y's authority relative to x
+    assert heavy["y"][1] >= light["y"][1]
+    assert heavy["x"][1] < light["x"][1] or heavy["y"][1] > light["y"][1]
+
+
+def test_hits_empty_graph(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import hits
+
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+        "w": pa.array([], pa.float64())}))
+    assert hits(empty, iters=2).count() == 0
