@@ -2529,12 +2529,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ×3, dedup_exact ×3, lang_id ×2, doc_fingerprint ×2) rotate to the
     # tail to make room for the 4 new operators (temperature_mix,
     # mode_source, bpe_pairs, url_blocklist) inside the first-50 window.
+    # r4-cont rotation #2: six r3-driver-green untouched entries
+    # (chunk_spans, outlinks, host_graph, supplier_components,
+    # lm_cross_score, token_budget_mix) rotate to the tail so the six
+    # newest never-driver-checked operators (contamination_frac,
+    # distinctive_terms, embedding_quantize, ann_topk_quantized,
+    # ngram_coverage, bm25_multi) and this session's four (bpe_train,
+    # semdedup, leakage_split, hits) all sit inside the first-50 window.
     return {
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "temperature_mix": q_temperature_mix,
         "corpus_sample": q_corpus_sample,
-        "token_budget_mix": q_token_budget_mix,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "median_len": q_median_len,
@@ -2555,13 +2561,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "hits": q_hits,
-        "supplier_components": q_supplier_components,
-        "lm_cross_score": q_lm_cross_score,
+        "contamination_frac": q_contamination_frac,
+        "distinctive_terms": q_distinctive_terms,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_topk_quantized": q_ann_topk_quantized,
+        "ngram_coverage": q_ngram_coverage,
+        "bm25_multi": q_bm25_multi,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
-        "chunk_spans": q_chunk_spans,
-        "outlinks": q_outlinks,
-        "host_graph": q_host_graph,
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
@@ -2651,12 +2658,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q_lang_counts,
         "host_stats": q_host_stats,
         "dedup_paragraph": q_dedup_paragraph,
-        "contamination_frac": q_contamination_frac,
-        "distinctive_terms": q_distinctive_terms,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_topk_quantized": q_ann_topk_quantized,
-        "ngram_coverage": q_ngram_coverage,
-        "bm25_multi": q_bm25_multi,
+        "chunk_spans": q_chunk_spans,
+        "outlinks": q_outlinks,
+        "host_graph": q_host_graph,
+        "supplier_components": q_supplier_components,
+        "lm_cross_score": q_lm_cross_score,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
