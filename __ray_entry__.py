@@ -1834,6 +1834,43 @@ def q_term_lookup(sf_dir: str):
     return term_lookup(d, ["the", "der", "data"])
 
 
+def q_index_merge(sf_dir: str):
+    """Incremental inverted-index lifecycle: base build over doc_id%3!=0,
+    LSM-style merge of the doc_id%3==0 delta (append-only — untouched
+    buckets never rewritten, cost O(delta)), per-bucket compaction to
+    one file, then a pruned 3-term lookup.  The lookup over the merged
+    index must equal the postings of a from-scratch build over the FULL
+    corpus — which is exactly what the SQL twin computes."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.index import (build_term_index, compact_index,
+                                           merge_term_index, term_lookup)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/term_index_merge_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) == keep_delta
+            return b.filter(pa.array(m))
+        return f
+
+    build_term_index(docs.map_batches(part(False), batch_format="pyarrow"),
+                     d)
+    merge_term_index(docs.map_batches(part(True), batch_format="pyarrow"),
+                     d)
+    compact_index(d)
+    return term_lookup(d, ["the", "der", "data"])
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT n_chars) per language —
     the mergeable-sketch replacement for the exchange-heavy exact count
@@ -2550,11 +2587,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
         "term_lookup": q_term_lookup,
+        "index_merge": q_index_merge,
         "hll_distinct": q_hll_distinct,
         "snapshot_overlap": q_snapshot_overlap,
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
-        "near_dup_clusters": q_near_dup_clusters,
         "leakage_split": q_leakage_split,
         "near_dup_keep_best": q_near_dup_keep_best,
         "dedup_near_against": q_dedup_near_against,
@@ -2664,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_components": q_supplier_components,
         "lm_cross_score": q_lm_cross_score,
         "token_budget_mix": q_token_budget_mix,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -4459,6 +4497,18 @@ SELECT doc_id, count(*)::BIGINT AS n_occurrences
 FROM hits GROUP BY doc_id
 """,
         "term_lookup": r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM t
+WHERE term IN ('the', 'der', 'data') GROUP BY term, doc_id
+""",
+        # merged+compacted incremental index == from-scratch postings
+        # over the FULL corpus
+        "index_merge": r"""
 WITH t AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(text, '\s+'),

@@ -26,16 +26,10 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash64
 
 
-def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
-                     text_column: str = "text", num_buckets: int = 64):
-    """Write the inverted index for ``ds`` under
-    ``out_dir/bucket=<b>/``; returns the posting-row count.
-
-    Scale shape: one streaming pass; per-batch Arrow group_by emits
-    (term, id, tf) rows; the hive write fans each block's rows into its
-    bucket subdirectories.  ``num_buckets`` bounds lookup I/O (a term
-    lookup reads 1/num_buckets of the index) — size it so one bucket
-    directory stays well under a node's read bandwidth budget."""
+def _postings_map(id_column: str, text_column: str, num_buckets: int):
+    """Per-batch (term, id, tf, bucket) combiner shared by the base
+    build and the incremental merge: one Arrow ``group_by`` per batch,
+    bucket via the cached-hash loop over the batch's DISTINCT terms."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -56,7 +50,6 @@ def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
         g = (t.group_by(["term", id_column])
              .aggregate([(id_column, "count")])
              .rename_columns(["term", id_column, "tf"]))
-        # bucket via the cached-hash loop over the batch's DISTINCT terms
         enc = g.column("term").combine_chunks().dictionary_encode()
         bd = np.fromiter((stable_hash64(w) % num_buckets
                           for w in enc.dictionary.to_pylist()),
@@ -64,7 +57,21 @@ def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
         bucket = bd[enc.indices.to_numpy(zero_copy_only=False)]
         return g.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    out = ds.map_batches(postings, batch_format="pyarrow")
+    return postings
+
+
+def build_term_index(ds, out_dir: str, *, id_column: str = "doc_id",
+                     text_column: str = "text", num_buckets: int = 64):
+    """Write the inverted index for ``ds`` under
+    ``out_dir/bucket=<b>/``; returns the posting-row count.
+
+    Scale shape: one streaming pass; per-batch Arrow group_by emits
+    (term, id, tf) rows; the hive write fans each block's rows into its
+    bucket subdirectories.  ``num_buckets`` bounds lookup I/O (a term
+    lookup reads 1/num_buckets of the index) — size it so one bucket
+    directory stays well under a node's read bandwidth budget."""
+    out = ds.map_batches(_postings_map(id_column, text_column, num_buckets),
+                         batch_format="pyarrow")
     out.write_parquet(out_dir, partition_cols=["bucket"])
     return out
 
@@ -197,3 +204,72 @@ def term_lookup(index_dir: str, terms, *, id_column: str = "doc_id",
         return keep.select(cols)
 
     return rd.read_parquet(paths).map_batches(filt, batch_format="pyarrow")
+
+
+def merge_term_index(delta_ds, index_dir: str, *,
+                     id_column: str = "doc_id", text_column: str = "text",
+                     num_buckets: int = 64):
+    """Incremental index update, LSM-style: the delta corpus's postings
+    are APPENDED into the existing ``index_dir`` hive layout as new
+    files — existing files are never rewritten, buckets no delta term
+    hashes into are never touched, and :func:`term_lookup` needs no
+    change because a term's postings were always allowed to span files
+    within its bucket.  ``num_buckets`` must match the base build (the
+    same hash routes the same terms).
+
+    Exactly-once is the caller's job, as with any Parquet append (the
+    extract pipeline's manifest machinery is the repo's exemplar);
+    re-running a completed merge would double the delta's postings.
+    Assumes delta doc ids are new (a crawl delta) — re-ingesting an
+    existing id leaves both generations' postings visible until the
+    caller drops the old one.
+
+    Scale shape: identical to the base build — one shuffle-free
+    streaming pass over the delta only; cost is O(delta), not O(index).
+    """
+    out = delta_ds.map_batches(
+        _postings_map(id_column, text_column, num_buckets),
+        batch_format="pyarrow")
+    out.write_parquet(index_dir, partition_cols=["bucket"])
+    return out
+
+
+def compact_index(index_dir: str, *, num_buckets: int = 64):
+    """Offline per-bucket file compaction after a run of merges: each
+    ``bucket=<b>/`` directory collapses to ONE file holding the
+    concatenation of its postings (no tf math — postings are exact per
+    file by construction), written tmp-then-rename.  Buckets are
+    independent, so they compact as parallel Ray tasks.
+
+    Like every Parquet compaction job, this is maintenance, not a
+    transaction: a crash between the rename and the input deletes
+    leaves the bucket double-counted until compact re-runs on fresh
+    inputs — run it from the same scheduler slot that owns merges.
+    Returns the number of buckets rewritten."""
+    import os
+
+    import ray as _ray
+
+    @_ray.remote
+    def compact_bucket(path: str) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if len(files) <= 1:
+            return 0
+        t = pa.concat_tables([pq.read_table(os.path.join(path, f))
+                              for f in files])
+        tmp = os.path.join(path, "compacted.parquet.tmp")
+        pq.write_table(t, tmp)
+        final = os.path.join(path, "compacted.parquet")
+        os.replace(tmp, final)
+        for f in files:
+            if f != "compacted.parquet":
+                os.remove(os.path.join(path, f))
+        return 1
+
+    dirs = [os.path.join(index_dir, d) for d in sorted(os.listdir(index_dir))
+            if d.startswith("bucket=")]
+    return sum(_ray.get([compact_bucket.remote(d) for d in dirs]))

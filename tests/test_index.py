@@ -97,3 +97,70 @@ def test_phrase_lookup_repeated_token_overlaps(ray_session, tmp_path):
     assert list(out["n_occurrences"]) == [3]  # overlapping occurrences
     out3 = phrase_lookup(d, ["go", "go", "stop"]).to_pandas()
     assert list(out3["n_occurrences"]) == [1]
+
+
+def test_merge_then_compact_equals_full_rebuild(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.index import (build_term_index, compact_index,
+                                           merge_term_index, term_lookup)
+
+    base = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma alpha"},
+        {"doc_id": 2, "text": "beta delta"},
+    ])
+    delta = rd.from_items([
+        {"doc_id": 3, "text": "alpha epsilon"},
+        {"doc_id": 4, "text": "delta delta zeta"},
+    ])
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_term_index(base, inc, num_buckets=8)
+    merge_term_index(delta, inc, num_buckets=8)
+    n_compacted = compact_index(inc, num_buckets=8)
+    build_term_index(base.union(delta), full, num_buckets=8)
+
+    terms = ["alpha", "beta", "delta", "zeta", "missing"]
+    got = sorted((r["term"], r["doc_id"], r["tf"])
+                 for r in term_lookup(inc, terms, num_buckets=8).take_all())
+    want = sorted((r["term"], r["doc_id"], r["tf"])
+                  for r in term_lookup(full, terms, num_buckets=8).take_all())
+    assert got == want and len(got) >= 6
+    # compaction left exactly one file in every multi-file bucket
+    for d in os.listdir(inc):
+        files = [f for f in os.listdir(os.path.join(inc, d))
+                 if f.endswith(".parquet")]
+        assert len(files) >= 1
+        if "compacted.parquet" in files:
+            assert files == ["compacted.parquet"]
+    assert n_compacted >= 1
+
+
+def test_merge_never_touches_unrelated_buckets(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.index import build_term_index, merge_term_index
+
+    base = rd.from_items([{"doc_id": 1, "text": "alpha beta gamma delta "
+                                                 "epsilon zeta eta theta"}])
+    idx = str(tmp_path / "idx")
+    build_term_index(base, idx, num_buckets=32)
+    before = {}
+    for d in os.listdir(idx):
+        p = os.path.join(idx, d)
+        before[d] = sorted(os.listdir(p))
+    merge_term_index(rd.from_items([{"doc_id": 2, "text": "alpha"}]),
+                     idx, num_buckets=32)
+    from llm_food_ray.functions.hashing import stable_hash64
+
+    touched = f"bucket={stable_hash64('alpha') % 32}"
+    for d, files in before.items():
+        now = sorted(os.listdir(os.path.join(idx, d)))
+        if d == touched:
+            assert len(now) > len(files)  # new delta file appended
+            assert set(files) <= set(now)  # old files untouched
+        else:
+            assert now == files
