@@ -886,6 +886,16 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
 
 
+def q_random_project(sf_dir: str):
+    """JL random projection 64→16 dims: one streaming matmul per batch
+    against the deterministic md5-sign matrix (rebuilt per worker from
+    the hash rule, nothing broadcast) — the value-checkable twin of the
+    eigen-ambiguous `pca_project` (which stays pytest-pinned)."""
+    from llm_food_ray.stages.similarity import random_project
+
+    return random_project(_embeddings(sf_dir), out_dim=16)
+
+
 def q_semdedup(sf_dir: str):
     """SemDedup over the duplicate-augmented embeddings: bit-exact
     distributed k-means (k=8, 2 iters) assigns clusters, then each
@@ -2577,7 +2587,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "temperature_mix": q_temperature_mix,
-        "corpus_sample": q_corpus_sample,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "median_len": q_median_len,
@@ -2623,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "random_project": q_random_project,
         "embedding_cov": q_embedding_cov,
         "hybrid_search": q_hybrid_search,
         "running_totals": q_running_totals,
@@ -2702,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_cross_score": q_lm_cross_score,
         "token_budget_mix": q_token_budget_mix,
         "near_dup_clusters": q_near_dup_clusters,
+        "corpus_sample": q_corpus_sample,
     }
 
 
@@ -3835,6 +3846,30 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
         "semdedup": _semdedup_sql(iters=2, k=8, modulus=61, tau=0.4),
+        # JL projection: the same md5-parity sign matrix, one sum per
+        # (vector, output dim), round-6 after the exact sqrt(16)
+        "random_project": """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sign AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5('jl:' || (i - 1) || ':' || (j - 1)),
+                    1, 2))::UBIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(1, 64)) AS i),
+       (SELECT unnest(generate_series(1, 16)) AS j)
+),
+p AS (
+  SELECT e.vec_id, g.j, round(sum(e.v[g.i] * g.s) / sqrt(16.0), 6) AS y
+  FROM e, LATERAL (
+    SELECT i, j, s FROM sign) g
+  WHERE TRUE
+  GROUP BY e.vec_id, g.j
+)
+SELECT vec_id, list(y ORDER BY j) AS proj FROM p GROUP BY vec_id
+""",
         # same round-9 sum pins as embedding_moments; 0-based dims
         "embedding_cov": """
 WITH e AS (

@@ -649,3 +649,67 @@ def semdedup(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
     return (ds.map_batches(assign, batch_format="pyarrow")
               .groupby("cluster")
               .map_groups(dedup_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------- random projection (JL) ----
+
+
+def _jl_sign_matrix(d: int, k: int, seed_tag: str):
+    """Deterministic ±1 sign matrix: entry (i, j) = +1 iff the first
+    md5 byte of ``"{seed_tag}:{i}:{j}"`` is even — reproducible in ANSI
+    SQL, no RNG state.  Built once per (d, k, tag) per process."""
+    import numpy as np
+
+    from ..functions.hashing import md5_hex
+
+    key = (d, k, seed_tag)
+    cached = _jl_sign_matrix._cache.get(key)
+    if cached is None:
+        signs = np.fromiter(
+            (1.0 if int(md5_hex(f"{seed_tag}:{i}:{j}")[:2], 16) % 2 == 0
+             else -1.0
+             for i in range(d) for j in range(k)),
+            np.float64, d * k).reshape(d, k)
+        _jl_sign_matrix._cache[key] = cached = signs
+    return cached
+
+
+_jl_sign_matrix._cache = {}
+
+
+def random_project(ds, *, out_dim: int = 16, key_column: str = "vec_id",
+                   vec_column: str = "embedding", seed_tag: str = "jl",
+                   digits: int = 6):
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims:
+    y = round(xᵀR / √k, digits) with R the deterministic ±1 sign matrix
+    of :func:`_jl_sign_matrix` — the cheap distance-preserving
+    dimensionality reduction in front of ANN / clustering where PCA's
+    covariance pass is too dear (and, unlike PCA, value-checkable: no
+    eigenvector sign/rotation ambiguity, the projection is a fixed
+    linear map both engines can rebuild exactly).
+
+    Scale shape: a pure streaming map — one (n×d)·(d×k) matmul per
+    batch, the sign matrix rebuilt once per worker process from the
+    hash rule (nothing broadcast, nothing shuffled).  Use out_dim with
+    an exact integer square root (16, 64) if you need the twin engines'
+    √k bit-identical; any k is still fine at round-``digits``."""
+    import numpy as np
+
+    scale = float(np.sqrt(out_dim))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mat = vectors_to_matrix(batch.column(vec_column))
+        if not len(mat):
+            return pa.table({
+                key_column: batch.column(key_column),
+                "proj": pa.array([], pa.list_(pa.float64()))})
+        signs = _jl_sign_matrix(mat.shape[1], out_dim, seed_tag)
+        proj = np.round((mat @ signs) / scale, digits)
+        return pa.table({
+            key_column: batch.column(key_column),
+            "proj": pa.FixedSizeListArray.from_arrays(
+                pa.array(proj.ravel(), pa.float64()), out_dim).cast(
+                    pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -353,3 +353,51 @@ def test_semdedup_cross_cluster_pairs_survive(ray_session):
     # within each blob all vectors are ~parallel (cos>0.99): one
     # survivor per blob, the lowest key
     assert kept == [0, 2]
+
+
+def test_random_project_preserves_distances_roughly(ray_session):
+    """JL guarantee sanity: relative pairwise-distance distortion stays
+    bounded for a 64->16 projection, and the map is deterministic."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import random_project
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(80, 64)
+    ds = rd.from_items([{"vec_id": i, "embedding": [float(x) for x in v]}
+                        for i, v in enumerate(vecs)])
+    out = {r["vec_id"]: np.array(r["proj"])
+           for r in random_project(ds, out_dim=16).take_all()}
+    assert all(len(v) == 16 for v in out.values())
+    proj = np.vstack([out[i] for i in range(80)])
+    d_orig = np.linalg.norm(vecs[:1] - vecs[1:], axis=1)
+    d_proj = np.linalg.norm(proj[:1] - proj[1:], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.4 < ratio.min() and ratio.max() < 2.0
+    assert abs(float(np.median(ratio)) - 1.0) < 0.25
+    # deterministic across runs
+    out2 = {r["vec_id"]: np.array(r["proj"])
+            for r in random_project(ds, out_dim=16).take_all()}
+    assert all(np.array_equal(out[i], out2[i]) for i in out)
+
+
+def test_random_project_matches_manual_sign_matrix(ray_session):
+    import numpy as np
+
+    import ray.data as rd
+
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.stages.similarity import random_project
+
+    vecs = np.arange(12, dtype=np.float64).reshape(3, 4)
+    ds = rd.from_items([{"vec_id": i, "embedding": [float(x) for x in v]}
+                        for i, v in enumerate(vecs)])
+    out = {r["vec_id"]: r["proj"]
+           for r in random_project(ds, out_dim=4).take_all()}
+    signs = np.array([[1.0 if int(md5_hex(f"jl:{i}:{j}")[:2], 16) % 2 == 0
+                       else -1.0 for j in range(4)] for i in range(4)])
+    want = np.round(vecs @ signs / 2.0, 6)
+    for i in range(3):
+        assert out[i] == list(want[i])
