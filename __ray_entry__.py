@@ -1788,6 +1788,17 @@ def q_bpe_pairs(sf_dir: str):
     return top_char_pairs(_docs(sf_dir, ["text"]), "text", k=20)
 
 
+def q_top_pmi(sf_dir: str):
+    """Top-20 PMI collocations (window ≤ 2, min_count 5): vocabulary-
+    sized pair/unigram partials in one streaming pass, min_count prune
+    BEFORE the two vocab-keyed joins, identical left-to-right float
+    expression on both engines so round-6 ln values match exactly."""
+    from llm_food_ray.stages.textstats import top_pmi_pairs
+
+    return top_pmi_pairs(_docs(sf_dir, ["text"]), "text",
+                         window=2, k=20, min_count=5)
+
+
 def q_bpe_train(sf_dir: str):
     """Iterative BPE tokenizer training (8 merges): ONE corpus scan
     builds the word-frequency table, then each merge step runs entirely
@@ -2587,7 +2598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "temperature_mix": q_temperature_mix,
-        "weighted_sample": q_weighted_sample,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
@@ -2615,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi": q_bm25_multi,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
@@ -2713,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": q_token_budget_mix,
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_sample": q_corpus_sample,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4608,6 +4620,36 @@ ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
+        "top_pmi": r"""
+WITH words AS MATERIALIZED (
+  SELECT list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), ev AS MATERIALIZED (
+  SELECT CASE WHEN ws[i] <= ws[i + d] THEN ws[i] ELSE ws[i + d] END AS a,
+         CASE WHEN ws[i] <= ws[i + d] THEN ws[i + d] ELSE ws[i] END AS b
+  FROM (SELECT ws, unnest(generate_series(1, 2)) AS d FROM words) wd,
+       LATERAL (SELECT unnest(generate_series(1, len(ws) - d)) AS i) g
+), tot AS MATERIALIZED (
+  SELECT (SELECT sum(len(ws)) FROM words)::DOUBLE AS n_tok,
+         (SELECT count(*) FROM ev)::DOUBLE AS n_ev
+), uni AS MATERIALIZED (
+  SELECT w AS term, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w
+), pr AS MATERIALIZED (
+  SELECT a, b, count(*)::BIGINT AS n FROM ev GROUP BY a, b
+  HAVING count(*) >= 5
+)
+SELECT p.a, p.b, p.n,
+       round(ln((p.n::DOUBLE * t.n_tok * t.n_tok)
+                / (t.n_ev * ua.cu * ub.cu)), 6) AS pmi
+FROM pr p
+JOIN uni ua ON ua.term = p.a
+JOIN uni ub ON ub.term = p.b
+CROSS JOIN tot t
+ORDER BY pmi DESC, a, b
+LIMIT 20
+""",
         "url_blocklist": """
 WITH h AS (
   SELECT doc_id,

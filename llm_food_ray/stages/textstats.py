@@ -1605,3 +1605,139 @@ def top_k_per_group(ds, group_column: str, order_column: str,
               .map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__gb")
               .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
+                  k: int = 20, min_count: int = 5, digits: int = 6):
+    """Corpus-wide top-k PMI word pairs (the collocation detector):
+    a co-occurrence EVENT is an unordered token pair at distance
+    1..``window`` within a document (canonical order a ≤ b), and
+
+        pmi(a,b) = round(ln((c_ab·N·N) / (P·c_a·c_b)), digits)
+
+    with N = total tokens, P = total events — the left-to-right float
+    expression both engines evaluate identically (round-``digits``
+    absorbs the ≤1-ulp libm ln drift).  Only pairs with
+    c_ab ≥ ``min_count`` are scored (the standard PMI noise gate — and
+    the tail prune that keeps the joins pair-vocab-bounded).
+
+    Scale shape: one streaming pass emits per-batch PARTIAL pair /
+    unigram counts plus a one-row (tokens, events) total — vocabulary-
+    sized exchanges, never a row per occurrence; the min_count filter
+    prunes the merged pair table BEFORE two vocab-keyed hash joins
+    attach c_a and c_b; scoring is vectorized; a per-block local top-k
+    bounds the final sort input by blocks×k."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.repetition import split_words
+    from .dedup import _join_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        pairs: Counter = Counter()
+        unis: Counter = Counter()
+        n_tok = 0
+        n_ev = 0
+        for t in batch.column(text_column).to_pylist():
+            ws = split_words(t or "")
+            n_tok += len(ws)
+            unis.update(ws)
+            for d in range(1, window + 1):
+                for x, y in zip(ws, ws[d:]):
+                    pairs[(x, y) if x <= y else (y, x)] += 1
+                n_ev += max(len(ws) - d, 0)
+        return pa.table({
+            "a": pa.array([p[0] for p in pairs] + [None] * len(unis)
+                          + [None], pa.string()),
+            "b": pa.array([p[1] for p in pairs]
+                          + list(unis.keys()) + [None], pa.string()),
+            "n": pa.array(list(pairs.values()) + list(unis.values())
+                          + [0], pa.int64()),
+            "tok": pa.array([0] * (len(pairs) + len(unis)) + [n_tok],
+                            pa.int64()),
+            "ev": pa.array([0] * (len(pairs) + len(unis)) + [n_ev],
+                           pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # distributed scalars: one row per batch
+    totals = (parts.map_batches(
+        lambda b: b.filter(pc.and_(pc.is_null(b.column("a")),
+                                   pc.is_null(b.column("b"))))
+                   .select(["tok", "ev"]),
+        batch_format="pyarrow"))
+    n_tok = 0
+    n_ev = 0
+    for b in totals.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_tok += int(pc.sum(b.column("tok")).as_py() or 0)
+        n_ev += int(pc.sum(b.column("ev")).as_py() or 0)
+    if n_ev == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+
+    def keep_pairs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.is_valid(b.column("a")),
+                                pc.is_valid(b.column("b")))).select(
+                                    ["a", "b", "n"])
+
+    def keep_unis(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_null(b.column("a")),
+                             pc.is_valid(b.column("b"))))
+        return pa.table({"term": t.column("b"), "cu": t.column("n")})
+
+    merged_pairs = (parts.map_batches(keep_pairs, batch_format="pyarrow")
+                         .groupby(["a", "b"])
+                         .aggregate(Sum("n", alias_name="n")))
+    unis = (parts.map_batches(keep_unis, batch_format="pyarrow")
+                 .groupby("term")
+                 .aggregate(Sum("cu", alias_name="cu"))).materialize()
+
+    gated = merged_pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+        batch_format="pyarrow").materialize()
+
+    joined = (gated.join(unis, "inner", _join_partitions(16),
+                         on=("a",), right_on=("term",))
+                   .rename_columns({"cu": "cu_a"})
+                   .join(unis, "inner", _join_partitions(16),
+                         on=("b",), right_on=("term",))
+                   .rename_columns({"cu": "cu_b"}))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        c = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = b.column("cu_a").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cb = b.column("cu_b").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        raw = (c * n_tok * n_tok) / (n_ev * ca * cb)
+        pmi = np.fromiter((round(math.log(v), digits)
+                           for v in raw.tolist()), np.float64, len(raw))
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "n": b.column("n"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b, sort_keys=[
+            ("pmi", "descending"), ("a", "ascending"), ("b", "ascending")])
+        return b.take(order[:k])
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+                  .map_batches(local_topk, batch_format="pyarrow")
+                  .sort(["pmi", "a", "b"], descending=[True, False, False])
+                  .limit(k))

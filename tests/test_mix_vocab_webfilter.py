@@ -302,3 +302,41 @@ def test_bpe_train_duplicate_merged_strings_unify(ray_session):
             got = _bpe_rows(bpe_train(
                 rd.from_items([{"text": t} for t in texts]), num_merges=nm))
             assert got == _ref_bpe(texts, num_merges=nm), (trial, nm, texts)
+
+
+def test_top_pmi_pairs_matches_brute_force(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import top_pmi_pairs
+
+    texts = ["new york new york city", "san francisco and new york",
+             "the city of san francisco", "york new city san",
+             "new york san francisco new york"] * 3
+    window, min_count = 2, 3
+    pairs, unis = Counter(), Counter()
+    n_tok = n_ev = 0
+    for t in texts:
+        ws = split_words(t)
+        n_tok += len(ws)
+        unis.update(ws)
+        for d in range(1, window + 1):
+            for x, y in zip(ws, ws[d:]):
+                pairs[(x, y) if x <= y else (y, x)] += 1
+            n_ev += max(len(ws) - d, 0)
+    want = sorted(
+        ((a, b, n, round(math.log((float(n) * n_tok * n_tok)
+                                  / (n_ev * unis[a] * unis[b])), 6))
+         for (a, b), n in pairs.items() if n >= min_count),
+        key=lambda r: (-r[3], r[0], r[1]))[:10]
+    got = [(r["a"], r["b"], r["n"], r["pmi"]) for r in
+           top_pmi_pairs(rd.from_items([{"text": t} for t in texts]),
+                         window=window, k=10, min_count=min_count)
+           .take_all()]
+    assert got == want
+    # the classic collocations are retrieved
+    found = {g[:2] for g in got}
+    assert ("new", "york") in found and ("francisco", "san") in found
