@@ -1788,6 +1788,34 @@ def q_bpe_pairs(sf_dir: str):
     return top_char_pairs(_docs(sf_dir, ["text"]), "text", k=20)
 
 
+_TAG_TOPICS = {
+    "storage": ["table", "row", "column", "parquet"],
+    "exec": ["scan", "sort", "merge", "hash"],
+    "perf": ["fast", "slow", "big", "small"],
+}
+
+
+def q_profile_table(sf_dir: str):
+    """Column profiler over documents: counts/nulls/typed min-max in
+    ONE aggregate pass; exact per-column distinct via the value-vocab
+    groupby (the honest wide step — `hll_distinct` is the sketch
+    alternative)."""
+    from llm_food_ray.stages.textstats import profile_table
+
+    return profile_table(_docs(sf_dir), ["doc_id", "text", "lang",
+                                         "source", "n_chars"])
+
+
+def q_keyword_tag(sf_dir: str):
+    """Dictionary topic tagging: per (doc, topic) non-overlapping
+    keyword-occurrence totals, sparse long-form output — one streaming
+    pass of Arrow count_substring kernels, dictionary in the task
+    closure, zero shuffle."""
+    from llm_food_ray.stages.textstats import keyword_tag
+
+    return keyword_tag(_docs(sf_dir, ["doc_id", "text"]), _TAG_TOPICS)
+
+
 def q_top_pmi(sf_dir: str):
     """Top-20 PMI collocations (window ≤ 2, min_count 5): vocabulary-
     sized pair/unigram partials in one streaming pass, min_count prune
@@ -2599,7 +2627,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mix": q_resample_mix,
         "temperature_mix": q_temperature_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
-        "median_len": q_median_len,
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
         "distinct_lengths": q_distinct_lengths,
@@ -2608,7 +2635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_lookup": q_term_lookup,
         "index_merge": q_index_merge,
         "hll_distinct": q_hll_distinct,
-        "snapshot_overlap": q_snapshot_overlap,
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
@@ -2625,6 +2651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi": q_bm25_multi,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "keyword_tag": q_keyword_tag,
+        "profile_table": q_profile_table,
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
@@ -2725,6 +2753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "corpus_sample": q_corpus_sample,
         "weighted_sample": q_weighted_sample,
+        "median_len": q_median_len,
+        "snapshot_overlap": q_snapshot_overlap,
     }
 
 
@@ -4620,6 +4650,31 @@ ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
+        # replace-length substring counting shares count_substring's
+        # non-overlapping convention
+        "profile_table": """
+SELECT 'doc_id' AS column, count(*)::BIGINT AS n, (count(*) - count(doc_id))::BIGINT AS nulls, count(DISTINCT doc_id)::BIGINT AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+UNION ALL SELECT 'text' AS column, count(*)::BIGINT AS n, (count(*) - count(text))::BIGINT AS nulls, count(DISTINCT text)::BIGINT AS n_distinct, CAST(min(text) AS VARCHAR) AS min_s, CAST(max(text) AS VARCHAR) AS max_s FROM documents
+UNION ALL SELECT 'lang' AS column, count(*)::BIGINT AS n, (count(*) - count(lang))::BIGINT AS nulls, count(DISTINCT lang)::BIGINT AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_s, CAST(max(lang) AS VARCHAR) AS max_s FROM documents
+UNION ALL SELECT 'source' AS column, count(*)::BIGINT AS n, (count(*) - count(source))::BIGINT AS nulls, count(DISTINCT source)::BIGINT AS n_distinct, CAST(min(source) AS VARCHAR) AS min_s, CAST(max(source) AS VARCHAR) AS max_s FROM documents
+UNION ALL SELECT 'n_chars' AS column, count(*)::BIGINT AS n, (count(*) - count(n_chars))::BIGINT AS nulls, count(DISTINCT n_chars)::BIGINT AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_s, CAST(max(n_chars) AS VARCHAR) AS max_s FROM documents
+""",
+        "keyword_tag": """
+WITH topics AS (
+  SELECT * FROM (VALUES
+    ('storage', ['table', 'row', 'column', 'parquet']),
+    ('exec',    ['scan', 'sort', 'merge', 'hash']),
+    ('perf',    ['fast', 'slow', 'big', 'small'])
+  ) t(topic, kws)
+), hits AS (
+  SELECT d.doc_id, t.topic,
+         (SELECT sum((length(d.text) - length(replace(d.text, kw, '')))
+                     / length(kw))
+          FROM unnest(t.kws) AS u(kw))::BIGINT AS hits
+  FROM documents d CROSS JOIN topics t
+)
+SELECT doc_id, topic, hits FROM hits WHERE hits > 0
+""",
         "top_pmi": r"""
 WITH words AS MATERIALIZED (
   SELECT list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),

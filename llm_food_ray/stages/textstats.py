@@ -1741,3 +1741,134 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
                   .map_batches(local_topk, batch_format="pyarrow")
                   .sort(["pmi", "a", "b"], descending=[True, False, False])
                   .limit(k))
+
+
+def keyword_tag(ds, topics: dict, *, id_column: str = "doc_id",
+                text_column: str = "text", keep_zero: bool = False):
+    """Dictionary-based topic tagging: for every document and every
+    topic, the total count of NON-OVERLAPPING occurrences of the
+    topic's keywords (case-sensitive substring match — the convention
+    Arrow's ``count_substring`` and SQL's replace-length trick share).
+    Returns long-form (id, topic, hits); zero-hit rows are dropped
+    unless ``keep_zero`` (sparse output — docs × matched topics, not
+    docs × topics).
+
+    Scale shape: pure streaming map, zero shuffle.  The topic
+    dictionary rides the task closure (broadcast once per worker —
+    wrap in an actor pool via ``map_batches(Cls)`` if the dictionary
+    grows to model size); per batch the work is
+    Σ_topics |keywords| Arrow C kernels over the whole column, no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    items = sorted((str(t), sorted(kws)) for t, kws in topics.items())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # cast first: an all-null block arrives as type null, which
+        # fill_null can't target to string
+        col = pc.fill_null(batch.column(text_column).cast(pa.string()), "")
+        ids = batch.column(id_column)
+        out_ids, out_topics, out_hits = [], [], []
+        for topic, kws in items:
+            hits = np.zeros(batch.num_rows, np.int64)
+            for kw in kws:
+                hits += pc.count_substring(col, kw).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            if keep_zero:
+                keep = np.arange(batch.num_rows)
+            else:
+                keep = np.flatnonzero(hits > 0)
+            out_ids.append(ids.take(pa.array(keep, pa.int64())))
+            out_topics.append(pa.array([topic] * len(keep), pa.string()))
+            out_hits.append(pa.array(hits[keep], pa.int64()))
+        if not out_ids:
+            return pa.table({id_column: ids.slice(0, 0),
+                             "topic": pa.array([], pa.string()),
+                             "hits": pa.array([], pa.int64())})
+        return pa.table({
+            id_column: pa.concat_arrays([c.combine_chunks()
+                                         if isinstance(c, pa.ChunkedArray)
+                                         else c for c in out_ids]),
+            "topic": pa.concat_arrays(out_topics),
+            "hits": pa.concat_arrays(out_hits),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def profile_table(ds, columns: list, *, digits: int = 6):
+    """Column profiler: one row per column with ``(column, n, nulls,
+    n_distinct, min_s, max_s)`` — the data-quality report a pipeline
+    runs before trusting a new drop of shards.  min/max are computed in
+    the column's own type (no string-order artifacts) and stringified
+    only for the uniform output schema; ``n_distinct`` excludes nulls
+    (the SQL COUNT(DISTINCT) convention).
+
+    Scale shape: counts/nulls/min/max ride ONE ``Dataset.aggregate``
+    pass (per-block partials, a scalar per column on the driver);
+    distinct counts are the one genuinely wide step — per-batch
+    DISTINCT (column, value) rows, one value-vocabulary-sized
+    ``groupby``, then a columns-sized count.  For columns whose value
+    vocabulary is corpus-sized (unique keys), that exchange is the
+    honest price of exactness — swap in ``sketch.hll_count_distinct``
+    when an estimate suffices."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def with_null_flags(b: pa.Table) -> pa.Table:
+        for c in columns:
+            b = b.append_column(
+                f"__null_{c}",
+                pc.cast(pc.is_null(b.column(c)), pa.int64()))
+        return b
+
+    aggs = [Count()]
+    for c in columns:
+        aggs += [Min(c), Max(c), Sum(f"__null_{c}", alias_name=f"nulls_{c}")]
+    stats = (ds.map_batches(with_null_flags, batch_format="pyarrow")
+               .aggregate(*aggs))
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        cols_out, vals_out = [], []
+        for c in columns:
+            col = b.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            u = pc.unique(col.cast(pa.string()))
+            u = u.filter(pc.is_valid(u))
+            cols_out.append(pa.array([c] * len(u), pa.string()))
+            vals_out.append(u)
+        return pa.table({"column": pa.concat_arrays(cols_out),
+                         "val": pa.concat_arrays(vals_out)})
+
+    nd = {r["column"]: r["count()"] for r in
+          (ds.map_batches(distinct_partial, batch_format="pyarrow")
+             .groupby(["column", "val"]).count()
+             .groupby("column").count()
+             .take_all())}
+
+    def fmt(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return str(round(v, digits))
+        return str(v)
+
+    rows = {
+        "column": pa.array(columns, pa.string()),
+        "n": pa.array([stats["count()"]] * len(columns), pa.int64()),
+        "nulls": pa.array([stats[f"nulls_{c}"] or 0 for c in columns],
+                          pa.int64()),
+        "n_distinct": pa.array([nd.get(c, 0) for c in columns], pa.int64()),
+        "min_s": pa.array([fmt(stats[f"min({c})"]) for c in columns],
+                          pa.string()),
+        "max_s": pa.array([fmt(stats[f"max({c})"]) for c in columns],
+                          pa.string()),
+    }
+    return rd.from_arrow(pa.table(rows))

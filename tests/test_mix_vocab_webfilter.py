@@ -340,3 +340,52 @@ def test_top_pmi_pairs_matches_brute_force(ray_session):
     # the classic collocations are retrieved
     found = {g[:2] for g in got}
     assert ("new", "york") in found and ("francisco", "san") in found
+
+
+def test_keyword_tag_counts_and_sparsity(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import keyword_tag
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "fast fast table scan"},
+        {"doc_id": 2, "text": "nothing relevant here"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "aaa"},  # 'aa' counts once, non-overlapping
+    ])
+    topics = {"perf": ["fast"], "db": ["table", "scan"], "weird": ["aa"]}
+    got = sorted((r["doc_id"], r["topic"], r["hits"])
+                 for r in keyword_tag(ds, topics).take_all())
+    assert got == [(1, "db", 2), (1, "perf", 2), (4, "weird", 1)]
+    # keep_zero emits the dense docs x topics grid
+    dense = keyword_tag(ds, topics, keep_zero=True).count()
+    assert dense == 4 * 3
+
+
+def test_keyword_tag_substring_not_word_match(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import keyword_tag
+
+    ds = rd.from_items([{"doc_id": 1, "text": "scanner rescan"}])
+    got = keyword_tag(ds, {"t": ["scan"]}).take_all()
+    assert got[0]["hits"] == 2  # substring semantics, documented
+
+
+def test_profile_table_stats(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import profile_table
+
+    t = pa.table({
+        "k": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", "c"], pa.string()),
+    })
+    out = {r["column"]: r for r in
+           profile_table(rd.from_arrow(t), ["k", "s"]).take_all()}
+    assert out["k"]["n"] == 5 and out["k"]["nulls"] == 1
+    assert out["k"]["n_distinct"] == 3  # nulls excluded
+    assert out["k"]["min_s"] == "1" and out["k"]["max_s"] == "5"
+    assert out["s"]["nulls"] == 1 and out["s"]["n_distinct"] == 3
+    assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "c"
