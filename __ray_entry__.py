@@ -1795,6 +1795,48 @@ _TAG_TOPICS = {
 }
 
 
+def q_collapse_lines(sf_dir: str):
+    """Intra-doc consecutive-duplicate line collapse (uniq semantics)
+    over a deterministic line-structured view (every space → newline,
+    so the word soup's repeated adjacent words become repeated lines):
+    split/compare/rejoin are Arrow kernels, zero shuffle."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import collapse_repeated_lines
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.fill_null(b.column("text"), ""), " ", "\n"),
+        })
+
+    return collapse_repeated_lines(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            to_lines, batch_format="pyarrow"))
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-language Pearson corr(n_chars, token count) via exact
+    integer moments — both engines derive identical int64 sums, so the
+    one float division/sqrt/round is bit-identical (engine corr()
+    streaming updates would not be)."""
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import grouped_corr
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = [len(split_words(t or ""))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "x": b.column("n_chars"),
+                         "y": pa.array(toks, pa.int64())})
+
+    return grouped_corr(
+        _docs(sf_dir, ["lang", "text", "n_chars"]).map_batches(
+            with_tokens, batch_format="pyarrow"),
+        "lang", "x", "y")
+
+
 def q_profile_table(sf_dir: str):
     """Column profiler over documents: counts/nulls/typed min-max in
     ONE aggregate pass; exact per-column distinct via the value-vocab
@@ -2653,6 +2695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
+        "collapse_lines": q_collapse_lines,
+        "grouped_corr": q_grouped_corr,
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "quality_tiers": q_quality_tiers,
@@ -2665,8 +2709,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
-        "dup_span_strip": q_dup_span_strip,
-        "dup_spans_against": q_dup_spans_against,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2755,6 +2797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "median_len": q_median_len,
         "snapshot_overlap": q_snapshot_overlap,
+        "dup_spans_against": q_dup_spans_against,
+        "dup_span_strip": q_dup_span_strip,
     }
 
 
@@ -4652,6 +4696,43 @@ LIMIT 20
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
         # replace-length substring counting shares count_substring's
         # non-overlapping convention
+        "collapse_lines": r"""
+WITH d AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents
+), ls AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM d
+), pos AS (
+  SELECT doc_id, i, l[i] AS line,
+         (i = 1 OR l[i] <> l[i - 1]) AS keep
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM ls)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(line ORDER BY i) FILTER (WHERE keep),
+                                chr(10)), '') AS cleaned,
+       (count(*) - count(*) FILTER (WHERE keep))::BIGINT AS n_removed
+FROM pos GROUP BY doc_id
+""",
+        "grouped_corr": r"""
+WITH t AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '[ 	
+]+'),
+                         w -> w <> ''))::BIGINT AS y
+  FROM documents
+), m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+  FROM t GROUP BY lang
+)
+SELECT lang, n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       THEN round((n * sxy - sx * sy)::DOUBLE
+                  / sqrt(((n * sxx - sx * sx)::DOUBLE)
+                         * ((n * syy - sy * sy)::DOUBLE)), 6)
+       ELSE NULL END AS corr
+FROM m
+""",
         "profile_table": """
 SELECT 'doc_id' AS column, count(*)::BIGINT AS n, (count(*) - count(doc_id))::BIGINT AS nulls, count(DISTINCT doc_id)::BIGINT AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'text' AS column, count(*)::BIGINT AS n, (count(*) - count(text))::BIGINT AS nulls, count(DISTINCT text)::BIGINT AS n_distinct, CAST(min(text) AS VARCHAR) AS min_s, CAST(max(text) AS VARCHAR) AS max_s FROM documents

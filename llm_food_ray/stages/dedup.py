@@ -3004,3 +3004,53 @@ def _bloom_might_contain(bits: np.ndarray, u: np.ndarray, m: int,
 
 def _md5_u64(hexes: list) -> np.ndarray:
     return np.array([int(h[:16], 16) for h in hexes], np.uint64)
+
+
+def collapse_repeated_lines(ds, text_column: str = "text", *,
+                            id_column: str = "doc_id"):
+    """Intra-document `uniq`: drop every line that EQUALS the line
+    directly above it (consecutive-duplicate collapse — the cheap
+    in-place half of line dedup, vs the corpus-global
+    :func:`dedup_lines_global` family).  Returns (id, cleaned,
+    n_removed).
+
+    Scale shape: pure streaming map, zero shuffle, zero Python
+    per-line work — split/compare/rejoin are Arrow kernels over the
+    flattened line buffer (`split_pattern` → one shifted `not_equal`
+    over the values array → list rebuild + `binary_join`)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_column).cast(pa.string()), "")
+        lists = pc.split_pattern(col, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        vals = lists.flatten()
+        n = len(vals)
+        offs = np.concatenate([np.zeros(1, np.int64),
+                               np.cumsum(lens.astype(np.int64))])
+        keep = np.ones(n, bool)
+        if n > 1:
+            same = pc.equal(vals.slice(1), vals.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            keep[1:] = ~same
+        keep[offs[:-1][lens > 0]] = True  # first line of each doc stays
+        line_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                            lens.astype(np.int64))
+        new_lens = (np.bincount(line_of[keep], minlength=len(lens))
+                    if n else np.zeros(len(lens), np.int64))
+        kept_vals = vals.filter(pa.array(keep))
+        new_offs = np.concatenate([np.zeros(1, np.int64),
+                                   np.cumsum(new_lens)])
+        out_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), kept_vals)
+        cleaned = pc.binary_join(out_lists.cast(pa.list_(pa.string())),
+                                 "\n")
+        removed = (lens.astype(np.int64) - new_lens)
+        return pa.table({id_column: batch.column(id_column),
+                         "cleaned": cleaned,
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return ds.map_batches(collapse, batch_format="pyarrow")

@@ -1872,3 +1872,80 @@ def profile_table(ds, columns: list, *, digits: int = 6):
                           pa.string()),
     }
     return rd.from_arrow(pa.table(rows))
+
+
+def grouped_corr(ds, group_column: str, x_column: str, y_column: str, *,
+                 digits: int = 6):
+    """Per-group Pearson correlation of two INTEGER columns via exact
+    integer moments:
+
+        r = round((n·Σxy − Σx·Σy) /
+                  sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)), digits)
+
+    Every moment is an exact int64 sum, so both engines derive the
+    SAME integers and the float part is one identical
+    division/sqrt/round — no summation-order ulps anywhere (the reason
+    this isn't a thin wrapper over an engine ``corr()``, whose
+    streaming update orders differ).  Degenerate groups (zero variance
+    in either column) return NULL like SQL's corr.
+
+    Scale shape: per-batch (group, n, Σx, Σy, Σx², Σy², Σxy) partials —
+    groups-sized exchange, one ``groupby.sum``, vectorized final map.
+    Caller owns overflow headroom: |x|,|y| ≤ ~3e4 is safe at 1e9 rows
+    per group."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_column)
+        x = batch.column(x_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = batch.column(y_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = pa.table({group_column: g,
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                      "sxy": pa.array(x * y)})
+        return (t.group_by([group_column])
+                 .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                             ("sxx", "sum"), ("syy", "sum"),
+                             ("sxy", "sum")])
+                 .rename_columns([group_column, "n", "sx", "sy",
+                                  "sxx", "syy", "sxy"]))
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("sx", alias_name="sx"),
+                           Sum("sy", alias_name="sy"),
+                           Sum("sxx", alias_name="sxx"),
+                           Sum("syy", alias_name="syy"),
+                           Sum("sxy", alias_name="sxy")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({group_column: b.column(group_column),
+                             "n": pa.array([], pa.int64()),
+                             "corr": pa.array([], pa.float64())})
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        syy = b.column("syy").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        ok = (vx > 0) & (vy > 0)
+        r = np.full(len(n), np.nan)
+        r[ok] = num[ok] / np.sqrt(vx[ok] * vy[ok])
+        vals = [round(float(v), digits) if m else None
+                for v, m in zip(r, ok)]
+        return pa.table({group_column: b.column(group_column),
+                         "n": b.column("n"),
+                         "corr": pa.array(vals, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -860,3 +860,48 @@ def test_leakage_safe_split_components_stay_together(ray_session):
         want = "test" if b < 10 else "valid" if b < 20 else "train"
         assert s == want
     assert {s for _, s in out.values()} == {"train", "valid", "test"}
+
+
+def test_collapse_repeated_lines_uniq_semantics(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import collapse_repeated_lines
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a\na\nb\na\na\na\nc"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "x"},
+        {"doc_id": 4, "text": "\n\n\nq\n\n"},
+        {"doc_id": 5, "text": None},
+    ])
+    got = {r["doc_id"]: (r["cleaned"], r["n_removed"])
+           for r in collapse_repeated_lines(ds).take_all()}
+    assert got[1] == ("a\nb\na\nc", 3)
+    assert got[2] == ("", 0)
+    assert got[3] == ("x", 0)
+    assert got[4] == ("\nq\n", 3)  # empty lines collapse like any line
+    assert got[5] == ("", 0)
+
+
+def test_collapse_repeated_lines_matches_python_uniq(ray_session):
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import collapse_repeated_lines
+
+    rng = random.Random(13)
+    docs = []
+    for i in range(60):
+        lines = [rng.choice(["x", "y", "zz", ""])
+                 for _ in range(rng.randint(0, 12))]
+        docs.append({"doc_id": i, "text": "\n".join(lines)})
+    got = {r["doc_id"]: (r["cleaned"], r["n_removed"])
+           for r in collapse_repeated_lines(
+               rd.from_items(docs)).take_all()}
+    for d in docs:
+        lines = d["text"].split("\n")
+        kept = [k for k, _ in itertools.groupby(lines)]
+        assert got[d["doc_id"]] == ("\n".join(kept),
+                                    len(lines) - len(kept)), d

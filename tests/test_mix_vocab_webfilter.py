@@ -389,3 +389,29 @@ def test_profile_table_stats(ray_session):
     assert out["k"]["min_s"] == "1" and out["k"]["max_s"] == "5"
     assert out["s"]["nulls"] == 1 and out["s"]["n_distinct"] == 3
     assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "c"
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import numpy as np
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import grouped_corr
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for g in "abc":
+        x = rng.randint(0, 1000, 200)
+        y = (x * 0.5 + rng.randint(0, 300, 200)).astype(int)
+        rows += [{"g": g, "x": int(a), "y": int(b)} for a, b in zip(x, y)]
+    rows.append({"g": "const", "x": 7, "y": 1})
+    rows.append({"g": "const", "x": 7, "y": 2})  # zero x-variance
+    out = {r["g"]: r for r in
+           grouped_corr(rd.from_items(rows), "g", "x", "y").take_all()}
+    for g in "abc":
+        xs = np.array([r["x"] for r in rows if r["g"] == g], float)
+        ys = np.array([r["y"] for r in rows if r["g"] == g], float)
+        want = round(float(np.corrcoef(xs, ys)[0, 1]), 4)
+        assert round(out[g]["corr"], 4) == want
+        assert out[g]["n"] == 200
+    assert out["const"]["corr"] is None or np.isnan(out["const"]["corr"])
