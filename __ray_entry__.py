@@ -886,6 +886,27 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
 
 
+def q_diverse_sample(sf_dir: str):
+    """Coverage-stratified sample: 10 smallest-md5 keys per bit-exact
+    k-means cluster — kmeans assign + the cap_per_group candidate/
+    broadcast-filter machinery, RNG-free."""
+    from llm_food_ray.stages.similarity import diverse_sample
+
+    return diverse_sample(_embeddings(sf_dir), n_per_cluster=10, k=8,
+                          iters=2, modulus=61)
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Off-manifold vector flags: round-9 squared distance to the
+    bit-exact k-means centroid, per-cluster moment fold (k×3 floats on
+    the driver), round-6 z-score ≥ 1.5 — two streaming passes, nothing
+    vector-shaped leaves the workers."""
+    from llm_food_ray.stages.similarity import embedding_outliers
+
+    return embedding_outliers(_embeddings(sf_dir), k=8, iters=2,
+                              modulus=61, z_threshold=1.5)
+
+
 def q_random_project(sf_dir: str):
     """JL random projection 64→16 dims: one streaming matmul per batch
     against the deterministic md5-sign matrix (rebuilt per worker from
@@ -2699,20 +2720,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr": q_grouped_corr,
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
-        "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
         "host_tier_filter": q_host_tier_filter,
         "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
         "strip_boilerplate": q_strip_boilerplate,
         "top_bigrams_sketch": q_top_bigrams_sketch,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
         "ccnet_buckets": q_ccnet_buckets,
         "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "embedding_outliers": q_embedding_outliers,
+        "diverse_sample": q_diverse_sample,
         "random_project": q_random_project,
         "embedding_cov": q_embedding_cov,
         "hybrid_search": q_hybrid_search,
@@ -2798,6 +2819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_len": q_median_len,
         "snapshot_overlap": q_snapshot_overlap,
         "dup_spans_against": q_dup_spans_against,
+        "dedup_incremental": q_dedup_incremental,
+        "quality_tiers": q_quality_tiers,
         "dup_span_strip": q_dup_span_strip,
     }
 
@@ -2953,6 +2976,18 @@ def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61,
             + f"\nSELECT vec_id, cid AS cluster FROM a{iters + 1}")
 
 
+def _kmeans_assign_d_sql(iters: int = 2, k: int = 8, modulus: int = 61,
+                         source: str = "embeddings") -> str:
+    """Like :func:`_kmeans_sql` but emits (vec_id, cluster, d) — the
+    assigned round-9 squared distance — for the outlier twin."""
+    km = _kmeans_sql(iters=iters, k=k, modulus=modulus, source=source)
+    head, _ = km.rsplit("\nSELECT", 1)
+    t = iters + 1
+    return (head + f"""
+SELECT a.vec_id, a.cid AS cluster, d.d
+FROM a{t} a JOIN d{t} d ON d.vec_id = a.vec_id AND d.cid = a.cid""")
+
+
 def _semdedup_sql(iters: int = 2, k: int = 8, modulus: int = 61,
                   tau: float = 0.4) -> str:
     """Twin of ``similarity.py:semdedup`` over the duplicate-augmented
@@ -3019,6 +3054,32 @@ SELECT n.node, h.s AS hub, a.s AS authority
 FROM nodes n
 JOIN h{iters} h ON h.node = n.node
 JOIN a{iters} a ON a.node = n.node""")
+
+
+def _outliers_sql(iters: int = 2, k: int = 8, modulus: int = 61,
+                  z: float = 2.0) -> str:
+    """Twin of ``similarity.py:embedding_outliers``: the exact
+    mu/ex2/sig/z rounding sequence over the assigned round-9 squared
+    distances."""
+    ad = _kmeans_assign_d_sql(iters=iters, k=k, modulus=modulus)
+    return f"""WITH ad AS MATERIALIZED (
+  SELECT * FROM ({ad}) t
+),
+mom AS MATERIALIZED (
+  SELECT cluster, count(*)::BIGINT AS n,
+         round(sum(d) / count(*), 6) AS mu,
+         round(sum(d * d) / count(*), 6) AS ex2
+  FROM ad GROUP BY cluster
+),
+sg AS MATERIALIZED (
+  SELECT cluster, mu,
+         sqrt(greatest(ex2 - mu * mu, 0.0)) AS sig
+  FROM mom
+)
+SELECT a.vec_id, a.cluster, round((a.d - s.mu) / s.sig, 6) AS z
+FROM ad a JOIN sg s ON s.cluster = a.cluster
+WHERE s.sig > 0 AND round((a.d - s.mu) / s.sig, 6) >= {z}
+"""
 
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -3932,6 +3993,12 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """,
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
         "semdedup": _semdedup_sql(iters=2, k=8, modulus=61, tau=0.4),
+        "embedding_outliers": _outliers_sql(iters=2, k=8, modulus=61, z=1.5),
+        "diverse_sample": f"""
+SELECT vec_id, cluster FROM ({_kmeans_sql(iters=2, k=8, modulus=61)}) t
+QUALIFY row_number() OVER (PARTITION BY cluster
+                           ORDER BY md5(vec_id::VARCHAR), vec_id) <= 10
+""",
         # JL projection: the same md5-parity sign matrix, one sum per
         # (vector, output dim), round-6 after the exact sqrt(16)
         "random_project": """

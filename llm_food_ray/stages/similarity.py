@@ -713,3 +713,141 @@ def random_project(ds, *, out_dim: int = 16, key_column: str = "vec_id",
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def embedding_outliers(ds, *, k: int = 8, iters: int = 2,
+                       modulus: int = 61, z_threshold: float = 2.0,
+                       key_column: str = "vec_id",
+                       vec_column: str = "embedding", digits: int = 9,
+                       z_digits: int = 6):
+    """Embedding outlier detection: vectors whose rounded squared
+    distance to their k-means centroid is ≥ ``z_threshold`` standard
+    deviations above the cluster mean — the curation step that flags
+    mis-embedded / off-manifold documents before training.
+
+    Parity-pinned sequence (identical on both engines):
+        d   = round(‖x − c‖², digits)          (the kmeans metric)
+        mu  = round(Σd / n, z_digits)           per cluster
+        ex2 = round(Σd² / n, z_digits)
+        sig = sqrt(ex2 − mu·mu)                (identical doubles in →
+        z   = round((d − mu) / sig, z_digits)   identical doubles out)
+
+    Returns (key, cluster, z) for flagged vectors, z descending per the
+    caller's sort if needed.  Zero-variance clusters flag nothing.
+
+    Scale shape: centroid fit is iters blocks×k passes; then ONE
+    streaming pass emits k×3-float moment partials (no shuffle), the
+    driver folds k rows, and ONE more streaming pass scores and
+    filters.  Nothing vector-shaped leaves the workers."""
+    import ray as _ray
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, modulus=modulus,
+                            key_column=key_column, vec_column=vec_column,
+                            digits=digits)
+    kk = len(cent)
+    cref = _ray.put(cent)
+
+    def _dists(b: pa.Table):
+        c = _ray.get(cref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        if not len(mat):
+            return None, None
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(1)[None, :])
+        d2r = np.round(d2, digits)
+        a = d2r.argmin(1)
+        return a, d2r[np.arange(len(a)), a]
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        a, d = _dists(b)
+        if a is None:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        n = np.bincount(a, minlength=kk)
+        s1 = np.bincount(a, weights=d, minlength=kk)
+        s2 = np.bincount(a, weights=d * d, minlength=kk)
+        return pa.table({"cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s1": pa.array(s1, pa.float64()),
+                         "s2": pa.array(s2, pa.float64())})
+
+    N = np.zeros(kk, np.int64)
+    S1 = np.zeros(kk, np.float64)
+    S2 = np.zeros(kk, np.float64)
+    for b in (ds.map_batches(moment_partial, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+        if not b.num_rows:
+            continue
+        cid = b.column("cluster").to_numpy(zero_copy_only=False)
+        N[cid] += b.column("n").to_numpy(zero_copy_only=False)
+        S1[cid] += b.column("s1").to_numpy(zero_copy_only=False)
+        S2[cid] += b.column("s2").to_numpy(zero_copy_only=False)
+    mu = np.zeros(kk)
+    sig = np.zeros(kk)
+    nz = N > 0
+    mu[nz] = np.fromiter((round(v, z_digits)
+                          for v in (S1[nz] / N[nz]).tolist()),
+                         np.float64, int(nz.sum()))
+    ex2 = np.zeros(kk)
+    ex2[nz] = np.fromiter((round(v, z_digits)
+                           for v in (S2[nz] / N[nz]).tolist()),
+                          np.float64, int(nz.sum()))
+    var = np.maximum(ex2 - mu * mu, 0.0)
+    sig = np.sqrt(var)
+    mref = _ray.put((mu, sig))
+
+    def score(b: pa.Table) -> pa.Table:
+        a, d = _dists(b)
+        empty = pa.table({key_column: b.column(key_column).slice(0, 0),
+                          "cluster": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64())})
+        if a is None:
+            return empty
+        m, s = _ray.get(mref)
+        ok = s[a] > 0
+        z = np.zeros(len(a))
+        z[ok] = (d[ok] - m[a[ok]]) / s[a[ok]]
+        z = np.fromiter((round(v, z_digits) for v in z.tolist()),
+                        np.float64, len(z))
+        keep = ok & (z >= z_threshold)
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({key_column: b.column(key_column).take(idx),
+                         "cluster": pa.array(a[keep].astype(np.int64)),
+                         "z": pa.array(z[keep], pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def diverse_sample(ds, *, n_per_cluster: int = 10, k: int = 8,
+                   iters: int = 2, modulus: int = 61,
+                   key_column: str = "vec_id",
+                   vec_column: str = "embedding"):
+    """Coverage-stratified sample: assign every vector to its bit-exact
+    k-means cluster, then keep the ``n_per_cluster`` smallest-md5 keys
+    PER CLUSTER — a deterministic, RNG-free "diverse subset" that
+    samples every region of embedding space instead of letting the head
+    cluster dominate (the k-means twin of ``temperature_sample``'s
+    per-group flattening).  Returns (key, cluster).
+
+    Scale shape: kmeans fit (blocks×k passes) + one assign map + the
+    ``cap_per_group`` machinery — per-batch local per-cluster top-n
+    prune (≤ k·n candidate rows per batch), one tiny resolve, broadcast
+    ``pc.is_in`` keep filter on a second streaming pass."""
+    from .textstats import cap_per_group
+
+    from ..functions.hashing import md5_hex
+
+    assigned = kmeans_fit(ds, k=k, iters=iters, modulus=modulus,
+                          key_column=key_column, vec_column=vec_column)
+
+    def with_rank(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column).to_pylist()
+        return b.append_column(
+            "rank", pa.array([md5_hex(str(x)) for x in keys], pa.string()))
+
+    capped = cap_per_group(
+        assigned.map_batches(with_rank, batch_format="pyarrow"),
+        "cluster", "rank", n=n_per_cluster, tiebreak_column=key_column)
+    return capped.select_columns([key_column, "cluster"])

@@ -401,3 +401,87 @@ def test_random_project_matches_manual_sign_matrix(ray_session):
     want = np.round(vecs @ signs / 2.0, 6)
     for i in range(3):
         assert out[i] == list(want[i])
+
+
+def test_embedding_outliers_flags_planted_outlier(ray_session):
+    """Two tight, well-separated blobs; one point pushed off its blob:
+    its z dominates and it is flagged, the blob cores are not."""
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import embedding_outliers
+
+    rng = np.random.RandomState(21)
+    vecs = np.vstack([rng.randn(60, 6) * 0.3 + 20.0,
+                      rng.randn(60, 6) * 0.3 - 20.0])
+    vecs[42] = vecs[42] + 5.0  # off its blob, nowhere near the other
+    out = embedding_outliers(_semdedup_ds(vecs), k=2, iters=2, modulus=60,
+                             z_threshold=2.0).take_all()
+    flagged = {r["vec_id"] for r in out}
+    assert 42 in flagged
+    assert all(r["z"] >= 2.0 for r in out)
+    assert len(flagged) < 12
+
+
+def test_embedding_outliers_matches_local_replica(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import (
+        _kmeans_assign, embedding_outliers, kmeans_centroids)
+
+    rng = np.random.RandomState(22)
+    vecs = rng.randn(150, 5)
+    ds = _semdedup_ds(vecs)
+    got = sorted((r["vec_id"], r["cluster"], r["z"]) for r in
+                 embedding_outliers(ds, k=4, iters=2, modulus=7,
+                                    z_threshold=1.0).take_all())
+
+    cent = kmeans_centroids(ds, k=4, iters=2, modulus=7)
+    m = np.asarray(vecs, np.float64)
+    d2 = np.round(((m * m).sum(1)[:, None] - 2.0 * (m @ cent.T)
+                   + (cent * cent).sum(1)[None, :]), 9)
+    a = d2.argmin(1)
+    d = d2[np.arange(len(a)), a]
+    want = []
+    for c in range(len(cent)):
+        mask = a == c
+        if not mask.any():
+            continue
+        dc = d[mask]
+        mu = round(float(dc.sum() / len(dc)), 6)
+        ex2 = round(float((dc * dc).sum() / len(dc)), 6)
+        sig = np.sqrt(max(ex2 - mu * mu, 0.0))
+        if sig <= 0:
+            continue
+        for i in np.flatnonzero(mask):
+            z = round(float((d[i] - mu) / sig), 6)
+            if z >= 1.0:
+                want.append((i, c, z))
+    assert got == sorted(want) and len(got) > 5
+
+
+def test_diverse_sample_covers_every_cluster(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import (
+        _kmeans_assign, kmeans_centroids, diverse_sample)
+
+    rng = np.random.RandomState(31)
+    # two well-separated blobs
+    vecs = np.vstack([rng.randn(60, 4) + 20.0, rng.randn(60, 4) - 20.0])
+    ds = _semdedup_ds(vecs)
+    out = diverse_sample(ds, n_per_cluster=5, k=2, iters=2, modulus=2)
+    rows = out.take_all()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert len(rows) == 10 and len(by_cluster) == 2
+    assert all(len(v) == 5 for v in by_cluster.values())
+    # deterministic: the md5-smallest keys per cluster
+    from llm_food_ray.functions.hashing import md5_hex
+
+    cent = kmeans_centroids(ds, k=2, iters=2, modulus=2)
+    a = _kmeans_assign(np.asarray(vecs, np.float64), cent, 9)
+    for c, members in by_cluster.items():
+        want = sorted((i for i in range(120) if a[i] == c),
+                      key=lambda i: (md5_hex(str(i)), i))[:5]
+        assert sorted(members) == sorted(want)
