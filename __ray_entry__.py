@@ -1816,6 +1816,28 @@ _TAG_TOPICS = {
 }
 
 
+def q_cdf_against(sf_dir: str):
+    """Two-corpus percentile calibration: each doc_id%3!=0 document's
+    n_chars scored as its strict CDF position within the doc_id%3==0
+    archive — archive collapses to a broadcast (value, cum-count)
+    histogram, new corpus streams through one searchsorted map."""
+    import numpy as np
+
+    from llm_food_ray.stages.textstats import cdf_against
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def part(keep_ref: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == keep_ref))
+        return f
+
+    return cdf_against(docs.map_batches(part(False), batch_format="pyarrow"),
+                       docs.map_batches(part(True), batch_format="pyarrow"),
+                       "n_chars")
+
+
 def q_collapse_lines(sf_dir: str):
     """Intra-doc consecutive-duplicate line collapse (uniq semantics)
     over a deterministic line-structured view (every space → newline,
@@ -2716,11 +2738,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
+        "cdf_against": q_cdf_against,
         "collapse_lines": q_collapse_lines,
         "grouped_corr": q_grouped_corr,
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
-        "tier_extract": q_tier_extract,
         "host_tier_filter": q_host_tier_filter,
         "url_blocklist": q_url_blocklist,
         "dedup_lines": q_dedup_lines,
@@ -2821,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_against": q_dup_spans_against,
         "dedup_incremental": q_dedup_incremental,
         "quality_tiers": q_quality_tiers,
+        "tier_extract": q_tier_extract,
         "dup_span_strip": q_dup_span_strip,
     }
 
@@ -4763,6 +4786,18 @@ LIMIT 20
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
         # replace-length substring counting shares count_substring's
         # non-overlapping convention
+        "cdf_against": """
+WITH ref AS MATERIALIZED (
+  SELECT n_chars FROM documents WHERE doc_id % 3 = 0
+), nn AS (SELECT count(*)::BIGINT AS n FROM ref),
+new_side AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT d.doc_id, d.n_chars,
+       round((SELECT count(*) FROM ref r WHERE r.n_chars < d.n_chars)
+             ::DOUBLE / nn.n, 6) AS cdf
+FROM new_side d, nn
+""",
         "collapse_lines": r"""
 WITH d AS (
   SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents

@@ -1949,3 +1949,70 @@ def grouped_corr(ds, group_column: str, x_column: str, y_column: str, *,
                          "corr": pa.array(vals, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def cdf_against(new_ds, ref_ds, value_column: str, *,
+                id_column: str = "doc_id", digits: int = 6,
+                max_distinct: int = 50_000_000):
+    """Cross-corpus calibration: every NEW row's value scored as its
+    CDF position within the REFERENCE corpus's distribution —
+    ``cdf = round(|{ref < v}| / n_ref, digits)`` — the two-corpus
+    percentile scoring used to rate a fresh crawl against a trusted
+    archive without mixing the corpora (the `percent_rank` family's
+    `_against` sibling).  Counts are exact ints, so the single
+    division/round is bit-identical across engines.
+
+    Scale shape: the reference collapses to a (value, count) histogram
+    — one value-vocabulary-sized ``groupby`` (``max_distinct`` guards
+    the driver gather; bin continuous domains upstream like
+    ``grouped_median``'s hist fallback) — whose sorted values +
+    cumulative counts broadcast once via ``ray.put``; the new corpus
+    streams through one vectorized ``searchsorted`` map."""
+    import numpy as np
+
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+
+    hist = ref_ds.groupby(value_column).count().materialize()
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"cdf_against: {n_distinct} distinct reference values exceed "
+            f"max_distinct={max_distinct}; bin the domain upstream")
+    parts = [b for b in hist.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+             if b.num_rows]
+    if parts:
+        t = pa.concat_tables(parts)
+        import pyarrow.compute as pc
+
+        t = t.take(pc.sort_indices(t, sort_keys=[(value_column,
+                                                  "ascending")]))
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        cnts = t.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+    else:
+        vals = np.empty(0, np.int64)
+        cnts = np.empty(0, np.int64)
+    # cum[i] = count of reference values STRICTLY BELOW sv[i];
+    # cum[len(sv)] = n_ref, so cum[searchsorted(sv, v, 'left')] is
+    # exactly |{ref < v}| for any v
+    cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])
+    n_ref = int(cum[-1])
+    ref = _ray.put((vals, cum))
+
+    def score(b: pa.Table) -> pa.Table:
+        v = b.column(value_column).to_numpy(zero_copy_only=False)
+        sv, scum = _ray.get(ref)
+        if n_ref == 0:
+            cdf = np.zeros(len(v), np.float64)
+        else:
+            lt = scum[np.searchsorted(sv, v, side="left")]
+            cdf = np.fromiter((round(x / n_ref, digits)
+                               for x in lt.tolist()), np.float64, len(lt))
+        return pa.table({id_column: b.column(id_column),
+                         value_column: b.column(value_column),
+                         "cdf": pa.array(cdf, pa.float64())})
+
+    return new_ds.map_batches(score, batch_format="pyarrow")

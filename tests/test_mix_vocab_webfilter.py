@@ -415,3 +415,36 @@ def test_grouped_corr_matches_numpy(ray_session):
         assert round(out[g]["corr"], 4) == want
         assert out[g]["n"] == 200
     assert out["const"]["corr"] is None or np.isnan(out["const"]["corr"])
+
+
+def test_cdf_against_strict_cdf_semantics(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import cdf_against
+
+    ref = rd.from_items([{"doc_id": i, "v": x}
+                         for i, x in enumerate([10, 10, 20, 30])])
+    new = rd.from_items([{"doc_id": 100 + i, "v": x}
+                         for i, x in enumerate([5, 10, 15, 20, 30, 99])])
+    out = {r["doc_id"]: r["cdf"]
+           for r in cdf_against(new, ref, "v").take_all()}
+    # strict |{ref < v}| / 4
+    assert out[100] == 0.0      # 5: nothing below
+    assert out[101] == 0.0      # 10: strictly-below excludes ties
+    assert out[102] == 0.5      # 15: two 10s below
+    assert out[103] == 0.5      # 20
+    assert out[104] == 0.75     # 30
+    assert out[105] == 1.0      # 99: all below
+
+
+def test_cdf_against_empty_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import cdf_against
+
+    ref = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                  "v": pa.array([], pa.int64())}))
+    new = rd.from_items([{"doc_id": 1, "v": 7}])
+    out = cdf_against(new, ref, "v").take_all()
+    assert out[0]["cdf"] == 0.0
