@@ -1816,6 +1816,17 @@ _TAG_TOPICS = {
 }
 
 
+def q_plagiarism_pairs(sf_dir: str):
+    """MOSS-style shared-winnowing-fingerprint pairs over the augmented
+    docs (mirror copies share every fingerprint): df ≤ 20 prune (the
+    quadratic-fanout guard), fp%64 coarse buckets, run-length pair
+    emission, (a,b) sum ≥ 3."""
+    from llm_food_ray.stages.dupspans import plagiarism_pairs
+
+    return plagiarism_pairs(_augmented_docs(sf_dir), "doc_id", "text",
+                            k=5, window=4, min_shared=3, max_df=20)
+
+
 def q_cdf_against(sf_dir: str):
     """Two-corpus percentile calibration: each doc_id%3!=0 document's
     n_chars scored as its strict CDF position within the doc_id%3==0
@@ -2738,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
+        "plagiarism_pairs": q_plagiarism_pairs,
         "cdf_against": q_cdf_against,
         "collapse_lines": q_collapse_lines,
         "grouped_corr": q_grouped_corr,
@@ -2751,7 +2763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
         "ccnet_buckets": q_ccnet_buckets,
-        "canonical_best": q_canonical_best,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
@@ -2844,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
+        "canonical_best": q_canonical_best,
         "dup_span_strip": q_dup_span_strip,
     }
 
@@ -4786,6 +4798,40 @@ LIMIT 20
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
         # replace-length substring counting shares count_substring's
         # non-overlapping convention
+        # winnowing via a ROWS-window min; df<=20 prune; doc pairs by
+        # shared-fp count
+        "plagiarism_pairs": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), h AS MATERIALIZED (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(toks[(i + 1):(i + 5)], ' ')),
+                         9, 8))::BIGINT AS hv
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 5)) AS i) g
+), wm AS MATERIALIZED (
+  SELECT doc_id, i, nh,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM (SELECT doc_id, i, hv,
+               count(*) OVER (PARTITION BY doc_id) AS nh FROM h)
+), fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m AS fp FROM wm
+  WHERE (nh > 4 AND i <= nh - 4) OR (nh <= 4 AND i = 0)
+), df AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+), fk AS MATERIALIZED (
+  SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS shared
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
         "cdf_against": """
 WITH ref AS MATERIALIZED (
   SELECT n_chars FROM documents WHERE doc_id % 3 = 0

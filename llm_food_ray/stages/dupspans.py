@@ -680,3 +680,100 @@ def window_coverage_against(new_ds, seen_ds, *, id_column: str = "doc_id",
                          _join_partitions(num_partitions),
                          on=(id_column,), right_on=(id_column,))
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def plagiarism_pairs(ds, key_column: str = "doc_id",
+                     text_column: str = "text", *, k: int = 5,
+                     window: int = 4, min_shared: int = 2,
+                     max_df: int = 20, num_buckets: int = 64):
+    """MOSS-style plagiarism detection (Schleimer et al. '03): document
+    PAIRS ranked by how many winnowing fingerprints they share —
+    ``(a, b, shared)`` with a < b and shared ≥ ``min_shared``.
+    Fingerprints whose document frequency exceeds ``max_df`` are
+    dropped first: ubiquitous k-grams (boilerplate, common phrases)
+    carry no plagiarism signal, and the df cap is also the scale guard
+    — per-fingerprint pair fan-out is quadratic in df, so the cap
+    bounds every group's emission at max_df².
+
+    Scale shape: one streaming pass emits (fp, key) rows (winnowing
+    keeps ~2/(window+1) of the k-gram mass); a fp-keyed ``groupby``
+    computes df and prunes; surviving rows coarse-bucket by fp%%64 into
+    bounded ``map_groups`` tasks whose in-bucket pair emission is a
+    sorted run-length numpy pass (no per-fp Python group calls); one
+    final (a, b) ``groupby.sum`` + threshold.  Oracle parity note: the
+    SQL twin replicates winnowing with a ROWS-window min, which
+    requires documents of ≥ k tokens (shorter docs fingerprint their
+    single joined shingle on the Python side only)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import winnow_fingerprint
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        out_k, out_f = [], []
+        for key, t in zip(keys, batch.column(text_column).to_pylist()):
+            fps = winnow_fingerprint(t or "", k=k, window=window)
+            out_k.extend([key] * len(fps))
+            out_f.extend(fps)
+        return pa.table({key_column: pa.array(out_k),
+                         "fp": pa.array(out_f, pa.int64())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+
+    df = (rows.groupby("fp").count()
+              .map_batches(lambda b: b.filter(
+                  pc.less_equal(b.column("count()"), max_df)).select(["fp"]),
+                  batch_format="pyarrow"))
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    df = _nonempty_blocks(df.materialize())  # None when fully pruned
+    if df is None or df.count() == 0:
+        import ray.data as rd
+
+        key_type = rows.schema().base_schema.field(key_column).type
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], key_type), "b": pa.array([], key_type),
+            "shared": pa.array([], pa.int64())}))
+    kept = rows.join(df, "inner", _join_partitions(16), on=("fp",))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        f = b.column("fp").to_numpy(zero_copy_only=False)
+        return b.append_column("__b", pa.array(f % num_buckets, pa.int64()))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("fp", "ascending"),
+                                              (key_column, "ascending")])
+        g = g.take(order)
+        f = g.column("fp").to_numpy(zero_copy_only=False)
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], f[1:] != f[:-1]]))
+        ends = np.concatenate([starts[1:], [len(f)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, 1)
+            out_a.append(keys[s:e][ia])
+            out_b.append(keys[s:e][ib])
+        if not out_a:
+            return pa.table({"a": pa.array([], g.schema.field(
+                key_column).type), "b": pa.array([], g.schema.field(
+                    key_column).type), "n": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b_ = np.concatenate(out_b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b_),
+                         "n": pa.array(np.ones(len(a), np.int64))})
+
+    pairs = (kept.map_batches(bucket, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(emit_pairs, batch_format="pyarrow")
+                 .groupby(["a", "b"])
+                 .aggregate(Sum("n", alias_name="shared")))
+    return pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("shared"),
+                                            min_shared)),
+        batch_format="pyarrow")

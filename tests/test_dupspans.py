@@ -219,3 +219,46 @@ def test_window_coverage_against_hand_case(ray_session):
     assert out["n_windows"].tolist() == [3, 5, 2, 0, 5]
     assert out["n_seen"].tolist() == [3, 2, 0, 0, 3]
     assert out["coverage_frac"].tolist() == [1.0, 0.4, 0.0, 0.0, 0.6]
+
+
+def test_plagiarism_pairs_exact_copies_dominate(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import plagiarism_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact copy
+        {"doc_id": 3, "text": base + " phi chi psi omega extra words "
+                                     "here to shift things"},
+        {"doc_id": 4, "text": "completely different words nothing in "
+                              "common with the others at all ok then"},
+    ]
+    out = {(r["a"], r["b"]): r["shared"] for r in
+           plagiarism_pairs(rd.from_items(docs), min_shared=1,
+                            max_df=10).take_all()}
+    assert (1, 2) in out                      # exact copy pair
+    assert (1, 4) not in out and (2, 4) not in out and (3, 4) not in out
+    # the exact pair shares at least as much as the partial pair
+    if (1, 3) in out:
+        assert out[(1, 2)] >= out[(1, 3)]
+
+
+def test_plagiarism_pairs_df_cap_kills_boilerplate(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import plagiarism_pairs
+
+    boiler = "one two three four five six seven eight"
+    docs = [{"doc_id": i, "text": boiler} for i in range(10)]
+    # df cap below corpus size -> the ubiquitous fingerprints drop, no
+    # pairs survive
+    n = plagiarism_pairs(rd.from_items(docs), min_shared=1,
+                         max_df=5).count()
+    assert n == 0
+    # with the cap lifted every pair appears
+    n2 = plagiarism_pairs(rd.from_items(docs), min_shared=1,
+                          max_df=100).count()
+    assert n2 == 45
