@@ -1912,6 +1912,17 @@ def q_keyword_tag(sf_dir: str):
     return keyword_tag(_docs(sf_dir, ["doc_id", "text"]), _TAG_TOPICS)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Apply the 8 trained BPE merges back to the corpus: per-doc token
+    counts under the learned vocabulary — the fit loop plus ONE
+    fp-space (md5-u64 word → count) broadcast and a streaming
+    searchsorted encode pass."""
+    from llm_food_ray.stages.vocab import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]), "text",
+                            num_merges=8)
+
+
 def q_top_pmi(sf_dir: str):
     """Top-20 PMI collocations (window ≤ 2, min_count 5): vocabulary-
     sized pair/unigram partials in one streaming pass, min_count prune
@@ -2747,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi": q_bm25_multi,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
         "plagiarism_pairs": q_plagiarism_pairs,
@@ -2757,7 +2769,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
         "url_blocklist": q_url_blocklist,
-        "dedup_lines": q_dedup_lines,
         "strip_boilerplate": q_strip_boilerplate,
         "top_bigrams_sketch": q_top_bigrams_sketch,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
@@ -2856,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
         "canonical_best": q_canonical_best,
+        "dedup_lines": q_dedup_lines,
         "dup_span_strip": q_dup_span_strip,
     }
 
@@ -2956,6 +2968,32 @@ s{k} AS MATERIALIZED (
         for k in range(1, num_merges + 1))
     parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY merge_rank")
     return "".join(parts)
+
+
+def _bpe_encode_sql(num_merges: int = 8, min_word_len: int = 2) -> str:
+    """Twin of ``vocab.py:bpe_token_counts``: reuse the train twin's
+    final word-symbol state s{K} and join every document word against
+    its post-merge symbol count (short words count 1)."""
+    train = _bpe_train_sql(num_merges=num_merges,
+                           min_word_len=min_word_len)
+    head, _ = train.rsplit("\nSELECT * FROM (", 1)
+    return (head + f""",
+wl AS MATERIALIZED (
+  SELECT word, LEN(s)::BIGINT AS nt FROM s{num_merges}
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+'))
+             AS word
+    FROM documents)
+  WHERE word <> ''
+)
+SELECT d.doc_id,
+       SUM(CASE WHEN LENGTH(d.word) < {min_word_len} THEN 1
+                ELSE w.nt END)::BIGINT AS n_tokens
+FROM dw d LEFT JOIN wl w ON w.word = d.word
+GROUP BY d.doc_id""")
 
 
 def _kmeans_sql(iters: int = 2, k: int = 8, modulus: int = 61,
@@ -4796,6 +4834,7 @@ ORDER BY n DESC, pair ASC
 LIMIT 20
 """,
         "bpe_train": _bpe_train_sql(num_merges=8, min_word_len=2),
+        "bpe_encode": _bpe_encode_sql(num_merges=8, min_word_len=2),
         # replace-length substring counting shares count_substring's
         # non-overlapping convention
         # winnowing via a ROWS-window min; df<=20 prune; doc pairs by

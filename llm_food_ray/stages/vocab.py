@@ -148,10 +148,12 @@ def _bpe_rewrite(vals, offs, lens, p, q, nid):
     return vals2[mask], new_offs, new_lens
 
 
-def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
-              min_word_len: int = 2, exec: str = "auto",
-              driver_budget_rows: int = BPE_DRIVER_BUDGET_ROWS):
-    """Train ``num_merges`` BPE merges over the corpus (Sennrich-style:
+def _bpe_fit(ds, text_column: str, num_merges: int, min_word_len: int,
+             exec: str, driver_budget_rows: int):
+    """Shared fit loop for :func:`bpe_train` (merge table) and
+    :func:`bpe_token_counts` (apply): returns
+    ``(merges, word_list, tok_lens)`` where word_list/tok_lens give the
+    post-merge symbol count per vocabulary word.  Train ``num_merges`` BPE merges over the corpus (Sennrich-style:
     whitespace pre-tokenization into a word-frequency table, then per
     step count every adjacent symbol pair weighted by word frequency,
     merge the most frequent pair left-to-right in every word).
@@ -223,7 +225,8 @@ def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
                            np.uint32).astype(np.int64)
         lens = np.fromiter((len(w) for w in words), np.int64, len(words))
         offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
-        return pa.table({"n": batch.column("n"),
+        return pa.table({"word": batch.column("word"),
+                         "n": batch.column("n"),
                          "syms": _syms_col(cp, offs)})
 
     def _flat(batch: pa.Table):
@@ -277,15 +280,18 @@ def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
     if exec == "driver" or (exec == "auto" and
                             vocab.count() <= driver_budget_rows):
         # ---- driver-local merge loop over the gathered word table ----
-        parts = [_flat(b) + (b.column("n").to_numpy().astype(np.int64),)
+        parts = [_flat(b) + (b.column("n").to_numpy().astype(np.int64),
+                             b.column("word").to_pylist())
                  for b in vocab.iter_batches(batch_format="pyarrow")
                  if b.num_rows]
         if parts:
             vals = np.concatenate([p[0] for p in parts])
             lens = np.concatenate([p[2] for p in parts])
             n = np.concatenate([p[3] for p in parts])
+            words = [w for p in parts for w in p[4]]
         else:
             vals = lens = n = np.empty(0, np.int64)
+            words = []
         offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
         for step in range(num_merges):
             keys, cnts = _bpe_pair_count(vals, offs, lens, n, pack)
@@ -340,12 +346,38 @@ def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
                 vals2, offs2, _ = _bpe_rewrite(vals, offs, lens, p, q, nid)
                 if vals2 is vals:
                     return batch
-                return pa.table({"n": batch.column("n"),
+                return pa.table({"word": batch.column("word"),
+                                 "n": batch.column("n"),
                                  "syms": _syms_col(vals2, offs2)})
 
             vocab = vocab.map_batches(rewrite,
                                       batch_format="pyarrow").materialize()
+        # gather the final per-word symbol counts (word string + one
+        # int per vocabulary word — the same scale as the fp LM models)
+        words, lens_l = [], []
+        for b in vocab.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            words.extend(b.column("word").to_pylist())
+            lens_l.append(pc.list_value_length(
+                b.column("syms").combine_chunks()
+                if isinstance(b.column("syms"), pa.ChunkedArray)
+                else b.column("syms")).to_numpy(zero_copy_only=False))
+        lens = (np.concatenate(lens_l).astype(np.int64)
+                if lens_l else np.empty(0, np.int64))
 
+    return merges, words, lens
+
+
+def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
+              min_word_len: int = 2, exec: str = "auto",
+              driver_budget_rows: int = BPE_DRIVER_BUDGET_ROWS):
+    """The learned merge table of :func:`_bpe_fit` as a tiny Dataset —
+    see the fit loop's docstring for semantics and scale shape."""
+    import ray.data as rd
+
+    merges, _, _ = _bpe_fit(ds, text_column, num_merges, min_word_len,
+                            exec, driver_budget_rows)
     return rd.from_arrow(pa.table({
         "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
         "left_sym": pa.array([m[1] for m in merges], pa.string()),
@@ -353,3 +385,63 @@ def bpe_train(ds, text_column: str = "text", *, num_merges: int = 8,
         "merged": pa.array([m[3] for m in merges], pa.string()),
         "n": pa.array([m[4] for m in merges], pa.int64()),
     }))
+
+
+def bpe_token_counts(ds, text_column: str = "text", *,
+                     num_merges: int = 8, min_word_len: int = 2,
+                     id_column: str = "doc_id", exec: str = "auto",
+                     driver_budget_rows: int = BPE_DRIVER_BUDGET_ROWS):
+    """Apply the merges :func:`bpe_train` learns back to the SAME
+    corpus: per document, the token count under the trained vocabulary
+    (words below ``min_word_len`` tokenize to one token each; every
+    longer word's count is its post-merge symbol count) — the
+    compression-ratio measurement that closes the tokenizer loop.
+
+    Scale shape: fit as in :func:`_bpe_fit`; the word→token-count model
+    then broadcasts in fingerprint space — (md5-u64 fp, count) sorted
+    arrays via ``ray.put``, word strings never ship (the ``lm.py`` fp
+    model recipe; ~16 B per vocabulary word) — and the corpus streams
+    through one searchsorted encode pass with per-batch distinct-word
+    hashing."""
+    import re
+
+    import numpy as np
+
+    import ray as _ray
+
+    from ..functions.hashing import stable_hash64
+
+    merges, words, lens = _bpe_fit(ds, text_column, num_merges,
+                                   min_word_len, exec, driver_budget_rows)
+    fps = np.fromiter((stable_hash64(w) for w in words), np.uint64,
+                      len(words))
+    order = np.argsort(fps)
+    model = (fps[order], lens[order])
+    ref = _ray.put(model)
+    split_re = re.compile(WORD_SPLIT_PATTERN)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        sv, sl = _ray.get(ref)
+        texts = batch.column(text_column).to_pylist()
+        out = np.zeros(len(texts), np.int64)
+        # per-batch distinct-word hash cache: the vocabulary repeats
+        cache: dict = {}
+        for i, t in enumerate(texts):
+            total = 0
+            for w in split_re.split(t or ""):
+                if not w:
+                    continue
+                if len(w) < min_word_len:
+                    total += 1
+                    continue
+                c = cache.get(w)
+                if c is None:
+                    pos = np.searchsorted(sv, np.uint64(stable_hash64(w)))
+                    c = int(sl[pos]) if pos < len(sv) else 1
+                    cache[w] = c
+                total += c
+            out[i] = total
+        return pa.table({id_column: batch.column(id_column),
+                         "n_tokens": pa.array(out, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -448,3 +448,46 @@ def test_cdf_against_empty_reference(ray_session):
     new = rd.from_items([{"doc_id": 1, "v": 7}])
     out = cdf_against(new, ref, "v").take_all()
     assert out[0]["cdf"] == 0.0
+
+
+def test_bpe_token_counts_matches_reference_encode(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.vocab import bpe_token_counts
+
+    texts = ["the cat sat on the mat", "the hat of the cat a",
+             "aaaa aaaa baaa", ""]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+
+    # reference: run _ref_bpe, then re-tokenize each doc's words with
+    # the final symbol state
+    merges = _ref_bpe(texts, num_merges=3)
+    import re
+
+    def ref_count(t):
+        total = 0
+        for w in re.split("[ \t\n\r\f\v]+", t):
+            if not w:
+                continue
+            if len(w) < 2:
+                total += 1
+                continue
+            syms = list(w)
+            for _, l, r, _, _ in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i+1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    for exec in ("driver", "distributed"):
+        got = {r["doc_id"]: r["n_tokens"] for r in
+               bpe_token_counts(ds, num_merges=3, exec=exec).take_all()}
+        assert got == {i: ref_count(t) for i, t in enumerate(texts)}
