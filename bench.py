@@ -441,6 +441,29 @@ def run_bench() -> dict:
     queries["bpe_train"] = round(time.perf_counter() - t0, 3)
     assert n_bpet == 8
 
+    # --- BPE apply: fit + fp-model broadcast + streaming encode pass,
+    # per-doc token counts over all 500k docs ---------------------------
+    from llm_food_ray.stages.vocab import bpe_token_counts
+
+    t0 = time.perf_counter()
+    n_enc = bpe_token_counts(
+        rd.read_parquet(out_dir, columns=["url", "markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", num_merges=8, id_column="url").count()
+    queries["bpe_encode"] = round(time.perf_counter() - t0, 3)
+    assert n_enc == n_pages
+
+    # --- PMI collocations over the extracted markdown ------------------
+    from llm_food_ray.stages.textstats import top_pmi_pairs
+
+    t0 = time.perf_counter()
+    n_pmi = top_pmi_pairs(
+        rd.read_parquet(out_dir, columns=["markdown"],
+                        override_num_blocks=nblocks),
+        "markdown", window=2, k=20, min_count=5).count()
+    queries["top_pmi"] = round(time.perf_counter() - t0, 3)
+    assert n_pmi == 20
+
     # --- inverted-index build + pruned term lookup over the extracted
     # markdown (hive bucket layout; lookup reads only matching buckets)
     import tempfile as _tf

@@ -1638,30 +1638,57 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
     from .dedup import _join_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        pairs: Counter = Counter()
-        unis: Counter = Counter()
-        n_tok = 0
-        n_ev = 0
-        for t in batch.column(text_column).to_pylist():
+        # vectorized combiner: one np.unique gives the batch vocab in
+        # STRING order, so canonical unordered pairs are min/max on the
+        # inverse indices and pack into one int64 — no Counter, no
+        # Python per-token loop
+        texts = batch.column(text_column).to_pylist()
+        all_words: list = []
+        doc_lens: list = []
+        for t in texts:
             ws = split_words(t or "")
-            n_tok += len(ws)
-            unis.update(ws)
-            for d in range(1, window + 1):
-                for x, y in zip(ws, ws[d:]):
-                    pairs[(x, y) if x <= y else (y, x)] += 1
-                n_ev += max(len(ws) - d, 0)
+            all_words.extend(ws)
+            doc_lens.append(len(ws))
+        n_tok = len(all_words)
+        if n_tok == 0:
+            return pa.table({
+                "a": pa.array([None], pa.string()),
+                "b": pa.array([None], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "tok": pa.array([0], pa.int64()),
+                "ev": pa.array([0], pa.int64())})
+        vocab, inv = np.unique(np.asarray(all_words, dtype=object),
+                               return_inverse=True)
+        V = len(vocab)
+        word_of = np.repeat(np.arange(len(doc_lens), dtype=np.int64),
+                            np.asarray(doc_lens, np.int64))
+        keys = []
+        n_ev = 0
+        for d in range(1, window + 1):
+            if n_tok <= d:
+                break
+            a, b = inv[:-d], inv[d:]
+            valid = word_of[:-d] == word_of[d:]
+            n_ev += int(valid.sum())
+            lo = np.minimum(a, b)[valid].astype(np.int64)
+            hi = np.maximum(a, b)[valid].astype(np.int64)
+            keys.append(lo * V + hi)
+        if keys:
+            pk, pcnt = np.unique(np.concatenate(keys),
+                                 return_counts=True)
+        else:
+            pk = pcnt = np.empty(0, np.int64)
+        uk, ucnt = np.unique(inv, return_counts=True)
         return pa.table({
-            "a": pa.array([p[0] for p in pairs] + [None] * len(unis)
+            "a": pa.array(list(vocab[pk // V])
+                          + [None] * (len(uk) + 1), pa.string()),
+            "b": pa.array(list(vocab[pk % V]) + list(vocab[uk])
                           + [None], pa.string()),
-            "b": pa.array([p[1] for p in pairs]
-                          + list(unis.keys()) + [None], pa.string()),
-            "n": pa.array(list(pairs.values()) + list(unis.values())
-                          + [0], pa.int64()),
-            "tok": pa.array([0] * (len(pairs) + len(unis)) + [n_tok],
+            "n": pa.array(np.concatenate(
+                [pcnt, ucnt, [0]]).astype(np.int64), pa.int64()),
+            "tok": pa.array([0] * (len(pk) + len(uk)) + [n_tok],
                             pa.int64()),
-            "ev": pa.array([0] * (len(pairs) + len(unis)) + [n_ev],
+            "ev": pa.array([0] * (len(pk) + len(uk)) + [n_ev],
                            pa.int64()),
         })
 
@@ -1707,12 +1734,35 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
         lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
         batch_format="pyarrow").materialize()
 
-    joined = (gated.join(unis, "inner", _join_partitions(16),
-                         on=("a",), right_on=("term",))
-                   .rename_columns({"cu": "cu_a"})
-                   .join(unis, "inner", _join_partitions(16),
-                         on=("b",), right_on=("term",))
-                   .rename_columns({"cu": "cu_b"}))
+    # attach c_a / c_b: broadcast lookup while the unigram table fits
+    # (two pc.index_in gathers in ONE streaming map — no join-aggregator
+    # startup), two hash joins beyond the gate
+    if unis.count() <= 5_000_000:
+        import ray as _ray
+
+        ut = pa.concat_tables([b for b in unis.iter_batches(
+            batch_size=None, batch_format="pyarrow") if b.num_rows])
+        uref = _ray.put((ut.column("term").combine_chunks(),
+                         ut.column("cu").to_numpy(zero_copy_only=False)
+                           .astype(np.int64)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            terms, cu = _ray.get(uref)
+            ia = pc.index_in(b.column("a"), value_set=terms).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(b.column("b"), value_set=terms).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return (b.append_column("cu_a", pa.array(cu[ia], pa.int64()))
+                     .append_column("cu_b", pa.array(cu[ib], pa.int64())))
+
+        joined = gated.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = (gated.join(unis, "inner", _join_partitions(16),
+                             on=("a",), right_on=("term",))
+                       .rename_columns({"cu": "cu_a"})
+                       .join(unis, "inner", _join_partitions(16),
+                             on=("b",), right_on=("term",))
+                       .rename_columns({"cu": "cu_b"}))
 
     def score(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
