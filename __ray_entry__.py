@@ -886,6 +886,15 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_fit(_embeddings(sf_dir), k=8, iters=2, modulus=61)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard negatives: per vector the same-k-means-cluster
+    vector with the LOWEST round-4 cosine (ties → smallest key) — the
+    semdedup plan with an argmin instead of a threshold."""
+    from llm_food_ray.stages.similarity import hard_negatives
+
+    return hard_negatives(_embeddings(sf_dir), k=8, iters=2, modulus=61)
+
+
 def q_diverse_sample(sf_dir: str):
     """Coverage-stratified sample: 10 smallest-md5 keys per bit-exact
     k-means cluster — kmeans assign + the cap_per_group candidate/
@@ -1827,6 +1836,36 @@ def q_plagiarism_pairs(sf_dir: str):
                             k=5, window=4, min_shared=3, max_df=20)
 
 
+def q_dedup_canonical(sf_dir: str):
+    """Canonical-form exact dedup: doc_id%13==0 rows get a DISGUISED
+    copy (uppercased, spaces doubled) that plain content hashing would
+    miss; the canonicalize map (lowercase, digit runs → 0, whitespace
+    folded) makes the md5 machinery catch it.  Survivors = the
+    original min keys + the never-copied rows."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import dedup_canonical
+
+    def disguise(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dups = b.filter(pa.array(ids % 13 == 0))
+        text = pc.replace_substring(pc.utf8_upper(dups.column("text")),
+                                    " ", "  ")
+        dups = (dups.set_column(dups.schema.get_field_index("text"),
+                                "text", text)
+                    .set_column(dups.schema.get_field_index("doc_id"),
+                                "doc_id",
+                                pc.add(dups.column("doc_id"), 2000000)))
+        return pa.concat_tables([b, dups])
+
+    aug = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        disguise, batch_format="pyarrow")
+    return dedup_canonical(aug, "doc_id", "text").select_columns(
+        ["doc_id"])
+
+
 def q_cdf_against(sf_dir: str):
     """Two-corpus percentile calibration: each doc_id%3!=0 document's
     n_chars scored as its strict CDF position within the doc_id%3==0
@@ -2762,14 +2801,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
         "plagiarism_pairs": q_plagiarism_pairs,
+        "dedup_canonical": q_dedup_canonical,
         "cdf_against": q_cdf_against,
         "collapse_lines": q_collapse_lines,
         "grouped_corr": q_grouped_corr,
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
-        "url_blocklist": q_url_blocklist,
-        "strip_boilerplate": q_strip_boilerplate,
         "top_bigrams_sketch": q_top_bigrams_sketch,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
@@ -2777,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
+        "hard_negatives": q_hard_negatives,
         "diverse_sample": q_diverse_sample,
         "random_project": q_random_project,
         "embedding_cov": q_embedding_cov,
@@ -2868,6 +2907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_extract": q_tier_extract,
         "canonical_best": q_canonical_best,
         "dedup_lines": q_dedup_lines,
+        "url_blocklist": q_url_blocklist,
+        "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
 
@@ -4067,6 +4108,25 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         "kmeans_clusters": _kmeans_sql(iters=2, k=8, modulus=61),
         "semdedup": _semdedup_sql(iters=2, k=8, modulus=61, tau=0.4),
         "embedding_outliers": _outliers_sql(iters=2, k=8, modulus=61, z=1.5),
+        # same-cluster argmin cosine, ties -> smallest neighbour key
+        "hard_negatives": f"""
+WITH assign AS MATERIALIZED (
+  SELECT * FROM ({_kmeans_sql(iters=2, k=8, modulus=61)}) t
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id, b.vec_id AS neg_key,
+       round(list_cosine_similarity(ua.v, ub.v), 4) AS cos
+FROM assign a
+JOIN assign b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+JOIN ev ua ON ua.vec_id = a.vec_id
+JOIN ev ub ON ub.vec_id = b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY round(list_cosine_similarity(ua.v, ub.v), 4), b.vec_id) = 1
+""",
         "diverse_sample": f"""
 SELECT vec_id, cluster FROM ({_kmeans_sql(iters=2, k=8, modulus=61)}) t
 QUALIFY row_number() OVER (PARTITION BY cluster
@@ -4870,6 +4930,21 @@ WITH aug AS MATERIALIZED (
 SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS shared
 FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+        "dedup_canonical": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, replace(upper(text), ' ', '  ')
+  FROM documents WHERE doc_id % 13 = 0
+), canon AS MATERIALIZED (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '\\d+', '0', 'g'),
+                             '[ \t\r\n\f\v]+', ' ', 'g')) AS c
+  FROM aug
+)
+SELECT doc_id FROM canon
+QUALIFY row_number() OVER (PARTITION BY md5(c) ORDER BY doc_id) = 1
 """,
         "cdf_against": """
 WITH ref AS MATERIALIZED (

@@ -34,3 +34,21 @@ def normalize_text(text: str) -> str:
     t = _CTRL_RE.sub("", t)
     t = _WS_RE.sub(" ", t)
     return t.strip()
+
+
+def canonicalize_for_dedup(col):
+    """SlimPajama-style canonical form for robust exact dedup:
+    lowercase, every digit run → ``0``, whitespace runs → one space,
+    edges trimmed — so case flips, renumbering and reflowing don't hide
+    a duplicate from the content hash.  Pure Arrow/RE2 kernels (Arrow's
+    regex engine IS RE2, so ``\\d`` and the class semantics match the
+    SQL twin exactly; both engines apply full-Unicode lower).
+
+    Takes and returns an Arrow string array; zero Python per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = pc.utf8_lower(pc.fill_null(col.cast(pa.string()), ""))
+    col = pc.replace_substring_regex(col, r"\d+", "0")
+    col = pc.replace_substring_regex(col, "[ \t\r\n\f\v]+", " ")
+    return pc.utf8_trim_whitespace(col)

@@ -3054,3 +3054,22 @@ def collapse_repeated_lines(ds, text_column: str = "text", *,
                          "n_removed": pa.array(removed, pa.int64())})
 
     return ds.map_batches(collapse, batch_format="pyarrow")
+
+
+def dedup_canonical(ds, key_column: str = "doc_id",
+                    text_column: str = "text", **dedup_kwargs):
+    """Exact dedup on the CANONICAL text form
+    (``normalize.canonicalize_for_dedup``: lowercase, digit runs → 0,
+    whitespace folded) — catches the near-dups plain
+    :func:`dedup_exact` misses when copies differ only in case,
+    numbering or reflow, at exactly the same cost: one streaming
+    canonicalize map in front of the same (md5, min-key) machinery."""
+    def canon(batch: pa.Table) -> pa.Table:
+        from ..functions.normalize import canonicalize_for_dedup
+
+        return batch.append_column(
+            "__canon", canonicalize_for_dedup(batch.column(text_column)))
+
+    out = dedup_exact(ds.map_batches(canon, batch_format="pyarrow"),
+                      key_column, "__canon", **dedup_kwargs)
+    return out.drop_columns(["__canon"])

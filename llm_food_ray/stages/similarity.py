@@ -851,3 +851,58 @@ def diverse_sample(ds, *, n_per_cluster: int = 10, k: int = 8,
         assigned.map_batches(with_rank, batch_format="pyarrow"),
         "cluster", "rank", n=n_per_cluster, tiebreak_column=key_column)
     return capped.select_columns([key_column, "cluster"])
+
+
+def hard_negatives(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
+                   key_column: str = "vec_id",
+                   vec_column: str = "embedding", digits: int = 9,
+                   sim_digits: int = 4):
+    """Contrastive hard-negative mining: for every vector, the
+    SAME-CLUSTER vector with the LOWEST round-4 cosine (ties → smallest
+    key) — topically related (same k-means cell) yet maximally
+    dissimilar, the classic in-batch hard negative for embedding-model
+    training.  Returns (key, neg_key, cos); singleton clusters emit
+    nothing.
+
+    Scale shape: identical to :func:`semdedup` — bit-exact centroid
+    fit, ONE hash partition by cluster, per-group unit matmul + argmin
+    (k ≈ N/5k bounds the group)."""
+    import ray as _ray
+
+    cent = kmeans_centroids(ds, k=k, iters=iters, modulus=modulus,
+                            key_column=key_column, vec_column=vec_column,
+                            digits=digits)
+    ref = _ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        a = (_kmeans_assign(mat, c, digits) if len(mat)
+             else np.empty(0, np.int64))
+        return pa.table({key_column: b.column(key_column),
+                         "cluster": pa.array(a.astype(np.int64)),
+                         vec_column: b.column(vec_column)})
+
+    def mine_group(g: pa.Table) -> pa.Table:
+        keys = g.column(key_column).to_numpy(zero_copy_only=False)
+        empty = pa.table({key_column: pa.array([], pa.int64()),
+                          "neg_key": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if len(keys) < 2:
+            return empty
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        mat = _unit(vectors_to_matrix(g.column(vec_column)))[order]
+        sims = np.round(mat @ mat.T, sim_digits)
+        np.fill_diagonal(sims, np.inf)  # never pick self
+        # argmin with smallest-key tiebreak: keys are sorted, argmin
+        # returns the first (= smallest-key) minimum
+        neg = sims.argmin(1)
+        cos = sims[np.arange(len(keys)), neg]
+        return pa.table({key_column: pa.array(keys),
+                         "neg_key": pa.array(keys[neg]),
+                         "cos": pa.array(cos, pa.float64())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("cluster")
+              .map_groups(mine_group, batch_format="pyarrow"))

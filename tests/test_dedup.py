@@ -905,3 +905,19 @@ def test_collapse_repeated_lines_matches_python_uniq(ray_session):
         kept = [k for k, _ in itertools.groupby(lines)]
         assert got[d["doc_id"]] == ("\n".join(kept),
                                     len(lines) - len(kept)), d
+
+
+def test_dedup_canonical_catches_disguised_copies(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import dedup_canonical
+
+    docs = [
+        {"doc_id": 1, "text": "Hello World 123 end"},
+        {"doc_id": 2, "text": "  hello   WORLD 9 END  "},  # canonical dup
+        {"doc_id": 3, "text": "hello world 123 end!"},     # differs (!)
+        {"doc_id": 4, "text": "totally different"},
+    ]
+    kept = sorted(r["doc_id"] for r in
+                  dedup_canonical(rd.from_items(docs)).take_all())
+    assert kept == [1, 3, 4]

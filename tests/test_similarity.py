@@ -485,3 +485,29 @@ def test_diverse_sample_covers_every_cluster(ray_session):
         want = sorted((i for i in range(120) if a[i] == c),
                       key=lambda i: (md5_hex(str(i)), i))[:5]
         assert sorted(members) == sorted(want)
+
+
+def test_hard_negatives_same_cluster_argmin(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.similarity import (
+        _kmeans_assign, _unit, hard_negatives, kmeans_centroids)
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(80, 6)
+    ds = _semdedup_ds(vecs)
+    got = {r["vec_id"]: (r["neg_key"], r["cos"]) for r in
+           hard_negatives(ds, k=4, iters=2, modulus=7).take_all()}
+
+    cent = kmeans_centroids(ds, k=4, iters=2, modulus=7)
+    m = np.asarray(vecs, np.float64)
+    a = _kmeans_assign(m, cent, 9)
+    u = _unit(m)
+    sims = np.round(u @ u.T, 4)
+    for v in range(80):
+        members = [x for x in range(80) if a[x] == a[v] and x != v]
+        if not members:
+            assert v not in got
+            continue
+        best = min(members, key=lambda x: (sims[v, x], x))
+        assert got[v] == (best, sims[v, best]), v
