@@ -1638,18 +1638,21 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
     from .dedup import _join_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
-        # vectorized combiner: one np.unique gives the batch vocab in
-        # STRING order, so canonical unordered pairs are min/max on the
-        # inverse indices and pack into one int64 — no Counter, no
-        # Python per-token loop
-        texts = batch.column(text_column).to_pylist()
-        all_words: list = []
-        doc_lens: list = []
-        for t in texts:
-            ws = split_words(t or "")
-            all_words.extend(ws)
-            doc_lens.append(len(ws))
-        n_tok = len(all_words)
+        # fully vectorized combiner: Arrow RE2 split + dictionary
+        # encode (C speed, no Python per-token work); the batch vocab
+        # sorts once so canonical unordered pairs are min/max on
+        # STRING-ordered indices packed into one int64
+        col = pc.fill_null(batch.column(text_column).cast(pa.string()),
+                           "")
+        lists = pc.split_pattern_regex(col, "[ \t\r\n\f]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens0 = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        keep = pc.not_equal(flat, "")
+        words_arr = flat.filter(keep)
+        n_tok = len(words_arr)
         if n_tok == 0:
             return pa.table({
                 "a": pa.array([None], pa.string()),
@@ -1657,11 +1660,16 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
                 "n": pa.array([0], pa.int64()),
                 "tok": pa.array([0], pa.int64()),
                 "ev": pa.array([0], pa.int64())})
-        vocab, inv = np.unique(np.asarray(all_words, dtype=object),
-                               return_inverse=True)
+        doc_of0 = np.repeat(np.arange(len(lens0), dtype=np.int64), lens0)
+        word_of = doc_of0[keep.to_numpy(zero_copy_only=False)]
+        enc = words_arr.dictionary_encode()
+        dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(dict_vals, kind="stable")
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        vocab = dict_vals[order]
+        inv = rank[enc.indices.to_numpy(zero_copy_only=False)]
         V = len(vocab)
-        word_of = np.repeat(np.arange(len(doc_lens), dtype=np.int64),
-                            np.asarray(doc_lens, np.int64))
         keys = []
         n_ev = 0
         for d in range(1, window + 1):
