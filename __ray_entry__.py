@@ -1941,6 +1941,15 @@ def q_profile_table(sf_dir: str):
                                          "source", "n_chars"])
 
 
+def q_script_stats(sf_dir: str):
+    """Per-doc script composition (latin/digit/cyrillic/han/arabic
+    codepoint-range fractions): one utf-32 encode + vectorized range
+    bincounts per batch, zero shuffle."""
+    from llm_food_ray.stages.textstats import script_stats
+
+    return script_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_keyword_tag(sf_dir: str):
     """Dictionary topic tagging: per (doc, topic) non-overlapping
     keyword-occurrence totals, sparse long-form output — one streaming
@@ -2798,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "script_stats": q_script_stats,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
         "plagiarism_pairs": q_plagiarism_pairs,
@@ -2808,7 +2818,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
-        "top_bigrams_sketch": q_top_bigrams_sketch,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
         "ccnet_buckets": q_ccnet_buckets,
@@ -2908,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_best": q_canonical_best,
         "dedup_lines": q_dedup_lines,
         "url_blocklist": q_url_blocklist,
+        "top_bigrams_sketch": q_top_bigrams_sketch,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -5001,6 +5011,15 @@ UNION ALL SELECT 'text' AS column, count(*)::BIGINT AS n, (count(*) - count(text
 UNION ALL SELECT 'lang' AS column, count(*)::BIGINT AS n, (count(*) - count(lang))::BIGINT AS nulls, count(DISTINCT lang)::BIGINT AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_s, CAST(max(lang) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'source' AS column, count(*)::BIGINT AS n, (count(*) - count(source))::BIGINT AS nulls, count(DISTINCT source)::BIGINT AS n_distinct, CAST(min(source) AS VARCHAR) AS min_s, CAST(max(source) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'n_chars' AS column, count(*)::BIGINT AS n, (count(*) - count(n_chars))::BIGINT AS nulls, count(DISTINCT n_chars)::BIGINT AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_s, CAST(max(n_chars) AS VARCHAR) AS max_s FROM documents
+""",
+        "script_stats": """
+SELECT doc_id, length(text)::BIGINT AS len_cp,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 6) END AS latin_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 6) END AS digit_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE round(length(regexp_replace(text, '[^' || chr(1024) || '-' || chr(1279) || ']', '', 'g'))::DOUBLE / length(text), 6) END AS cyrillic_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE round(length(regexp_replace(text, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g'))::DOUBLE / length(text), 6) END AS han_frac,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE round(length(regexp_replace(text, '[^' || chr(1536) || '-' || chr(1791) || ']', '', 'g'))::DOUBLE / length(text), 6) END AS arabic_frac
+FROM documents
 """,
         "keyword_tag": """
 WITH topics AS (

@@ -85,3 +85,47 @@ def quality_score(text: str) -> float:
     wordlen = f["mean_word_len"]
     wordlen_term = 1.0 if 3.0 <= wordlen <= 10.0 else 0.5 if wordlen > 0 else 0.0
     return round(0.4 * length_term + 0.3 * stop_term + 0.2 * punct_pen + 0.1 * wordlen_term, 6)
+
+
+# explicit codepoint ranges — NOT \p{Script} classes, whose tables vary
+# by regex-engine version; both engines count exactly these intervals
+SCRIPT_RANGES = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A)),
+    "digit": ((0x30, 0x39),),
+    "cyrillic": ((0x400, 0x4FF),),
+    "han": ((0x4E00, 0x9FFF),),
+    "arabic": ((0x600, 0x6FF),),
+}
+
+
+def script_fractions(texts: list, digits: int = 6):
+    """Per-document script composition: for every document the fraction
+    of its codepoints falling in each ``SCRIPT_RANGES`` class (denom =
+    total codepoints; empty docs → 0.0 everywhere).  One utf-32 encode
+    of the batch + vectorized range masks + one bincount per class —
+    no Python per-character work.  Returns (n_chars, {script: frac
+    array}) with round-``digits`` fractions."""
+    import numpy as np
+
+    joined = "\x00".join(t or "" for t in texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    lens = np.fromiter((len(t or "") for t in texts), np.int64,
+                       len(texts))
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens + 1)
+    if len(doc_of):
+        doc_of = doc_of[:len(cp)]
+    out = {}
+    denom = np.maximum(lens, 1).astype(np.float64)
+    for name, ranges in SCRIPT_RANGES.items():
+        mask = np.zeros(len(cp), bool)
+        for lo, hi in ranges:
+            mask |= (cp >= lo) & (cp <= hi)
+        counts = np.bincount(doc_of[mask], minlength=len(texts))
+        frac = counts / denom
+        frac[lens == 0] = 0.0
+        # HALF-AWAY rounding (DuckDB's std::round), NOT Python round:
+        # count/len fractions like 105/128 = 0.8203125 tie exactly at
+        # the grid, where banker's rounding goes the other way
+        scale = 10.0 ** digits
+        out[name] = np.floor(frac * scale + 0.5) / scale
+    return lens, out

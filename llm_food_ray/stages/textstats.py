@@ -2074,3 +2074,28 @@ def cdf_against(new_ds, ref_ds, value_column: str, *,
                          "cdf": pa.array(cdf, pa.float64())})
 
     return new_ds.map_batches(score, batch_format="pyarrow")
+
+
+def script_stats(ds, text_column: str = "text", *,
+                 id_column: str = "doc_id", digits: int = 6):
+    """Per-document script composition over explicit codepoint ranges
+    (``functions.textstats.SCRIPT_RANGES`` — deliberately NOT
+    \\p{Script} classes, whose tables drift across regex-engine
+    versions): latin/digit/cyrillic/han/arabic fractions of total
+    codepoints — the multilingual triage signal in front of lang-id
+    and per-script routing.  Pure streaming map: one utf-32 encode per
+    batch + vectorized range masks + bincounts."""
+    import numpy as np
+
+    from ..functions.textstats import SCRIPT_RANGES, script_fractions
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        lens, fracs = script_fractions(texts, digits=digits)
+        cols = {id_column: batch.column(id_column),
+                "len_cp": pa.array(lens, pa.int64())}
+        for name in SCRIPT_RANGES:
+            cols[f"{name}_frac"] = pa.array(fracs[name], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")

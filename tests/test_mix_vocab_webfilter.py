@@ -491,3 +491,33 @@ def test_bpe_token_counts_matches_reference_encode(ray_session):
         got = {r["doc_id"]: r["n_tokens"] for r in
                bpe_token_counts(ds, num_merges=3, exec=exec).take_all()}
         assert got == {i: ref_count(t) for i, t in enumerate(texts)}
+
+
+def test_script_stats_fractions(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import script_stats
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "abc 12"},
+        {"doc_id": 2, "text": "Привет"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "汉字 ok"},
+        {"doc_id": 5, "text": None},
+    ])
+    out = {r["doc_id"]: r for r in script_stats(ds).take_all()}
+    assert out[1]["latin_frac"] == 0.5 and out[1]["digit_frac"] == 0.333333
+    assert out[2]["cyrillic_frac"] == 1.0 and out[2]["latin_frac"] == 0.0
+    assert out[3]["len_cp"] == 0 and out[3]["latin_frac"] == 0.0
+    assert out[4]["han_frac"] == 0.4 and out[4]["latin_frac"] == 0.4
+    assert out[5]["len_cp"] == 0
+
+
+def test_script_fractions_half_away_rounding():
+    """105/128 codepoints tie exactly at the round-6 grid; the helper
+    must round half AWAY (DuckDB's convention), not banker's."""
+    from llm_food_ray.functions.textstats import script_fractions
+
+    text = "a" * 105 + " " * 23  # 105 latin of 128 -> 0.8203125
+    _, fr = script_fractions([text])
+    assert fr["latin"][0] == 0.820313
