@@ -1941,6 +1941,27 @@ def q_profile_table(sf_dir: str):
                                          "source", "n_chars"])
 
 
+def q_epoch_order(sf_dir: str):
+    """Deterministic epoch shuffle: global 0-based training order =
+    row_number over (md5(doc_id), doc_id) — one distributed sort + the
+    block-summary prefix-sum enumeration (`global_rank`), RNG-free and
+    cluster-size-independent."""
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.stages.textstats import global_rank
+
+    def with_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "h", pa.array([md5_hex(str(x))
+                           for x in b.column("doc_id").to_pylist()],
+                          pa.string()))
+
+    out = global_rank(
+        _docs(sf_dir, ["doc_id"]).map_batches(with_hash,
+                                              batch_format="pyarrow"),
+        "h", tiebreak_column="doc_id")
+    return out.select_columns(["doc_id", "rank"])
+
+
 def q_script_stats(sf_dir: str):
     """Per-doc script composition (latin/digit/cyrillic/han/arabic
     codepoint-range fractions): one utf-32 encode + vectorized range
@@ -2807,6 +2828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "epoch_order": q_epoch_order,
         "script_stats": q_script_stats,
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
@@ -2818,7 +2840,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
-        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dup_spans": q_dup_spans,
         "ccnet_buckets": q_ccnet_buckets,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2912,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_overlap": q_snapshot_overlap,
         "dup_spans_against": q_dup_spans_against,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "quality_tiers": q_quality_tiers,
         "tier_extract": q_tier_extract,
         "canonical_best": q_canonical_best,
@@ -5011,6 +5033,12 @@ UNION ALL SELECT 'text' AS column, count(*)::BIGINT AS n, (count(*) - count(text
 UNION ALL SELECT 'lang' AS column, count(*)::BIGINT AS n, (count(*) - count(lang))::BIGINT AS nulls, count(DISTINCT lang)::BIGINT AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_s, CAST(max(lang) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'source' AS column, count(*)::BIGINT AS n, (count(*) - count(source))::BIGINT AS nulls, count(DISTINCT source)::BIGINT AS n_distinct, CAST(min(source) AS VARCHAR) AS min_s, CAST(max(source) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'n_chars' AS column, count(*)::BIGINT AS n, (count(*) - count(n_chars))::BIGINT AS nulls, count(DISTINCT n_chars)::BIGINT AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_s, CAST(max(n_chars) AS VARCHAR) AS max_s FROM documents
+""",
+        "epoch_order": """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+         AS rank
+FROM documents
 """,
         "script_stats": """
 SELECT doc_id, length(text)::BIGINT AS len_cp,

@@ -2099,3 +2099,57 @@ def script_stats(ds, text_column: str = "text", *,
         return pa.table(cols)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def global_rank(ds, order_column: str, *, tiebreak_column: str,
+                rank_column: str = "rank"):
+    """Deterministic GLOBAL row enumeration: every row gets its 0-based
+    rank under ``ORDER BY (order_column, tiebreak_column)`` — the
+    distributed ``row_number()`` primitive behind epoch shuffles
+    (order by a hash), curriculum ordering (order by a score) and
+    stable exports.  ``tiebreak_column`` must be unique so the rank is
+    total.
+
+    Scale shape: one distributed sort on the pair, then the
+    ``pack_sequences`` offset recipe — per-block (first-key, count)
+    summaries, a driver prefix sum over blocks (one row per BLOCK, not
+    per row), and a second streaming pass assigning
+    ``offset + arange``.  Nothing row-shaped lands on the driver."""
+    import numpy as np
+
+    sorted_ds = ds.sort([order_column, tiebreak_column]).materialize()
+
+    def summary(batch: pa.Table) -> pa.Table:
+        # first row after the sort == the block's minimum; keep NATIVE
+        # types so the driver-side ordering equals the sort's ordering
+        if batch.num_rows == 0:
+            return pa.table({"o": batch.column(order_column).slice(0, 0),
+                             "t": batch.column(tiebreak_column)
+                                       .slice(0, 0),
+                             "total": pa.array([], pa.int64())})
+        return pa.table({
+            "o": batch.column(order_column).slice(0, 1),
+            "t": batch.column(tiebreak_column).slice(0, 1),
+            "total": pa.array([batch.num_rows], pa.int64())})
+
+    sm = sorted_ds.map_batches(summary, batch_format="pyarrow").to_pandas()
+    if len(sm) == 0:
+        return sorted_ds
+    sm = sm.sort_values(["o", "t"]).reset_index(drop=True)
+    offs = sm["total"].cumsum().shift(fill_value=0)
+    offset_by_first = {(o, t): int(v) for o, t, v in
+                       zip(sm["o"].tolist(), sm["t"].tolist(),
+                           offs.tolist())}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(rank_column,
+                                       pa.array([], pa.int64()))
+        key = (batch.column(order_column)[0].as_py(),
+               batch.column(tiebreak_column)[0].as_py())
+        base = offset_by_first[key]
+        return batch.append_column(
+            rank_column,
+            pa.array(base + np.arange(batch.num_rows, dtype=np.int64)))
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow")

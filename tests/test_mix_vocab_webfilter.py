@@ -521,3 +521,17 @@ def test_script_fractions_half_away_rounding():
     text = "a" * 105 + " " * 23  # 105 latin of 128 -> 0.8203125
     _, fr = script_fractions([text])
     assert fr["latin"][0] == 0.820313
+
+
+def test_global_rank_is_total_order(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import global_rank
+
+    rows = [{"k": i, "score": (i * 37) % 11} for i in range(200)]
+    out = global_rank(rd.from_items(rows).repartition(9), "score",
+                      tiebreak_column="k").take_all()
+    want = sorted(rows, key=lambda r: (r["score"], r["k"]))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(200))
+    assert [r["k"] for r in by_rank] == [r["k"] for r in want]
