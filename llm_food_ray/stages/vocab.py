@@ -418,29 +418,44 @@ def bpe_token_counts(ds, text_column: str = "text", *,
     order = np.argsort(fps)
     model = (fps[order], lens[order])
     ref = _ray.put(model)
-    split_re = re.compile(WORD_SPLIT_PATTERN)
 
     def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         sv, sl = _ray.get(ref)
-        texts = batch.column(text_column).to_pylist()
-        out = np.zeros(len(texts), np.int64)
-        # per-batch distinct-word hash cache: the vocabulary repeats
-        cache: dict = {}
-        for i, t in enumerate(texts):
-            total = 0
-            for w in split_re.split(t or ""):
-                if not w:
-                    continue
-                if len(w) < min_word_len:
-                    total += 1
-                    continue
-                c = cache.get(w)
-                if c is None:
-                    pos = np.searchsorted(sv, np.uint64(stable_hash64(w)))
-                    c = int(sl[pos]) if pos < len(sv) else 1
-                    cache[w] = c
-                total += c
-            out[i] = total
+        col = pc.fill_null(batch.column(text_column).cast(pa.string()),
+                           "")
+        lists = pc.split_pattern_regex(col, WORD_SPLIT_PATTERN)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens0 = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        doc_of = np.repeat(np.arange(len(lens0), dtype=np.int64),
+                           lens0)[keep.to_numpy(zero_copy_only=False)]
+        out = np.zeros(batch.num_rows, np.int64)
+        if len(words):
+            # hash + model lookup over the batch's DISTINCT words only
+            enc2 = words.dictionary_encode()
+            dwords = enc2.dictionary.to_pylist()
+            per_dict = np.fromiter(
+                (1 if len(w) < min_word_len else 0 for w in dwords),
+                np.int64, len(dwords))
+            long_i = np.flatnonzero(per_dict == 0)
+            if long_i.size:
+                fps_q = np.fromiter(
+                    (stable_hash64(dwords[i]) for i in long_i),
+                    np.uint64, long_i.size)
+                pos = np.searchsorted(sv, fps_q)
+                hit = pos < len(sv)
+                cnts = np.ones(long_i.size, np.int64)
+                cnts[hit] = sl[pos[hit]]
+                per_dict[long_i] = cnts
+            tok = per_dict[enc2.indices.to_numpy(zero_copy_only=False)]
+            out = np.bincount(doc_of, weights=tok,
+                              minlength=batch.num_rows).astype(np.int64)
         return pa.table({id_column: batch.column(id_column),
                          "n_tokens": pa.array(out, pa.int64())})
 
