@@ -151,18 +151,16 @@ def _bpe_rewrite(vals, offs, lens, p, q, nid):
 def _bpe_fit(ds, text_column: str, num_merges: int, min_word_len: int,
              exec: str, driver_budget_rows: int):
     """Shared fit loop for :func:`bpe_train` (merge table) and
-    :func:`bpe_token_counts` (apply): returns
-    ``(merges, word_list, tok_lens)`` where word_list/tok_lens give the
-    post-merge symbol count per vocabulary word.  Train ``num_merges`` BPE merges over the corpus (Sennrich-style:
-    whitespace pre-tokenization into a word-frequency table, then per
-    step count every adjacent symbol pair weighted by word frequency,
-    merge the most frequent pair left-to-right in every word).
-
-    Returns a tiny dataset of the learned merge table — one row per
-    merge, ``(merge_rank, left_sym, right_sym, merged, n)`` ordered by
-    rank — deterministic end to end: pair-count ties break on the
-    (left, right) symbol strings in codepoint order (== SQL's binary
-    UTF-8 collation).
+    :func:`bpe_token_counts` (apply): trains ``num_merges`` BPE merges
+    over the corpus (Sennrich-style — whitespace pre-tokenization into
+    a word-frequency table, then per step count every adjacent symbol
+    pair weighted by word frequency and merge the most frequent pair
+    left-to-right in every word) and returns
+    ``(merges, word_list, tok_lens)``: the ordered merge tuples
+    ``(rank, left, right, merged, count)`` plus the final per-word
+    symbol counts.  Deterministic end to end: pair-count ties break on
+    the (left, right) symbol strings in codepoint order (== SQL's
+    binary UTF-8 collation).
 
     Scale shape: the corpus is read ONCE (per-batch word bincount →
     one word-vocabulary-sized ``groupby.sum``, the only corpus-wide
