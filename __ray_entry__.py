@@ -1941,6 +1941,60 @@ def q_profile_table(sf_dir: str):
                                          "source", "n_chars"])
 
 
+def q_curate_full(sf_dir: str):
+    """Composed curation flagship v2 chaining the r4-cont operators:
+    disguise-augmented corpus → canonical-form exact dedup → script
+    gate (latin_frac ≥ 0.5) → deterministic epoch ranking
+    (`global_rank` over md5) → keep every even rank (a reproducible
+    half-subsample).  Every stage is an already-oracled operator; the
+    SQL twin chains their oracles."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.functions.textstats import script_fractions
+    from llm_food_ray.stages.dedup import dedup_canonical
+    from llm_food_ray.stages.textstats import global_rank
+
+    def disguise(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dups = b.filter(pa.array(ids % 13 == 0))
+        text = pc.replace_substring(pc.utf8_upper(dups.column("text")),
+                                    " ", "  ")
+        dups = (dups.set_column(dups.schema.get_field_index("text"),
+                                "text", text)
+                    .set_column(dups.schema.get_field_index("doc_id"),
+                                "doc_id",
+                                pc.add(dups.column("doc_id"), 2000000)))
+        return pa.concat_tables([b, dups])
+
+    aug = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        disguise, batch_format="pyarrow")
+    kept = dedup_canonical(aug, "doc_id", "text")
+
+    def gate_and_hash(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = b.column("text").to_pylist()
+        _, fr = script_fractions(texts)
+        b = b.filter(pa.array(fr["latin"] >= 0.5))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "h": pa.array([md5_hex(str(x))
+                           for x in b.column("doc_id").to_pylist()],
+                          pa.string())})
+
+    ranked = global_rank(kept.map_batches(gate_and_hash,
+                                          batch_format="pyarrow"),
+                         "h", tiebreak_column="doc_id")
+    return (ranked.map_batches(
+        lambda b: b.filter(pa.array(
+            (b.column("rank").to_numpy(zero_copy_only=False) % 2) == 0)),
+        batch_format="pyarrow")
+        .select_columns(["doc_id", "rank"]))
+
+
 def q_epoch_order(sf_dir: str):
     """Deterministic epoch shuffle: global 0-based training order =
     row_number over (md5(doc_id), doc_id) — one distributed sort + the
@@ -2828,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "curate_full": q_curate_full,
         "epoch_order": q_epoch_order,
         "script_stats": q_script_stats,
         "keyword_tag": q_keyword_tag,
@@ -2840,7 +2895,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
-        "dup_spans": q_dup_spans,
         "ccnet_buckets": q_ccnet_buckets,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
@@ -2940,6 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": q_dedup_lines,
         "url_blocklist": q_url_blocklist,
         "top_bigrams_sketch": q_top_bigrams_sketch,
+        "dup_spans": q_dup_spans,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -5033,6 +5088,33 @@ UNION ALL SELECT 'text' AS column, count(*)::BIGINT AS n, (count(*) - count(text
 UNION ALL SELECT 'lang' AS column, count(*)::BIGINT AS n, (count(*) - count(lang))::BIGINT AS nulls, count(DISTINCT lang)::BIGINT AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_s, CAST(max(lang) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'source' AS column, count(*)::BIGINT AS n, (count(*) - count(source))::BIGINT AS nulls, count(DISTINCT source)::BIGINT AS n_distinct, CAST(min(source) AS VARCHAR) AS min_s, CAST(max(source) AS VARCHAR) AS max_s FROM documents
 UNION ALL SELECT 'n_chars' AS column, count(*)::BIGINT AS n, (count(*) - count(n_chars))::BIGINT AS nulls, count(DISTINCT n_chars)::BIGINT AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_s, CAST(max(n_chars) AS VARCHAR) AS max_s FROM documents
+""",
+        "curate_full": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, replace(upper(text), ' ', '  ')
+  FROM documents WHERE doc_id % 13 = 0
+), canon AS MATERIALIZED (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '\\d+', '0', 'g'),
+                             '[ \t\r\n\f\v]+', ' ', 'g')) AS c
+  FROM aug
+), kept AS MATERIALIZED (
+  SELECT doc_id, text FROM canon
+  QUALIFY row_number() OVER (PARTITION BY md5(c) ORDER BY doc_id) = 1
+), gated AS MATERIALIZED (
+  SELECT doc_id FROM kept
+  WHERE length(text) > 0
+    AND round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+              / length(text), 6) >= 0.5
+), ranked AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+           AS rank
+  FROM gated
+)
+SELECT doc_id, rank FROM ranked WHERE rank % 2 = 0
 """,
         "epoch_order": """
 SELECT doc_id,
