@@ -2241,6 +2241,26 @@ def q_nb_lang_classify(sf_dir: str):
                        label_column="lang")
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier-eval confusion matrix at corpus scale: the NB
+    language predictions joined back to the true labels on doc_id
+    (ONE doc-keyed hash join of two thin projections) and collapsed to
+    (lang, pred, n) — languages²-bounded output."""
+    from ray.data.aggregate import Count
+
+    from llm_food_ray.stages.classify import nb_classify
+    from llm_food_ray.stages.dedup import _join_partitions
+
+    pred = nb_classify(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                       label_column="lang").select_columns(
+                           ["doc_id", "pred"])
+    actual = _docs(sf_dir, ["doc_id", "lang"])
+    return (actual.join(pred, "inner", _join_partitions(16),
+                        on=("doc_id",))
+                  .groupby(["lang", "pred"])
+                  .aggregate(Count(alias_name="n")))
+
+
 def q_median_len(sf_dir: str):
     """Exact per-language median document length via value-histogram
     partials (no corpus sort)."""
@@ -2862,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
+        "lang_confusion": q_lang_confusion,
         "term_lookup": q_term_lookup,
         "index_merge": q_index_merge,
         "hll_distinct": q_hll_distinct,
@@ -2869,7 +2890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
         "near_dup_keep_best": q_near_dup_keep_best,
-        "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -2995,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_blocklist": q_url_blocklist,
         "top_bigrams_sketch": q_top_bigrams_sketch,
         "dup_spans": q_dup_spans,
+        "dedup_near_against": q_dedup_near_against,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -3527,6 +3548,45 @@ WITH RECURSIVE aug AS (
 SELECT a.doc_id,
        CAST(COALESCE(LEAST(m.src, m.mn), a.doc_id) AS BIGINT) AS cluster
 FROM aug a LEFT JOIN mins m ON a.doc_id = m.src
+"""
+
+
+_NB_LANG_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+), cnt AS (
+  SELECT d.lang, t.w, count(*)::BIGINT AS c
+  FROM t JOIN documents d USING (doc_id) GROUP BY d.lang, t.w
+), tot AS (
+  SELECT lang, sum(c)::BIGINT AS tt FROM cnt GROUP BY lang
+), dcs AS (
+  SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY lang
+), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM t),
+cls AS (SELECT DISTINCT lang FROM documents),
+term AS (
+  SELECT t.doc_id, c.lang, ln(COALESCE(cnt.c, 0) + 1.0) AS lt
+  FROM t CROSS JOIN cls c
+  LEFT JOIN cnt ON c.lang = cnt.lang AND t.w = cnt.w
+), persum AS (
+  SELECT doc_id, lang, sum(lt) AS s, count(*)::BIGINT AS ntok
+  FROM term GROUP BY doc_id, lang
+), alldc AS (
+  SELECT d.doc_id, c.lang FROM documents d CROSS JOIN cls c
+), score AS (
+  SELECT a.doc_id, a.lang,
+    round(ln(dcs.nd / nn.n) + COALESCE(p.s, 0)
+          - COALESCE(p.ntok, 0) * ln(tot.tt + vv.v), 6) AS sc
+  FROM alldc a JOIN dcs USING (lang) JOIN tot USING (lang)
+  CROSS JOIN nn CROSS JOIN vv
+  LEFT JOIN persum p ON a.doc_id = p.doc_id AND a.lang = p.lang
+)
+SELECT doc_id, lang AS pred, sc AS score FROM score
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 """
 
 
@@ -4928,42 +4988,11 @@ WHERE term IN ('the', 'der', 'data') GROUP BY term, doc_id
 """,
         # multinomial NB: identical add-one-smoothed score formula,
         # round-6 before the argmax, min-label tiebreak
-        "nb_lang_classify": r"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
-  FROM documents
-), t AS (
-  SELECT doc_id, unnest(ws) AS w FROM toks
-), cnt AS (
-  SELECT d.lang, t.w, count(*)::BIGINT AS c
-  FROM t JOIN documents d USING (doc_id) GROUP BY d.lang, t.w
-), tot AS (
-  SELECT lang, sum(c)::BIGINT AS tt FROM cnt GROUP BY lang
-), dcs AS (
-  SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY lang
-), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM t),
-cls AS (SELECT DISTINCT lang FROM documents),
-term AS (
-  SELECT t.doc_id, c.lang, ln(COALESCE(cnt.c, 0) + 1.0) AS lt
-  FROM t CROSS JOIN cls c
-  LEFT JOIN cnt ON c.lang = cnt.lang AND t.w = cnt.w
-), persum AS (
-  SELECT doc_id, lang, sum(lt) AS s, count(*)::BIGINT AS ntok
-  FROM term GROUP BY doc_id, lang
-), alldc AS (
-  SELECT d.doc_id, c.lang FROM documents d CROSS JOIN cls c
-), score AS (
-  SELECT a.doc_id, a.lang,
-    round(ln(dcs.nd / nn.n) + COALESCE(p.s, 0)
-          - COALESCE(p.ntok, 0) * ln(tot.tt + vv.v), 6) AS sc
-  FROM alldc a JOIN dcs USING (lang) JOIN tot USING (lang)
-  CROSS JOIN nn CROSS JOIN vv
-  LEFT JOIN persum p ON a.doc_id = p.doc_id AND a.lang = p.lang
-)
-SELECT doc_id, lang AS pred, sc AS score FROM score
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
+        "nb_lang_classify": _NB_LANG_SQL,
+        "lang_confusion": f"""
+SELECT d.lang, p.pred, count(*)::BIGINT AS n
+FROM documents d JOIN ({_NB_LANG_SQL}) p USING (doc_id)
+GROUP BY 1, 2
 """,
         # adjacent char pairs, whitespace never pairs; binary UTF-8
         # collation on the 2-char pair == codepoint order == the packed
