@@ -2241,6 +2241,15 @@ def q_nb_lang_classify(sf_dir: str):
                        label_column="lang")
 
 
+def q_len_deciles(sf_dir: str):
+    """Global decile histogram of document lengths: exact
+    quantile_disc thresholds (value-histogram exchange) + broadcast
+    strict-less bucketing + a 10-row rollup."""
+    from llm_food_ray.stages.textstats import decile_histogram
+
+    return decile_histogram(_docs(sf_dir, ["n_chars"]), "n_chars")
+
+
 def q_lang_confusion(sf_dir: str):
     """Classifier-eval confusion matrix at corpus scale: the NB
     language predictions joined back to the true labels on doc_id
@@ -2882,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
+        "len_deciles": q_len_deciles,
         "lang_confusion": q_lang_confusion,
         "term_lookup": q_term_lookup,
         "index_merge": q_index_merge,
@@ -2890,7 +2900,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
         "near_dup_keep_best": q_near_dup_keep_best,
-        "crawl_diff": q_crawl_diff,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
@@ -3016,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_sketch": q_top_bigrams_sketch,
         "dup_spans": q_dup_spans,
         "dedup_near_against": q_dedup_near_against,
+        "crawl_diff": q_crawl_diff,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -4989,6 +4999,19 @@ WHERE term IN ('the', 'der', 'data') GROUP BY term, doc_id
         # multinomial NB: identical add-one-smoothed score formula,
         # round-6 before the argmax, min-label tiebreak
         "nb_lang_classify": _NB_LANG_SQL,
+        "len_deciles": """
+WITH th AS MATERIALIZED (
+  SELECT quantile_disc(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+  FROM documents
+), b AS (
+  SELECT d.n_chars,
+         len(list_filter(th.ts, t -> t < d.n_chars))::BIGINT AS bucket
+  FROM documents d CROSS JOIN th
+)
+SELECT bucket, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_v
+FROM b GROUP BY bucket
+""",
         "lang_confusion": f"""
 SELECT d.lang, p.pred, count(*)::BIGINT AS n
 FROM documents d JOIN ({_NB_LANG_SQL}) p USING (doc_id)

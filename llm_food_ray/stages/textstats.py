@@ -2153,3 +2153,45 @@ def global_rank(ds, order_column: str, *, tiebreak_column: str,
             pa.array(base + np.arange(batch.num_rows, dtype=np.int64)))
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def decile_histogram(ds, value_column: str, *, n_buckets: int = 10):
+    """Global quantile-bucket histogram: exact ``quantile_disc``
+    thresholds at j/n_buckets (the :func:`grouped_quantiles` machinery
+    run as one group), then every row buckets by the strict-less
+    threshold count and the corpus collapses to
+    ``(bucket, n, sum_v)`` — the calibration-curve / distribution
+    report on any numeric column.  With heavy value ties several
+    thresholds can coincide, leaving some buckets legitimately empty —
+    the strict-less rule is what both engines agree on.
+
+    Scale shape: thresholds ride the value-histogram partial exchange
+    (distinct values, not rows); the assignment pass broadcasts the
+    n_buckets−1 thresholds in the task closure; output is
+    n_buckets-bounded."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    qs = [j / n_buckets for j in range(1, n_buckets)]
+
+    def with_g(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int64)),
+            value_column: b.column(value_column)})
+
+    th_rows = grouped_quantiles(ds.map_batches(with_g,
+                                               batch_format="pyarrow"),
+                                "__g", value_column, qs=qs).take_all()
+    th = np.sort(np.array([r["quantile"] for r in th_rows], np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column(value_column).to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(th, v, side="left")
+        return pa.table({"bucket": pa.array(bucket.astype(np.int64)),
+                         value_column: b.column(value_column)})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Count(alias_name="n"),
+                         Sum(value_column, alias_name="sum_v")))

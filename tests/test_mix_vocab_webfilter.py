@@ -535,3 +535,21 @@ def test_global_rank_is_total_order(ray_session):
     by_rank = sorted(out, key=lambda r: r["rank"])
     assert [r["rank"] for r in by_rank] == list(range(200))
     assert [r["k"] for r in by_rank] == [r["k"] for r in want]
+
+
+def test_decile_histogram_buckets(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import decile_histogram
+
+    rows = [{"v": i} for i in range(1, 101)]  # 1..100, clean deciles
+    out = {r["bucket"]: (r["n"], r["sum_v"]) for r in
+           decile_histogram(rd.from_items(rows), "v").take_all()}
+    assert len(out) == 10
+    assert all(n == 10 for n, _ in out.values())
+    assert out[0] == (10, sum(range(1, 11)))
+    assert out[9] == (10, sum(range(91, 101)))
+    # heavy ties: constant column -> thresholds coincide -> one bucket
+    const = decile_histogram(rd.from_items([{"v": 7}] * 50), "v")
+    got = const.take_all()
+    assert len(got) == 1 and got[0]["n"] == 50
