@@ -2241,6 +2241,32 @@ def q_nb_lang_classify(sf_dir: str):
                        label_column="lang")
 
 
+def q_oov_rate(sf_dir: str):
+    """Per-doc OOV (rare-token) rate with a planted unique token on
+    every doc_id%17==0 row (the word-soup vocabulary is otherwise all
+    high-frequency): corpus word count → fp-space frequent-set
+    broadcast → streaming dictionary-lookup scoring."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import oov_rate
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array(np.where(ids % 17 == 0,
+                                   [f" xq{i}tok" for i in ids],
+                                   ""), pa.string())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(b.column("text"), ""), suffix, ""),
+        })
+
+    return oov_rate(_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"), min_count=2)
+
+
 def q_len_deciles(sf_dir: str):
     """Global decile histogram of document lengths: exact
     quantile_disc thresholds (value-histogram exchange) + broadcast
@@ -2891,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
+        "oov_rate": q_oov_rate,
         "len_deciles": q_len_deciles,
         "lang_confusion": q_lang_confusion,
         "term_lookup": q_term_lookup,
@@ -2899,7 +2926,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
-        "near_dup_keep_best": q_near_dup_keep_best,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
@@ -3026,6 +3052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
+        "near_dup_keep_best": q_near_dup_keep_best,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -4999,6 +5026,31 @@ WHERE term IN ('the', 'der', 'data') GROUP BY term, doc_id
         # multinomial NB: identical add-one-smoothed score formula,
         # round-6 before the argmax, min-label tiebreak
         "nb_lang_classify": _NB_LANG_SQL,
+        "oov_rate": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 17 = 0
+                      THEN ' xq' || doc_id || 'tok' ELSE '' END AS text
+  FROM documents
+), dw AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS word
+    FROM aug)
+  WHERE word <> ''
+), wc AS MATERIALIZED (
+  SELECT word FROM dw GROUP BY word HAVING count(*) >= 2
+)
+SELECT d.doc_id, count(dw.word)::BIGINT AS n_tokens,
+       CASE WHEN count(dw.word) = 0 THEN 0.0
+            ELSE round(sum(CASE WHEN wc.word IS NULL THEN 1
+                           ELSE 0 END)::DOUBLE / count(dw.word), 6)
+       END AS oov_frac
+FROM aug d
+LEFT JOIN dw ON dw.doc_id = d.doc_id
+LEFT JOIN wc ON wc.word = dw.word
+GROUP BY d.doc_id
+""",
         "len_deciles": """
 WITH th AS MATERIALIZED (
   SELECT quantile_disc(n_chars,

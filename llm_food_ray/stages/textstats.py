@@ -2195,3 +2195,93 @@ def decile_histogram(ds, value_column: str, *, n_buckets: int = 10):
               .groupby("bucket")
               .aggregate(Count(alias_name="n"),
                          Sum(value_column, alias_name="sum_v")))
+
+
+def oov_rate(ds, text_column: str = "text", *, min_count: int = 2,
+             id_column: str = "doc_id", digits: int = 6):
+    """Per-document out-of-vocabulary rate: the fraction of a doc's
+    tokens whose CORPUS frequency is below ``min_count`` — rare-token
+    density, the cheap gibberish/noise signal (typo floods, base64
+    blobs and mojibake are all OOV-dense).  Rounding is half-AWAY
+    (count ratios tie exactly at the grid).
+
+    Scale shape: pass 1 is the BPE word count (per-batch bincount →
+    ONE word-vocab ``groupby.sum``); the FREQUENT-word set then
+    broadcasts in fingerprint space (sorted md5-u64 array, ~8 B/word,
+    strings never ship); pass 2 is a streaming encode with per-batch
+    dictionary-distinct hashing — the ``bpe_token_counts`` recipe."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    split_re = re.compile("[ \\t\\n\\r\\f\\v]+")
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        words = [w for w in split_re.split(" ".join(t or "" for t in texts))
+                 if w]
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(words, dtype=object),
+                              return_counts=True)
+        return pa.table({"word": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    vocab = (ds.map_batches(word_partial, batch_format="pyarrow")
+               .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    freq_fps: list = []
+    for b in vocab.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        keep = pc.greater_equal(b.column("n"), min_count)
+        for w in b.column("word").filter(keep).to_pylist():
+            freq_fps.append(stable_hash64(w))
+    fps = np.sort(np.array(freq_fps, np.uint64))
+    ref = _ray.put(fps)
+    scale = 10.0 ** digits
+
+    def score(batch: pa.Table) -> pa.Table:
+        sv = _ray.get(ref)
+        col = pc.fill_null(batch.column(text_column).cast(pa.string()),
+                           "")
+        lists = pc.split_pattern_regex(col, "[ \\t\\n\\r\\f\\v]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens0 = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        doc_of = np.repeat(np.arange(len(lens0), dtype=np.int64),
+                           lens0)[keep.to_numpy(zero_copy_only=False)]
+        total = np.bincount(doc_of, minlength=batch.num_rows)
+        rate = np.zeros(batch.num_rows, np.float64)
+        if len(words):
+            enc = words.dictionary_encode()
+            dwords = enc.dictionary.to_pylist()
+            dfps = np.fromiter((stable_hash64(w) for w in dwords),
+                               np.uint64, len(dwords))
+            pos = np.searchsorted(sv, dfps)
+            in_vocab = (pos < len(sv))
+            in_vocab[in_vocab] &= sv[pos[in_vocab]] == dfps[in_vocab]
+            oov_per_dict = (~in_vocab).astype(np.int64)
+            oov = np.bincount(
+                doc_of, weights=oov_per_dict[
+                    enc.indices.to_numpy(zero_copy_only=False)],
+                minlength=batch.num_rows)
+            nz = total > 0
+            rate[nz] = np.floor(oov[nz] / total[nz] * scale + 0.5) / scale
+        return pa.table({id_column: batch.column(id_column),
+                         "n_tokens": pa.array(total.astype(np.int64)),
+                         "oov_frac": pa.array(rate, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -553,3 +553,22 @@ def test_decile_histogram_buckets(ray_session):
     const = decile_histogram(rd.from_items([{"v": 7}] * 50), "v")
     got = const.take_all()
     assert len(got) == 1 and got[0]["n"] == 50
+
+
+def test_oov_rate_counts_rare_tokens(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import oov_rate
+
+    docs = [
+        {"doc_id": 1, "text": "aa bb aa bb zz"},   # zz unique -> 1/5 oov
+        {"doc_id": 2, "text": "aa bb aa bb"},
+        {"doc_id": 3, "text": "qq ww ee"},          # all unique -> 1.0
+        {"doc_id": 4, "text": ""},
+    ]
+    out = {r["doc_id"]: (r["n_tokens"], r["oov_frac"]) for r in
+           oov_rate(rd.from_items(docs), min_count=2).take_all()}
+    assert out[1] == (5, 0.2)
+    assert out[2] == (4, 0.0)
+    assert out[3] == (3, 1.0)
+    assert out[4] == (0, 0.0)
