@@ -1866,6 +1866,35 @@ def q_dedup_canonical(sf_dir: str):
         ["doc_id"])
 
 
+def q_containment_pairs(sf_dir: str):
+    """Directional containment: augmented docs (exact mirrors for %7)
+    plus a PLANTED head-25-words excerpt for every doc_id%19==0 row —
+    the excerpt is contained in its parent (containment → 1.0) while
+    the parent is not contained in the excerpt.  Winnowing-fp pair
+    machinery + per-doc fp-count join, both directions, tau 0.5."""
+    from llm_food_ray.stages.dupspans import containment_pairs
+
+    def head25(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 19 == 0))
+        heads = [" ".join((t or "").split()[:25])
+                 for t in sub.column("text").to_pylist()]
+        sub = (sub.set_column(sub.schema.get_field_index("text"), "text",
+                              pa.array(heads, pa.string()))
+                  .set_column(sub.schema.get_field_index("doc_id"),
+                              "doc_id",
+                              pc.add(sub.column("doc_id"), 3000000)))
+        return pa.concat_tables([b, sub])
+
+    aug = _augmented_docs(sf_dir).map_batches(head25,
+                                              batch_format="pyarrow")
+    return containment_pairs(aug, "doc_id", "text", k=5, window=4,
+                             tau=0.5, max_df=20)
+
+
 def q_cdf_against(sf_dir: str):
     """Two-corpus percentile calibration: each doc_id%3!=0 document's
     n_chars scored as its strict CDF position within the doc_id%3==0
@@ -2923,7 +2952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_lookup": q_term_lookup,
         "index_merge": q_index_merge,
         "hll_distinct": q_hll_distinct,
-        "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
         "pagerank": q_pagerank,
@@ -2943,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_tag": q_keyword_tag,
         "profile_table": q_profile_table,
         "plagiarism_pairs": q_plagiarism_pairs,
+        "containment_pairs": q_containment_pairs,
         "dedup_canonical": q_dedup_canonical,
         "cdf_against": q_cdf_against,
         "collapse_lines": q_collapse_lines,
@@ -3053,6 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_against": q_dedup_near_against,
         "crawl_diff": q_crawl_diff,
         "near_dup_keep_best": q_near_dup_keep_best,
+        "phrase_search": q_phrase_search,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -5121,6 +5151,54 @@ WITH aug AS MATERIALIZED (
 SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS shared
 FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+        "containment_pairs": """
+WITH aug0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), aug AS MATERIALIZED (
+  SELECT doc_id, text FROM aug0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string((string_split_regex(text, '\\s+'))[1:25], ' ')
+  FROM aug0 WHERE doc_id % 19 = 0
+), t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), h AS MATERIALIZED (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(toks[(i + 1):(i + 5)], ' ')),
+                         9, 8))::BIGINT AS hv
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 5)) AS i) g
+), wm AS MATERIALIZED (
+  SELECT doc_id, i, nh,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM (SELECT doc_id, i, hv,
+               count(*) OVER (PARTITION BY doc_id) AS nh FROM h)
+), fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m AS fp FROM wm
+  WHERE (nh > 4 AND i <= nh - 4) OR (nh <= 4 AND i = 0)
+), df AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+), fk AS MATERIALIZED (
+  SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+), pr AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS shared
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cnts AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY doc_id
+), mir AS (
+  SELECT a, b, shared FROM pr
+  UNION ALL SELECT b AS a, a AS b, shared FROM pr
+)
+SELECT bo.a, bo.b, bo.shared,
+       round(bo.shared::DOUBLE / greatest(c.n_fp, 1), 6) AS containment
+FROM mir bo JOIN cnts c ON c.doc_id = bo.a
+WHERE round(bo.shared::DOUBLE / greatest(c.n_fp, 1), 6) >= 0.5
 """,
         "dedup_canonical": """
 WITH aug AS MATERIALIZED (

@@ -777,3 +777,83 @@ def plagiarism_pairs(ds, key_column: str = "doc_id",
         lambda b: b.filter(pc.greater_equal(b.column("shared"),
                                             min_shared)),
         batch_format="pyarrow")
+
+
+def containment_pairs(ds, key_column: str = "doc_id",
+                      text_column: str = "text", *, k: int = 5,
+                      window: int = 4, tau: float = 0.5,
+                      max_df: int = 20, num_buckets: int = 64,
+                      digits: int = 6):
+    """DIRECTIONAL containment detection: pairs (a, b, shared,
+    containment) where containment = shared fingerprints / |a's
+    fingerprints| ≥ ``tau`` — "document a is (mostly) quoted inside
+    b", the asymmetric sibling of :func:`plagiarism_pairs`' symmetric
+    shared count (a short doc fully pasted into a long one scores
+    containment 1.0 while its Jaccard stays low).  Both directions are
+    emitted when both clear tau.  Fractions round half-away (the
+    count-ratio grid-tie rule).
+
+    Scale shape: the plagiarism pair plan (winnowing fps, df ≤ max_df
+    prune, fp%%buckets run-length pair emission, (a,b) sum) plus one
+    per-doc fingerprint-count pass whose (key, n_fp) table joins the
+    pair list on each side — pair-list-sized joins, corpus never
+    reshuffles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import winnow_fingerprint
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    pairs = plagiarism_pairs(ds, key_column, text_column, k=k,
+                             window=window, min_shared=1, max_df=max_df,
+                             num_buckets=num_buckets).materialize()
+    key_type = ds.schema().base_schema.field(key_column).type
+    empty = pa.table({"a": pa.array([], key_type),
+                      "b": pa.array([], key_type),
+                      "shared": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64())})
+    pairs = _nonempty_blocks(pairs)
+    if pairs is None or pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def fp_counts(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        ns = [len(winnow_fingerprint(t or "", k=k, window=window))
+              for t in batch.column(text_column).to_pylist()]
+        return pa.table({key_column: pa.array(keys),
+                         "n_fp": pa.array(ns, pa.int64())})
+
+    counts = ds.map_batches(fp_counts, batch_format="pyarrow") \
+               .materialize()
+
+    # both directions: (a contained-in b) and (b contained-in a)
+    def mirror(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            b.select(["a", "b", "shared"]),
+            pa.table({"a": b.column("b"), "b": b.column("a"),
+                      "shared": b.column("shared")})])
+
+    both = pairs.map_batches(mirror, batch_format="pyarrow")
+    joined = both.join(counts, "inner", _join_partitions(16),
+                       on=("a",), right_on=(key_column,))
+
+    scale = 10.0 ** digits
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        sh = b.column("shared").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nf = b.column("n_fp").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cont = np.floor(sh / np.maximum(nf, 1.0) * scale + 0.5) / scale
+        t = pa.table({"a": b.column("a"), "b": b.column("b"),
+                      "shared": b.column("shared"),
+                      "containment": pa.array(cont, pa.float64())})
+        return t.filter(pa.array(cont >= tau))
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -262,3 +262,25 @@ def test_plagiarism_pairs_df_cap_kills_boilerplate(ray_session):
     n2 = plagiarism_pairs(rd.from_items(docs), min_shared=1,
                           max_df=100).count()
     assert n2 == 45
+
+
+def test_containment_pairs_directional(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import containment_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = [
+        {"doc_id": 1, "text": base},
+        # excerpt: first 10 words -> contained in 1, not vice versa
+        {"doc_id": 2, "text": " ".join(base.split()[:10])},
+        {"doc_id": 3, "text": "unrelated words entirely different "
+                              "things nothing shared here at all ok"},
+    ]
+    out = {(r["a"], r["b"]): r["containment"] for r in
+           containment_pairs(rd.from_items(docs), tau=0.5,
+                             max_df=10).take_all()}
+    assert (2, 1) in out and out[(2, 1)] >= 0.5  # excerpt ⊂ parent
+    assert (1, 2) not in out                      # parent ⊄ excerpt
+    assert not any(3 in pair for pair in out)
