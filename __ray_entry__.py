@@ -551,6 +551,47 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=5)
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank from two customer seeds over the same
+    purchase graph: all teleport mass lands on the seeds (seeds-sized
+    set in the task closures), otherwise the exact auto-gated
+    broadcast/join machinery — bit-exact vs the CASE-seeded unrolled
+    twin."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from llm_food_ray.stages.graph import pagerank
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    joined = orders.join(lineitem, "inner", _join_partitions(16),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.binary_join_element_wise(
+            pa.array(["c"] * b.num_rows),
+            pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * b.num_rows),
+            pc.cast(b.column("l_suppkey"), pa.string()), "")
+        return pa.table({"src": c, "dst": s})
+
+    edges = (joined.map_batches(tag, batch_format="pyarrow")
+                   .groupby(["src", "dst"])
+                   .aggregate(Count(alias_name="w")))
+    return pagerank(edges, damping=0.85, iters=5,
+                    personalize=["c1", "c19"])
+
+
 def q_hits(sf_dir: str):
     """HITS hubs/authorities over the same customer→supplier purchase
     graph (a natural bipartite case: customers are pure hubs, suppliers
@@ -2952,9 +2993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_lookup": q_term_lookup,
         "index_merge": q_index_merge,
         "hll_distinct": q_hll_distinct,
-        "char_entropy": q_char_entropy,
         "leakage_split": q_leakage_split,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
@@ -3083,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": q_crawl_diff,
         "near_dup_keep_best": q_near_dup_keep_best,
         "phrase_search": q_phrase_search,
+        "char_entropy": q_char_entropy,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -3371,7 +3413,12 @@ WHERE s.sig > 0 AND round((a.d - s.mu) / s.sig, 6) >= {z}
 """
 
 
-def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+def _in_list(vals) -> str:
+    return ", ".join("'" + str(v) + "'" for v in vals)
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85,
+                  personalize: list | None = None) -> str:
     """Unrolled PageRank twin: the same ``iters`` rounded power
     iterations as ``stages/graph.py:pagerank``, one chained CTE per
     iteration (recursive CTEs restrict aggregation; unrolling is plain
@@ -3387,12 +3434,21 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 )""", """nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 )""", """nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)""",
-            "pr0 AS (SELECT node, round(1.0 / nn.n, 12) AS pr "
-            "FROM nodes, nn)"]
+            (f"pr0 AS (SELECT node, CASE WHEN node IN ({_in_list(personalize)}) "
+             f"THEN round(1.0 / {len(personalize)}, 12) ELSE 0.0 END AS pr "
+             "FROM nodes)" if personalize else
+             "pr0 AS (SELECT node, round(1.0 / nn.n, 12) AS pr "
+             "FROM nodes, nn)")]
+    if personalize:
+        base_expr = (f"CASE WHEN nd.node IN ({_in_list(personalize)}) "
+                     f"THEN (1.0 - {damping}) / {len(personalize)} "
+                     "ELSE 0.0 END")
+    else:
+        base_expr = f"(1.0 - {damping}) / nn.n"
     for i in range(1, iters + 1):
         ctes.append(f"""pr{i} AS (
   SELECT nd.node,
-         round((1.0 - {damping}) / nn.n + {damping} * COALESCE(s.c, 0.0),
+         round({base_expr} + {damping} * COALESCE(s.c, 0.0),
                12) AS pr
   FROM nodes nd CROSS JOIN nn
   LEFT JOIN (
@@ -3997,6 +4053,7 @@ WITH aug AS (
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
+        "pagerank_personalized": _pagerank_sql(iters=5, damping=0.85, personalize=['c1', 'c19']),
         "hits": _hits_sql(iters=5),
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)

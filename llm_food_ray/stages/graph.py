@@ -40,7 +40,8 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
              weight: str | None = "w", damping: float = 0.85,
              iters: int = 5, digits: int = 12, exec: str = "auto",
              broadcast_budget_nodes: int = 20_000_000,
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             personalize: list | None = None):
     """→ Dataset (node, pr) after ``iters`` rounded power iterations.
 
     ``edges`` should be a small-columns Dataset; it is materialized here
@@ -57,6 +58,14 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
       the driver — the 10⁸+-node path.
     - "auto" (default): "broadcast" under ``broadcast_budget_nodes``,
       else "join".
+
+    ``personalize``: a SMALL list of seed nodes → personalized
+    PageRank: all teleport mass lands uniformly on the seeds
+    (pr₀(v) = round(1/|S|, digits) on seeds else 0; the (1−d) term
+    becomes (1−d)/|S| on seeds else 0) — topic-/host-conditioned
+    authority for seed-based crawl prioritization.  The seed set rides
+    the task closures (it is seeds-sized, not graph-sized); both plans
+    stay bit-equal.
     """
     from ray.data.aggregate import Sum
 
@@ -96,12 +105,17 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                                        "pr": pa.array([], pa.float64())}))
     if exec == "auto":
         exec = "broadcast" if n <= broadcast_budget_nodes else "join"
+    pers = (sorted({str(x) for x in personalize})
+            if personalize is not None else None)
+    if pers is not None and not pers:
+        raise ValueError("personalize must be a non-empty list")
     base = (1.0 - damping) / n
     if exec == "join":
         return _pagerank_join(edges, deg, src=src, dst=dst, weight=weight,
                               damping=damping, iters=iters, digits=digits,
                               n=n, base=base,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              personalize=pers)
 
     # driver state is three nodes-sized ARRAYS (sorted node ids, out-
     # weights, ranks) — never Python dicts: folds are searchsorted/
@@ -117,7 +131,15 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     nodes = deg_t.column("node").combine_chunks()
     out_w = deg_t.column("outw").to_numpy(zero_copy_only=False).astype(
         np.float64)
-    pr = np.full(n, round(1.0 / n, digits), np.float64)
+    if pers is None:
+        base_vec = None
+        pr = np.full(n, round(1.0 / n, digits), np.float64)
+    else:
+        on_seed = pc.is_in(nodes.cast(pa.string()),
+                           value_set=pa.array(pers)).to_numpy(
+            zero_copy_only=False)
+        base_vec = np.where(on_seed, (1.0 - damping) / len(pers), 0.0)
+        pr = np.where(on_seed, round(1.0 / len(pers), digits), 0.0)
 
     for _ in range(iters):
         # broadcast pr(u)/W_u so the per-edge work is one multiply;
@@ -153,7 +175,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             pos = pc.index_in(b.column("dst"), value_set=nodes).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             sums[pos] = b.column("c").to_numpy(zero_copy_only=False)
-        vals = base + damping * sums
+        vals = (base if base_vec is None else base_vec) + damping * sums
         # Python round per element (chunked over a plain list) — np.round
         # is NOT decimal-correct and would break the bit-exact pin
         # against the join plan and the DuckDB oracle
@@ -165,7 +187,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
 
 def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
-                   digits, n, base, num_partitions):
+                   digits, n, base, num_partitions, personalize=None):
     """Join-based PageRank rounds (see :func:`pagerank` ``exec="join"``):
     state (node, outw, pr) stays a Dataset; each round is one inner
     hash join (attach pr/W to edges), one contribution ``groupby.sum``,
@@ -179,12 +201,32 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
 
     JP = _join_partitions(num_partitions)
     pr0 = round(1.0 / n, digits)
+    pers_arr = (pa.array(personalize) if personalize is not None else None)
+    pers_base = ((1.0 - damping) / len(personalize)
+                 if personalize is not None else None)
+    pers_pr0 = (round(1.0 / len(personalize), digits)
+                if personalize is not None else None)
+
+    def _seed_mask(b: pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        return pc.is_in(b.column("node").cast(pa.string()),
+                        value_set=pers_arr).to_numpy(
+            zero_copy_only=False)
 
     def init_state(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if pers_arr is None:
+            prv = pa.array([pr0] * b.num_rows, pa.float64())
+        else:
+            prv = pa.array(np.where(_seed_mask(b), pers_pr0, 0.0),
+                           pa.float64())
         return pa.table({
             "node": b.column("node"),
             "outw": b.column("outw").cast(pa.float64()),
-            "pr": pa.array([pr0] * b.num_rows, pa.float64()),
+            "pr": prv,
         })
 
     state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
@@ -209,25 +251,37 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
         sums = _nonempty_blocks(sums)
 
         def fold(b: pa.Table) -> pa.Table:
+            import numpy as np
             import pyarrow.compute as pc
 
             c = (b.column("c") if "c" in b.column_names
                  else pa.nulls(b.num_rows, pa.float64()))
             c = pc.fill_null(pc.cast(c, pa.float64()), 0.0)
-            pr = [round(base + damping * v, digits)
-                  for v in c.to_pylist()]
+            if pers_arr is None:
+                bases = [base] * b.num_rows
+            else:
+                bases = np.where(_seed_mask(b), pers_base, 0.0).tolist()
+            pr = [round(bv + damping * v, digits)
+                  for bv, v in zip(bases, c.to_pylist())]
             return pa.table({"node": b.column("node"),
                              "outw": b.column("outw"),
                              "pr": pa.array(pr, pa.float64())})
 
         if sums is None:
-            folded = state.map_batches(
-                lambda b: pa.table({
-                    "node": b.column("node"),
-                    "outw": b.column("outw"),
-                    "pr": pa.array([round(base, digits)] * b.num_rows,
-                                   pa.float64())}),
-                batch_format="pyarrow")
+            def zero_fold(b: pa.Table) -> pa.Table:
+                import numpy as np
+
+                if pers_arr is None:
+                    prv = [round(base, digits)] * b.num_rows
+                else:
+                    prv = [round(v, digits) for v in
+                           np.where(_seed_mask(b), pers_base,
+                                    0.0).tolist()]
+                return pa.table({"node": b.column("node"),
+                                 "outw": b.column("outw"),
+                                 "pr": pa.array(prv, pa.float64())})
+
+            folded = state.map_batches(zero_fold, batch_format="pyarrow")
         else:
             folded = (state.select_columns(["node", "outw"])
                            .join(sums, "left_outer", JP,

@@ -137,3 +137,41 @@ def test_hits_empty_graph(ray_session):
         "dst": pa.array([], pa.string()),
         "w": pa.array([], pa.float64())}))
     assert hits(empty, iters=2).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(
+        ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import pagerank
+
+    edges = rd.from_items([
+        {"src": "a", "dst": "x", "w": 1.0},
+        {"src": "b", "dst": "y", "w": 1.0},
+        {"src": "x", "dst": "z", "w": 1.0},
+        {"src": "y", "dst": "z", "w": 1.0},
+    ])
+    out = {r["node"]: r["pr"] for r in
+           pagerank(edges, iters=4, personalize=["a"]).take_all()}
+    # mass flows from the seed: a > x > (z) ; b and y see no teleport
+    assert out["a"] > out["b"]
+    assert out["x"] > out["y"]
+    assert out["b"] == 0.0  # unreachable from the seed, no teleport
+
+
+def test_personalized_pagerank_plans_byte_equal(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import pagerank
+
+    edges = rd.from_items([
+        {"src": f"n{i}", "dst": f"n{(i * 3 + 1) % 17}", "w": 1.0 + i % 4}
+        for i in range(40)
+    ])
+    a = sorted((r["node"], r["pr"]) for r in
+               pagerank(edges, iters=3, exec="broadcast",
+                        personalize=["n1", "n5"]).take_all())
+    b = sorted((r["node"], r["pr"]) for r in
+               pagerank(edges, iters=3, exec="join",
+                        personalize=["n1", "n5"]).take_all())
+    assert a == b and len(a) > 10
