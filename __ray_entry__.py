@@ -551,6 +551,41 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=5)
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation customer pairs over the high-quantity purchase
+    graph (l_quantity ≥ 48 keeps the degrees pair-friendly): customers
+    sharing ≥ 2 distinct suppliers, busy suppliers (in-degree > 45)
+    pruned first — the df-cap pair plan applied to a graph."""
+    import pyarrow as pa
+
+    from llm_food_ray.stages.graph import cocitation_pairs
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+
+    import pyarrow.compute as pc
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    lineitem = lineitem.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 48))
+                   .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    joined = orders.join(lineitem, "inner", _join_partitions(16),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("o_custkey"),
+                         "dst": b.column("l_suppkey")})
+
+    edges = joined.map_batches(proj, batch_format="pyarrow")
+    return cocitation_pairs(edges, max_in_degree=45, min_shared=2)
+
+
 def q_pagerank_personalized(sf_dir: str):
     """Personalized PageRank from two customer seeds over the same
     purchase graph: all teleport mass lands on the seeds (seeds-sized
@@ -2984,7 +3019,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
-        "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
         "oov_rate": q_oov_rate,
@@ -2996,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_split": q_leakage_split,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
+        "cocitation": q_cocitation,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
@@ -3125,6 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_best": q_near_dup_keep_best,
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
+        "distinct_lengths": q_distinct_lengths,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -4054,6 +4090,20 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
         "pagerank_personalized": _pagerank_sql(iters=5, damping=0.85, personalize=['c1', 'c19']),
+        "cocitation": """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 48
+), ok AS MATERIALIZED (
+  SELECT dst FROM e GROUP BY dst HAVING count(*) <= 45
+), ek AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e JOIN ok USING (dst)
+)
+SELECT a.src AS a, b.src AS b, count(*)::BIGINT AS shared
+FROM ek a JOIN ek b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
         "hits": _hits_sql(iters=5),
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)

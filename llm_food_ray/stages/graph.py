@@ -438,3 +438,92 @@ def hits(edges, *, src: str = "src", dst: str = "dst",
         "hub": pa.array(h, pa.float64()),
         "authority": pa.array(a, pa.float64()),
     }))
+
+
+def cocitation_pairs(edges, *, src: str = "src", dst: str = "dst",
+                     max_in_degree: int = 50, min_shared: int = 2,
+                     num_buckets: int = 64):
+    """Co-citation similarity (Small '73): pairs of SOURCE nodes ranked
+    by how many distinct targets they both link to — ``(a, b, shared)``
+    with a < b, shared ≥ ``min_shared``.  Targets with in-degree above
+    ``max_in_degree`` are dropped first: everyone links to the mega-hub
+    (a CDN host, a login page), so it carries no similarity signal —
+    and per-target pair fan-out is quadratic in in-degree, so the cap
+    is also the scale guard (the ``plagiarism_pairs`` df-cap pattern on
+    a graph).
+
+    Scale shape: one distinct-(src,dst) pass; a dst-keyed ``groupby``
+    counts in-degrees and prunes; survivors coarse-bucket by
+    hash(dst)%%``num_buckets`` into bounded ``map_groups`` tasks whose
+    in-bucket pair emission is a sorted run-length numpy pass; one
+    final (a, b) ``groupby.sum`` + threshold."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    pairs_in = (edges.select_columns([src, dst])
+                     .groupby([src, dst]).count()
+                     .map_batches(lambda b: b.select([src, dst]),
+                                  batch_format="pyarrow")).materialize()
+    pairs_in = _nonempty_blocks(pairs_in) or pairs_in
+
+    deg = (pairs_in.groupby(dst).count()
+                   .map_batches(lambda b: b.filter(
+                       pc.less_equal(b.column("count()"),
+                                     max_in_degree)).select([dst]),
+                       batch_format="pyarrow")).materialize()
+    deg = _nonempty_blocks(deg)
+    key_type = pairs_in.schema().base_schema.field(src).type
+    empty = pa.table({"a": pa.array([], key_type),
+                      "b": pa.array([], key_type),
+                      "shared": pa.array([], pa.int64())})
+    if deg is None or deg.count() == 0:
+        return rd.from_arrow(empty)
+
+    kept = pairs_in.join(deg, "inner", _join_partitions(16), on=(dst,))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % num_buckets
+              for v in b.column(dst).to_pylist()]
+        return b.append_column("__b", pa.array(hs, pa.int64()))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(dst, "ascending"),
+                                              (src, "ascending")])
+        g = g.take(order)
+        d = g.column(dst).to_numpy(zero_copy_only=False)
+        s_ = g.column(src).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        ends = np.concatenate([starts[1:], [len(d)]])
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, 1)
+            out_a.append(s_[st:en][ia])
+            out_b.append(s_[st:en][ib])
+        if not out_a:
+            return pa.table({"a": pa.array([], key_type),
+                             "b": pa.array([], key_type),
+                             "n": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b_ = np.concatenate(out_b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b_),
+                         "n": pa.array(np.ones(len(a), np.int64))})
+
+    merged = (kept.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__b")
+                  .map_groups(emit_pairs, batch_format="pyarrow")
+                  .groupby(["a", "b"])
+                  .aggregate(Sum("n", alias_name="shared")))
+    return merged.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("shared"),
+                                            min_shared)),
+        batch_format="pyarrow")

@@ -175,3 +175,26 @@ def test_personalized_pagerank_plans_byte_equal(ray_session):
                pagerank(edges, iters=3, exec="join",
                         personalize=["n1", "n5"]).take_all())
     assert a == b and len(a) > 10
+
+
+def test_cocitation_pairs_shared_targets(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import cocitation_pairs
+
+    edges = rd.from_items([
+        {"src": "a", "dst": "x"}, {"src": "a", "dst": "y"},
+        {"src": "b", "dst": "x"}, {"src": "b", "dst": "y"},
+        {"src": "c", "dst": "y"}, {"src": "c", "dst": "z"},
+        {"src": "a", "dst": "x"},  # duplicate edge: counted once
+        # a mega-hub everyone links to carries no signal
+        {"src": "a", "dst": "hub"}, {"src": "b", "dst": "hub"},
+        {"src": "c", "dst": "hub"}, {"src": "d", "dst": "hub"},
+    ])
+    out = {(r["a"], r["b"]): r["shared"] for r in
+           cocitation_pairs(edges, max_in_degree=3,
+                            min_shared=1).take_all()}
+    assert out[("a", "b")] == 2          # x and y shared, hub pruned
+    assert out[("a", "c")] == 1          # y only
+    assert out[("b", "c")] == 1
+    assert ("a", "d") not in out          # only the pruned hub shared
