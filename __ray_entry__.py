@@ -551,6 +551,45 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=5)
 
 
+def q_content_lifespan(sf_dir: str):
+    """Crawl-lineage analytics over three synthesised snapshots
+    (t=1..3: %13 docs appear late, %11 docs vanish after t=1, %5 docs
+    churn content each revision): per distinct content hash its
+    first/last snapshot and snapshot count — one streaming snapshot
+    synthesis + a (hash, t) distinct groupby + a hash-keyed
+    Min/Max/Count rollup."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from llm_food_ray.functions.hashing import md5_hex
+
+    def snaps(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        hs, ts = [], []
+        for t in (1, 2, 3):
+            present = (ids % 13 != 0) if t == 1 else (ids % 11 != 0)
+            for i in np.flatnonzero(present):
+                txt = texts[i] or ""
+                if ids[i] % 5 == 0 and t >= 2:
+                    txt += f" rev{t}"
+                hs.append(md5_hex(txt))
+                ts.append(t)
+        return pa.table({"content_md5": pa.array(hs, pa.string()),
+                         "t": pa.array(ts, pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(snaps, batch_format="pyarrow")
+            .groupby(["content_md5", "t"]).count()
+            .map_batches(lambda b: b.select(["content_md5", "t"]),
+                         batch_format="pyarrow")
+            .groupby("content_md5")
+            .aggregate(Min("t", alias_name="first_seen"),
+                       Max("t", alias_name="last_seen"),
+                       Count(alias_name="n_snaps")))
+
+
 def q_cocitation(sf_dir: str):
     """Co-citation customer pairs over the high-quantity purchase
     graph (l_quantity ≥ 48 keeps the degrees pair-friendly): customers
@@ -3019,7 +3058,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
-        "mode_source": q_mode_source,
         "nb_lang_classify": q_nb_lang_classify,
         "oov_rate": q_oov_rate,
         "len_deciles": q_len_deciles,
@@ -3031,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "cocitation": q_cocitation,
+        "content_lifespan": q_content_lifespan,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
@@ -3161,6 +3200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "char_entropy": q_char_entropy,
         "distinct_lengths": q_distinct_lengths,
+        "mode_source": q_mode_source,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -4090,6 +4130,18 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
         "pagerank_personalized": _pagerank_sql(iters=5, damping=0.85, personalize=['c1', 'c19']),
+        "content_lifespan": """
+WITH snaps AS MATERIALIZED (
+  SELECT md5(text || CASE WHEN doc_id % 5 = 0 AND t >= 2
+                          THEN ' rev' || t ELSE '' END) AS content_md5,
+         t
+  FROM documents, (SELECT unnest([1, 2, 3]) AS t)
+  WHERE (t = 1 AND doc_id % 13 <> 0) OR (t >= 2 AND doc_id % 11 <> 0)
+), d AS (SELECT DISTINCT content_md5, t FROM snaps)
+SELECT content_md5, min(t)::BIGINT AS first_seen,
+       max(t)::BIGINT AS last_seen, count(*)::BIGINT AS n_snaps
+FROM d GROUP BY content_md5
+""",
         "cocitation": """
 WITH e AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
