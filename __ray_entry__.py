@@ -551,6 +551,36 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=5)
 
 
+def q_pagination_chains(sf_dir: str):
+    """Continuation detection over planted split articles: every
+    doc_id%23==0 document is split into two parts with an 8-word
+    overlap (part A ends with part B's opening words) — the chains
+    (A → B) surface via the tail-gram ⋈ head-gram fp join with df ≤ 20
+    caps on both sides."""
+    from llm_food_ray.stages.dupspans import pagination_chains
+
+    def split_docs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_id = list(ids)
+        out_tx = list(texts)
+        for i in np.flatnonzero(ids % 23 == 0):
+            ws = (texts[i] or "").split()
+            n = len(ws)
+            out_id.append(int(ids[i]) + 4000000)
+            out_tx.append(" ".join(ws[:n // 2 + 8]))
+            out_id.append(int(ids[i]) + 5000000)
+            out_tx.append(" ".join(ws[n // 2:]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    aug = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split_docs, batch_format="pyarrow")
+    return pagination_chains(aug, "doc_id", "text", k=8, max_df=20)
+
+
 def q_content_lifespan(sf_dir: str):
     """Crawl-lineage analytics over three synthesised snapshots
     (t=1..3: %13 docs appear late, %11 docs vanish after t=1, %5 docs
@@ -3054,7 +3084,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
-        "temperature_mix": q_temperature_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "quantiles_len": q_quantiles_len,
         "percent_rank_len": q_percent_rank_len,
@@ -3069,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "cocitation": q_cocitation,
+        "pagination_chains": q_pagination_chains,
         "content_lifespan": q_content_lifespan,
         "hits": q_hits,
         "contamination_frac": q_contamination_frac,
@@ -3201,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "distinct_lengths": q_distinct_lengths,
         "mode_source": q_mode_source,
+        "temperature_mix": q_temperature_mix,
         "strip_boilerplate": q_strip_boilerplate,
         "dup_span_strip": q_dup_span_strip,
     }
@@ -4130,6 +4161,41 @@ SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """,
         "pagerank": _pagerank_sql(iters=5, damping=0.85),
         "pagerank_personalized": _pagerank_sql(iters=5, damping=0.85, personalize=['c1', 'c19']),
+        "pagination_chains": """
+WITH parts AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
+         len(string_split_regex(text, '\\s+')) AS n
+  FROM documents WHERE doc_id % 23 = 0
+), aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000,
+         array_to_string(ws[1:(n // 2 + 8)], ' ') FROM parts
+  UNION ALL
+  SELECT doc_id + 5000000,
+         array_to_string(ws[(n // 2 + 1):n], ' ') FROM parts
+), tok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
+         len(string_split_regex(text, '\\s+')) AS n
+  FROM aug
+), b AS MATERIALIZED (
+  SELECT doc_id, ws, n FROM tok WHERE n >= 8
+), hd AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(ws[1:8], ' ')) AS fp FROM b
+), tl AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(ws[(n - 7):n], ' ')) AS fp FROM b
+), hk AS MATERIALIZED (
+  SELECT fp FROM hd GROUP BY fp HAVING count(*) <= 20
+), tk AS MATERIALIZED (
+  SELECT fp FROM tl GROUP BY fp HAVING count(*) <= 20
+)
+SELECT t.doc_id AS a, h.doc_id AS b
+FROM tl t
+JOIN tk ON tk.fp = t.fp
+JOIN hd h ON h.fp = t.fp
+JOIN hk ON hk.fp = h.fp
+WHERE t.doc_id <> h.doc_id
+""",
         "content_lifespan": """
 WITH snaps AS MATERIALIZED (
   SELECT md5(text || CASE WHEN doc_id % 5 = 0 AND t >= 2

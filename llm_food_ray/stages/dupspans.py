@@ -857,3 +857,98 @@ def containment_pairs(ds, key_column: str = "doc_id",
         return t.filter(pa.array(cont >= tau))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def pagination_chains(ds, key_column: str = "doc_id",
+                      text_column: str = "text", *, k: int = 8,
+                      max_df: int = 20):
+    """Continuation detection: pairs (a, b) where the LAST ``k`` words
+    of a equal the FIRST ``k`` words of b — the split-article /
+    pagination signal that feeds page reassembly (the F2 re-aggregation
+    family's discovery step).  Boundary grams with document frequency
+    above ``max_df`` on either side are dropped first (boilerplate
+    headers/footers repeat everywhere and would chain unrelated pages;
+    the cap is also the per-gram quadratic-fanout guard).  Docs shorter
+    than ``k`` words emit nothing; a's tail never matches a's own head.
+
+    Scale shape: one streaming pass emits ≤ 2 rows per doc (tail fp,
+    head fp — md5 of the joined boundary gram, strings never ship);
+    df-capped per side; ONE fp-keyed hash join tail ⋈ head bounded by
+    the surviving boundary mass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..functions.hashing import stable_hash64
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        hk, hf, tk, tf = [], [], [], []
+        for key, t in zip(keys, batch.column(text_column).to_pylist()):
+            ws = (t or "").split()
+            if len(ws) < k:
+                continue
+            hf.append(stable_hash64(" ".join(ws[:k])))
+            hk.append(key)
+            tf.append(stable_hash64(" ".join(ws[-k:])))
+            tk.append(key)
+        return pa.table({
+            "key": pa.array(hk + tk),
+            "fp": pa.array(np.array(hf + tf, np.uint64).view(np.int64)),
+            "side": pa.array(["h"] * len(hk) + ["t"] * len(tk),
+                             pa.string())})
+
+    rows = ds.map_batches(boundaries, batch_format="pyarrow") \
+             .materialize()
+    key_type = rows.schema().base_schema.field("key").type
+    empty = pa.table({"a": pa.array([], key_type),
+                      "b": pa.array([], key_type)})
+
+    def split(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("side"), side))
+            return pa.table({"key": t.column("key"), "fp": t.column("fp")})
+        return f
+
+    heads = rows.map_batches(split("h"), batch_format="pyarrow") \
+                .materialize()
+    tails = rows.map_batches(split("t"), batch_format="pyarrow") \
+                .materialize()
+
+    # df cap per side
+    def capped(side_ds):
+        keep = (side_ds.groupby("fp").count()
+                       .map_batches(lambda b: b.filter(
+                           pc.less_equal(b.column("count()"), max_df))
+                           .select(["fp"]),
+                           batch_format="pyarrow")).materialize()
+        keep = _nonempty_blocks(keep)
+        if keep is None or keep.count() == 0:
+            return None
+        return side_ds.join(keep, "inner", _join_partitions(16),
+                            on=("fp",)).materialize()
+
+    hc, tc = capped(heads), capped(tails)
+    if hc is None or tc is None:
+        return rd.from_arrow(empty)
+    hc, tc = _nonempty_blocks(hc), _nonempty_blocks(tc)
+    if hc is None or tc is None:
+        return rd.from_arrow(empty)
+
+    # distinct column names per side: Ray keeps duplicate field names
+    # otherwise, breaking downstream column lookup
+    tc = tc.map_batches(lambda b: pa.table({"a": b.column("key"),
+                                            "fp": b.column("fp")}),
+                        batch_format="pyarrow")
+    hc = hc.map_batches(lambda b: pa.table({"b": b.column("key"),
+                                            "fp": b.column("fp")}),
+                        batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b.column("a"), b.column("b"))))
+        return pa.table({"a": t.column("a"), "b": t.column("b")})
+
+    joined = tc.join(hc, "inner", _join_partitions(16), on=("fp",))
+    return joined.map_batches(fmt, batch_format="pyarrow")

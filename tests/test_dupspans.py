@@ -284,3 +284,39 @@ def test_containment_pairs_directional(ray_session):
     assert (2, 1) in out and out[(2, 1)] >= 0.5  # excerpt ⊂ parent
     assert (1, 2) not in out                      # parent ⊄ excerpt
     assert not any(3 in pair for pair in out)
+
+
+def test_pagination_chains_links_split_parts(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import pagination_chains
+
+    part1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 END a b c d e f g h"
+    part2 = "a b c d e f g h MID x1 x2 x3 p q r s t u v w"
+    part3 = "p q r s t u v w FIN z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    ds = rd.from_items([
+        {"doc_id": 1, "text": part1}, {"doc_id": 2, "text": part2},
+        {"doc_id": 3, "text": part3},
+        {"doc_id": 4, "text": "unrelated words that match nothing else "
+                              "in this tiny corpus at all ok then"},
+        {"doc_id": 5, "text": "short"},  # < k words: ignored
+    ])
+    out = sorted((r["a"], r["b"]) for r in
+                 pagination_chains(ds, k=8).take_all())
+    assert out == [(1, 2), (2, 3)]
+
+
+def test_pagination_chains_df_cap_kills_boilerplate_boundaries(
+        ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import pagination_chains
+
+    footer = "shared footer words one two three four five"
+    docs = [{"doc_id": i,
+             "text": f"body{i} filler{i} " + footer} for i in range(10)]
+    docs += [{"doc_id": 100 + i, "text": footer + f" opening{i} rest{i}"}
+             for i in range(10)]
+    # every tail == every head via the boilerplate footer; cap kills it
+    n = pagination_chains(rd.from_items(docs), k=8, max_df=5).count()
+    assert n == 0
