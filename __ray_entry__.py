@@ -737,6 +737,45 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-supplier triangle counts over the high-quantity co-purchase
+    graph (suppliers adjacent when two l_quantity ≥ 45 lineitems share
+    an order — the supplier projection of the order bipartite graph).
+    Triangle density is the link-farm / tight-cluster signal; the plan
+    is the degree-oriented node-iterator (each triangle counted at its
+    (degree, id)-minimum vertex, wedge fan-out O(√m) per node),
+    integer-exact end to end."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.graph import triangle_counts
+
+    def hot(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.greater_equal(b.column("l_quantity"), 45))
+                 .select(["l_orderkey", "l_suppkey"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    ).map_batches(hot, batch_format="pyarrow")
+    right = li.map_batches(
+        lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
+        batch_format="pyarrow")
+    pairs = li.join(right, "inner", _join_partitions(16),
+                    on=("l_orderkey",), right_on=("r_orderkey",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("l_suppkey"),
+                         "dst": b.column("r_suppkey")})
+
+    edges = pairs.map_batches(proj, batch_format="pyarrow")
+    return triangle_counts(edges)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup kept-set, fully distributed end to end:
     bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
@@ -3101,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagination_chains": q_pagination_chains,
         "content_lifespan": q_content_lifespan,
         "hits": q_hits,
+        "triangle_counts": q_triangle_counts,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4223,6 +4263,30 @@ FROM ek a JOIN ek b ON a.dst = b.dst AND a.src < b.src
 GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
+        # degree-oriented node-iterator twin: with a < b canonical
+        # edges, triangle x < y < z is exactly one (x,y)+(y,z)+(x,z)
+        # row in the ordered self-join; unpivot credits all 3 corners
+        "triangle_counts": """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+), e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey)::BIGINT AS a,
+                  GREATEST(a.l_suppkey, b.l_suppkey)::BIGINT AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM corners GROUP BY node
+""",
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,

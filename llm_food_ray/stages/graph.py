@@ -527,3 +527,152 @@ def cocitation_pairs(edges, *, src: str = "src", dst: str = "dst",
         lambda b: b.filter(pc.greater_equal(b.column("shared"),
                                             min_shared)),
         batch_format="pyarrow")
+
+def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
+                    num_buckets: int = 64):
+    """Per-node triangle counts over an undirected graph — ``(node,
+    n_triangles)`` for every node that closes at least one triangle.
+    Triangle density is the classic web-spam / link-farm signal
+    (tightly-knit host clusters triangulate; organic link neighborhoods
+    are tree-ish), and the building block for clustering coefficients.
+
+    Scale shape (degree-oriented node-iterator — each triangle touched
+    at exactly ONE vertex, the (degree, id)-minimum, so work is bounded
+    by Σ d_out² with d_out = O(√m) after orientation, never by the
+    quadratic fan-out of raw hub degrees):
+
+      1. canonical distinct undirected edges (a < b, self-loops
+         dropped) — per-batch Arrow distinct partial + one groupby;
+      2. degrees via an endpoint-unpivot partial count + groupby.sum
+         (the exchange carries (node, partial) rows, never edges);
+      3. orientation = two hash joins attaching each endpoint's degree
+         (nothing nodes-shaped on the driver — the pagerank join-state
+         posture), directing a→b unless deg(a) > deg(b);
+      4. wedge emission inside hash(center)-coarse buckets
+         (``num_buckets`` Python group calls TOTAL): in-bucket sort by
+         (center, neighbor) then a run-length numpy pass — neighbor
+         lists are sorted, so emitted wedge pairs are born canonical;
+      5. one hash join of wedge (lo, hi) pairs against the canonical
+         edge set closes the triangles;
+      6. matched triangles unpivot to 3 node rows (per-batch Arrow
+         count partial) and one final groupby.sum.
+
+    The whole plan is integer-exact — no float anywhere — so results
+    are bit-identical across engines and cluster sizes by construction.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        a = pc.min_element_wise(s, d)
+        bb = pc.max_element_wise(s, d)
+        t = pa.table({"a": a, "b": bb}).filter(pc.not_equal(a, bb))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    ecan = (edges.map_batches(canon, batch_format="pyarrow")
+                 .groupby(["a", "b"]).count()
+                 .map_batches(lambda b: b.select(["a", "b"]),
+                              batch_format="pyarrow")).materialize()
+    ecan = _nonempty_blocks(ecan)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+    if ecan is None:
+        return rd.from_arrow(empty)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array([pc.cast(b.column("a"), pa.int64()),
+                                 pc.cast(b.column("b"), pa.int64())])
+        g = (pa.table({"node": node})
+               .group_by(["node"]).aggregate([("node", "count")]))
+        return g.rename_columns(["node", "pd"])
+
+    deg = (ecan.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node")
+               .aggregate(Sum("pd", alias_name="deg"))).materialize()
+    deg = _nonempty_blocks(deg)
+    if deg is None:
+        return rd.from_arrow(empty)
+
+    nparts = _join_partitions(16)
+    j1 = ecan.join(deg, "inner", nparts, on=("a",), right_on=("node",))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b.column("a"), "b": b.column("b"),
+                            "da": b.column("deg")}),
+        batch_format="pyarrow")
+    j2 = j1.join(deg, "inner", nparts, on=("b",), right_on=("node",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        a, bb = b.column("a"), b.column("b")
+        da = b.column("da")
+        db = b.column("deg")
+        flip = pc.greater(da, db)
+        return pa.table({"c": pc.if_else(flip, bb, a),
+                         "n": pc.if_else(flip, a, bb)})
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(num_buckets)
+        return b.append_column("__pb", pa.array(pb.astype(np.int64)))
+
+    key_type = ecan.schema().base_schema.field("a").type
+
+    def emit_wedges(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("c", "ascending"),
+                                              ("n", "ascending")])
+        g = g.take(order)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        nb = g.column("n").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        ends = np.concatenate([starts[1:], [len(c)]])
+        # per-element pair budget: element at offset p of a run of size
+        # d opens pairs with the (d - 1 - p) later neighbors — one
+        # np.repeat builds every (first, second) index pair at once
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        p = np.arange(len(c)) - starts[run_of]
+        first_counts = (ends - starts)[run_of] - 1 - p
+        i_idx = np.repeat(np.arange(len(c)), first_counts)
+        csum = np.concatenate([[0], np.cumsum(first_counts)[:-1]])
+        j_idx = (np.arange(first_counts.sum())
+                 - np.repeat(csum, first_counts) + i_idx + 1)
+        if len(i_idx) == 0:
+            return pa.table({"lo": pa.array([], key_type),
+                             "hi": pa.array([], key_type),
+                             "center": pa.array([], key_type)})
+        return pa.table({"lo": pa.array(nb[i_idx]),
+                         "hi": pa.array(nb[j_idx]),
+                         "center": pa.array(c[i_idx])})
+
+    wedges = (oriented.map_batches(bucket, batch_format="pyarrow")
+                      .groupby("__pb")
+                      .map_groups(emit_wedges,
+                                  batch_format="pyarrow")).materialize()
+    wedges = _nonempty_blocks(wedges)
+    if wedges is None:
+        return rd.from_arrow(empty)
+
+    tri = wedges.join(ecan, "inner", nparts,
+                      on=("lo", "hi"), right_on=("a", "b"))
+
+    def tri_nodes(b: pa.Table) -> pa.Table:
+        node = pa.chunked_array([
+            pc.cast(b.column("center"), pa.int64()),
+            pc.cast(b.column("lo"), pa.int64()),
+            pc.cast(b.column("hi"), pa.int64())])
+        g = (pa.table({"node": node})
+               .group_by(["node"]).aggregate([("node", "count")]))
+        return g.rename_columns(["node", "pt"])
+
+    return (tri.map_batches(tri_nodes, batch_format="pyarrow")
+               .groupby("node")
+               .aggregate(Sum("pt", alias_name="n_triangles")))

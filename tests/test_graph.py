@@ -198,3 +198,47 @@ def test_cocitation_pairs_shared_targets(ray_session):
     assert out[("a", "c")] == 1          # y only
     assert out[("b", "c")] == 1
     assert ("a", "d") not in out          # only the pruned hub shared
+
+
+def test_triangle_counts_known_graph(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant 4-5 and
+    # a duplicate + reversed + self-loop edge that canonicalization
+    # must absorb
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 3), (1, 2)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = (triangle_counts(ds).to_pandas()
+           .set_index("node")["n_triangles"].to_dict())
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce_random(ray_session):
+    import itertools
+
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(7)
+    n = 30
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.rand() < 0.25]
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in pairs])
+    out = (triangle_counts(ds, num_buckets=8).to_pandas()
+           .set_index("node")["n_triangles"].to_dict())
+    assert out == expect
