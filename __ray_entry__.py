@@ -737,6 +737,44 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_kcore(sf_dir: str):
+    """5-core of the bipartite high-quantity purchase graph (customers
+    positive ids, suppliers negated — one id space): 3 peel rounds
+    (fixpoint by round 2 at every sf, pinned by the identically
+    unrolled SQL twin), surviving nodes with their in-core degree.  The
+    dense-nucleus extractor a link-spam / loyal-buyer analysis runs
+    before propagation."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.graph import kcore
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 40))
+                   .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    joined = orders.join(li, "inner", _join_partitions(16),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(b.column("o_custkey"), pa.int64()),
+            "dst": pc.negate(pc.cast(b.column("l_suppkey"), pa.int64())),
+        })
+
+    edges = joined.map_batches(proj, batch_format="pyarrow")
+    return kcore(edges, k=5, rounds=3)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-supplier triangle counts over the high-quantity co-purchase
     graph (suppliers adjacent when two l_quantity ≥ 45 lineitems share
@@ -3141,6 +3179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_lifespan": q_content_lifespan,
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
+        "kcore": q_kcore,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -3493,6 +3532,34 @@ WHERE NOT EXISTS (
   WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(u.v, w.v), 4) >= {tau})
 """
+
+
+def _kcore_sql(k: int = 5, rounds: int = 3) -> str:
+    """Unrolled peeling twin of :func:`llm_food_ray.stages.graph.kcore`
+    on the bipartite purchase graph — one (degree-filter, edge-
+    semijoin) CTE pair per round, all MATERIALIZED (DuckDB CTE
+    inlining is exponential on chains)."""
+    parts = ["""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(o.o_custkey, -l.l_suppkey)::BIGINT AS a,
+                  GREATEST(o.o_custkey, -l.l_suppkey)::BIGINT AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+)"""]
+    for r in range(rounds):
+        parts.append(f""", n{r + 1} AS MATERIALIZED (
+  SELECT node
+  FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+  GROUP BY node HAVING count(*) >= {k}
+), e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN n{r + 1} x ON e.a = x.node
+  JOIN n{r + 1} y ON e.b = y.node
+)""")
+    parts.append(f"""
+SELECT node, count(*)::BIGINT AS deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node""")
+    return "".join(parts)
 
 
 def _hits_sql(iters: int = 5) -> str:
@@ -4263,6 +4330,7 @@ FROM ek a JOIN ek b ON a.dst = b.dst AND a.src < b.src
 GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
+        "kcore": _kcore_sql(k=5, rounds=3),
         # degree-oriented node-iterator twin: with a < b canonical
         # edges, triangle x < y < z is exactly one (x,y)+(y,z)+(x,z)
         # row in the ordered self-join; unpivot credits all 3 corners

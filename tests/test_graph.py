@@ -242,3 +242,45 @@ def test_triangle_counts_matches_bruteforce_random(ray_session):
     out = (triangle_counts(ds, num_buckets=8).to_pandas()
            .set_index("node")["n_triangles"].to_dict())
     assert out == expect
+
+
+def test_kcore_cascade_peels_tail_keeps_cycle(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import kcore
+
+    # 4-cycle 1-2-3-4 with a pendant path 5-6 hanging off node 1:
+    # k=2 peels 6 in round 1, then 5 in round 2; the cycle survives
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 6)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = (kcore(ds, k=2, rounds=3).to_pandas()
+           .set_index("node")["deg"].to_dict())
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_rounds_bounded_semantics(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import kcore
+
+    # same graph, rounds=1: only node 6 is gone; 5 survives one round
+    # with its remaining degree 1 — exactly-rounds peeling, not fixpoint
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 6)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = (kcore(ds, k=2, rounds=1).to_pandas()
+           .set_index("node")["deg"].to_dict())
+    assert out == {1: 3, 2: 2, 3: 2, 4: 2, 5: 1}
+
+
+def test_kcore_fully_peeled_returns_empty(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import kcore
+
+    # a path peels to nothing under k=2 in enough rounds
+    edges = [(1, 2), (2, 3), (3, 4)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    # (columns not asserted: Ray drops the schema of all-empty
+    # datasets — the repo-wide "pick non-empty thresholds" gotcha)
+    df = kcore(ds, k=2, rounds=3).to_pandas()
+    assert len(df) == 0
