@@ -737,6 +737,22 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_editdist_pairs(sf_dir: str):
+    """Exact fuzzy self-join: customer-name pairs within Levenshtein
+    distance 1 (typo-level entity resolution — the canonical
+    short-string record-linkage primitive).  Deletion-neighborhood
+    signatures turn the edit-distance predicate into an equi-join;
+    an exact verify pass makes the result identical to the quadratic
+    levenshtein() oracle."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.fuzzy import editdist_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return editdist_pairs(cust, "c_custkey", "c_name")
+
+
 def q_kcore(sf_dir: str):
     """5-core of the bipartite high-quantity purchase graph (customers
     positive ids, suppliers negated — one id space): 3 peel rounds
@@ -3180,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
+        "editdist_pairs": q_editdist_pairs,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4331,6 +4348,17 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # quadratic twin of the deletion-signature filter-verify join;
+        # the length pre-filter only prunes (a 1-edit pair differs by
+        # at most 1 char of length)
+        "editdist_pairs": """
+SELECT a.c_custkey::BIGINT AS a, b.c_custkey::BIGINT AS b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+""",
         # degree-oriented node-iterator twin: with a < b canonical
         # edges, triangle x < y < z is exactly one (x,y)+(y,z)+(x,z)
         # row in the ordered self-join; unpivot credits all 3 corners
