@@ -737,6 +737,29 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining between the even- and odd-id halves
+    of the embedding corpus (two 'languages'): mutual rank-1 cosine
+    neighbors with ratio margin ≥ 1.05 — the Artetxe-Schwenk mined-
+    parallel-corpus filter on the integer cosine grid."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import bitext_mine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def side(parity: int):
+        return emb.map_batches(
+            lambda b, p=parity: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("vec_id"), 1), p)),
+            batch_format="pyarrow")
+
+    return bitext_mine(side(0), side(1), k=4, min_margin=1.05)
+
+
 def q_editdist_pairs(sf_dir: str):
     """Exact fuzzy self-join: customer-name pairs within Levenshtein
     distance 1 (typo-level entity resolution — the canonical
@@ -3197,6 +3220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
+        "bitext_mine": q_bitext_mine,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4348,6 +4372,45 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # brute-force twin of the two broadcast margin scans: identical
+        # integer 1e-4 cosine grid, exact int top-k sums, one float
+        # division of the same integers on both engines
+        "bitext_mine": """
+WITH sa AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+), sb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+), sims AS MATERIALIZED (
+  SELECT sa.vec_id AS ai, sb.vec_id AS bi,
+         CAST(floor(list_cosine_similarity(sa.v, sb.v) * 10000 + 0.5)
+              AS BIGINT) AS c
+  FROM sa CROSS JOIN sb
+), ra AS MATERIALIZED (
+  SELECT ai, bi, c,
+         row_number() OVER (PARTITION BY ai ORDER BY c DESC, bi) AS r
+  FROM sims
+), rb AS MATERIALIZED (
+  SELECT ai, bi, c,
+         row_number() OVER (PARTITION BY bi ORDER BY c DESC, ai) AS r
+  FROM sims
+), ka AS (SELECT ai, sum(c)::BIGINT AS sa_sum FROM ra WHERE r <= 4
+          GROUP BY ai),
+kb AS (SELECT bi, sum(c)::BIGINT AS sb_sum FROM rb WHERE r <= 4
+       GROUP BY bi),
+ta AS (SELECT ai, bi, c FROM ra WHERE r = 1),
+tb AS (SELECT ai, bi FROM rb WHERE r = 1),
+mutual AS (SELECT t.ai, t.bi, t.c
+           FROM ta t JOIN tb u ON u.ai = t.ai AND u.bi = t.bi)
+SELECT * FROM (
+  SELECT m.ai AS a, m.bi AS b, m.c / 10000.0 AS cos,
+         floor(2.0 * 4 * m.c * 10000 / (ka.sa_sum + kb.sb_sum) + 0.5)
+           / 10000.0 AS margin
+  FROM mutual m JOIN ka ON ka.ai = m.ai JOIN kb ON kb.bi = m.bi
+  WHERE ka.sa_sum + kb.sb_sum > 0
+) WHERE margin >= 1.05
+""",
         # quadratic twin of the deletion-signature filter-verify join;
         # the length pre-filter only prunes (a 1-edit pair differs by
         # at most 1 char of length)

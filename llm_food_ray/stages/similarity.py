@@ -906,3 +906,144 @@ def hard_negatives(ds, *, k: int = 8, iters: int = 2, modulus: int = 61,
     return (ds.map_batches(assign, batch_format="pyarrow")
               .groupby("cluster")
               .map_groups(mine_group, batch_format="pyarrow"))
+
+def _gather_side(ds, key_column: str, vec_column: str):
+    """Materialize ONE side of a bitext join as (sorted ids, unit
+    matrix) on the driver — the broadcast index side, bounded by that
+    side's corpus size (the brute-force baseline bound; the IVF
+    machinery above is the documented swap when a side outgrows one
+    machine)."""
+    ids_parts, mats = [], []
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            ids_parts.append(b.column(key_column).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            mats.append(vectors_to_matrix(b.column(vec_column)))
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty((0, 0))
+    ids = np.concatenate(ids_parts)
+    mat = _unit(np.concatenate(mats))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+class _MarginScan:
+    """Per-batch scan of one bitext side against the other side's
+    broadcast unit matrix: emits per row the rank-1 neighbor (grid
+    cosine desc, id asc) and the EXACT top-k grid-cosine sum.  Cosines
+    live on an integer 1e-4 grid (floor(c·1e4 + .5)) from the first
+    step, so every downstream sum/ratio is integer-derived and
+    bit-identical across engines and summation orders."""
+
+    def __init__(self, ref, k: int, key_column: str, vec_column: str):
+        import ray as _ray
+
+        self.ids_o, self.mat_o = _ray.get(ref)
+        self.k = k
+        self.key_column = key_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"me": pa.array([], pa.int64()),
+                          "nn": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "ksum": pa.array([], pa.int64())})
+        if not len(keys) or not len(self.ids_o):
+            return empty
+        mat = _unit(vectors_to_matrix(batch.column(self.vec_column)))
+        sims = mat @ self.mat_o.T
+        grid = np.floor(sims * 10000.0 + 0.5).astype(np.int64)
+        # other-side ids are sorted ascending: argmax takes the first
+        # (= smallest-id) maximum; stable argsort keeps id order in ties
+        nn_idx = grid.argmax(1)
+        kk = min(self.k, grid.shape[1])
+        order = np.argsort(-grid, axis=1, kind="stable")[:, :kk]
+        ksum = np.take_along_axis(grid, order, axis=1).sum(1)
+        return pa.table({
+            "me": pa.array(keys),
+            "nn": pa.array(self.ids_o[nn_idx]),
+            "c": pa.array(grid[np.arange(len(keys)), nn_idx]),
+            "ksum": pa.array(ksum, pa.int64()),
+        })
+
+
+def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
+                key_column: str = "vec_id", vec_column: str = "embedding"):
+    """Margin-based parallel-text mining (Artetxe & Schwenk '19): pairs
+    (a, b) that are MUTUAL rank-1 cosine neighbors across two embedding
+    corpora, scored by the ratio margin
+
+        margin = 2k·cos(a,b) / (Σ top-k cos of a + Σ top-k cos of b)
+
+    and kept when margin ≥ ``min_margin`` — the standard mined-bitext
+    filter: a pair must not just be closest, it must stand OUT from
+    each side's neighborhood density.  Returns (a, b, cos, margin).
+
+    Exactness: cosines snap to an integer 1e-4 grid up front, so both
+    top-k sums are exact int64, the margin is one float division of
+    identical integers (then the same floor(x·1e4 + .5)/1e4 snap), and
+    the result is bit-identical across engines, batch sizes and
+    summation orders — the repo's integer-moments rule applied to
+    similarity search.
+
+    Scale shape: each side is broadcast ONCE via ``ray.put`` while the
+    other side streams through ``map_batches`` actors (two passes
+    total, the brute-force ANN posture); the mutual check is one
+    (a, b)-keyed hash join of two rank-1 tables.  When a side outgrows
+    the object store, the documented swap is the cluster-partitioned
+    IVF index in this module for candidate generation."""
+    import ray as _ray
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    ref_b = _ray.put(_gather_side(ds_b, key_column, vec_column))
+    ref_a = _ray.put(_gather_side(ds_a, key_column, vec_column))
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64()),
+                      "margin": pa.array([], pa.float64())})
+
+    scan_a = (ds_a.map_batches(
+        _MarginScan, fn_constructor_kwargs=dict(
+            ref=ref_b, k=k, key_column=key_column, vec_column=vec_column),
+        batch_format="pyarrow", concurrency=(1, 8)).materialize())
+    scan_a = _nonempty_blocks(scan_a)
+    scan_b = (ds_b.map_batches(
+        _MarginScan, fn_constructor_kwargs=dict(
+            ref=ref_a, k=k, key_column=key_column, vec_column=vec_column),
+        batch_format="pyarrow", concurrency=(1, 8)).materialize())
+    scan_b = _nonempty_blocks(scan_b)
+    if scan_a is None or scan_b is None:
+        return rd.from_arrow(empty)
+
+    def flip(b: pa.Table) -> pa.Table:
+        return pa.table({"me2": b.column("nn"), "nn2": b.column("me"),
+                         "ksum_b": b.column("ksum")})
+
+    mutual = scan_a.join(
+        scan_b.map_batches(flip, batch_format="pyarrow"),
+        "inner", _join_partitions(16),
+        on=("me", "nn"), right_on=("me2", "nn2"))
+
+    def score(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b.column("ksum").to_numpy(zero_copy_only=False)
+        sb = b.column("ksum_b").to_numpy(zero_copy_only=False)
+        denom = (sa + sb).astype(np.float64)
+        # margin defined only where the neighborhood mass is positive
+        # (always true for real embedding data's top-k cosines)
+        ok = denom > 0
+        margin = np.where(ok, np.floor(np.divide(
+            2.0 * k * c * 10000.0, denom, out=np.zeros_like(denom),
+            where=ok) + 0.5) / 10000.0, 0.0)
+        t = pa.table({"a": b.column("me"), "b": b.column("nn"),
+                      "cos": pa.array(c / 10000.0, pa.float64()),
+                      "margin": pa.array(margin, pa.float64())})
+        return t.filter(pa.array(ok & (margin >= min_margin)))
+
+    return mutual.map_batches(score, batch_format="pyarrow")

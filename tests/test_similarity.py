@@ -511,3 +511,73 @@ def test_hard_negatives_same_cluster_argmin(ray_session):
             continue
         best = min(members, key=lambda x: (sims[v, x], x))
         assert got[v] == (best, sims[v, best]), v
+
+
+def test_bitext_mine_hand_graph(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.similarity import bitext_mine
+
+    # a0 <-> b1 aligned (identical direction), a2's best is b1 but b1
+    # prefers a0 -> not mutual; b3 points away from everyone
+    vecs = {
+        0: [1.0, 0.0, 0.0],   # side A
+        2: [0.8, 0.6, 0.0],   # side A
+        1: [1.0, 0.0, 0.0],   # side B: equals a0
+        3: [0.0, 0.0, 1.0],   # side B: orthogonal
+    }
+    rows = [{"vec_id": k, "embedding": np.asarray(v, np.float32)}
+            for k, v in vecs.items()]
+    ds = dataset_from_items(rows)
+    import pyarrow.compute as pc
+
+    a = ds.map_batches(lambda b: b.filter(
+        pc.equal(pc.bit_wise_and(b.column("vec_id"), 1), 0)),
+        batch_format="pyarrow")
+    b = ds.map_batches(lambda t: t.filter(
+        pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), 1)),
+        batch_format="pyarrow")
+    out = bitext_mine(a, b, k=2, min_margin=0.0).to_pandas()
+    got = {(int(r.a), int(r.b)): (r.cos, r.margin)
+           for r in out.itertuples()}
+    # mutual top-1 pairs: (0,1) cos 1.0; (2,1) is NOT mutual (b1's
+    # best is a0 by smallest-id tiebreak at equal cosine? no — cos(b1,
+    # a0)=1.0 > cos(b1, a2)=0.8, so b1 -> a0); b3's best is a0 or a2
+    # but no a picks b3 first
+    assert set(got) == {(0, 1)}
+    cos, margin = got[(0, 1)]
+    assert cos == 1.0
+    # top-2 sums: a0: cos(b1)=1.0 + cos(b3)=0.0 -> 10000;
+    # b1: cos(a0)=1.0 + cos(a2)=0.8 -> 18000;
+    # margin = 2*2*10000*10000 / 28000 = 14285.71... -> 1.4286
+    assert margin == 1.4286
+
+
+def test_bitext_mine_batch_size_invariant(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.similarity import bitext_mine
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i,
+             "embedding": rng.randn(8).astype(np.float32)}
+            for i in range(60)]
+    import pyarrow.compute as pc
+
+    def mk(par, ds):
+        return ds.map_batches(lambda b, p=par: b.filter(
+            pc.equal(pc.bit_wise_and(b.column("vec_id"), 1), p)),
+            batch_format="pyarrow")
+
+    ds1 = dataset_from_items(rows)
+    ds2 = dataset_from_items(rows).repartition(13)
+    r1 = (bitext_mine(mk(0, ds1), mk(1, ds1), k=3, min_margin=0.9)
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    r2 = (bitext_mine(mk(0, ds2), mk(1, ds2), k=3, min_margin=0.9)
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(r1) > 0
+    assert r1.equals(r2)
