@@ -2220,6 +2220,28 @@ def q_grouped_corr(sf_dir: str):
         "lang", "x", "y")
 
 
+def q_linear_fit(sf_dir: str):
+    """Per-language OLS fit of token count on n_chars (chars-per-token
+    calibration line — the cheap signal-vs-signal regression a quality
+    pipeline uses to flag languages whose docs tokenize anomalously).
+    Same exact-integer-moment machinery as grouped_corr, closed-form
+    finish."""
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import grouped_linear_fit
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = [len(split_words(t or ""))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "x": b.column("n_chars"),
+                         "y": pa.array(toks, pa.int64())})
+
+    return grouped_linear_fit(
+        _docs(sf_dir, ["lang", "text", "n_chars"]).map_batches(
+            with_tokens, batch_format="pyarrow"),
+        "lang", "x", "y")
+
+
 def q_profile_table(sf_dir: str):
     """Column profiler over documents: counts/nulls/typed min-max in
     ONE aggregate pass; exact per-column distinct via the value-vocab
@@ -3221,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
         "bitext_mine": q_bitext_mine,
+        "linear_fit": q_linear_fit,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -5710,6 +5733,32 @@ SELECT lang, n,
                   / sqrt(((n * sxx - sx * sx)::DOUBLE)
                          * ((n * syy - sy * sy)::DOUBLE)), 6)
        ELSE NULL END AS corr
+FROM m
+""",
+        # same integer moments, closed-form OLS finish; intercept uses
+        # the unrounded slope on both sides (identical doubles from
+        # identical ints), each coefficient rounded once at the end
+        "linear_fit": r"""
+WITH t AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '[ \t\n]+'),
+                         w -> w <> ''))::BIGINT AS y
+  FROM documents
+), m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(x * y)::BIGINT AS sxy
+  FROM t GROUP BY lang
+)
+SELECT lang, n,
+  CASE WHEN (n * sxx - sx * sx) > 0
+       THEN round((n * sxy - sx * sy)::DOUBLE
+                  / (n * sxx - sx * sx)::DOUBLE, 6)
+       ELSE NULL END AS slope,
+  CASE WHEN (n * sxx - sx * sx) > 0
+       THEN round((sy - ((n * sxy - sx * sy)::DOUBLE
+                         / (n * sxx - sx * sx)::DOUBLE) * sx) / n, 6)
+       ELSE NULL END AS intercept
 FROM m
 """,
         "profile_table": """

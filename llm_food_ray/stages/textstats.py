@@ -2009,6 +2009,79 @@ def grouped_corr(ds, group_column: str, x_column: str, y_column: str, *,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_linear_fit(ds, group_column: str, x_column: str,
+                       y_column: str, *, digits: int = 6):
+    """Per-group ordinary-least-squares line y = intercept + slope·x
+    over two INTEGER columns via exact integer moments:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    — the distributed closed-form regression a curation pipeline uses
+    to calibrate one quality signal against another (and the
+    ``grouped_corr`` sibling: same moment partials, different finish).
+    Both engines derive identical int64 moments, so the float tail is
+    the same two divisions on the same integers — bit-stable across
+    batch sizes, engines and cluster sizes.  Groups with zero x
+    variance return NULL for both coefficients, like SQL's
+    ``regr_slope``.
+
+    Scale shape: per-batch (group, n, Σx, Σy, Σx², Σxy) Arrow partials
+    — a groups-sized exchange, one ``groupby.sum``, vectorized finish.
+    Caller owns overflow headroom: |x|,|y| ≤ ~3e4 is safe at 1e9 rows
+    per group."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_column)
+        x = batch.column(x_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = batch.column(y_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = pa.table({group_column: g,
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "sxy": pa.array(x * y)})
+        return (t.group_by([group_column])
+                 .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                             ("sxx", "sum"), ("sxy", "sum")])
+                 .rename_columns([group_column, "n", "sx", "sy",
+                                  "sxx", "sxy"]))
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("sx", alias_name="sx"),
+                           Sum("sy", alias_name="sy"),
+                           Sum("sxx", alias_name="sxx"),
+                           Sum("sxy", alias_name="sxy")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        ok = vx > 0
+        slope = np.divide(num, vx, out=np.full(len(n), np.nan), where=ok)
+        inter = np.divide(sy - slope * sx, n,
+                          out=np.full(len(n), np.nan), where=ok)
+        sl = [round(float(v), digits) if m else None
+              for v, m in zip(slope, ok)]
+        ic = [round(float(v), digits) if m else None
+              for v, m in zip(inter, ok)]
+        return pa.table({group_column: b.column(group_column),
+                         "n": b.column("n"),
+                         "slope": pa.array(sl, pa.float64()),
+                         "intercept": pa.array(ic, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def cdf_against(new_ds, ref_ds, value_column: str, *,
                 id_column: str = "doc_id", digits: int = 6,
                 max_distinct: int = 50_000_000):

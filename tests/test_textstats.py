@@ -379,3 +379,30 @@ def test_contamination_scores_counts_and_frac(ray_session):
     assert out["n_hits"].tolist() == [2, 2, 0, 0, 1]
     assert out["contamination_frac"].tolist() == [
         round(2 / 3, 6), round(2 / 3, 6), 0.0, 0.0, 0.25]
+
+
+def test_grouped_linear_fit_known_lines(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_linear_fit
+
+    rows = (
+        # group a: exact line y = 2x + 1
+        [{"g": "a", "x": x, "y": 2 * x + 1} for x in (1, 2, 3, 4)]
+        # group b: symmetric residuals around y = 3 (slope 0)
+        + [{"g": "b", "x": 1, "y": 2}, {"g": "b", "x": 2, "y": 4},
+           {"g": "b", "x": 3, "y": 3}]
+        # group c: zero x variance -> NULL coefficients
+        + [{"g": "c", "x": 5, "y": 1}, {"g": "c", "x": 5, "y": 9}]
+    )
+    out = (grouped_linear_fit(dataset_from_items(rows), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "slope"] == 2.0
+    assert out.loc["a", "intercept"] == 1.0
+    assert out.loc["b", "slope"] == 0.5
+    assert out.loc["b", "intercept"] == 2.0
+    import pandas as pd
+
+    assert pd.isna(out.loc["c", "slope"])
+    assert pd.isna(out.loc["c", "intercept"])
+    assert int(out.loc["c", "n"]) == 2
