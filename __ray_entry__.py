@@ -737,6 +737,36 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov event-type transition table over per-user streams:
+    (src, dst, n, p) with row-normalized probabilities — one
+    hash(user) exchange, vectorized shifted-compare pair emission,
+    types²-sized merge."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import event_transitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return event_transitions(ev)
+
+
+def q_funnel(sf_dir: str):
+    """view → click → purchase conversion funnel with strict-later
+    first-occurrence semantics: (step_index, step, n_users) — per-user
+    co-location via one coarse exchange, each stage a vectorized
+    sentinel-min reduceat pass."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import funnel_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_bitext_mine(sf_dir: str):
     """Margin-based bitext mining between the even- and odd-id halves
     of the embedding corpus (two 'languages'): mutual rank-1 cosine
@@ -3244,6 +3274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": q_editdist_pairs,
         "bitext_mine": q_bitext_mine,
         "linear_fit": q_linear_fit,
+        "event_transitions": q_event_transitions,
+        "funnel": q_funnel,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4395,6 +4427,44 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # lead() twin of the shifted-compare pair emission; p is the
+        # half-away 1e-6 snap of one division of identical integers
+        "event_transitions": """
+WITH ordered AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS MATERIALIZED (
+  SELECT src, dst, count(*)::BIGINT AS n
+  FROM ordered WHERE dst IS NOT NULL GROUP BY src, dst
+), tot AS (
+  SELECT src, sum(n)::BIGINT AS t FROM c GROUP BY src
+)
+SELECT c.src, c.dst, c.n,
+       floor(c.n * 1000000.0 / tot.t + 0.5) / 1000000.0 AS p
+FROM c JOIN tot ON tot.src = c.src
+""",
+        # progressive min-ts twin: each stage binds to the earliest
+        # event strictly later than the previous stage's bind
+        "funnel": """
+WITH t1 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+), t3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT 0::BIGINT AS step_index, 'view' AS step,
+       (SELECT count(*) FROM t1)::BIGINT AS n_users
+UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+""",
         # brute-force twin of the two broadcast margin scans: identical
         # integer 1e-4 cosine grid, exact int top-k sums, one float
         # division of the same integers on both engines

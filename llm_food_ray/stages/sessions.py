@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
@@ -299,3 +300,169 @@ def range_join_nearby(ds, key_column: str = "o_custkey",
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__ub")
               .map_groups(per_bucket, batch_format="pyarrow"))
+
+def event_transitions(ds, user_column: str = "user_id",
+                      ts_column: str = "ts",
+                      id_column: str = "event_id",
+                      type_column: str = "event_type", *,
+                      num_buckets: int = 64, digits: int = 6):
+    """First-order Markov transition table over per-user event streams:
+    ``(src, dst, n, p)`` where ``n`` counts consecutive (ts, id)-ordered
+    event-type pairs WITHIN a user and ``p = n / Σ_dst n`` row-
+    normalizes per source type — the behavioral fingerprint a funnel /
+    anomaly / bot-detection pipeline consumes.
+
+    Exactness: counts are integers; ``p`` is one division of identical
+    int64s snapped half-away-from-zero to ``digits`` (the repo's
+    floor(x·1e6 + .5) rule, matching SQL round()).
+
+    Scale shape: ONE hash(user) coarse exchange (the sessionize
+    posture — a user's events must co-locate), in-bucket lexsort +
+    shifted-compare emits per-bucket (src, dst) Arrow count partials,
+    one types²-sized ``groupby.sum``, and the row-normalize runs inside
+    hash(src) buckets so no engine-wide gather of the type vocabulary
+    is ever needed."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _u64_col
+
+    Cu = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = _u64_col(batch, user_column)
+        return batch.append_column(
+            "__ub", pa.array((u % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        users = _u64_col(t, user_column)
+        ids = _u64_col(t, id_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        et = t.column(type_column)
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((ids, ts_us, users))
+        u = users[order]
+        same = u[1:] == u[:-1]
+        idx = pa.array(order)
+        et_s = et.take(idx)
+        src = et_s.slice(0, len(et_s) - 1).filter(pa.array(same))
+        dst = et_s.slice(1).filter(pa.array(same))
+        g = (pa.table({"src": src, "dst": dst})
+               .group_by(["src", "dst"]).aggregate([("dst", "count")]))
+        return g.rename_columns(["src", "dst", "pn"])
+
+    from ray.data.aggregate import Sum
+
+    merged = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__ub")
+                .map_groups(per_bucket, batch_format="pyarrow")
+                .groupby(["src", "dst"])
+                .aggregate(Sum("pn", alias_name="n")))
+
+    def src_bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % num_buckets
+              for v in b.column("src").to_pylist()]
+        return b.append_column("__sb", pa.array(hs, pa.int64()))
+
+    scale = 10 ** digits
+
+    def normalize(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("src", "ascending"),
+                                              ("dst", "ascending")])
+        g = g.take(order)
+        s = g.column("src")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = pc.fill_null(pc.not_equal(s.slice(1), s.slice(0, len(s) - 1)),
+                          True)
+        new_run = np.r_[True, ne.to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(new_run)
+        totals = np.add.reduceat(n, starts)
+        tot_per_row = np.repeat(totals, np.diff(np.r_[starts, len(n)]))
+        p = np.floor(n.astype(np.float64) * scale / tot_per_row
+                     + 0.5) / scale
+        return pa.table({"src": s, "dst": g.column("dst"),
+                         "n": pa.array(n),
+                         "p": pa.array(p, pa.float64())})
+
+    return (merged.map_batches(src_bucket, batch_format="pyarrow")
+                  .groupby("__sb")
+                  .map_groups(normalize, batch_format="pyarrow"))
+
+
+def funnel_counts(ds, steps: list[str], user_column: str = "user_id",
+                  ts_column: str = "ts", id_column: str = "event_id",
+                  type_column: str = "event_type", *,
+                  num_buckets: int = 64):
+    """Ordered-funnel analysis: ``(step_index, step, n_users)`` — how
+    many users performed ``steps[0]``, then ``steps[1]`` STRICTLY
+    later, then ``steps[2]`` strictly later than that, … (first-
+    occurrence semantics: each stage binds to the EARLIEST qualifying
+    timestamp, which maximizes downstream matches).  The conversion
+    funnel every product-analytics pipeline runs, here as a single
+    user-keyed exchange.
+
+    Scale shape: hash(user) coarse buckets co-locate each user's
+    events (the sessionize posture); inside a bucket each funnel stage
+    is one vectorized pass (per-user minimum over qualifying rows via
+    sort + reduceat) — stages are a Python loop over ``len(steps)``,
+    never over users or rows.  Integer-exact (counts only)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from ..stages.dedup import _u64_col
+
+    from ray.data.aggregate import Sum
+
+    Cu = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = _u64_col(batch, user_column)
+        return batch.append_column(
+            "__ub", pa.array((u % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        users = _u64_col(t, user_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        et = t.column(type_column)
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"step_index": pa.array([], pa.int64()),
+                             "step": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64())})
+        order = np.lexsort((ts_us, users))
+        u, s = users[order], ts_us[order]
+        et_np = np.asarray(et.take(pa.array(order)).to_pylist(), object)
+        first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[first, len(u)]
+        counts = np.diff(bounds)
+        lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        # per-user reached-so-far timestamp (-inf start); each stage is
+        # one vectorized pass: qualifying rows → sentinel-min reduceat
+        reach = np.full(len(first), lo, np.int64)
+        alive = np.ones(len(first), bool)
+        out_idx, out_n = [], []
+        for si, step in enumerate(steps):
+            q = ((et_np == step) & (s > np.repeat(reach, counts))
+                 & np.repeat(alive, counts))
+            vals = np.where(q, s, hi)
+            mins = np.minimum.reduceat(vals, bounds[:-1])
+            alive = alive & (mins != hi)
+            reach = np.where(alive, mins, reach)
+            out_idx.append(si)
+            out_n.append(int(alive.sum()))
+        return pa.table({"step_index": pa.array(out_idx, pa.int64()),
+                         "step": pa.array(list(steps), pa.string()),
+                         "pn": pa.array(out_n, pa.int64())})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(per_bucket, batch_format="pyarrow")
+              .groupby(["step_index", "step"])
+              .aggregate(Sum("pn", alias_name="n_users")))

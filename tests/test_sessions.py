@@ -147,3 +147,68 @@ def test_range_join_nearby_brute_force(ray_session):
     assert (out["n_nearby"].to_numpy() == exp_n).all()
     assert (out["nearby_cents"].to_numpy() == exp_s).all()
     assert (exp_n == 0).any()          # zero-neighbor rows exercised
+
+
+def test_event_transitions_hand_stream(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import event_transitions
+
+    # user 1: a b a b  |  user 2: b b  — cross-user pairs must NOT
+    # appear; same-ts rows order by event_id
+    rows = [
+        {"event_id": 1, "ts": 100, "user_id": 1, "event_type": "a"},
+        {"event_id": 2, "ts": 200, "user_id": 1, "event_type": "b"},
+        {"event_id": 3, "ts": 300, "user_id": 1, "event_type": "a"},
+        {"event_id": 4, "ts": 300, "user_id": 1, "event_type": "b"},
+        {"event_id": 5, "ts": 150, "user_id": 2, "event_type": "b"},
+        {"event_id": 6, "ts": 160, "user_id": 2, "event_type": "b"},
+    ]
+    import pyarrow as pa
+
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (event_transitions(ds, num_buckets=4).to_pandas()
+           .set_index(["src", "dst"]))
+    assert out.loc[("a", "b"), "n"] == 2
+    assert out.loc[("b", "a"), "n"] == 1
+    assert out.loc[("b", "b"), "n"] == 1
+    assert out.loc[("a", "b"), "p"] == 1.0
+    assert out.loc[("b", "a"), "p"] == 0.5
+    assert len(out) == 3
+
+
+def test_funnel_strict_order_and_first_occurrence(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import funnel_counts
+
+    import pyarrow as pa
+
+    # u1 converts fully; u2 clicked BEFORE viewing (click must not
+    # count — strictly later); u3 views only.  u2's later click at
+    # ts=50 rescues stage 2 but there is no purchase after it.
+    rows = [
+        {"event_id": 1, "ts": 10, "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": 20, "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": 30, "user_id": 1, "event_type": "buy"},
+        {"event_id": 4, "ts": 5, "user_id": 2, "event_type": "click"},
+        {"event_id": 5, "ts": 7, "user_id": 2, "event_type": "view"},
+        {"event_id": 6, "ts": 50, "user_id": 2, "event_type": "click"},
+        {"event_id": 7, "ts": 6, "user_id": 2, "event_type": "buy"},
+        {"event_id": 8, "ts": 40, "user_id": 3, "event_type": "view"},
+    ]
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (funnel_counts(ds, ["view", "click", "buy"], num_buckets=4)
+           .to_pandas().set_index("step_index"))
+    assert out.loc[0, "n_users"] == 3   # u1 u2 u3 viewed
+    assert out.loc[1, "n_users"] == 2   # u1 (20>10), u2 (50>7)
+    assert out.loc[2, "n_users"] == 1   # only u1; u2's buy was at 6
+    assert list(out["step"]) == ["view", "click", "buy"]
