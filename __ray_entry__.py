@@ -737,6 +737,20 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention triangle over the event stream: users
+    bucketed by first-event epoch week, counted once per active week —
+    two users-keyed exchanges plus one hash join, final exchange
+    cohorts×offsets-sized."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return cohort_retention(ev)
+
+
 def q_event_transitions(sf_dir: str):
     """Markov event-type transition table over per-user streams:
     (src, dst, n, p) with row-normalized probabilities — one
@@ -3276,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_fit": q_linear_fit,
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4427,6 +4442,23 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # absolute epoch-week buckets; min-per-user cohort + distinct
+        # (user, week) activity joined back — all integer counts
+        "cohort_retention": """
+WITH f AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
+  FROM events GROUP BY user_id
+), a AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+)
+SELECT f.cw AS cohort_week, (a.w - f.cw)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
         # lead() twin of the shifted-compare pair emission; p is the
         # half-away 1e-6 snap of one division of identical integers
         "event_transitions": """

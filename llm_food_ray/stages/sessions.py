@@ -466,3 +466,74 @@ def funnel_counts(ds, steps: list[str], user_column: str = "user_id",
               .map_groups(per_bucket, batch_format="pyarrow")
               .groupby(["step_index", "step"])
               .aggregate(Sum("pn", alias_name="n_users")))
+
+def cohort_retention(ds, user_column: str = "user_id",
+                     ts_column: str = "ts", *,
+                     week_seconds: int = 604_800):
+    """Weekly cohort-retention matrix: ``(cohort_week, week_offset,
+    n_users)`` — users grouped by the epoch week of their FIRST event,
+    counted once per later week they were active in.  The classic
+    retention triangle every growth/engagement pipeline produces;
+    weeks are absolute epoch buckets (``floor(epoch_seconds / 604800)``)
+    so the bucketing is reproducible across engines and runs.
+
+    Scale shape: (1) per-batch (user, min-ts) Arrow partials → one
+    users-keyed ``groupby.min`` gives each user's cohort week; (2)
+    per-batch DISTINCT (user, week) partials → one groupby dedups
+    activity; (3) one users-keyed hash join attaches the cohort, and
+    the final exchange is cohorts×offsets-sized.  Integer-exact."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    week_us = np.int64(week_seconds) * 1_000_000
+
+    def week_col(b: pa.Table) -> np.ndarray:
+        ts_arr = b.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        return ts_arr.cast(pa.int64()).to_numpy() // week_us
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({user_column: b.column(user_column),
+                      "w": pa.array(week_col(b), pa.int64())})
+        g = t.group_by([user_column]).aggregate([("w", "min")])
+        return g.rename_columns([user_column, "pw"])
+
+    cohort = (ds.map_batches(first_partial, batch_format="pyarrow")
+                .groupby(user_column)
+                .aggregate(Min("pw", alias_name="cw"))).materialize()
+    cohort = _nonempty_blocks(cohort)
+    empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    if cohort is None:
+        return rd.from_arrow(empty)
+
+    def active_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({user_column: b.column(user_column),
+                      "w": pa.array(week_col(b), pa.int64())})
+        return t.group_by([user_column, "w"]).aggregate([])
+
+    active = (ds.map_batches(active_partial, batch_format="pyarrow")
+                .groupby([user_column, "w"]).count()
+                .map_batches(lambda b: b.select([user_column, "w"]),
+                             batch_format="pyarrow")).materialize()
+    active = _nonempty_blocks(active)
+    if active is None:
+        return rd.from_arrow(empty)
+
+    joined = active.join(cohort, "inner", _join_partitions(16),
+                         on=(user_column,))
+
+    def offsets(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        cw = b.column("cw").to_numpy(zero_copy_only=False)
+        return pa.table({"cohort_week": pa.array(cw, pa.int64()),
+                         "week_offset": pa.array(w - cw, pa.int64())})
+
+    return (joined.map_batches(offsets, batch_format="pyarrow")
+                  .groupby(["cohort_week", "week_offset"])
+                  .aggregate(Count(alias_name="n_users")))

@@ -212,3 +212,32 @@ def test_funnel_strict_order_and_first_occurrence(ray_session):
     assert out.loc[1, "n_users"] == 2   # u1 (20>10), u2 (50>7)
     assert out.loc[2, "n_users"] == 1   # only u1; u2's buy was at 6
     assert list(out["step"]) == ["view", "click", "buy"]
+
+
+def test_cohort_retention_multi_cohort(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import cohort_retention
+
+    import pyarrow as pa
+
+    W = 604_800 * 1_000_000  # one week in microseconds
+    rows = [
+        # u1: first week 0, active weeks 0, 1, 3
+        {"user_id": 1, "ts": 10}, {"user_id": 1, "ts": W + 5},
+        {"user_id": 1, "ts": 3 * W + 5}, {"user_id": 1, "ts": 15},
+        # u2: first week 1, active weeks 1, 2
+        {"user_id": 2, "ts": W + 7}, {"user_id": 2, "ts": 2 * W + 7},
+        # u3: first week 0 only
+        {"user_id": 3, "ts": 20},
+    ]
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (cohort_retention(ds).to_pandas()
+           .set_index(["cohort_week", "week_offset"])["n_users"]
+           .to_dict())
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
