@@ -897,6 +897,42 @@ def q_triangle_counts(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per supplier over the same
+    high-quantity co-purchase graph: 2T/(d(d−1)) from the shared
+    degree-oriented triangle plan + one LEFT OUTER join — link-farm
+    nuclei score near 1, organic hubs near 0."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.graph import clustering_coefficients
+
+    def hot(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.greater_equal(b.column("l_quantity"), 45))
+                 .select(["l_orderkey", "l_suppkey"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    ).map_batches(hot, batch_format="pyarrow")
+    right = li.map_batches(
+        lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
+        batch_format="pyarrow")
+    pairs = li.join(right, "inner", _join_partitions(16),
+                    on=("l_orderkey",), right_on=("r_orderkey",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("l_suppkey"),
+                         "dst": b.column("r_suppkey")})
+
+    edges = pairs.map_batches(proj, batch_format="pyarrow")
+    return clustering_coefficients(edges)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup kept-set, fully distributed end to end:
     bucketed semi-join verification (exact-Jaccard, threshold 0.9) →
@@ -3284,6 +3320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_lifespan": q_content_lifespan,
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
+        "clustering_coef": q_clustering_coef,
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
         "bitext_mine": q_bitext_mine,
@@ -4570,6 +4607,39 @@ WITH li AS MATERIALIZED (
 )
 SELECT node, count(*)::BIGINT AS n_triangles
 FROM corners GROUP BY node
+""",
+        # same triangle plan + canonical degrees, LEFT JOIN so
+        # triangle-free nodes score 0; deg-1 nodes NULL
+        "clustering_coef": """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+), e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey)::BIGINT AS a,
+                  GREATEST(a.l_suppkey, b.l_suppkey)::BIGINT AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tc AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS t
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node
+), d AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT d.node, d.deg, COALESCE(tc.t, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN floor(2.0 * COALESCE(tc.t, 0) * 1000000
+                       / (d.deg * (d.deg - 1)) + 0.5) / 1000000.0
+            ELSE NULL END AS coef
+FROM d LEFT JOIN tc ON tc.node = d.node
 """,
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)

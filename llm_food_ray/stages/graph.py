@@ -528,9 +528,14 @@ def cocitation_pairs(edges, *, src: str = "src", dst: str = "dst",
                                             min_shared)),
         batch_format="pyarrow")
 
-def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
-                    num_buckets: int = 64):
-    """Per-node triangle counts over an undirected graph — ``(node,
+def _triangle_parts(edges, src: str, dst: str, num_buckets: int):
+    """Shared plan for :func:`triangle_counts` /
+    :func:`clustering_coefficients`: returns ``(tri, deg)`` — the
+    (node, n_triangles) aggregate (or None when no triangles can
+    exist) and the materialized (node, deg) canonical-degree table (or
+    None when the canonical edge set is empty).
+
+    Per-node triangle counts over an undirected graph — ``(node,
     n_triangles)`` for every node that closes at least one triangle.
     Triangle density is the classic web-spam / link-farm signal
     (tightly-knit host clusters triangulate; organic link neighborhoods
@@ -582,10 +587,8 @@ def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
                  .map_batches(lambda b: b.select(["a", "b"]),
                               batch_format="pyarrow")).materialize()
     ecan = _nonempty_blocks(ecan)
-    empty = pa.table({"node": pa.array([], pa.int64()),
-                      "n_triangles": pa.array([], pa.int64())})
     if ecan is None:
-        return rd.from_arrow(empty)
+        return None, None
 
     def endpoints(b: pa.Table) -> pa.Table:
         node = pa.chunked_array([pc.cast(b.column("a"), pa.int64()),
@@ -599,14 +602,18 @@ def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
                .aggregate(Sum("pd", alias_name="deg"))).materialize()
     deg = _nonempty_blocks(deg)
     if deg is None:
-        return rd.from_arrow(empty)
+        return None, None
 
     nparts = _join_partitions(16)
     j1 = ecan.join(deg, "inner", nparts, on=("a",), right_on=("node",))
-    j1 = j1.map_batches(
+    # join outputs can carry schema-less empty partition blocks that
+    # break key resolution in the NEXT join — strip between joins
+    j1 = _nonempty_blocks(j1.map_batches(
         lambda b: pa.table({"a": b.column("a"), "b": b.column("b"),
                             "da": b.column("deg")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize())
+    if j1 is None:
+        return None, deg
     j2 = j1.join(deg, "inner", nparts, on=("b",), right_on=("node",))
 
     def orient(b: pa.Table) -> pa.Table:
@@ -659,7 +666,7 @@ def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
                                   batch_format="pyarrow")).materialize()
     wedges = _nonempty_blocks(wedges)
     if wedges is None:
-        return rd.from_arrow(empty)
+        return None, deg
 
     tri = wedges.join(ecan, "inner", nparts,
                       on=("lo", "hi"), right_on=("a", "b"))
@@ -675,7 +682,85 @@ def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
 
     return (tri.map_batches(tri_nodes, batch_format="pyarrow")
                .groupby("node")
-               .aggregate(Sum("pt", alias_name="n_triangles")))
+               .aggregate(Sum("pt", alias_name="n_triangles"))), deg
+
+
+def triangle_counts(edges, *, src: str = "src", dst: str = "dst",
+                    num_buckets: int = 64):
+    """→ Dataset (node, n_triangles): see :func:`_triangle_parts` for
+    the degree-oriented node-iterator plan and its scale shape."""
+    import ray.data as rd
+
+    tri, _deg = _triangle_parts(edges, src, dst, num_buckets)
+    if tri is None:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64())}))
+    return tri
+
+
+def clustering_coefficients(edges, *, src: str = "src",
+                            dst: str = "dst", num_buckets: int = 64,
+                            digits: int = 6):
+    """Local clustering coefficient per node — ``(node, deg,
+    n_triangles, coef)`` with ``coef = 2·T / (deg·(deg−1))`` snapped
+    half-away to ``digits``; degree-1 nodes get NULL (undefined, like
+    SQL's division guard).  The per-node "how club-like is my
+    neighborhood" signal — link farms sit near 1, organic hub pages
+    near 0 — computed from the same degree-oriented triangle plan plus
+    one LEFT OUTER join (nodes without triangles count 0).
+
+    Exactness: T and deg are exact integers, the coefficient is one
+    division of identical ints, and the floor(x·10^digits + .5) snap
+    matches SQL round() for the non-negative ratio."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .dedup import _join_partitions
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64()),
+                      "coef": pa.array([], pa.float64())})
+    from .dedup import _nonempty_blocks
+
+    tri, deg = _triangle_parts(edges, src, dst, num_buckets)
+    if deg is None:
+        return rd.from_arrow(empty)
+    if tri is not None:
+        # hash-aggregate output can carry schema-less empty blocks
+        # that break key resolution in the outer join
+        tri = _nonempty_blocks(tri.materialize())
+    if tri is None:
+        joined = deg.map_batches(
+            lambda b: b.append_column(
+                "n_triangles", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        joined = deg.join(tri, "left_outer", _join_partitions(16),
+                          on=("node",))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = pc.fill_null(b.column("n_triangles"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denom = (d * (d - 1)).astype(np.float64)
+        ok = denom > 0
+        coef = np.floor(np.divide(2.0 * t * scale, denom,
+                                  out=np.zeros_like(denom),
+                                  where=ok) + 0.5) / scale
+        vals = [float(c) if m else None for c, m in zip(coef, ok)]
+        return pa.table({"node": b.column("node"),
+                         "deg": pa.array(d),
+                         "n_triangles": pa.array(t),
+                         "coef": pa.array(vals, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 def kcore(edges, *, src: str = "src", dst: str = "dst",
           k: int = 2, rounds: int = 3):
@@ -739,11 +824,16 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
         kept = _nonempty_blocks(kept)
         if kept is None:
             return rd.from_arrow(empty)
-        ecur = (ecur.join(kept, "inner", nparts,
+        half = (ecur.join(kept, "inner", nparts,
                           on=("a",), right_on=("node",))
                     .map_batches(lambda b: b.select(["a", "b"]),
-                                 batch_format="pyarrow")
-                    .join(kept, "inner", nparts,
+                                 batch_format="pyarrow")).materialize()
+        # strip schema-less empty join-partition blocks before the
+        # second join (they break its key resolution)
+        half = _nonempty_blocks(half)
+        if half is None:
+            return rd.from_arrow(empty)
+        ecur = (half.join(kept, "inner", nparts,
                           on=("b",), right_on=("node",))
                     .map_batches(lambda b: b.select(["a", "b"]),
                                  batch_format="pyarrow")).materialize()

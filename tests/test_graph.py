@@ -284,3 +284,40 @@ def test_kcore_fully_peeled_returns_empty(ray_session):
     # datasets — the repo-wide "pick non-empty thresholds" gotcha)
     df = kcore(ds, k=2, rounds=3).to_pandas()
     assert len(df) == 0
+
+
+def test_clustering_coefficients_known_graph(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import clustering_coefficients
+
+    # triangle 1-2-3 plus pendant 3-4: nodes 1,2 have coef 1.0 (deg 2,
+    # 1 triangle); node 3 deg 3, 1 triangle -> 2/(3*2) = 0.333333;
+    # node 4 deg 1 -> NULL, 0 triangles
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = (clustering_coefficients(ds).to_pandas().set_index("node")
+           .sort_index())
+    assert out.loc[1, "coef"] == 1.0
+    assert out.loc[2, "coef"] == 1.0
+    assert out.loc[3, "coef"] == 0.333333
+    assert int(out.loc[3, "deg"]) == 3
+    assert pd.isna(out.loc[4, "coef"])
+    assert int(out.loc[4, "n_triangles"]) == 0
+
+
+def test_clustering_coefficients_triangle_free(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import clustering_coefficients
+
+    # star graph: no triangles anywhere; hub deg 3 coef 0.0, leaves NULL
+    edges = [(0, 1), (0, 2), (0, 3)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = clustering_coefficients(ds).to_pandas().set_index("node")
+    assert out.loc[0, "coef"] == 0.0
+    assert all(pd.isna(out.loc[i, "coef"]) for i in (1, 2, 3))
