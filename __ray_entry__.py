@@ -737,6 +737,75 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_crawl_budget(sf_dir: str):
+    """Water-filling crawl budget over a skew-synthesized host
+    distribution (host k owns the doc_ids in [k², (k+1)²) — linear
+    count growth, the classic few-big-many-small crawl shape): global
+    budget 300 pages, every host keeps min(count, waterline).  The
+    waterline solves on a counts-of-counts histogram, never a per-key
+    gather."""
+    import numpy as np
+
+    from llm_food_ray.stages.textstats import crawl_budget
+
+    def hostify(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        k = np.floor(np.sqrt((d % 10000).astype(np.float64))).astype(
+            np.int64)
+        hosts = [f"site{x}" for x in k]
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        hostify, batch_format="pyarrow")
+    return crawl_budget(ds, "host", budget=300, out_key="host")
+
+
+def q_url_templates(sf_dir: str):
+    """URL path-template mining over deterministically synthesized
+    crawl URLs: digit runs collapse to '{N}' (one vectorized Arrow RE2
+    pass — the site-structure discovery step a crawler uses to spot
+    calendar traps and infinite facets), then (template, host) distinct
+    partials → one groupby.sum → a templates-sized rollup with per-
+    template distinct-host counts."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for d in ids:
+            hosts.append(f"site{d % 10}.example.com")
+            kind = d % 4
+            if kind == 0:
+                p = f"/articles/{d}/comments"
+            elif kind == 1:
+                p = f"/p/{d * 7 % 1000}/view"
+            elif kind == 2:
+                p = f"/users/u{d % 50}/posts/{d}"
+            else:
+                p = f"/static/img_{d}.png"
+            paths.append(p)
+        host = pa.array(hosts, pa.string())
+        full = pc.binary_join_element_wise(
+            host, pa.array(paths, pa.string()), "")
+        tmpl = pc.replace_substring_regex(full, r"[0-9]+", "{N}")
+        t = pa.table({"template": tmpl, "host": host})
+        g = t.group_by(["template", "host"]).aggregate(
+            [("host", "count")])
+        return g.rename_columns(["template", "host", "pn"])
+
+    merged = (_docs(sf_dir, ["doc_id"])
+              .map_batches(synth, batch_format="pyarrow")
+              .groupby(["template", "host"])
+              .aggregate(Sum("pn", alias_name="n")))
+    return (merged.map_batches(
+        lambda b: b.select(["template", "n"]), batch_format="pyarrow")
+        .groupby("template")
+        .aggregate(Count(alias_name="n_hosts"),
+                   Sum("n", alias_name="n_urls")))
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort-retention triangle over the event stream: users
     bucketed by first-event epoch week, counted once per active week —
@@ -3328,6 +3397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "url_templates": q_url_templates,
+        "crawl_budget": q_crawl_budget,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4479,6 +4550,51 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # waterline twin: the largest level with Σ min(cnt, L) ≤ B,
+        # found by exhaustive candidate levels over the count histogram
+        # (CROSS JOIN, not a correlated subquery — DuckDB binding)
+        "crawl_budget": """
+WITH h AS MATERIALIZED (
+  SELECT 'site' || CAST(floor(sqrt(doc_id % 10000)) AS BIGINT) AS host,
+         count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1
+), lv AS MATERIALIZED (
+  -- levels beyond the budget can never satisfy used <= B while any
+  -- key still reaches them, and quota = least(cnt, L) saturates, so
+  -- the constant range [0, B] is exhaustive
+  SELECT gs.l, sum(least(h.cnt, gs.l))::BIGINT AS used
+  FROM generate_series(0, 300) gs(l)
+  CROSS JOIN h GROUP BY gs.l
+), pick AS (
+  SELECT max(l)::BIGINT AS lvl FROM lv WHERE used <= 300
+)
+SELECT h.host, h.cnt AS n_docs, least(h.cnt, p.lvl)::BIGINT AS quota
+FROM h CROSS JOIN pick p
+""",
+        # synthesis-parity twin: same URL construction, same digit-run
+        # regexp_replace, distinct hosts counted per template
+        "url_templates": """
+WITH u AS (
+  SELECT 'site' || (doc_id % 10) || '.example.com' AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || doc_id || '/comments'
+           WHEN 1 THEN '/p/' || (doc_id * 7 % 1000) || '/view'
+           WHEN 2 THEN '/users/u' || (doc_id % 50) || '/posts/'
+                       || doc_id
+           ELSE '/static/img_' || doc_id || '.png'
+         END AS path
+  FROM documents
+), t AS (
+  SELECT regexp_replace(host || path, '[0-9]+', '{N}', 'g')
+           AS template, host
+  FROM u
+), d AS MATERIALIZED (
+  SELECT template, host, count(*)::BIGINT AS n
+  FROM t GROUP BY template, host
+)
+SELECT template, count(*)::BIGINT AS n_hosts, sum(n)::BIGINT AS n_urls
+FROM d GROUP BY template
+""",
         # absolute epoch-week buckets; min-per-user cohort + distinct
         # (user, week) activity joined back — all integer counts
         "cohort_retention": """

@@ -2358,3 +2358,78 @@ def oov_rate(ds, text_column: str = "text", *, min_count: int = 2,
                          "oov_frac": pa.array(rate, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+def crawl_budget(ds, key_column: str, *, budget: int,
+                 out_key: str = "key", max_distinct: int = 50_000_000):
+    """Water-filling budget allocation: given per-key row counts
+    ``c_k`` and a global ``budget`` B, find the largest integer level L
+    with ``Σ min(c_k, L) ≤ B`` and give every key the quota
+    ``min(c_k, L)`` — the proportional-fair per-host page budget a
+    crawler (or a per-domain training-data cap) allocates: small hosts
+    keep everything, big hosts are throttled to one common waterline.
+    → (key, n_docs, quota).  Integer-exact end to end.
+
+    Scale shape: one keys-sized ``groupby.count``; the waterline
+    depends only on the MULTISET of counts, so it is solved on a
+    counts-of-counts histogram (``max_distinct`` guards the driver
+    gather — distinct count VALUES, not keys, the ``grouped_median``
+    bound) with a vectorized binary search; quotas are one streaming
+    map over the per-key counts with the scalar L in the closure."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    counts = (ds.groupby(key_column)
+                .aggregate(Count(alias_name="n_docs"))).materialize()
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["n_docs"]).group_by(["n_docs"])
+              .aggregate([("n_docs", "count")]))
+        return g.rename_columns(["v", "pm"])
+
+    hist = (counts.map_batches(hist_partial, batch_format="pyarrow")
+                  .groupby("v").aggregate(Sum("pm", alias_name="m")))
+    rows = hist.take_all()
+    if not rows:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            out_key: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64())}))
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"{len(rows)} distinct count values exceed max_distinct="
+            f"{max_distinct}; bin counts upstream")
+    v = np.array([r["v"] for r in rows], np.int64)
+    m = np.array([r["m"] for r in rows], np.int64)
+    order = np.argsort(v)
+    v, m = v[order], m[order]
+    mv_prefix = np.r_[0, np.cumsum(m * v)]   # Σ m_j v_j for v_j <= x
+    m_prefix = np.r_[0, np.cumsum(m)]
+    total_keys = int(m_prefix[-1])
+
+    def used(level: int) -> int:
+        i = int(np.searchsorted(v, level, side="right"))
+        return int(mv_prefix[i] + (total_keys - m_prefix[i]) * level)
+
+    lo, hi = 0, int(v[-1])
+    while lo < hi:  # largest L with used(L) <= budget; used is monotone
+        mid = (lo + hi + 1) // 2
+        if used(mid) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    level = lo
+
+    def quotas(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n_docs")
+        return pa.table({out_key: b.column(key_column),
+                         "n_docs": n,
+                         "quota": pc.min_element_wise(
+                             pc.cast(n, pa.int64()),
+                             pa.scalar(level, pa.int64()))})
+
+    return counts.map_batches(quotas, batch_format="pyarrow")

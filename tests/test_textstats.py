@@ -406,3 +406,32 @@ def test_grouped_linear_fit_known_lines(ray_session):
     assert pd.isna(out.loc["c", "slope"])
     assert pd.isna(out.loc["c", "intercept"])
     assert int(out.loc["c", "n"]) == 2
+
+
+def test_crawl_budget_waterline(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import crawl_budget
+
+    # counts: a=1, b=3, c=6, d=10; budget 12 -> used(4)=1+3+4+4=12 OK,
+    # used(5)=1+3+5+5=14 > 12, so L=4: quotas 1,3,4,4
+    rows = ([{"h": "a"}] * 1 + [{"h": "b"}] * 3
+            + [{"h": "c"}] * 6 + [{"h": "d"}] * 10)
+    out = (crawl_budget(dataset_from_items(rows), "h", budget=12,
+                        out_key="h")
+           .to_pandas().set_index("h"))
+    assert out["quota"].to_dict() == {"a": 1, "b": 3, "c": 4, "d": 4}
+    assert out["n_docs"].to_dict() == {"a": 1, "b": 3, "c": 6, "d": 10}
+
+
+def test_crawl_budget_unconstrained_and_zero(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import crawl_budget
+
+    rows = [{"h": "a"}] * 2 + [{"h": "b"}] * 5
+    ds = dataset_from_items(rows)
+    full = crawl_budget(ds, "h", budget=100, out_key="h").to_pandas()
+    assert full.set_index("h")["quota"].to_dict() == {"a": 2, "b": 5}
+    none = crawl_budget(ds, "h", budget=0, out_key="h").to_pandas()
+    assert none["quota"].tolist() == [0, 0]
