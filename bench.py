@@ -711,6 +711,36 @@ def run_bench() -> dict:
     queries["semdedup"] = round(time.perf_counter() - t0, 3)
     assert 0 < n_sem < emb20.count()
 
+    # --- graph analytics (r4-cont-4): per-node triangles via the
+    # degree-oriented wedge join, then 3-round k-core peeling ---------
+    t0 = time.perf_counter()
+    n_tri = _entry.q_triangle_counts(SF_DIR).count()
+    queries["triangle_counts"] = round(time.perf_counter() - t0, 3)
+    assert n_tri > 0
+    t0 = time.perf_counter()
+    n_core = _entry.q_kcore(SF_DIR).count()
+    queries["kcore"] = round(time.perf_counter() - t0, 3)
+    assert n_core > 0
+
+    # --- exact distance-1 fuzzy join over customer names --------------
+    t0 = time.perf_counter()
+    n_fz = _entry.q_editdist_pairs(SF_DIR).count()
+    queries["editdist_pairs"] = round(time.perf_counter() - t0, 3)
+    assert n_fz > 0
+
+    # --- margin-based bitext mining across the embedding halves -------
+    t0 = time.perf_counter()
+    n_bt = _entry.q_bitext_mine(SF_DIR).count()
+    queries["bitext_mine"] = round(time.perf_counter() - t0, 3)
+    assert n_bt > 0
+
+    # --- event-stream analytics: Markov transitions + ordered funnel --
+    t0 = time.perf_counter()
+    n_et = _entry.q_event_transitions(SF_DIR).count()
+    n_fu = _entry.q_funnel(SF_DIR).count()
+    queries["event_analytics"] = round(time.perf_counter() - t0, 3)
+    assert n_et > 0 and n_fu == 3
+
     ray.shutdown()
     return {
         "metric": "end-to-end extraction seconds over replicated pages corpus "
