@@ -737,6 +737,20 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_burst_scores(sf_dir: str):
+    """Per-event-type hourly burst z-scores over the event stream —
+    every observed (type, hour) cell scored against its type's mean
+    via exact integer moments; the spike/anomaly feed a crawl-health
+    monitor thresholds."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import burst_scores
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return burst_scores(ev)
+
+
 def q_crawl_budget(sf_dir: str):
     """Water-filling crawl budget over a skew-synthesized host
     distribution (host k owns the doc_ids in [k², (k+1)²) — linear
@@ -3406,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "url_templates": q_url_templates,
         "crawl_budget": q_crawl_budget,
+        "burst_scores": q_burst_scores,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4557,6 +4572,26 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        # z from the same three integer moments; population variance,
+        # observed cells only, NULL for degenerate types
+        "burst_scores": """
+WITH c AS MATERIALIZED (
+  SELECT event_type AS type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT type, count(*)::BIGINT AS k, sum(n)::BIGINT AS s1,
+         sum(n * n)::BIGINT AS s2
+  FROM c GROUP BY type
+)
+SELECT c.type, c.bucket, c.n,
+       CASE WHEN (m.k * m.s2 - m.s1 * m.s1) > 0
+            THEN round((c.n * m.k - m.s1)::DOUBLE
+                       / sqrt((m.k * m.s2 - m.s1 * m.s1)::DOUBLE), 6)
+            ELSE NULL END AS z
+FROM c JOIN m ON m.type = c.type
+""",
         # waterline twin: the largest level with Σ min(cnt, L) ≤ B,
         # found by exhaustive candidate levels over the count histogram
         # (CROSS JOIN, not a correlated subquery — DuckDB binding)

@@ -537,3 +537,81 @@ def cohort_retention(ds, user_column: str = "user_id",
     return (joined.map_batches(offsets, batch_format="pyarrow")
                   .groupby(["cohort_week", "week_offset"])
                   .aggregate(Count(alias_name="n_users")))
+
+def burst_scores(ds, type_column: str = "event_type",
+                 ts_column: str = "ts", *, bucket_seconds: int = 3600,
+                 num_buckets: int = 64, digits: int = 6):
+    """Kleinberg-lite burst detection: ``(type, bucket, n, z)`` — every
+    observed (event-type, time-bucket) cell scored by how many
+    population standard deviations its count sits from ITS TYPE's mean
+    over observed cells:
+
+        z = (n·k − Σn) / sqrt(k·Σn² − (Σn)²)
+
+    (k = the type's observed-cell count).  The spike/anomaly signal a
+    crawl-health or abuse pipeline thresholds; all cells are emitted so
+    the caller picks the cutoff.  Degenerate types (one cell or zero
+    variance) get NULL z.
+
+    Exactness: cell counts and the three moments are exact int64, so
+    both engines evaluate the same float expression on the same
+    integers (the grouped_corr rule).  Scale shape: per-batch
+    (type, bucket) Arrow count partials → one cells-sized
+    ``groupby.sum`` → hash(type)-coarse buckets where moments and z are
+    one sorted run-length reduceat pass — no second exchange, no join,
+    nothing type- or cell-shaped on the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    bucket_us = np.int64(bucket_seconds) * 1_000_000
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        ts_arr = b.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        hour = ts_arr.cast(pa.int64()).to_numpy() // bucket_us
+        t = pa.table({"type": b.column(type_column),
+                      "bucket": pa.array(hour, pa.int64())})
+        g = t.group_by(["type", "bucket"]).aggregate(
+            [("bucket", "count")])
+        return g.rename_columns(["type", "bucket", "pn"])
+
+    cells = (ds.map_batches(cell_partial, batch_format="pyarrow")
+               .groupby(["type", "bucket"])
+               .aggregate(Sum("pn", alias_name="n")))
+
+    def type_bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % num_buckets
+              for v in b.column("type").to_pylist()]
+        return b.append_column("__tb", pa.array(hs, pa.int64()))
+
+    def score(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("type", "ascending"),
+                                              ("bucket", "ascending")])
+        g = g.take(order)
+        ty = g.column("type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = pc.fill_null(pc.not_equal(ty.slice(1),
+                                       ty.slice(0, len(ty) - 1)), True)
+        new_run = np.r_[True, ne.to_numpy(zero_copy_only=False)]
+        starts = np.flatnonzero(new_run)
+        runlen = np.diff(np.r_[starts, len(n)])
+        k = np.repeat(runlen, runlen).astype(np.int64)
+        s1 = np.repeat(np.add.reduceat(n, starts), runlen)
+        s2 = np.repeat(np.add.reduceat(n * n, starts), runlen)
+        var_num = (k * s2 - s1 * s1).astype(np.float64)
+        ok = var_num > 0
+        z = np.divide((n * k - s1).astype(np.float64), np.sqrt(var_num),
+                      out=np.full(len(n), np.nan), where=ok)
+        vals = [round(float(v), digits) if m else None
+                for v, m in zip(z, ok)]
+        return pa.table({"type": ty, "bucket": g.column("bucket"),
+                         "n": pa.array(n),
+                         "z": pa.array(vals, pa.float64())})
+
+    return (cells.map_batches(type_bucket, batch_format="pyarrow")
+                 .groupby("__tb")
+                 .map_groups(score, batch_format="pyarrow"))

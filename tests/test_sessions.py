@@ -241,3 +241,38 @@ def test_cohort_retention_multi_cohort(ray_session):
            .to_dict())
     assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1}
+
+
+def test_burst_scores_hand_counts(ray_session):
+    import math
+
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import burst_scores
+
+    import pyarrow as pa
+
+    H = 3600 * 1_000_000
+    # type 'a': hourly counts 1, 1, 4 (hour 2 bursts);
+    # type 'b': a single cell -> zero variance -> NULL z
+    rows = ([{"event_type": "a", "ts": 0 * H + i} for i in range(1)]
+            + [{"event_type": "a", "ts": 1 * H + i} for i in range(1)]
+            + [{"event_type": "a", "ts": 2 * H + i} for i in range(4)]
+            + [{"event_type": "b", "ts": 5 * H}])
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (burst_scores(ds, num_buckets=4).to_pandas()
+           .set_index(["type", "bucket"]))
+    # k=3, s1=6, s2=18: z = (n*3 - 6)/sqrt(3*18 - 36) = (3n-6)/sqrt(18)
+    z4 = round((4 * 3 - 6) / math.sqrt(18), 6)
+    z1 = round((1 * 3 - 6) / math.sqrt(18), 6)
+    assert out.loc[("a", 2), "z"] == z4
+    assert out.loc[("a", 0), "z"] == z1
+    assert out.loc[("a", 1), "z"] == z1
+    assert pd.isna(out.loc[("b", 5), "z"])
+    assert int(out.loc[("a", 2), "n"]) == 4
