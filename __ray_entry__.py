@@ -980,6 +980,58 @@ def q_triangle_counts(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_label_propagation(sf_dir: str):
+    """Seeded majority label propagation: every 10th supplier is
+    clamped to its nation label, 3 synchronous rounds spread labels
+    over the high-quantity co-purchase graph — the semi-supervised
+    spam/topic spreader, majority-vote sibling of
+    connected_components."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.graph import label_propagation
+
+    def hot(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.greater_equal(b.column("l_quantity"), 45))
+                 .select(["l_orderkey", "l_suppkey"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    ).map_batches(hot, batch_format="pyarrow")
+    right = li.map_batches(
+        lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
+        batch_format="pyarrow")
+    pairs = li.join(right, "inner", _join_partitions(16),
+                    on=("l_orderkey",), right_on=("r_orderkey",))
+    edges = pairs.map_batches(
+        lambda b: pa.table({"src": b.column("l_suppkey"),
+                            "dst": b.column("r_suppkey")}),
+        batch_format="pyarrow")
+
+    def seed(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(k % 10 == 0))
+        lab = pa.array(
+            ["n" + str(x)
+             for x in keep.column("s_nationkey").to_pylist()],
+            pa.string())
+        return pa.table({"node": keep.column("s_suppkey"),
+                         "label": lab})
+
+    seeds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(seed, batch_format="pyarrow")
+    return label_propagation(edges, seeds, rounds=3)
+
+
 def q_clustering_coef(sf_dir: str):
     """Local clustering coefficient per supplier over the same
     high-quantity co-purchase graph: 2T/(d(d−1)) from the shared
@@ -3411,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "clustering_coef": q_clustering_coef,
+        "label_propagation": q_label_propagation,
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
         "bitext_mine": q_bitext_mine,
@@ -3773,6 +3826,41 @@ WHERE NOT EXISTS (
   WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(u.v, w.v), 4) >= {tau})
 """
+
+
+def _labelprop_sql(rounds: int = 3) -> str:
+    """Unrolled twin of :func:`llm_food_ray.stages.graph
+    .label_propagation` on the supplier co-purchase graph: per round
+    one label-attach join, a (node, label) count, a (n DESC, label)
+    window argmax, and a seed-clamped union."""
+    parts = ["""WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey::BIGINT AS u, b.l_suppkey::BIGINT AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), seeds AS MATERIALIZED (
+  SELECT s_suppkey::BIGINT AS node, 'n' || s_nationkey AS label
+  FROM supplier WHERE s_suppkey % 10 = 0
+), l0 AS MATERIALIZED (SELECT node, label FROM seeds)"""]
+    for r in range(rounds):
+        parts.append(f""", c{r} AS MATERIALIZED (
+  SELECT e.v AS node, l.label, count(*)::BIGINT AS n
+  FROM e JOIN l{r} l ON l.node = e.u GROUP BY 1, 2
+), a{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1
+), l{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT a.node, a.label FROM a{r} a
+  WHERE a.node NOT IN (SELECT node FROM seeds)
+)""")
+    parts.append(f"\nSELECT node, label FROM l{rounds}")
+    return "".join(parts)
 
 
 def _kcore_sql(k: int = 5, rounds: int = 3) -> str:
@@ -4572,6 +4660,7 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
+        "label_propagation": _labelprop_sql(rounds=3),
         # z from the same three integer moments; population variance,
         # observed cells only, NULL for degenerate types
         "burst_scores": """

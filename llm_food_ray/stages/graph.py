@@ -842,3 +842,128 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
             return rd.from_arrow(empty)
 
     return degrees(ecur)
+
+def label_propagation(edges, seeds, *, src: str = "src",
+                      dst: str = "dst", node_column: str = "node",
+                      label_column: str = "label", rounds: int = 3,
+                      num_buckets: int = 64):
+    """Seeded majority label propagation (semi-supervised node
+    classification): seed nodes are CLAMPED to their label; every
+    round, each other node takes the MAJORITY label among its
+    currently-labeled neighbors (ties → lexicographically smallest
+    label); nodes with no labeled neighbor stay unlabeled.  → (node,
+    label) after exactly ``rounds`` synchronous rounds — the
+    topic/spam/language spreader over a similarity or link graph, and
+    the majority-vote sibling of ``connected_components``' min-label
+    rule.
+
+    Scale shape: the edge list is expanded to both directions once and
+    materialized; each round is (1) one hash join attaching labels to
+    edge sources, (2) one (node, label)-keyed count ``groupby.sum``,
+    (3) a hash(node)-coarse-bucketed vectorized argmax (sort by
+    (node, n desc, label asc), run-length first-row take — the
+    ``grouped_mode`` pattern), and (4) a priority union with the seed
+    set (seed rows win) resolved the same bucketed way — fully
+    distributed, NO seed-size or label-vocabulary assumption, nothing
+    graph-shaped on the driver.  Deterministic by construction."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    def expand(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(src), pa.int64())
+        d = pc.cast(b.column(dst), pa.int64())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        u = pa.concat_arrays([s, d])
+        v = pa.concat_arrays([d, s])
+        t = pa.table({"u": u, "v": v}).filter(pc.not_equal(u, v))
+        return t.group_by(["u", "v"]).aggregate([])
+
+    und = (edges.map_batches(expand, batch_format="pyarrow")
+                .groupby(["u", "v"]).count()
+                .map_batches(lambda b: b.select(["u", "v"]),
+                             batch_format="pyarrow")).materialize()
+    und = _nonempty_blocks(und)
+    empty = pa.table({node_column: pa.array([], pa.int64()),
+                      label_column: pa.array([], pa.string())})
+
+    def seed_norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            node_column: pc.cast(b.column(node_column), pa.int64()),
+            label_column: pc.cast(b.column(label_column), pa.string()),
+        })
+
+    seeds_n = seeds.map_batches(seed_norm,
+                                batch_format="pyarrow").materialize()
+    seeds_n = _nonempty_blocks(seeds_n)
+    if seeds_n is None:
+        return rd.from_arrow(empty)
+    if und is None:
+        return seeds_n
+
+    nparts = _join_partitions(16)
+
+    def node_bucket(b: pa.Table, col: str) -> pa.Table:
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) \
+            % np.uint64(num_buckets)
+        return b.append_column("__pb", pa.array(pb.astype(np.int64)))
+
+    def bucket_argmax(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(node_column, "ascending"),
+                          ("__n", "descending"),
+                          (label_column, "ascending")])
+        g = g.take(order)
+        nd = g.column(node_column).to_numpy(zero_copy_only=False)
+        first = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
+        keep = g.take(pa.array(first))
+        return keep.select([node_column, label_column])
+
+    labels = seeds_n
+    for _ in range(rounds):
+        contrib = und.join(labels, "inner", nparts,
+                           on=("u",), right_on=(node_column,))
+        counts = (contrib.map_batches(
+            lambda b: pa.table({node_column: b.column("v"),
+                                label_column: b.column(label_column),
+                                "pn": pa.array(
+                                    np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+            .groupby([node_column, label_column])
+            .aggregate(Sum("pn", alias_name="__n")))
+        winners = (counts.map_batches(
+            lambda b: node_bucket(b, node_column),
+            batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(bucket_argmax, batch_format="pyarrow"))
+        # priority union: seed rows carry __n=1, propagated rows 0, and
+        # the (__n desc) argmax resolve lets seeds win per node — same
+        # bucketed machinery, no seed-size assumption
+        merged = (seeds_n.map_batches(
+            lambda b: b.append_column(
+                "__n", pa.array(np.zeros(b.num_rows, np.int64) + 1)),
+            batch_format="pyarrow")
+            .union(winners.map_batches(
+                lambda b: b.append_column(
+                    "__n", pa.array(np.zeros(b.num_rows, np.int64))),
+                batch_format="pyarrow")))
+        labels = (merged.map_batches(
+            lambda b: node_bucket(b, node_column),
+            batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(bucket_argmax, batch_format="pyarrow")
+        ).materialize()
+        labels = _nonempty_blocks(labels)
+        if labels is None:
+            return rd.from_arrow(empty)
+
+    return labels

@@ -321,3 +321,26 @@ def test_clustering_coefficients_triangle_free(ray_session):
     out = clustering_coefficients(ds).to_pandas().set_index("node")
     assert out.loc[0, "coef"] == 0.0
     assert all(pd.isna(out.loc[i, "coef"]) for i in (1, 2, 3))
+
+
+def test_label_propagation_majority_ties_and_clamping(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (3, 5), (3, 4), (4, 5), (1, 5), (9, 10)]
+    seeds = [{"node": 1, "label": "a"}, {"node": 5, "label": "b"}]
+    ds_e = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    ds_s = dataset_from_items(seeds)
+
+    # round 1: 2<-a (only nbr 1); 3 ties a/b -> a; 4<-b (only nbr 5);
+    # seeds stay clamped despite opposite-label neighbors
+    r1 = (label_propagation(ds_e, ds_s, rounds=1, num_buckets=4)
+          .to_pandas().set_index("node")["label"].to_dict())
+    assert r1 == {1: "a", 5: "b", 2: "a", 3: "a", 4: "b"}
+
+    # round 2 (synchronous): 3 now sees a(1) vs b(4,5) -> b;
+    # 4 sees a(3) vs b(5) -> tie -> a; the 9-10 island stays unlabeled
+    r2 = (label_propagation(ds_e, ds_s, rounds=2, num_buckets=4)
+          .to_pandas().set_index("node")["label"].to_dict())
+    assert r2 == {1: "a", 5: "b", 2: "a", 3: "b", 4: "a"}
