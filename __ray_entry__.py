@@ -150,6 +150,26 @@ def q_extract_auto(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_extract_files(sf_dir: str):
+    """Directory-of-files ingestion → the SAME extraction pipeline as
+    the crawl path (the reference's batch file-upload surface,
+    llm_food/app.py, Ray-Data-first): deterministic file corpus on
+    disk → `ray.data.read_binary_files` → content-type dispatch →
+    markdown.  Keys are file://doc{id}, so the synthesis-parity oracle
+    is extract_auto's with a file URL."""
+    import os
+
+    from llm_food_ray.sources.files import (pages_from_files,
+                                            write_file_corpus)
+
+    out_dir = ("/tmp/llm_food_ray_files_"
+               + os.path.basename(os.path.normpath(sf_dir)))
+    write_file_corpus(sf_dir, out_dir)
+    ds = extract_dataset(pages_from_files(out_dir), _AUTO,
+                         whale_leg=False)
+    return ds.select_columns(["url", "doc_type", "status", "markdown"])
+
+
 def q_extract_hash(sf_dir: str):
     """M11: sha256 content hash (html + text rows — PDF bytes are not
     reconstructible in SQL)."""
@@ -3474,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": q_url_templates,
         "crawl_budget": q_crawl_budget,
         "burst_scores": q_burst_scores,
+        "extract_files": q_extract_files,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4319,6 +4340,13 @@ FROM g
         "extract_auto": (
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "
             f"{_STATUS_SQL} AS status, ({auto_md}) AS markdown FROM documents AS d2"
+        ),
+        # the file-ingestion twin: identical payload rules, file:// keys
+        "extract_files": (
+            f"SELECT 'file://doc' || doc_id AS url, "
+            f"{_DOC_TYPE_SQL} AS doc_type, "
+            f"{_STATUS_SQL} AS status, ({auto_md}) AS markdown "
+            f"FROM documents AS d2"
         ),
         "extract_hash": f"""
 SELECT {_URL} AS url,

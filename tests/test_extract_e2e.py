@@ -363,3 +363,36 @@ def test_concurrent_groups_match_serial(ray_session, pages_parquet, tmp_path):
     assert list(a.index) == list(b.index)
     assert (a["markdown"] == b["markdown"]).all()
     assert (a["content_hash"] == b["content_hash"]).all()
+
+
+def test_file_corpus_roundtrip_matches_pages_path(ray_session, tmp_path):
+    """files → read_binary_files → extract must equal the synthesized
+    pages path row-for-row (urls aside): same statuses, same markdown."""
+    from llm_food_ray.config import ExtractConfig
+    from llm_food_ray.sources.files import (pages_from_files,
+                                            write_file_corpus)
+    from llm_food_ray.sources.pages import pages_dataset
+    from llm_food_ray.pipelines.extract import extract_dataset
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    n = write_file_corpus(sf, out)
+    assert n == 500
+    # idempotent second call (manifest hit)
+    assert write_file_corpus(sf, out) == 500
+
+    cfg = ExtractConfig(pdf_backend="auto")
+    via_files = (extract_dataset(pages_from_files(out), cfg,
+                                 whale_leg=False)
+                 .select_columns(["url", "status", "markdown"])
+                 .to_pandas())
+    via_pages = (extract_dataset(pages_dataset(sf), cfg,
+                                 whale_leg=False)
+                 .select_columns(["url", "status", "markdown"])
+                 .to_pandas())
+    via_files["doc"] = via_files.url.str.extract(r"doc(\d+)").astype(int)
+    via_pages["doc"] = via_pages.url.str.extract(r"/doc/(\d+)").astype(int)
+    a = via_files.sort_values("doc").reset_index(drop=True)
+    b = via_pages.sort_values("doc").reset_index(drop=True)
+    assert a["status"].tolist() == b["status"].tolist()
+    assert a["markdown"].tolist() == b["markdown"].tolist()
