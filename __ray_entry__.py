@@ -170,6 +170,35 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL source leg: documents round-trip through
+    `write_json` → `read_json` and a per-lang rollup proves every
+    field survived — the vendor-drop ingestion format."""
+    from ray.data.aggregate import Count, Sum
+
+    from llm_food_ray.sources.files import jsonl_documents
+
+    return (jsonl_documents(sf_dir)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"),
+                       Sum("doc_id", alias_name="id_sum")))
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV source leg: the scalar columns round-trip through
+    `write_csv` → `read_csv` with a per-source rollup check."""
+    from ray.data.aggregate import Count, Sum
+
+    from llm_food_ray.sources.files import csv_documents
+
+    return (csv_documents(sf_dir)
+            .groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"),
+                       Sum("doc_id", alias_name="id_sum")))
+
+
 def q_extract_hash(sf_dir: str):
     """M11: sha256 content hash (html + text rows — PDF bytes are not
     reconstructible in SQL)."""
@@ -3495,6 +3524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": q_crawl_budget,
         "burst_scores": q_burst_scores,
         "extract_files": q_extract_files,
+        "jsonl_ingest": q_jsonl_ingest,
+        "csv_ingest": q_csv_ingest,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4341,6 +4372,19 @@ FROM g
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "
             f"{_STATUS_SQL} AS status, ({auto_md}) AS markdown FROM documents AS d2"
         ),
+        # format round-trip twins: the rollup over the parquet truth
+        "jsonl_ingest": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(doc_id)::BIGINT AS id_sum
+FROM documents GROUP BY lang
+""",
+        "csv_ingest": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(doc_id)::BIGINT AS id_sum
+FROM documents GROUP BY source
+""",
         # the file-ingestion twin: identical payload rules, file:// keys
         "extract_files": (
             f"SELECT 'file://doc' || doc_id AS url, "

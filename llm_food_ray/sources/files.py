@@ -101,3 +101,51 @@ def pages_from_files(dir_path: str):
         })
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import re
+
+    stem = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    return f"/tmp/llm_food_ray_{fmt}_{stem}"
+
+
+def jsonl_documents(sf_dir: str):
+    """documents → JSONL on disk (once, idempotent) → streamed back via
+    ``ray.data.read_json`` — the JSONL ingestion path every LLM-data
+    vendor drop arrives through, exercised end to end against the
+    parquet truth."""
+    import os
+
+    import ray.data as rd
+
+    out = _roundtrip_dir(sf_dir, "jsonl")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        rd.read_parquet(f"{sf_dir}/documents.parquet").write_json(out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return rd.read_json(
+        [os.path.join(out, p) for p in sorted(os.listdir(out))
+         if p.endswith(".json")])
+
+
+def csv_documents(sf_dir: str):
+    """documents (scalar columns) → CSV on disk (once) → streamed back
+    via ``ray.data.read_csv`` — the CSV source leg.  Free-text columns
+    stay out of the CSV on purpose (typed scalar interchange is what
+    CSV drops carry; documents ride JSONL/parquet)."""
+    import os
+
+    import ray.data as rd
+
+    out = _roundtrip_dir(sf_dir, "csv")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+           .write_csv(out))
+        with open(done, "w") as f:
+            f.write("ok")
+    return rd.read_csv(
+        [os.path.join(out, p) for p in sorted(os.listdir(out))
+         if p.endswith(".csv")])
