@@ -800,6 +800,59 @@ def q_burst_scores(sf_dir: str):
     return burst_scores(ev)
 
 
+def q_robots_policy(sf_dir: str):
+    """robots.txt-style longest-prefix policy over the synthesized URL
+    corpus: every host disallows /static/, every 3rd host disallows
+    /p/, every even host re-allows /p/1… — RFC 9309 precedence (the
+    longest matching rule wins), resolved distributed."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.webfilter import longest_prefix_policy
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for d in ids:
+            hosts.append(f"site{d % 10}.example.com")
+            kind = d % 4
+            if kind == 0:
+                p = f"/articles/{d}/comments"
+            elif kind == 1:
+                p = f"/p/{d * 7 % 1000}/view"
+            elif kind == 2:
+                p = f"/users/u{d % 50}/posts/{d}"
+            else:
+                p = f"/static/img_{d}.png"
+            paths.append(p)
+        host = pa.array(hosts, pa.string())
+        path = pa.array(paths, pa.string())
+        url = pc.binary_join_element_wise(host, path, "")
+        return pa.table({"url": url, "host": host, "path": path})
+
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    rh, rp, ra = [], [], []
+    for k in range(10):
+        rh.append(f"site{k}.example.com")
+        rp.append("/static/")
+        ra.append(False)
+        if k % 3 == 0:
+            rh.append(f"site{k}.example.com")
+            rp.append("/p/")
+            ra.append(False)
+        if k % 2 == 0:
+            rh.append(f"site{k}.example.com")
+            rp.append("/p/1")
+            ra.append(True)
+    rules = rd.from_arrow(pa.table({
+        "host": pa.array(rh, pa.string()),
+        "prefix": pa.array(rp, pa.string()),
+        "allow": pa.array(ra, pa.bool_())}))
+    return longest_prefix_policy(urls, rules)
+
+
 def q_crawl_budget(sf_dir: str):
     """Water-filling crawl budget over a skew-synthesized host
     distribution (host k owns the doc_ids in [k², (k+1)²) — linear
@@ -3526,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
+        "robots_policy": q_robots_policy,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4752,6 +4806,46 @@ SELECT c.type, c.bucket, c.n,
                        / sqrt((m.k * m.s2 - m.s1 * m.s1)::DOUBLE), 6)
             ELSE NULL END AS z
 FROM c JOIN m ON m.type = c.type
+""",
+        # RFC 9309 precedence twin: longest matching prefix wins,
+        # (prefix, allow) breaks equal-length ties, default allow
+        "robots_policy": """
+WITH u AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 10) || '.example.com' AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || doc_id || '/comments'
+           WHEN 1 THEN '/p/' || (doc_id * 7 % 1000) || '/view'
+           WHEN 2 THEN '/users/u' || (doc_id % 50) || '/posts/'
+                       || doc_id
+           ELSE '/static/img_' || doc_id || '.png'
+         END AS path
+  FROM documents
+), uu AS MATERIALIZED (
+  SELECT host || path AS url, host, path FROM u
+), r AS MATERIALIZED (
+  SELECT 'site' || k || '.example.com' AS host,
+         '/static/' AS prefix, FALSE AS allow
+  FROM range(0, 10) t(k)
+  UNION ALL
+  SELECT 'site' || k || '.example.com', '/p/', FALSE
+  FROM range(0, 10) t(k) WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'site' || k || '.example.com', '/p/1', TRUE
+  FROM range(0, 10) t(k) WHERE k % 2 = 0
+), m AS MATERIALIZED (
+  SELECT uu.url, r.prefix, r.allow, length(r.prefix) AS plen
+  FROM uu JOIN r ON r.host = uu.host
+                AND starts_with(uu.path, r.prefix)
+), w AS MATERIALIZED (
+  SELECT url, allow, prefix FROM (
+    SELECT url, allow, prefix,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY plen DESC, prefix, allow) AS rn
+    FROM m) WHERE rn = 1
+)
+SELECT uu.url, COALESCE(w.allow, TRUE) AS allowed,
+       COALESCE(w.prefix, '') AS rule
+FROM uu LEFT JOIN w ON w.url = uu.url
 """,
         # waterline twin: the largest level with Σ min(cnt, L) ≤ B,
         # found by exhaustive candidate levels over the count histogram

@@ -58,3 +58,113 @@ def filter_blocked_hosts(ds, host_column: str, *, blocked,
         return batch.filter(keep)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+def longest_prefix_policy(urls, rules, *, url_column: str = "url",
+                          host_column: str = "host",
+                          path_column: str = "path",
+                          default_allow: bool = True,
+                          num_buckets: int = 64):
+    """robots.txt-style path policy resolution: every URL is decided by
+    the LONGEST matching rule prefix among its host's rules (the RFC
+    9309 precedence rule — an `Allow: /p/public` overrides a broader
+    `Disallow: /p/`), falling back to ``default_allow`` when nothing
+    matches.  → (url, allowed, rule) with ``rule`` the winning prefix
+    ('' for the default).
+
+    Scale shape: rules are host-scoped, so ONE hash join on host fans
+    each URL out to only ITS host's rules (rules-per-host-bounded,
+    never corpus × rules); the startswith check runs per candidate row
+    (candidates only — the asymptotically small set); the winner per
+    URL resolves inside hash(url)-coarse buckets via the sorted
+    run-length first-row take; one LEFT OUTER join fills defaults.
+    Ties at equal prefix length break deterministically by (prefix,
+    allow) order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    nparts = _join_partitions(16)
+    urls_m = _nonempty_blocks(urls.materialize())
+    empty = pa.table({url_column: pa.array([], pa.string()),
+                      "allowed": pa.array([], pa.bool_()),
+                      "rule": pa.array([], pa.string())})
+    if urls_m is None:
+        return rd.from_arrow(empty)
+    rules_m = _nonempty_blocks(rules.materialize())
+    if rules_m is None:
+        return urls_m.map_batches(
+            lambda b: pa.table({
+                url_column: b.column(url_column),
+                "allowed": pa.array([default_allow] * b.num_rows),
+                "rule": pa.array([""] * b.num_rows, pa.string()),
+            }), batch_format="pyarrow")
+
+    cand = urls_m.join(rules_m, "inner", nparts, on=(host_column,))
+
+    def match(b: pa.Table) -> pa.Table:
+        paths = b.column(path_column).to_pylist()
+        prefixes = b.column("prefix").to_pylist()
+        keep = pa.array([p.startswith(r) for p, r in
+                         zip(paths, prefixes)])
+        t = b.filter(keep)
+        plen = pc.utf8_length(t.column("prefix"))
+        return pa.table({url_column: t.column(url_column),
+                         "prefix": t.column("prefix"),
+                         "allow": t.column("allow"),
+                         "plen": pc.cast(plen, pa.int64())})
+
+    matched = (cand.map_batches(match, batch_format="pyarrow")
+               ).materialize()
+    matched = _nonempty_blocks(matched)
+    if matched is None:
+        winners = None
+    else:
+        def bucket(b: pa.Table) -> pa.Table:
+            hs = [stable_hash64(u) % num_buckets
+                  for u in b.column(url_column).to_pylist()]
+            return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+        def resolve(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(
+                g, sort_keys=[(url_column, "ascending"),
+                              ("plen", "descending"),
+                              ("prefix", "ascending"),
+                              ("allow", "ascending")])
+            g = g.take(order)
+            u = g.column(url_column).to_numpy(zero_copy_only=False)
+            first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            keep = g.take(pa.array(first))
+            return pa.table({url_column: keep.column(url_column),
+                             "w_allow": keep.column("allow"),
+                             "w_rule": keep.column("prefix")})
+
+        winners = (matched.map_batches(bucket, batch_format="pyarrow")
+                   .groupby("__pb")
+                   .map_groups(resolve, batch_format="pyarrow")
+                   ).materialize()
+        winners = _nonempty_blocks(winners)
+
+    if winners is None:
+        return urls_m.map_batches(
+            lambda b: pa.table({
+                url_column: b.column(url_column),
+                "allowed": pa.array([default_allow] * b.num_rows),
+                "rule": pa.array([""] * b.num_rows, pa.string()),
+            }), batch_format="pyarrow")
+
+    joined = urls_m.join(winners, "left_outer", nparts,
+                         on=(url_column,))
+
+    def finish(b: pa.Table) -> pa.Table:
+        allow = pc.fill_null(pc.cast(b.column("w_allow"), pa.bool_()),
+                             default_allow)
+        rule = pc.fill_null(pc.cast(b.column("w_rule"), pa.string()),
+                            "")
+        return pa.table({url_column: b.column(url_column),
+                         "allowed": allow, "rule": rule})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -572,3 +572,55 @@ def test_oov_rate_counts_rare_tokens(ray_session):
     assert out[2] == (4, 0.0)
     assert out[3] == (3, 1.0)
     assert out[4] == (0, 0.0)
+
+
+def test_longest_prefix_policy_precedence(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.webfilter import longest_prefix_policy
+
+    urls = [
+        {"url": "h1/p/10/x", "host": "h1", "path": "/p/10/x"},
+        {"url": "h1/p/20/x", "host": "h1", "path": "/p/20/x"},
+        {"url": "h1/q", "host": "h1", "path": "/q"},
+        {"url": "h2/p/10/x", "host": "h2", "path": "/p/10/x"},
+    ]
+    rules = [
+        {"host": "h1", "prefix": "/p/", "allow": False},
+        {"host": "h1", "prefix": "/p/1", "allow": True},
+        # h2 has no rules at all
+    ]
+    out = (longest_prefix_policy(dataset_from_items(urls),
+                                 dataset_from_items(rules))
+           .to_pandas().set_index("url"))
+    # /p/1 (len 4, allow) beats /p/ (len 3, deny) on h1
+    assert bool(out.loc["h1/p/10/x", "allowed"]) is True
+    assert out.loc["h1/p/10/x", "rule"] == "/p/1"
+    assert bool(out.loc["h1/p/20/x", "allowed"]) is False
+    assert out.loc["h1/p/20/x", "rule"] == "/p/"
+    # no matching rule -> default allow, empty rule
+    assert bool(out.loc["h1/q", "allowed"]) is True
+    assert out.loc["h1/q", "rule"] == ""
+    # rules are host-scoped: h1's rules never leak to h2
+    assert bool(out.loc["h2/p/10/x", "allowed"]) is True
+
+
+def test_longest_prefix_policy_no_rules(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.webfilter import longest_prefix_policy
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    urls = dataset_from_items(
+        [{"url": "h/x", "host": "h", "path": "/x"}])
+    rules = rd.from_arrow(pa.table({
+        "host": pa.array([], pa.string()),
+        "prefix": pa.array([], pa.string()),
+        "allow": pa.array([], pa.bool_())}))
+    out = longest_prefix_policy(urls, rules,
+                                default_allow=False).to_pandas()
+    assert out["allowed"].tolist() == [False]
+    assert out["rule"].tolist() == [""]
