@@ -853,6 +853,40 @@ def q_robots_policy(sf_dir: str):
     return longest_prefix_policy(urls, rules)
 
 
+def q_politeness_order(sf_dir: str):
+    """Round-robin crawl-frontier order over the synthesized URL
+    corpus: every host's k-th URL fetches before any host's (k+1)-th —
+    within-host ranks from one coarse exchange, the global interleave
+    from the distributed row_number primitive."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.webfilter import politeness_order
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for d in ids:
+            hosts.append(f"site{d % 10}.example.com")
+            kind = d % 4
+            if kind == 0:
+                p = f"/articles/{d}/comments"
+            elif kind == 1:
+                p = f"/p/{d * 7 % 1000}/view"
+            elif kind == 2:
+                p = f"/users/u{d % 50}/posts/{d}"
+            else:
+                p = f"/static/img_{d}.png"
+            paths.append(p)
+        host = pa.array(hosts, pa.string())
+        url = pc.binary_join_element_wise(
+            host, pa.array(paths, pa.string()), "")
+        return pa.table({"url": url, "host": host})
+
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return politeness_order(urls)
+
+
 def q_crawl_budget(sf_dir: str):
     """Water-filling crawl budget over a skew-synthesized host
     distribution (host k owns the doc_ids in [k², (k+1)²) — linear
@@ -3580,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
         "robots_policy": q_robots_policy,
+        "politeness_order": q_politeness_order,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4806,6 +4841,31 @@ SELECT c.type, c.bucket, c.n,
                        / sqrt((m.k * m.s2 - m.s1 * m.s1)::DOUBLE), 6)
             ELSE NULL END AS z
 FROM c JOIN m ON m.type = c.type
+""",
+        # two-level row_number twin: within-host rank, then the global
+        # (rank, host, url) interleave
+        "politeness_order": """
+WITH u AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 10) || '.example.com' AS host,
+         'site' || (doc_id % 10) || '.example.com' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || doc_id || '/comments'
+           WHEN 1 THEN '/p/' || (doc_id * 7 % 1000) || '/view'
+           WHEN 2 THEN '/users/u' || (doc_id % 50) || '/posts/'
+                       || doc_id
+           ELSE '/static/img_' || doc_id || '.png'
+         END AS url
+  FROM documents
+), r AS MATERIALIZED (
+  SELECT url, host,
+         (row_number() OVER (PARTITION BY host ORDER BY url)
+          - 1)::BIGINT AS host_rank
+  FROM u
+)
+SELECT url, host, host_rank,
+       (row_number() OVER (ORDER BY host_rank, host, url)
+        - 1)::BIGINT AS position
+FROM r
 """,
         # RFC 9309 precedence twin: longest matching prefix wins,
         # (prefix, allow) breaks equal-length ties, default allow

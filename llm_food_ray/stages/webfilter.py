@@ -168,3 +168,60 @@ def longest_prefix_policy(urls, rules, *, url_column: str = "url",
                          "allowed": allow, "rule": rule})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+def politeness_order(ds, host_column: str = "host",
+                     url_column: str = "url", *,
+                     num_buckets: int = 64):
+    """Crawl-frontier politeness scheduling: a deterministic GLOBAL
+    fetch order that round-robins across hosts — every host's first
+    URL before any host's second, and so on — so no host is hammered
+    by consecutive requests however skewed the frontier.  → (url,
+    host, host_rank, position).
+
+    Scale shape: within-host ranks come from ONE hash(host) coarse
+    exchange (in-bucket sort + run-length arange — the sessionize
+    sweep); the global interleave is the distributed row_number
+    primitive (``textstats.global_rank``) over a zero-padded packed
+    (host_rank, host) key — block summaries + a driver prefix sum over
+    BLOCKS, never rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+    from .textstats import global_rank
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(h)) % num_buckets
+              for h in b.column(host_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    def rank_in_host(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(host_column, "ascending"),
+                          (url_column, "ascending")])
+        g = g.take(order)
+        h = g.column(host_column).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        base = np.repeat(starts, np.diff(np.r_[starts, len(h)]))
+        rank = (np.arange(len(h)) - base).astype(np.int64)
+        # pack (rank, host) into one sortable key for the global pass
+        # (vectorized zero-pad: ranks are non-negative)
+        rk = pa.array(np.char.zfill(rank.astype("U"), 12))
+        hc = pc.cast(g.column(host_column), pa.string())
+        if isinstance(hc, pa.ChunkedArray):
+            hc = hc.combine_chunks()
+        key = pc.binary_join_element_wise(rk, hc, "|")
+        return pa.table({url_column: g.column(url_column),
+                         host_column: g.column(host_column),
+                         "host_rank": pa.array(rank),
+                         "__key": key})
+
+    ranked = (ds.map_batches(bucket, batch_format="pyarrow")
+                .groupby("__pb")
+                .map_groups(rank_in_host, batch_format="pyarrow"))
+    out = global_rank(ranked, "__key", tiebreak_column=url_column,
+                      rank_column="position")
+    return out.map_batches(
+        lambda b: b.select([url_column, host_column, "host_rank",
+                            "position"]),
+        batch_format="pyarrow")

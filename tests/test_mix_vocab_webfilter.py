@@ -624,3 +624,24 @@ def test_longest_prefix_policy_no_rules(ray_session):
                                 default_allow=False).to_pandas()
     assert out["allowed"].tolist() == [False]
     assert out["rule"].tolist() == [""]
+
+
+def test_politeness_order_round_robin(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.webfilter import politeness_order
+
+    # skewed frontier: host a has 3 urls, b has 2, c has 1
+    urls = [{"url": u, "host": h} for h, us in
+            (("a", ["a/1", "a/2", "a/3"]),
+             ("b", ["b/1", "b/2"]),
+             ("c", ["c/1"]))
+            for u in us]
+    out = (politeness_order(dataset_from_items(urls), num_buckets=4)
+           .to_pandas().sort_values("position"))
+    # round-robin: all rank-0 urls (host order a,b,c), then rank-1
+    # (a,b), then rank-2 (a)
+    assert out["url"].tolist() == ["a/1", "b/1", "c/1",
+                                   "a/2", "b/2", "a/3"]
+    assert out["position"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert out["host_rank"].tolist() == [0, 0, 0, 1, 1, 2]
