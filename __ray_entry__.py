@@ -3570,13 +3570,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # distinctive_terms, embedding_quantize, ann_topk_quantized,
     # ngram_coverage, bm25_multi) and this session's four (bpe_train,
     # semdedup, leakage_split, hits) all sit inside the first-50 window.
-    # r4-cont rotation #3 (session 4): the 11 brand-new operators
-    # (triangle_counts, clustering_coef, kcore, editdist_pairs,
-    # bitext_mine, linear_fit, event_transitions, funnel,
-    # cohort_retention, url_templates, crawl_budget) enter the window;
-    # the 11 entries they displace (dedup_canonical … semdedup tail
-    # slice) are all green in today's full local check_oracle sweep and
-    # rotate to the tail.
+    # r4-cont rotation #3 (session 4): the 19 brand-new operators
+    # (triangle_counts, clustering_coef, label_propagation, kcore,
+    # editdist_pairs, bitext_mine, linear_fit, event_transitions,
+    # funnel, cohort_retention, url_templates, crawl_budget,
+    # burst_scores, extract_files, jsonl_ingest, csv_ingest,
+    # robots_policy, politeness_order) enter the window; the 19
+    # entries they displace (profile_table … hybrid_search slice) are
+    # all multi-sweep green (r4 sessions 1-3 + today's spot checks)
+    # and rotate to the tail.
     return {
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,

@@ -763,7 +763,8 @@ def clustering_coefficients(edges, *, src: str = "src",
     return joined.map_batches(finish, batch_format="pyarrow")
 
 def kcore(edges, *, src: str = "src", dst: str = "dst",
-          k: int = 2, rounds: int = 3):
+          k: int = 2, rounds: int = 3, exec: str = "auto",
+          broadcast_budget_nodes: int = 20_000_000):
     """Rounds-bounded k-core peeling over an undirected graph —
     ``(node, deg)`` for every node surviving ``rounds`` iterations of
     "drop nodes with degree < k, then drop edges touching a dropped
@@ -775,17 +776,30 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
     bit-identical whether or not the fixpoint has been reached.
 
     Scale shape: each round is one endpoint-unpivot degree count
-    (per-batch Arrow partials → one ``groupby.sum``) plus two hash
-    semijoins of the surviving edge list against the surviving node
-    set — nothing nodes- or edges-shaped ever lands on the driver, and
-    the edge list shrinks monotonically.  Integer-exact end to end."""
+    (per-batch Arrow partials → one ``groupby.sum``) plus an edge
+    filter against the surviving node set.  ``exec`` picks the
+    filter's physical plan (byte-equal, pytest-pinned — the
+    dedup/pagerank auto-gate posture):
+    - "broadcast": the surviving node ids ship once per round via
+      ``ray.put`` and the filter is one streaming ``pc.is_in`` map —
+      2 barriers/round cheaper, right while nodes fit one machine;
+    - "join": two hash semijoins per round — nothing nodes-shaped on
+      the driver, the 10⁸⁺-node path;
+    - "auto" (default): "broadcast" under ``broadcast_budget_nodes``
+      surviving nodes, else "join".
+    The edge list shrinks monotonically; integer-exact end to end."""
+    import numpy as np
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
+    import ray as _ray
+    import ray.data as rd
+
     from .dedup import _join_partitions, _nonempty_blocks
 
-    import ray.data as rd
+    if exec not in ("auto", "broadcast", "join"):
+        raise ValueError(f"exec={exec!r}")
 
     def canon(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column(src), pa.int64())
@@ -824,19 +838,41 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
         kept = _nonempty_blocks(kept)
         if kept is None:
             return rd.from_arrow(empty)
-        half = (ecur.join(kept, "inner", nparts,
-                          on=("a",), right_on=("node",))
-                    .map_batches(lambda b: b.select(["a", "b"]),
-                                 batch_format="pyarrow")).materialize()
-        # strip schema-less empty join-partition blocks before the
-        # second join (they break its key resolution)
-        half = _nonempty_blocks(half)
-        if half is None:
-            return rd.from_arrow(empty)
-        ecur = (half.join(kept, "inner", nparts,
-                          on=("b",), right_on=("node",))
-                    .map_batches(lambda b: b.select(["a", "b"]),
-                                 batch_format="pyarrow")).materialize()
+        plan = exec
+        if plan == "auto":
+            plan = ("broadcast"
+                    if kept.count() <= broadcast_budget_nodes
+                    else "join")
+        if plan == "broadcast":
+            ids = np.sort(np.concatenate([
+                b.column("node").to_numpy(zero_copy_only=False)
+                for b in kept.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+            ]).astype(np.int64))
+            ref = _ray.put(pa.array(ids))
+
+            def keep_edges(b: pa.Table) -> pa.Table:
+                vs = _ray.get(ref)
+                m = pc.and_(pc.is_in(b.column("a"), value_set=vs),
+                            pc.is_in(b.column("b"), value_set=vs))
+                return b.filter(m)
+
+            ecur = ecur.map_batches(keep_edges,
+                                    batch_format="pyarrow").materialize()
+        else:
+            half = (ecur.join(kept, "inner", nparts,
+                              on=("a",), right_on=("node",))
+                        .map_batches(lambda b: b.select(["a", "b"]),
+                                     batch_format="pyarrow")).materialize()
+            # strip schema-less empty join-partition blocks before the
+            # second join (they break its key resolution)
+            half = _nonempty_blocks(half)
+            if half is None:
+                return rd.from_arrow(empty)
+            ecur = (half.join(kept, "inner", nparts,
+                              on=("b",), right_on=("node",))
+                        .map_batches(lambda b: b.select(["a", "b"]),
+                                     batch_format="pyarrow")).materialize()
         ecur = _nonempty_blocks(ecur)
         if ecur is None:
             return rd.from_arrow(empty)

@@ -344,3 +344,22 @@ def test_label_propagation_majority_ties_and_clamping(ray_session):
     r2 = (label_propagation(ds_e, ds_s, rounds=2, num_buckets=4)
           .to_pandas().set_index("node")["label"].to_dict())
     assert r2 == {1: "a", 5: "b", 2: "a", 3: "b", 4: "a"}
+
+
+def test_kcore_plans_byte_equal(ray_session):
+    import random
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import kcore
+
+    rng = random.Random(3)
+    edges = [{"src": rng.randint(0, 40), "dst": rng.randint(0, 40)}
+             for _ in range(160)]
+    ds = dataset_from_items(edges)
+    a = (kcore(ds, k=4, rounds=3, exec="broadcast").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (kcore(ds, k=4, rounds=3, exec="join").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert len(a) > 0
+    assert a.equals(b)
