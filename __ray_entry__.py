@@ -887,6 +887,116 @@ def q_politeness_order(sf_dir: str):
     return politeness_order(urls)
 
 
+def q_crawl_plan(sf_dir: str):
+    """Composed crawl-planning flagship chaining the session-4 web
+    operators: robots longest-prefix policy gates the synthesized URL
+    frontier → water-filling allocates a 250-page global budget over
+    the surviving hosts → politeness ordering interleaves, and only
+    URLs inside their host's quota stay — the deterministic fetch plan
+    a polite, budgeted crawler executes.  Every stage is an
+    already-oracled operator; the SQL twin chains the same CTEs."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions, \
+        _nonempty_blocks
+    from llm_food_ray.stages.textstats import crawl_budget
+    from llm_food_ray.stages.webfilter import (longest_prefix_policy,
+                                               politeness_order)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for d in ids:
+            hosts.append(f"site{d % 10}.example.com")
+            kind = d % 4
+            if kind == 0:
+                p = f"/articles/{d}/comments"
+            elif kind == 1:
+                p = f"/p/{d * 7 % 1000}/view"
+            elif kind == 2:
+                p = f"/users/u{d % 50}/posts/{d}"
+            else:
+                p = f"/static/img_{d}.png"
+            paths.append(p)
+        host = pa.array(hosts, pa.string())
+        path = pa.array(paths, pa.string())
+        url = pc.binary_join_element_wise(host, path, "")
+        return pa.table({"url": url, "host": host, "path": path})
+
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    rh, rp, ra = [], [], []
+    for kk in range(10):
+        rh.append(f"site{kk}.example.com")
+        rp.append("/static/")
+        ra.append(False)
+        if kk % 3 == 0:
+            rh.append(f"site{kk}.example.com")
+            rp.append("/p/")
+            ra.append(False)
+        if kk % 2 == 0:
+            rh.append(f"site{kk}.example.com")
+            rp.append("/p/1")
+            ra.append(True)
+    rules = rd.from_arrow(pa.table({
+        "host": pa.array(rh, pa.string()),
+        "prefix": pa.array(rp, pa.string()),
+        "allow": pa.array(ra, pa.bool_())}))
+
+    policy = longest_prefix_policy(urls, rules)
+    # DISTINCT allowed urls: allowed-ness is a per-url function, and
+    # the frontier may carry the same url twice — the re-attach join
+    # must stay 1:m, not m:m
+    allowed = (policy.map_batches(
+        lambda b: b.filter(pc.equal(b.column("allowed"), True))
+                   .select(["url"]),
+        batch_format="pyarrow")
+        .groupby("url").count()
+        .map_batches(lambda b: b.select(["url"]),
+                     batch_format="pyarrow")).materialize()
+    allowed = _nonempty_blocks(allowed)
+    if allowed is None:
+        return rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "host_rank": pa.array([], pa.int64()),
+            "position": pa.array([], pa.int64())}))
+    # re-attach host (policy output drops it): one hash join back to
+    # the frontier projection
+    frontier = urls.map_batches(
+        lambda b: b.select(["url", "host"]), batch_format="pyarrow")
+    al = (frontier.join(allowed.map_batches(
+        lambda b: b.rename_columns(["a_url"]),
+        batch_format="pyarrow"), "inner", _join_partitions(16),
+        on=("url",), right_on=("a_url",))
+        .map_batches(lambda b: b.select(["url", "host"]),
+                     batch_format="pyarrow")).materialize()
+    al = _nonempty_blocks(al) or al
+
+    ordered = politeness_order(al).materialize()
+    ordered = _nonempty_blocks(ordered) or ordered
+    quotas = crawl_budget(al, "host", budget=250,
+                          out_key="host").materialize()
+    quotas = _nonempty_blocks(quotas) or quotas
+
+    planned = ordered.join(
+        quotas.map_batches(
+            lambda b: pa.table({"q_host": b.column("host"),
+                                "quota": b.column("quota")}),
+            batch_format="pyarrow"),
+        "inner", _join_partitions(16),
+        on=("host",), right_on=("q_host",))
+
+    def inside(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("host_rank"), b.column("quota"))
+        return (b.filter(keep)
+                 .select(["url", "host", "host_rank", "position"]))
+
+    return planned.map_batches(inside, batch_format="pyarrow")
+
+
 def q_crawl_budget(sf_dir: str):
     """Water-filling crawl budget over a skew-synthesized host
     distribution (host k owns the doc_ids in [k², (k+1)²) — linear
@@ -3617,6 +3727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "robots_policy": q_robots_policy,
         "politeness_order": q_politeness_order,
+        "crawl_plan": q_crawl_plan,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
@@ -4843,6 +4954,67 @@ SELECT c.type, c.bucket, c.n,
                        / sqrt((m.k * m.s2 - m.s1 * m.s1)::DOUBLE), 6)
             ELSE NULL END AS z
 FROM c JOIN m ON m.type = c.type
+""",
+        # composed twin: robots precedence → politeness two-level rank
+        # → waterline quota, all chained MATERIALIZED
+        "crawl_plan": """
+WITH u AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 10) || '.example.com' AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/articles/' || doc_id || '/comments'
+           WHEN 1 THEN '/p/' || (doc_id * 7 % 1000) || '/view'
+           WHEN 2 THEN '/users/u' || (doc_id % 50) || '/posts/'
+                       || doc_id
+           ELSE '/static/img_' || doc_id || '.png'
+         END AS path
+  FROM documents
+), uu AS MATERIALIZED (
+  SELECT host || path AS url, host, path FROM u
+), r AS MATERIALIZED (
+  SELECT 'site' || k || '.example.com' AS host,
+         '/static/' AS prefix, FALSE AS allow
+  FROM range(0, 10) t(k)
+  UNION ALL
+  SELECT 'site' || k || '.example.com', '/p/', FALSE
+  FROM range(0, 10) t(k) WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'site' || k || '.example.com', '/p/1', TRUE
+  FROM range(0, 10) t(k) WHERE k % 2 = 0
+), m AS MATERIALIZED (
+  SELECT uu.url, r.prefix, r.allow, length(r.prefix) AS plen
+  FROM uu JOIN r ON r.host = uu.host
+                AND starts_with(uu.path, r.prefix)
+), w AS MATERIALIZED (
+  SELECT url, allow FROM (
+    SELECT url, allow,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY plen DESC, prefix, allow) AS rn
+    FROM m) WHERE rn = 1
+), al AS MATERIALIZED (
+  SELECT uu.url, uu.host FROM uu
+  LEFT JOIN w ON w.url = uu.url
+  WHERE COALESCE(w.allow, TRUE)
+), rr AS MATERIALIZED (
+  SELECT url, host,
+         (row_number() OVER (PARTITION BY host ORDER BY url)
+          - 1)::BIGINT AS host_rank
+  FROM al
+), pos AS MATERIALIZED (
+  SELECT url, host, host_rank,
+         (row_number() OVER (ORDER BY host_rank, host, url)
+          - 1)::BIGINT AS position
+  FROM rr
+), h AS MATERIALIZED (
+  SELECT host, count(*)::BIGINT AS cnt FROM al GROUP BY host
+), lv AS MATERIALIZED (
+  SELECT gs.l, sum(least(h.cnt, gs.l))::BIGINT AS used
+  FROM generate_series(0, 250) gs(l) CROSS JOIN h GROUP BY gs.l
+), pick AS (
+  SELECT max(l)::BIGINT AS lvl FROM lv WHERE used <= 250
+)
+SELECT p.url, p.host, p.host_rank, p.position
+FROM pos p JOIN h ON h.host = p.host CROSS JOIN pick
+WHERE p.host_rank < least(h.cnt, pick.lvl)
 """,
         # two-level row_number twin: within-host rank, then the global
         # (rank, host, url) interleave
