@@ -1149,6 +1149,25 @@ def q_editdist_pairs(sf_dir: str):
     return editdist_pairs(cust, "c_custkey", "c_name")
 
 
+def q_name_entities(sf_dir: str):
+    """Fuzzy entity resolution: customer names within Levenshtein
+    distance 1 become edges (the exact deletion-signature join), and
+    every customer gets its connected-component entity id (min key;
+    singletons label themselves) — the record-linkage composition of
+    `editdist_pairs` and the near-dup label machinery."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import near_dup_cluster_labels
+    from llm_food_ray.stages.fuzzy import editdist_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    pairs = editdist_pairs(cust, "c_custkey", "c_name").map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    return near_dup_cluster_labels(
+        cust.select_columns(["c_custkey"]), "c_custkey", pairs)
+
+
 def q_kcore(sf_dir: str):
     """5-core of the bipartite high-quantity purchase graph (customers
     positive ids, suppliers negated — one id space): 3 peel rounds
@@ -3714,6 +3733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q_label_propagation,
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
+        "name_entities": q_name_entities,
         "bitext_mine": q_bitext_mine,
         "linear_fit": q_linear_fit,
         "event_transitions": q_event_transitions,
@@ -5180,6 +5200,28 @@ SELECT 0::BIGINT AS step_index, 'view' AS step,
        (SELECT count(*) FROM t1)::BIGINT AS n_users
 UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
 UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+""",
+        # lev-pair edges + recursive closure, singletons self-label
+        "name_entities": """
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) <= 1
+), edges AS MATERIALIZED (
+  SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+)
+SELECT c.c_custkey,
+       CAST(COALESCE(LEAST(m.src, m.mn), c.c_custkey) AS BIGINT)
+         AS cluster
+FROM customer c LEFT JOIN mins m ON c.c_custkey = m.src
 """,
         # brute-force twin of the two broadcast margin scans: identical
         # integer 1e-4 cosine grid, exact int top-k sums, one float
