@@ -786,6 +786,20 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_active_users(sf_dir: str):
+    """Per-day DAU / trailing-7-day WAU / stickiness over the event
+    stream — exact distinct counts via the cover expansion (each
+    activity cell covers its next 7 days, one extra distinct collapses
+    the window), never a distinct-in-window scan."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import active_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return active_users(ev)
+
+
 def q_burst_scores(sf_dir: str):
     """Per-event-type hourly burst z-scores over the event stream —
     every observed (type, hour) cell scored against its type's mean
@@ -3742,6 +3756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": q_url_templates,
         "crawl_budget": q_crawl_budget,
         "burst_scores": q_burst_scores,
+        "active_users": q_active_users,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -4955,6 +4970,26 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
+        # same cover expansion in SQL: activity × 7 offsets, distinct,
+        # count; observed days only via the dau join
+        "active_users": """
+WITH a AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), dau AS (
+  SELECT day, count(*)::BIGINT AS dau FROM a GROUP BY day
+), cov AS MATERIALIZED (
+  SELECT DISTINCT a.user_id, a.day + i.i AS day
+  FROM a CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i
+), wau AS (
+  SELECT day, count(*)::BIGINT AS wau FROM cov GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       floor(d.dau * 1000000.0 / w.wau + 0.5) / 1000000.0
+         AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+""",
         # z from the same three integer moments; population variance,
         # observed cells only, NULL for degenerate types
         "burst_scores": """

@@ -615,3 +615,99 @@ def burst_scores(ds, type_column: str = "event_type",
     return (cells.map_batches(type_bucket, batch_format="pyarrow")
                  .groupby("__tb")
                  .map_groups(score, batch_format="pyarrow"))
+
+def active_users(ds, user_column: str = "user_id",
+                 ts_column: str = "ts", *, window_days: int = 7,
+                 digits: int = 6):
+    """Engagement analytics: per observed day ``(day, dau, wau,
+    stickiness)`` — exact distinct daily actives, exact distinct
+    actives over the trailing ``window_days`` window, and the
+    DAU/WAU stickiness ratio.  Days are absolute epoch-day buckets.
+
+    The trailing-window distinct count uses the COVER expansion: each
+    distinct (user, day) activity row covers days d…d+W−1, so one
+    ``window_days``× row expansion + a second distinct collapses the
+    window into a plain groupby — no per-day window scan, no
+    distinct-in-window kernel (which neither engine vectorizes), and
+    the exchange is bounded by W × activity cells.  Counts are exact
+    int64; stickiness is the half-away 1e-``digits`` snap of one
+    division of identical ints."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    day_us = np.int64(86_400) * 1_000_000
+
+    def activity_partial(b: pa.Table) -> pa.Table:
+        ts_arr = b.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        day = ts_arr.cast(pa.int64()).to_numpy() // day_us
+        t = pa.table({user_column: b.column(user_column),
+                      "day": pa.array(day, pa.int64())})
+        return t.group_by([user_column, "day"]).aggregate([])
+
+    activity = (ds.map_batches(activity_partial, batch_format="pyarrow")
+                  .groupby([user_column, "day"]).count()
+                  .map_batches(lambda b: b.select([user_column, "day"]),
+                               batch_format="pyarrow")).materialize()
+    activity = _nonempty_blocks(activity)
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "dau": pa.array([], pa.int64()),
+                      "wau": pa.array([], pa.int64()),
+                      "stickiness": pa.array([], pa.float64())})
+    if activity is None:
+        return rd.from_arrow(empty)
+
+    def dau_partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["day"]).group_by(["day"])
+              .aggregate([("day", "count")]))
+        return g.rename_columns(["day", "pn"])
+
+    dau = (activity.map_batches(dau_partial, batch_format="pyarrow")
+                   .groupby("day")
+                   .aggregate(Sum("pn", alias_name="dau"))).materialize()
+    dau = _nonempty_blocks(dau)
+    if dau is None:
+        return rd.from_arrow(empty)
+
+    def cover(b: pa.Table) -> pa.Table:
+        u = b.column(user_column)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = len(d)
+        idx = np.repeat(np.arange(n), window_days)
+        dd = d[idx] + np.tile(np.arange(window_days), n)
+        t = pa.table({user_column: u.take(pa.array(idx)),
+                      "day": pa.array(dd, pa.int64())})
+        return t.group_by([user_column, "day"]).aggregate([])
+
+    wau = (activity.map_batches(cover, batch_format="pyarrow")
+                   .groupby([user_column, "day"]).count()
+                   .map_batches(dau_partial, batch_format="pyarrow")
+                   .groupby("day")
+                   .aggregate(Sum("pn", alias_name="wau"))).materialize()
+    wau = _nonempty_blocks(wau)
+    if wau is None:
+        return rd.from_arrow(empty)
+
+    joined = dau.join(wau.map_batches(
+        lambda b: b.rename_columns(["w_day", "wau"]),
+        batch_format="pyarrow"), "inner", _join_partitions(16),
+        on=("day",), right_on=("w_day",))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        da = b.column("dau").to_numpy(zero_copy_only=False)
+        wa = b.column("wau").to_numpy(zero_copy_only=False)
+        st = np.floor(da.astype(np.float64) * scale / wa + 0.5) / scale
+        return pa.table({"day": b.column("day"),
+                         "dau": pa.array(da, pa.int64()),
+                         "wau": pa.array(wa, pa.int64()),
+                         "stickiness": pa.array(st, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -276,3 +276,32 @@ def test_burst_scores_hand_counts(ray_session):
     assert out.loc[("a", 1), "z"] == z1
     assert pd.isna(out.loc[("b", 5), "z"])
     assert int(out.loc[("a", 2), "n"]) == 4
+
+
+def test_active_users_window_cover(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import active_users
+
+    import pyarrow as pa
+
+    D = 86_400 * 1_000_000
+    # u1 active day 0 and 2; u2 active day 2 (twice — distinct);
+    # u3 active day 10 (outside u1/u2's 7-day reach)
+    rows = [{"user_id": 1, "ts": 0}, {"user_id": 1, "ts": 2 * D + 5},
+            {"user_id": 2, "ts": 2 * D}, {"user_id": 2, "ts": 2 * D + 9},
+            {"user_id": 3, "ts": 10 * D}]
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (active_users(ds, window_days=7).to_pandas()
+           .set_index("day").sort_index())
+    # observed days: 0, 2, 10
+    assert out.loc[0, "dau"] == 1 and out.loc[0, "wau"] == 1
+    assert out.loc[2, "dau"] == 2   # u1 + u2
+    assert out.loc[2, "wau"] == 2   # u1 (covers from day 0), u2
+    assert out.loc[10, "dau"] == 1 and out.loc[10, "wau"] == 1
+    assert out.loc[2, "stickiness"] == 1.0
+    assert len(out) == 3
