@@ -1163,6 +1163,58 @@ def q_editdist_pairs(sf_dir: str):
     return editdist_pairs(cust, "c_custkey", "c_name")
 
 
+def q_bfs_depth(sf_dir: str):
+    """Multi-source BFS depth over the bidirectional purchase graph
+    (every 100th customer is a trusted seed; suppliers ride negated
+    ids): 3 hop rounds of join → +1 → groupby.min — the crawl-depth /
+    blast-radius primitive, distance sibling of connected
+    components."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.graph import bfs_depth
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 40))
+                   .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    joined = orders.join(li, "inner", _join_partitions(16),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("o_custkey"), pa.int64())
+        s = pc.negate(pc.cast(b.column("l_suppkey"), pa.int64()))
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return pa.table({"src": pa.concat_arrays([c, s]),
+                         "dst": pa.concat_arrays([s, c])})
+
+    edges = joined.map_batches(both_dirs, batch_format="pyarrow")
+
+    def seed(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(k % 100 == 1))
+        return pa.table({"node": keep.column("c_custkey")})
+
+    seeds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"]).map_batches(
+        seed, batch_format="pyarrow")
+    return bfs_depth(edges, seeds, rounds=3)
+
+
 def q_name_entities(sf_dir: str):
     """Fuzzy entity resolution: customer names within Levenshtein
     distance 1 become edges (the exact deletion-signature join), and
@@ -3748,6 +3800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "editdist_pairs": q_editdist_pairs,
         "name_entities": q_name_entities,
+        "bfs_depth": q_bfs_depth,
         "bitext_mine": q_bitext_mine,
         "linear_fit": q_linear_fit,
         "event_transitions": q_event_transitions,
@@ -4115,6 +4168,33 @@ WHERE NOT EXISTS (
   WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
     AND round(list_cosine_similarity(u.v, w.v), 4) >= {tau})
 """
+
+
+def _bfs_sql(rounds: int = 3) -> str:
+    """Unrolled twin of :func:`llm_food_ray.stages.graph.bfs_depth` on
+    the (bidirectional) bipartite purchase graph from every 100th
+    customer: per round, reached nodes fold min(depth, nbr depth + 1)."""
+    parts = ["""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey::BIGINT AS u, (-l.l_suppkey)::BIGINT AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+), d0 AS MATERIALIZED (
+  SELECT c_custkey::BIGINT AS node, 0::BIGINT AS depth
+  FROM customer WHERE c_custkey % 100 = 1
+)"""]
+    for r in range(rounds):
+        parts.append(f""", d{r + 1} AS MATERIALIZED (
+  SELECT node, min(depth)::BIGINT AS depth FROM (
+    SELECT node, depth FROM d{r}
+    UNION ALL
+    SELECT e.v AS node, d.depth + 1 AS depth
+    FROM d{r} d JOIN e ON e.u = d.node
+  ) GROUP BY node
+)""")
+    parts.append(f"\nSELECT node, depth FROM d{rounds}")
+    return "".join(parts)
 
 
 def _labelprop_sql(rounds: int = 3) -> str:
@@ -4970,6 +5050,7 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
+        "bfs_depth": _bfs_sql(rounds=3),
         # same cover expansion in SQL: activity × 7 offsets, distinct,
         # count; observed days only via the dau join
         "active_users": """

@@ -363,3 +363,32 @@ def test_kcore_plans_byte_equal(ray_session):
          .sort_values("node").reset_index(drop=True))
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_bfs_depth_levels_and_min_over_seeds(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import bfs_depth
+
+    # path 1->2->3->4->5 plus a shortcut seed at 4
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    ds_e = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    ds_s = dataset_from_items([{"node": 1}, {"node": 4}])
+    out = (bfs_depth(ds_e, ds_s, rounds=3).to_pandas()
+           .set_index("node")["depth"].to_dict())
+    # 5 is depth 1 via seed 4, not 4 via seed 1; 4 is a seed (0)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 0, 5: 1}
+
+
+def test_bfs_depth_rounds_bounded(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import bfs_depth
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    ds_e = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    ds_s = dataset_from_items([{"node": 1}])
+    out = (bfs_depth(ds_e, ds_s, rounds=2).to_pandas()
+           .set_index("node")["depth"].to_dict())
+    # node 4 is 3 hops away: unreached at rounds=2
+    assert out == {1: 0, 2: 1, 3: 2}
