@@ -786,6 +786,26 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_drift_psi(sf_dir: str):
+    """PSI drift report between the even-id (reference) and odd-id
+    (new) document halves on n_chars: reference decile edges bin both
+    sides, per-bucket (p_new − p_ref)·ln ratio terms — the retraining
+    alarm a data-quality monitor sums."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import drift_psi
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def side(par: int):
+        return docs.map_batches(
+            lambda b, p=par: b.filter(pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), 1), p)),
+            batch_format="pyarrow")
+
+    return drift_psi(side(1), side(0), "n_chars")
+
+
 def q_active_users(sf_dir: str):
     """Per-day DAU / trailing-7-day WAU / stickiness over the event
     stream — exact distinct counts via the cover expansion (each
@@ -3810,6 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": q_crawl_budget,
         "burst_scores": q_burst_scores,
         "active_users": q_active_users,
+        "drift_psi": q_drift_psi,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5051,6 +5072,41 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # reference-decile edges (quantile_disc + strict-less, the
+        # len_deciles rule) bin both halves; per-bucket term only
+        "drift_psi": """
+WITH ref AS MATERIALIZED (
+  SELECT n_chars FROM documents WHERE doc_id % 2 = 0
+), nw AS MATERIALIZED (
+  SELECT n_chars FROM documents WHERE doc_id % 2 = 1
+), th AS MATERIALIZED (
+  SELECT quantile_disc(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+  FROM ref
+), cr AS MATERIALIZED (
+  SELECT len(list_filter(th.ts, t -> t < r.n_chars))::BIGINT AS bucket,
+         count(*)::BIGINT AS nr
+  FROM ref r CROSS JOIN th GROUP BY 1
+), cn AS MATERIALIZED (
+  SELECT len(list_filter(th.ts, t -> t < n.n_chars))::BIGINT AS bucket,
+         count(*)::BIGINT AS nn
+  FROM nw n CROSS JOIN th GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(nr) FROM cr)::BIGINT AS tr,
+         (SELECT sum(nn) FROM cn)::BIGINT AS tn
+)
+SELECT COALESCE(cr.bucket, cn.bucket) AS bucket,
+       COALESCE(cr.nr, 0)::BIGINT AS n_ref,
+       COALESCE(cn.nn, 0)::BIGINT AS n_new,
+       CASE WHEN COALESCE(cr.nr, 0) > 0 AND COALESCE(cn.nn, 0) > 0
+            THEN floor((cn.nn::DOUBLE / tot.tn - cr.nr::DOUBLE / tot.tr)
+                       * ln((cn.nn::DOUBLE / tot.tn)
+                            / (cr.nr::DOUBLE / tot.tr))
+                       * 1000000 + 0.5) / 1000000.0
+            ELSE NULL END AS psi_term
+FROM cr FULL OUTER JOIN cn ON cn.bucket = cr.bucket
+CROSS JOIN tot
+""",
         # same cover expansion in SQL: activity × 7 offsets, distinct,
         # count; observed days only via the dau join
         "active_users": """

@@ -2433,3 +2433,75 @@ def crawl_budget(ds, key_column: str, *, budget: int,
                              pa.scalar(level, pa.int64()))})
 
     return counts.map_batches(quotas, batch_format="pyarrow")
+
+def drift_psi(new_ds, ref_ds, value_column: str, *,
+              n_buckets: int = 10, digits: int = 6):
+    """Population Stability Index report between a REFERENCE corpus and
+    a NEW corpus: the reference's exact ``quantile_disc`` bucket edges
+    bin both sides, and every bucket reports
+
+        psi_term = (p_new − p_ref) · ln(p_new / p_ref)
+
+    (non-negative by construction; NULL when either side is empty in
+    the bucket) — the per-bucket drift decomposition a data-quality
+    monitor alarms on (Σ terms > 0.2 = "retrain"), emitted PER BUCKET
+    so the output is deterministic with no cross-bucket float
+    summation.  → (bucket, n_ref, n_new, psi_term).
+
+    Scale shape: thresholds ride the reference's value-histogram
+    exchange (distinct values, not rows); both corpora stream through
+    one broadcast-thresholds bucket map + a buckets-sized count; the
+    finish handles ≤ ``n_buckets`` rows.  Counts are exact ints; each
+    psi_term is the same float expression of the same integers on both
+    engines, snapped half-away to ``digits``."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    qs = [j / n_buckets for j in range(1, n_buckets)]
+
+    def with_g(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(b.num_rows, np.int64)),
+            value_column: b.column(value_column)})
+
+    th_rows = grouped_quantiles(
+        ref_ds.map_batches(with_g, batch_format="pyarrow"),
+        "__g", value_column, qs=qs).take_all()
+    th = np.sort(np.array([r["quantile"] for r in th_rows],
+                          np.float64))
+
+    def bucketed(ds):
+        def assign(b: pa.Table) -> pa.Table:
+            v = b.column(value_column).to_numpy(zero_copy_only=False)
+            bucket = np.searchsorted(th, v, side="left")
+            return pa.table({"bucket": pa.array(bucket.astype(np.int64))})
+
+        return (ds.map_batches(assign, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .aggregate(Count(alias_name="n"))).take_all()
+
+    cr = {r["bucket"]: r["n"] for r in bucketed(ref_ds)}
+    cn = {r["bucket"]: r["n"] for r in bucketed(new_ds)}
+    t_ref = sum(cr.values())
+    t_new = sum(cn.values())
+    scale = 10 ** digits
+    buckets = sorted(set(cr) | set(cn))
+    terms = []
+    for bk in buckets:
+        nr, nn = cr.get(bk, 0), cn.get(bk, 0)
+        if nr > 0 and nn > 0:
+            p, q = nn / t_new, nr / t_ref
+            terms.append(
+                np.floor((p - q) * np.log(p / q) * scale + 0.5) / scale)
+        else:
+            terms.append(None)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.int64()),
+        "n_ref": pa.array([cr.get(b, 0) for b in buckets], pa.int64()),
+        "n_new": pa.array([cn.get(b, 0) for b in buckets], pa.int64()),
+        "psi_term": pa.array(terms, pa.float64()),
+    }))

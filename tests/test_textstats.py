@@ -435,3 +435,34 @@ def test_crawl_budget_unconstrained_and_zero(ray_session):
     assert full.set_index("h")["quota"].to_dict() == {"a": 2, "b": 5}
     none = crawl_budget(ds, "h", budget=0, out_key="h").to_pandas()
     assert none["quota"].tolist() == [0, 0]
+
+
+def test_drift_psi_shift_detected(ray_session):
+    import math
+
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import drift_psi
+
+    # reference uniform over 1..100; new corpus shifted high (51..150):
+    # low buckets lose mass (NULL where new is empty), high gain
+    ref = [{"v": i} for i in range(1, 101)]
+    new = [{"v": i} for i in range(51, 151)]
+    out = (drift_psi(dataset_from_items(new), dataset_from_items(ref),
+                     "v", n_buckets=5)
+           .to_pandas().set_index("bucket").sort_index())
+    # ref edges at quantiles .2/.4/.6/.8 of 1..100 -> 20,40,60,80
+    # bucket 0 (v<... strict-less <20... v in 1..20): ref 20, new 0
+    assert out.loc[0, "n_ref"] == 20 and out.loc[0, "n_new"] == 0
+    assert pd.isna(out.loc[0, "psi_term"])
+    # bucket 4 (v > 80): ref 20, new: 81..150 -> 70
+    assert out.loc[4, "n_ref"] == 20 and out.loc[4, "n_new"] == 70
+    p, q = 70 / 100, 20 / 100
+    want = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+    assert out.loc[4, "psi_term"] == want
+    # identical corpora -> every term 0.0
+    same = (drift_psi(dataset_from_items(ref), dataset_from_items(ref),
+                      "v", n_buckets=5).to_pandas())
+    assert (same["psi_term"] == 0.0).all()
