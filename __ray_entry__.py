@@ -786,6 +786,19 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_session_durations(sf_dir: str):
+    """Per-user engagement-time rollup over 30-minute sessionize
+    islands: (n_sessions, total_active_us, longest_us) — the
+    gaps-and-islands duration report, integer-microsecond exact."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import session_durations
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return session_durations(ev)
+
+
 def q_drift_psi(sf_dir: str):
     """PSI drift report between the even-id (reference) and odd-id
     (new) document halves on n_chars: reference decile edges bin both
@@ -3831,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_scores": q_burst_scores,
         "active_users": q_active_users,
         "drift_psi": q_drift_psi,
+        "session_durations": q_session_durations,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5072,6 +5086,31 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # gaps-and-islands twin over the sessionize window SQL
+        "session_durations": """
+WITH s AS MATERIALIZED (
+  SELECT user_id, ts,
+    (sum(CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts - prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT
+      AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+), d AS MATERIALIZED (
+  SELECT user_id, session_idx,
+         epoch_us(max(ts) - min(ts))::BIGINT AS dur
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(dur)::BIGINT AS total_active_us,
+       max(dur)::BIGINT AS longest_us
+FROM d GROUP BY user_id
+""",
         # reference-decile edges (quantile_disc + strict-less, the
         # len_deciles rule) bin both halves; per-bucket term only
         "drift_psi": """

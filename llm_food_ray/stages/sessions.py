@@ -711,3 +711,52 @@ def active_users(ds, user_column: str = "user_id",
                          "stickiness": pa.array(st, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+def session_durations(ds, user_column: str = "user_id",
+                      ts_column: str = "ts",
+                      id_column: str = "event_id", *,
+                      gap_seconds: int = 1800, num_buckets: int = 64):
+    """Gaps-and-islands rollup: per user ``(n_sessions,
+    total_active_us, longest_us)`` over the :func:`sessionize` islands
+    (durations = last−first event of each session, microseconds) —
+    the engagement-time report sitting on top of the session splitter.
+
+    Scale shape: sessionize's single user-keyed exchange, then
+    per-batch (user, session, min, max) Arrow partials → one
+    cells-sized ``groupby`` (Min/Max) → a users-sized Count/Sum/Max
+    rollup.  Integer-exact (µs)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    sess = sessionize(ds, user_column, ts_column, id_column,
+                      gap_seconds=gap_seconds, num_buckets=num_buckets)
+
+    def span_partial(b: pa.Table) -> pa.Table:
+        ts_arr = b.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        us = ts_arr.cast(pa.int64())
+        t = pa.table({user_column: b.column(user_column),
+                      "session_idx": b.column("session_idx"),
+                      "lo": us, "hi": us})
+        g = t.group_by([user_column, "session_idx"]).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return g.rename_columns([user_column, "session_idx",
+                                 "lo", "hi"])
+
+    spans = (sess.map_batches(span_partial, batch_format="pyarrow")
+                 .groupby([user_column, "session_idx"])
+                 .aggregate(Min("lo", alias_name="lo"),
+                            Max("hi", alias_name="hi")))
+
+    def dur(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.subtract(b.column("hi"), b.column("lo"))
+        return pa.table({user_column: b.column(user_column),
+                         "dur": d})
+
+    return (spans.map_batches(dur, batch_format="pyarrow")
+                 .groupby(user_column)
+                 .aggregate(Count(alias_name="n_sessions"),
+                            Sum("dur", alias_name="total_active_us"),
+                            Max("dur", alias_name="longest_us")))

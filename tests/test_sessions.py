@@ -305,3 +305,31 @@ def test_active_users_window_cover(ray_session):
     assert out.loc[10, "dau"] == 1 and out.loc[10, "wau"] == 1
     assert out.loc[2, "stickiness"] == 1.0
     assert len(out) == 3
+
+
+def test_session_durations_islands(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import session_durations
+
+    import pyarrow as pa
+
+    M = 60 * 1_000_000
+    # u1: session A = events at 0, 10min (dur 10min); gap > 30min;
+    # session B = single event at 60min (dur 0)
+    rows = [{"event_id": 1, "ts": 0, "user_id": 1},
+            {"event_id": 2, "ts": 10 * M, "user_id": 1},
+            {"event_id": 3, "ts": 60 * M, "user_id": 1},
+            {"event_id": 4, "ts": 5 * M, "user_id": 2}]
+    ds = dataset_from_items(rows).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("ts"), "ts",
+            b.column("ts").cast(pa.timestamp("us"))),
+        batch_format="pyarrow")
+    out = (session_durations(ds, num_buckets=4).to_pandas()
+           .set_index("user_id"))
+    assert int(out.loc[1, "n_sessions"]) == 2
+    assert int(out.loc[1, "total_active_us"]) == 10 * M
+    assert int(out.loc[1, "longest_us"]) == 10 * M
+    assert int(out.loc[2, "n_sessions"]) == 1
+    assert int(out.loc[2, "total_active_us"]) == 0
