@@ -786,6 +786,16 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_mad_len(sf_dir: str):
+    """Per-language robust length profile: exact quantile_disc median
+    and MAD of n_chars in two histogram passes + one corpus join —
+    the outlier-resistant twin of mean/std length stats."""
+    from llm_food_ray.stages.textstats import grouped_mad
+
+    return grouped_mad(_docs(sf_dir, ["lang", "n_chars"]),
+                       "lang", "n_chars")
+
+
 def q_session_durations(sf_dir: str):
     """Per-user engagement-time rollup over 30-minute sessionize
     islands: (n_sessions, total_active_us, longest_us) — the
@@ -3845,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users": q_active_users,
         "drift_psi": q_drift_psi,
         "session_durations": q_session_durations,
+        "mad_len": q_mad_len,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5086,6 +5097,21 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # two quantile_disc passes: group median, then the median of
+        # absolute deviations from it
+        "mad_len": """
+WITH m AS MATERIALIZED (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+), d AS MATERIALIZED (
+  SELECT doc.lang, m.med,
+         abs(doc.n_chars - m.med)::DOUBLE AS dev
+  FROM documents doc JOIN m ON m.lang = doc.lang
+)
+SELECT lang, round(max(med)::DOUBLE, 6) AS median,
+       round(quantile_disc(dev, 0.5), 6) AS mad
+FROM d GROUP BY lang
+""",
         # gaps-and-islands twin over the sessionize window SQL
         "session_durations": """
 WITH s AS MATERIALIZED (

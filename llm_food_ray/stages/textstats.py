@@ -2505,3 +2505,66 @@ def drift_psi(new_ds, ref_ds, value_column: str, *,
         "n_new": pa.array([cn.get(b, 0) for b in buckets], pa.int64()),
         "psi_term": pa.array(terms, pa.float64()),
     }))
+
+def grouped_mad(ds, key_column: str, value_column: str, *,
+                digits: int = 6):
+    """Per-group robust center + scale: ``(key, median, mad)`` with
+    median = quantile_disc(0.5) of the group and MAD =
+    quantile_disc(0.5) of |value − median| — the outlier-resistant
+    (center, spread) pair a telemetry/quality monitor prefers over
+    mean/std, exact in two passes.
+
+    Scale shape: phase 1 is :func:`grouped_quantiles`' value-histogram
+    exchange; the groups-sized median table joins back onto the corpus
+    (ONE hash join — no broadcast assumption on group count); the
+    deviation column runs the same histogram machinery; the final
+    assembly joins two groups-sized tables.  Integer-valued inputs
+    stay exact throughout (deviations are exact floats of ints)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    empty = pa.table({key_column: pa.array([], pa.string()),
+                      "median": pa.array([], pa.float64()),
+                      "mad": pa.array([], pa.float64())})
+    med = grouped_quantiles(ds, key_column, value_column, qs=[0.5],
+                            digits=digits)
+    med = med.map_batches(
+        lambda b: pa.table({"__mk": b.column(key_column),
+                            "median": b.column("quantile")}),
+        batch_format="pyarrow").materialize()
+    med = _nonempty_blocks(med)
+    if med is None:
+        return rd.from_arrow(empty)
+
+    nparts = _join_partitions(16)
+    joined = (ds.select_columns([key_column, value_column])
+                .join(med, "inner", nparts,
+                      on=(key_column,), right_on=("__mk",)))
+
+    def dev(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_column), pa.float64())
+        return pa.table({
+            key_column: b.column(key_column),
+            "__dev": pc.abs(pc.subtract(v, b.column("median")))})
+
+    mad = grouped_quantiles(
+        joined.map_batches(dev, batch_format="pyarrow"),
+        key_column, "__dev", qs=[0.5], digits=digits)
+    mad = mad.map_batches(
+        lambda b: pa.table({"__gk": b.column(key_column),
+                            "mad": b.column("quantile")}),
+        batch_format="pyarrow").materialize()
+    mad = _nonempty_blocks(mad)
+    if mad is None:
+        return rd.from_arrow(empty)
+
+    out = med.join(mad, "inner", nparts,
+                   on=("__mk",), right_on=("__gk",))
+    return out.map_batches(
+        lambda b: pa.table({key_column: b.column("__mk"),
+                            "median": b.column("median"),
+                            "mad": b.column("mad")}),
+        batch_format="pyarrow")

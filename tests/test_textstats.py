@@ -466,3 +466,20 @@ def test_drift_psi_shift_detected(ray_session):
     same = (drift_psi(dataset_from_items(ref), dataset_from_items(ref),
                       "v", n_buckets=5).to_pandas())
     assert (same["psi_term"] == 0.0).all()
+
+
+def test_grouped_mad_hand_values(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_mad
+
+    # group a: values 1..7 -> median 4 (rank ceil(.5*7)=4), devs
+    # {3,2,1,0,1,2,3} sorted {0,1,1,2,2,3,3} -> mad = 2
+    # group b: even n=4 quantile_disc takes rank 2: values 10,20,30,40
+    # -> median 20, devs {10,0,10,20} sorted {0,10,10,20} -> mad 10
+    rows = ([{"g": "a", "v": i} for i in range(1, 8)]
+            + [{"g": "b", "v": v} for v in (10, 20, 30, 40)])
+    out = (grouped_mad(dataset_from_items(rows), "g", "v")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "median"] == 4.0 and out.loc["a", "mad"] == 2.0
+    assert out.loc["b", "median"] == 20.0 and out.loc["b", "mad"] == 10.0
