@@ -1206,6 +1206,28 @@ def q_editdist_pairs(sf_dir: str):
     return editdist_pairs(cust, "c_custkey", "c_name")
 
 
+def q_reciprocity(sf_dir: str):
+    """Per-node link reciprocity over a deterministic directed graph
+    in doc-id space (u = id%37 → v = (11·id+3)%37): one self-join of
+    the distinct edge list against its reversal — the mutual-link
+    density spam signal."""
+    import numpy as np
+
+    from llm_food_ray.stages.graph import reciprocity
+
+    def synth(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        u = d % 37
+        v = (d * 11 + 3) % 37
+        keep = u != v
+        return pa.table({"src": pa.array(u[keep], pa.int64()),
+                         "dst": pa.array(v[keep], pa.int64())})
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow")
+    return reciprocity(edges)
+
+
 def q_bfs_depth(sf_dir: str):
     """Multi-source BFS depth over the bidirectional purchase graph
     (every 100th customer is a trusted seed; suppliers ride negated
@@ -3844,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": q_editdist_pairs,
         "name_entities": q_name_entities,
         "bfs_depth": q_bfs_depth,
+        "reciprocity": q_reciprocity,
         "bitext_mine": q_bitext_mine,
         "linear_fit": q_linear_fit,
         "event_transitions": q_event_transitions,
@@ -5437,6 +5460,24 @@ SELECT 0::BIGINT AS step_index, 'view' AS step,
        (SELECT count(*) FROM t1)::BIGINT AS n_users
 UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
 UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+""",
+        # reversal LEFT JOIN flags mutual edges; half-away 1e-6 ratio
+        "reciprocity": """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT (doc_id % 37)::BIGINT AS u,
+                  ((doc_id * 11 + 3) % 37)::BIGINT AS v
+  FROM documents
+  WHERE (doc_id % 37) <> ((doc_id * 11 + 3) % 37)
+), f AS MATERIALIZED (
+  SELECT e.u, e.v,
+         CASE WHEN r.u IS NULL THEN 0 ELSE 1 END AS m
+  FROM e LEFT JOIN e r ON r.u = e.v AND r.v = e.u
+)
+SELECT u AS node, count(*)::BIGINT AS n_out,
+       sum(m)::BIGINT AS n_recip,
+       floor(sum(m) * 1000000.0 / count(*) + 0.5) / 1000000.0
+         AS reciprocity
+FROM f GROUP BY u
 """,
         # lev-pair edges + recursive closure, singletons self-label
         "name_entities": """

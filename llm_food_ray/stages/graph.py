@@ -1073,3 +1073,94 @@ def bfs_depth(edges, seeds, *, src: str = "src", dst: str = "dst",
         state = _nonempty_blocks(state) or state
 
     return state
+
+def reciprocity(edges, *, src: str = "src", dst: str = "dst"):
+    """Per-node link reciprocity over a DIRECTED graph: ``(node,
+    n_out, n_recip, reciprocity)`` — how many of a node's distinct
+    out-edges are answered by a reverse edge.  Mutual-link density
+    separates organic cross-referencing sites from link farms (which
+    trade reciprocal links) and one-way spam targets (which receive
+    none back).
+
+    Scale shape: one distinct-edge pass; the reciprocal check is ONE
+    hash self-join of the edge list against its own reversal on the
+    full (u, v) key; two node-keyed counts + one LEFT OUTER fold.
+    Integer-exact; the ratio is the half-away 1e-6 snap of one
+    division of identical ints."""
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64())
+        v = pc.cast(b.column(dst), pa.int64())
+        t = pa.table({"u": u, "v": v}).filter(pc.not_equal(u, v))
+        return t.group_by(["u", "v"]).aggregate([])
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+              .groupby(["u", "v"]).count()
+              .map_batches(lambda b: b.select(["u", "v"]),
+                           batch_format="pyarrow")).materialize()
+    e = _nonempty_blocks(e)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "n_out": pa.array([], pa.int64()),
+                      "n_recip": pa.array([], pa.int64()),
+                      "reciprocity": pa.array([], pa.float64())})
+    if e is None:
+        return rd.from_arrow(empty)
+
+    nparts = _join_partitions(16)
+    rev = e.map_batches(
+        lambda b: pa.table({"ru": b.column("v"), "rv": b.column("u")}),
+        batch_format="pyarrow").materialize()
+    rev = _nonempty_blocks(rev) or rev
+    recip = (e.join(rev, "inner", nparts,
+                    on=("u", "v"), right_on=("ru", "rv"))
+              .map_batches(lambda b: b.select(["u", "v"]),
+                           batch_format="pyarrow"))
+
+    def count_u(ds_in, name):
+        def part(b: pa.Table) -> pa.Table:
+            g = (b.select(["u"]).group_by(["u"])
+                  .aggregate([("u", "count")]))
+            return g.rename_columns(["u", "pn"])
+
+        return (ds_in.map_batches(part, batch_format="pyarrow")
+                     .groupby("u")
+                     .aggregate(Sum("pn", alias_name=name)))
+
+    n_out = count_u(e, "n_out").materialize()
+    n_out = _nonempty_blocks(n_out)
+    if n_out is None:
+        return rd.from_arrow(empty)
+    n_recip = _nonempty_blocks(count_u(recip, "n_recip").materialize())
+    if n_recip is None:
+        joined = n_out.map_batches(
+            lambda b: b.append_column(
+                "n_recip", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        joined = n_out.join(
+            n_recip.map_batches(
+                lambda b: b.rename_columns(["ru", "n_recip"]),
+                batch_format="pyarrow"),
+            "left_outer", nparts, on=("u",), right_on=("ru",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        no = b.column("n_out").to_numpy(zero_copy_only=False)
+        nr = pc.fill_null(pc.cast(b.column("n_recip"), pa.int64()),
+                          0).to_numpy(zero_copy_only=False)
+        ratio = np.floor(nr.astype(np.float64) * 1_000_000 / no
+                         + 0.5) / 1_000_000
+        return pa.table({"node": b.column("u"),
+                         "n_out": pa.array(no, pa.int64()),
+                         "n_recip": pa.array(nr, pa.int64()),
+                         "reciprocity": pa.array(ratio, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -392,3 +392,20 @@ def test_bfs_depth_rounds_bounded(ray_session):
            .set_index("node")["depth"].to_dict())
     # node 4 is 3 hops away: unreached at rounds=2
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_reciprocity_mixed_graph(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import reciprocity
+
+    # 1<->2 mutual; 1->3 one-way; 3->2 one-way; duplicate edge absorbed
+    edges = [(1, 2), (2, 1), (1, 3), (3, 2), (1, 2)]
+    ds = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    out = (reciprocity(ds).to_pandas().set_index("node"))
+    assert out.loc[1, "n_out"] == 2 and out.loc[1, "n_recip"] == 1
+    assert out.loc[1, "reciprocity"] == 0.5
+    assert out.loc[2, "n_out"] == 1 and out.loc[2, "n_recip"] == 1
+    assert out.loc[2, "reciprocity"] == 1.0
+    assert out.loc[3, "n_out"] == 1 and out.loc[3, "n_recip"] == 0
+    assert out.loc[3, "reciprocity"] == 0.0
