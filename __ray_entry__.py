@@ -786,6 +786,16 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law curve: vocabulary size and token count at the
+    max_id/4, /2 and full doc-id prefixes — word first-occurrences in
+    fingerprint space, both coordinates folded by conditional-sum
+    partials."""
+    from llm_food_ray.stages.textstats import vocab_growth
+
+    return vocab_growth(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_mad_len(sf_dir: str):
     """Per-language robust length profile: exact quantile_disc median
     and MAD of n_chars in two histogram passes + one corpus join —
@@ -3879,6 +3889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_psi": q_drift_psi,
         "session_durations": q_session_durations,
         "mad_len": q_mad_len,
+        "vocab_growth": q_vocab_growth,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5120,6 +5131,35 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # word first-occurrence min + conditional sums per checkpoint
+        "vocab_growth": r"""
+WITH mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),
+ck AS MATERIALIZED (
+  SELECT DISTINCT c FROM (
+    SELECT (SELECT m // 4 FROM mx) AS c
+    UNION ALL SELECT (SELECT m // 2 FROM mx)
+    UNION ALL SELECT (SELECT m FROM mx))
+), toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+), fo AS MATERIALIZED (
+  SELECT w, min(doc_id)::BIGINT AS fd FROM toks GROUP BY w
+), tc AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS nt FROM toks GROUP BY doc_id
+), vs AS (
+  SELECT ck.c, sum(CASE WHEN fo.fd <= ck.c THEN 1 ELSE 0 END)::BIGINT
+           AS vocab_size
+  FROM ck CROSS JOIN fo GROUP BY ck.c
+), ts AS (
+  SELECT ck.c, sum(CASE WHEN tc.doc_id <= ck.c THEN tc.nt
+                        ELSE 0 END)::BIGINT AS n_tokens
+  FROM ck CROSS JOIN tc GROUP BY ck.c
+)
+SELECT vs.c AS checkpoint, vs.vocab_size, ts.n_tokens
+FROM vs JOIN ts ON ts.c = vs.c
+""",
         # two quantile_disc passes: group median, then the median of
         # absolute deviations from it
         "mad_len": """

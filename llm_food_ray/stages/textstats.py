@@ -2568,3 +2568,95 @@ def grouped_mad(ds, key_column: str, value_column: str, *,
                             "median": b.column("median"),
                             "mad": b.column("mad")}),
         batch_format="pyarrow")
+
+def vocab_growth(ds, text_column: str = "text",
+                 id_column: str = "doc_id", *,
+                 divisors=(4, 2, 1)):
+    """Heaps-law vocabulary growth curve: ``(checkpoint, vocab_size,
+    n_tokens)`` at doc-id prefixes ``max_id // d`` for each divisor —
+    how fast the distinct-word vocabulary grows as the corpus grows,
+    the sub-linearity check (V ≈ K·Nᵝ, β < 1) that distinguishes
+    natural text from id-soup / generated noise at corpus scale.
+
+    Scale shape: one tokenize pass emits per-batch (word-fp,
+    min-doc-id) partials — the word itself never rides the exchange
+    (the LM/TF-IDF fingerprint posture; 64-bit md5 collisions are
+    negligible at any real vocabulary) — one fp-keyed ``groupby.min``
+    finds each word's first occurrence, and both curve coordinates
+    fold to checkpoints-sized tables via per-batch conditional-sum
+    partials.  Integer-exact."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..functions.repetition import split_words
+
+    import ray.data as rd
+
+    max_id = ds.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(b.column(id_column).to_numpy(
+                zero_copy_only=False).max())] if b.num_rows else [],
+            pa.int64())}),
+        batch_format="pyarrow").max("m")
+    checkpoints = sorted({int(max_id) // d for d in divisors})
+    mask = (1 << 63) - 1
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_pylist()
+        texts = b.column(text_column).to_pylist()
+        fps, docs = [], []
+        for d, t in zip(ids, texts):
+            for w in split_words(t or ""):
+                fps.append(stable_hash64(w) & mask)
+                docs.append(d)
+        t2 = pa.table({"fp": pa.array(fps, pa.int64()),
+                       "d": pa.array(docs, pa.int64())})
+        g = t2.group_by(["fp"]).aggregate([("d", "min")])
+        return g.rename_columns(["fp", "pd"])
+
+    first = (ds.map_batches(tok_partial, batch_format="pyarrow")
+               .groupby("fp").aggregate(Min("pd", alias_name="fd")))
+
+    cks = np.array(checkpoints, np.int64)
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        fd = b.column("fd").to_numpy(zero_copy_only=False)
+        counts = (fd[:, None] <= cks[None, :]).sum(0).astype(np.int64)
+        return pa.table({"checkpoint": pa.array(cks),
+                         "pv": pa.array(counts)})
+
+    vocab = (first.map_batches(vocab_partial, batch_format="pyarrow")
+                  .groupby("checkpoint")
+                  .aggregate(Sum("pv", alias_name="vocab_size")))
+
+    def token_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        texts = b.column(text_column).to_pylist()
+        nt = np.fromiter((len(split_words(t or "")) for t in texts),
+                         np.int64, len(texts))
+        counts = np.array([nt[ids <= c].sum() for c in cks], np.int64)
+        return pa.table({"checkpoint": pa.array(cks),
+                         "pt": pa.array(counts)})
+
+    toks = (ds.map_batches(token_partial, batch_format="pyarrow")
+              .groupby("checkpoint")
+              .aggregate(Sum("pt", alias_name="n_tokens")))
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    vocab = _nonempty_blocks(vocab.materialize())
+    toks = _nonempty_blocks(toks.materialize())
+    if vocab is None or toks is None:
+        return rd.from_arrow(pa.table({
+            "checkpoint": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64())}))
+    return (vocab.join(toks.map_batches(
+        lambda b: b.rename_columns(["c2", "n_tokens"]),
+        batch_format="pyarrow"), "inner", _join_partitions(4),
+        on=("checkpoint",), right_on=("c2",))
+        .map_batches(lambda b: b.select(["checkpoint", "vocab_size",
+                                         "n_tokens"]),
+                     batch_format="pyarrow"))

@@ -483,3 +483,25 @@ def test_grouped_mad_hand_values(ray_session):
            .to_pandas().set_index("g"))
     assert out.loc["a", "median"] == 4.0 and out.loc["a", "mad"] == 2.0
     assert out.loc["b", "median"] == 20.0 and out.loc["b", "mad"] == 10.0
+
+
+def test_vocab_growth_prefixes(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import vocab_growth
+
+    rows = [
+        {"doc_id": 0, "text": "a b a"},
+        {"doc_id": 1, "text": "b c"},
+        {"doc_id": 2, "text": "c d d"},
+        {"doc_id": 4, "text": "e"},
+    ]
+    out = (vocab_growth(dataset_from_items(rows), divisors=(4, 2, 1))
+           .to_pandas().set_index("checkpoint").sort_index())
+    # max_id 4 -> checkpoints 1, 2, 4
+    assert out.loc[1, "vocab_size"] == 3    # a b c
+    assert out.loc[1, "n_tokens"] == 5
+    assert out.loc[2, "vocab_size"] == 4    # + d
+    assert out.loc[2, "n_tokens"] == 8
+    assert out.loc[4, "vocab_size"] == 5    # + e
+    assert out.loc[4, "n_tokens"] == 9
