@@ -786,6 +786,28 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_host_dup_rates(sf_dir: str):
+    """Per-host duplication-mass report over the duplicate-injected
+    corpus (hosts = doc_id % 97, so injected copies land on a
+    DIFFERENT host): content-fp hot-set broadcast + one groups-sized
+    rollup — the mirror/scraper-site ranking table."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import dup_rate_by_group
+
+    def hostify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = [f"site{x}" for x in d % 97]
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "text": b.column("text")})
+
+    aug = _augmented_docs(sf_dir).map_batches(
+        hostify, batch_format="pyarrow")
+    return dup_rate_by_group(aug, "host", "text")
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps-law curve: vocabulary size and token count at the
     max_id/4, /2 and full doc-id prefixes — word first-occurrences in
@@ -3890,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_durations": q_session_durations,
         "mad_len": q_mad_len,
         "vocab_growth": q_vocab_growth,
+        "host_dup_rates": q_host_dup_rates,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5131,6 +5154,25 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # md5 multiplicity >= 2 marks dups; host from the POST-dup id
+        "host_dup_rates": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), h AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 97) AS host, md5(text) AS m FROM aug
+), c AS MATERIALIZED (
+  SELECT m FROM h GROUP BY m HAVING count(*) >= 2
+), f AS MATERIALIZED (
+  SELECT h.host, CASE WHEN c.m IS NULL THEN 0 ELSE 1 END AS d
+  FROM h LEFT JOIN c ON c.m = h.m
+)
+SELECT host, count(*)::BIGINT AS n_docs, sum(d)::BIGINT AS n_dups,
+       floor(sum(d) * 1000000.0 / count(*) + 0.5) / 1000000.0
+         AS dup_rate
+FROM f GROUP BY host
+""",
         # word first-occurrence min + conditional sums per checkpoint
         "vocab_growth": r"""
 WITH mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),

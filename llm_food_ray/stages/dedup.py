@@ -3073,3 +3073,86 @@ def dedup_canonical(ds, key_column: str = "doc_id",
     out = dedup_exact(ds.map_batches(canon, batch_format="pyarrow"),
                       key_column, "__canon", **dedup_kwargs)
     return out.drop_columns(["__canon"])
+
+def dup_rate_by_group(ds, group_column: str, text_column: str, *,
+                      digits: int = 6):
+    """Per-group duplication-mass report: ``(group, n_docs, n_dups,
+    dup_rate)`` where a row counts as a dup when its exact content
+    hash occurs ≥ 2 times ANYWHERE in the corpus — the crawl-quality
+    table that ranks hosts/sources by how much of their output is
+    copies (mirror detection, boilerplate farms, scraped-content
+    sites).
+
+    Scale shape: one streaming hash pass emits (content-fp, group)
+    rows; the fp-keyed count ``groupby`` prunes to fps with count ≥ 2
+    — the HOT set, bounded by duplication mass like
+    ``dedup_paragraph_global``'s — which broadcasts once for a
+    vectorized ``pc.is_in`` second pass; the rollup exchange is
+    groups-sized.  Counts exact; the rate is the half-away snap of one
+    division of identical ints."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray as _ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    mask = (1 << 63) - 1
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        texts = b.column(text_column).to_pylist()
+        fps = pa.array([stable_hash64(t or "") & mask for t in texts],
+                       pa.int64())
+        return pa.table({"fp": fps, group_column: b.column(group_column)})
+
+    tagged = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["fp"]).group_by(["fp"]).aggregate([("fp", "count")])
+        return g.rename_columns(["fp", "pn"])
+
+    hot_rows = (tagged.map_batches(fp_partial, batch_format="pyarrow")
+                      .groupby("fp").aggregate(Sum("pn", alias_name="n"))
+                      .map_batches(
+                          lambda b: b.filter(
+                              pc.greater_equal(b.column("n"), 2))
+                                    .select(["fp"]),
+                          batch_format="pyarrow"))
+    hot = np.sort(np.concatenate(
+        [b.column("fp").to_numpy(zero_copy_only=False)
+         for b in hot_rows.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    ref = _ray.put(pa.array(hot, pa.int64()))
+
+    def rollup(b: pa.Table) -> pa.Table:
+        hs = _ray.get(ref)
+        is_dup = pc.is_in(b.column("fp"), value_set=hs)
+        t = pa.table({
+            group_column: b.column(group_column),
+            "pn": pa.array(np.ones(b.num_rows, np.int64)),
+            "pd": pc.cast(is_dup, pa.int64())})
+        g = t.group_by([group_column]).aggregate(
+            [("pn", "sum"), ("pd", "sum")])
+        return g.rename_columns([group_column, "pn", "pd"])
+
+    merged = (tagged.map_batches(rollup, batch_format="pyarrow")
+                    .groupby(group_column)
+                    .aggregate(Sum("pn", alias_name="n_docs"),
+                               Sum("pd", alias_name="n_dups")))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy(zero_copy_only=False)
+        du = b.column("n_dups").to_numpy(zero_copy_only=False)
+        rate = np.floor(du.astype(np.float64) * scale / nd + 0.5) / scale
+        return pa.table({group_column: b.column(group_column),
+                         "n_docs": pa.array(nd, pa.int64()),
+                         "n_dups": pa.array(du, pa.int64()),
+                         "dup_rate": pa.array(rate, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

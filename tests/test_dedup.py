@@ -921,3 +921,23 @@ def test_dedup_canonical_catches_disguised_copies(ray_session):
     kept = sorted(r["doc_id"] for r in
                   dedup_canonical(rd.from_items(docs)).take_all())
     assert kept == [1, 3, 4]
+
+
+def test_dup_rate_by_group(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import dup_rate_by_group
+
+    rows = [
+        {"g": "a", "text": "x"}, {"g": "a", "text": "y"},
+        {"g": "b", "text": "x"},          # cross-group dup of a's "x"
+        {"g": "b", "text": "z"}, {"g": "b", "text": "z"},  # in-group
+        {"g": "c", "text": "unique"},
+    ]
+    out = (dup_rate_by_group(dataset_from_items(rows), "g", "text")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "n_docs"] == 2 and out.loc["a", "n_dups"] == 1
+    assert out.loc["a", "dup_rate"] == 0.5
+    assert out.loc["b", "n_docs"] == 3 and out.loc["b", "n_dups"] == 3
+    assert out.loc["b", "dup_rate"] == 1.0
+    assert out.loc["c", "n_dups"] == 0 and out.loc["c", "dup_rate"] == 0.0
