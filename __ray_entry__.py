@@ -786,6 +786,25 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_source_diversity(sf_dir: str):
+    """Per-host Simpson diversity of the source mix (hosts = doc_id %
+    23): flags single-feed mirror hosts (0) vs mixed-provenance hosts
+    (→ 1) — exact integer Σ n(n−1) moments, one division."""
+    from llm_food_ray.stages.textstats import source_diversity
+
+    def hostify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = [f"site{x}" for x in d % 23]
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "source": b.column("source")})
+
+    ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        hostify, batch_format="pyarrow")
+    return source_diversity(ds, "host", "source")
+
+
 def q_host_dup_rates(sf_dir: str):
     """Per-host duplication-mass report over the duplicate-injected
     corpus (hosts = doc_id % 97, so injected copies land on a
@@ -3913,6 +3932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_len": q_mad_len,
         "vocab_growth": q_vocab_growth,
         "host_dup_rates": q_host_dup_rates,
+        "source_diversity": q_source_diversity,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5154,6 +5174,22 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # exact integer Simpson moments; single-row groups NULL
+        "source_diversity": """
+WITH h AS MATERIALIZED (
+  SELECT 'site' || (doc_id % 23) AS host, source FROM documents
+), c AS MATERIALIZED (
+  SELECT host, source, count(*)::BIGINT AS n
+  FROM h GROUP BY host, source
+)
+SELECT host, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_cats,
+       CASE WHEN sum(n) >= 2
+            THEN floor((sum(n) * (sum(n) - 1) - sum(n * (n - 1)))
+                       * 1000000.0
+                       / (sum(n) * (sum(n) - 1)) + 0.5) / 1000000.0
+            ELSE NULL END AS simpson
+FROM c GROUP BY host
+""",
         # md5 multiplicity >= 2 marks dups; host from the POST-dup id
         "host_dup_rates": """
 WITH aug AS MATERIALIZED (

@@ -2660,3 +2660,75 @@ def vocab_growth(ds, text_column: str = "text",
         .map_batches(lambda b: b.select(["checkpoint", "vocab_size",
                                          "n_tokens"]),
                      batch_format="pyarrow"))
+
+def source_diversity(ds, group_column: str, cat_column: str, *,
+                     digits: int = 6):
+    """Per-group categorical diversity: ``(group, n_docs, n_cats,
+    simpson)`` — Simpson's diversity index 1 − Σ n_c(n_c−1) / t(t−1)
+    of the category mix inside each group (0 = a single-source mirror
+    host, → 1 = evenly mixed provenance).  Simpson rather than
+    Shannon BY DESIGN: both numerator and denominator are exact int64
+    sums, so the one float division obeys the repo's integer-moments
+    rule — a Shannon entropy would be a summation-order-unsafe float
+    Σ p·ln p at the rounding grid.  Single-row groups (t < 2) return
+    NULL.
+
+    Scale shape: per-batch (group, cat) Arrow count partials → ONE
+    pair-keyed ``groupby.sum`` → hash(group)-coarse buckets where the
+    index is a sorted run-length reduceat pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_column, cat_column])
+        g = t.group_by([group_column, cat_column]).aggregate(
+            [(cat_column, "count")])
+        return g.rename_columns([group_column, cat_column, "pn"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, cat_column])
+                .aggregate(Sum("pn", alias_name="n")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    scale = 10 ** digits
+
+    def finish(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(group_column, "ascending"),
+                          (cat_column, "ascending")])
+        g = g.take(order)
+        k = g.column(group_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1),
+                                       k.slice(0, len(k) - 1)), True)
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        runlen = np.diff(np.r_[starts, len(n)])
+        tot = np.add.reduceat(n, starts)
+        num = np.add.reduceat(n * (n - 1), starts)
+        denom = (tot * (tot - 1)).astype(np.float64)
+        ok = denom > 0
+        idx_v = np.floor(np.divide(
+            (tot * (tot - 1) - num).astype(np.float64) * scale, denom,
+            out=np.zeros(len(tot)), where=ok) + 0.5) / scale
+        vals = [float(v) if m else None for v, m in zip(idx_v, ok)]
+        return pa.table({
+            group_column: k.take(pa.array(starts)),
+            "n_docs": pa.array(tot, pa.int64()),
+            "n_cats": pa.array(runlen.astype(np.int64)),
+            "simpson": pa.array(vals, pa.float64())})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(finish, batch_format="pyarrow"))

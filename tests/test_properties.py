@@ -291,3 +291,22 @@ def test_token_budget_sample_fuzz(ray_session, docs, budget_a, bucket_hex):
         got = (sorted(out[out["g"] == g]["doc_id"])
                if len(out) else [])
         assert got == sorted(want), (g, budgets, bucket_hex)
+
+
+@given(st.text(alphabet="abcd", max_size=7),
+       st.text(alphabet="abcd", max_size=7))
+def test_lev_le1_matches_dp_capped(a, b):
+    from llm_food_ray.stages.fuzzy import _lev_le1
+
+    if abs(len(a) - len(b)) > 1:
+        return
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    true_d = prev[-1]
+    got = _lev_le1(a, b)
+    assert got == (true_d if true_d <= 1 else 2)

@@ -505,3 +505,26 @@ def test_vocab_growth_prefixes(ray_session):
     assert out.loc[2, "n_tokens"] == 8
     assert out.loc[4, "vocab_size"] == 5    # + e
     assert out.loc[4, "n_tokens"] == 9
+
+
+def test_source_diversity_simpson(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import source_diversity
+
+    rows = (
+        # host a: 2+2 over two sources -> 1 - (2+2)/(4*3) = 1 - 4/12
+        [{"h": "a", "s": "x"}] * 2 + [{"h": "a", "s": "y"}] * 2
+        # host b: single source -> simpson 0
+        + [{"h": "b", "s": "x"}] * 3
+        # host c: one row -> NULL
+        + [{"h": "c", "s": "z"}]
+    )
+    out = (source_diversity(dataset_from_items(rows), "h", "s")
+           .to_pandas().set_index("h"))
+    assert out.loc["a", "simpson"] == 0.666667
+    assert out.loc["a", "n_cats"] == 2
+    assert out.loc["b", "simpson"] == 0.0
+    assert pd.isna(out.loc["c", "simpson"])
