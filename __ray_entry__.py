@@ -786,6 +786,15 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_readability(sf_dir: str):
+    """Per-doc Flesch reading ease (vowel-group syllable proxy): three
+    Arrow RE2 count kernels + one per-row float expression — zero
+    exchanges."""
+    from llm_food_ray.stages.textstats import readability
+
+    return readability(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_source_diversity(sf_dir: str):
     """Per-host Simpson diversity of the source mix (hosts = doc_id %
     23): flags single-feed mirror hosts (0) vs mixed-provenance hosts
@@ -3933,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "host_dup_rates": q_host_dup_rates,
         "source_diversity": q_source_diversity,
+        "readability": q_readability,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5174,6 +5184,25 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # same three RE2 counts, same per-row float expression
+        "readability": r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+           AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS y
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CASE WHEN w > 0
+            THEN floor((206.835 - 1.015 * (w::DOUBLE / s)
+                        - 84.6 * (y::DOUBLE / w)) * 10000 + 0.5)
+                 / 10000.0
+            ELSE NULL END AS flesch
+FROM c
+""",
         # exact integer Simpson moments; single-row groups NULL
         "source_diversity": """
 WITH h AS MATERIALIZED (

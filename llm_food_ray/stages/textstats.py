@@ -2732,3 +2732,52 @@ def source_diversity(ds, group_column: str, cat_column: str, *,
     return (merged.map_batches(bucket, batch_format="pyarrow")
                   .groupby("__pb")
                   .map_groups(finish, batch_format="pyarrow"))
+
+def readability(ds, text_column: str = "text",
+                id_column: str = "doc_id", *, digits: int = 4):
+    """Per-document Flesch reading-ease (vowel-group syllable proxy):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(vowel_groups/words)
+
+    with sentences = max(1, runs of [.!?]) and vowel groups = runs of
+    [aeiouy] in the lowercased text — the classic graded-corpus /
+    児童-content routing signal, cheap enough to run on every crawl
+    page.  → (doc_id, n_words, n_sentences, n_syllables, flesch);
+    word-less docs get NULL.
+
+    Fully vectorized, zero exchanges: three Arrow RE2 count kernels +
+    one per-row float expression of integer ratios (identical doubles
+    on both engines, snapped half-up to ``digits``)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    scale = 10 ** digits
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.cast(b.column(text_column), pa.string())
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        w = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, r"[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(
+            pc.utf8_lower(txt), r"[aeiouy]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        ok = w > 0
+        f = np.where(ok, np.floor(
+            (206.835 - 1.015 * np.divide(w, s)
+             - 84.6 * np.divide(y, np.maximum(w, 1))) * scale + 0.5)
+            / scale, 0.0)
+        vals = [float(v) if m else None for v, m in zip(f, ok)]
+        return pa.table({
+            id_column: b.column(id_column),
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(s),
+            "n_syllables": pa.array(y),
+            "flesch": pa.array(vals, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -528,3 +528,28 @@ def test_source_diversity_simpson(ray_session):
     assert out.loc["a", "n_cats"] == 2
     assert out.loc["b", "simpson"] == 0.0
     assert pd.isna(out.loc["c", "simpson"])
+
+
+def test_readability_hand_text(ray_session):
+    import math
+
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import readability
+
+    rows = [{"doc_id": 1, "text": "The cat sat. The dog ran!"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "no terminator here"}]
+    out = (readability(dataset_from_items(rows)).to_pandas()
+           .set_index("doc_id"))
+    # doc 1: 6 words, 2 sentences, vowel groups: e,a,a,e,o,a -> 6
+    assert out.loc[1, "n_words"] == 6
+    assert out.loc[1, "n_sentences"] == 2
+    assert out.loc[1, "n_syllables"] == 6
+    want = math.floor((206.835 - 1.015 * 3 - 84.6 * 1.0) * 1e4
+                      + 0.5) / 1e4
+    assert out.loc[1, "flesch"] == want
+    assert pd.isna(out.loc[2, "flesch"])
+    assert out.loc[3, "n_sentences"] == 1  # clamped to 1
