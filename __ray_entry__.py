@@ -786,6 +786,21 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier over parts (maximize size AND retail
+    price): per-block vectorized sweep prune + one frontier-bounded
+    resolve — the multi-criteria selector no single score expresses."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import skyline2d
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size",
+                                    "p_retailprice"])
+    return skyline2d(part, "p_size", "p_retailprice",
+                     keep_columns=["p_partkey"])
+
+
 def q_readability(sf_dir: str):
     """Per-doc Flesch reading ease (vowel-group syllable proxy): three
     Arrow RE2 count kernels + one per-row float expression — zero
@@ -3943,6 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_dup_rates": q_host_dup_rates,
         "source_diversity": q_source_diversity,
         "readability": q_readability,
+        "skyline": q_skyline,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5184,6 +5200,16 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # textbook dominance twin (comparisons only — no float math)
+        "skyline": """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size
+    AND q.p_retailprice >= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+""",
         # same three RE2 counts, same per-row float expression
         "readability": r"""
 WITH c AS (

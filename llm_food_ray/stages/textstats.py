@@ -2781,3 +2781,64 @@ def readability(ds, text_column: str = "text",
             "flesch": pa.array(vals, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+def skyline2d(ds, x_column: str, y_column: str, *,
+              keep_columns=None):
+    """2-D Pareto frontier (maximize both): rows not strictly
+    dominated by any other row (dominated = other is ≥ in both
+    dimensions and > in at least one; equal points are mutually
+    non-dominating and all kept) — the multi-criteria "best docs"
+    selector (longest AND highest-quality, cheapest AND freshest)
+    that no single score column can express.
+
+    Scale shape: the skyline of a union IS the skyline of the per-part
+    skylines, so one vectorized per-block prune (lexsort by (x desc,
+    y desc) + running-max-of-y scan) shrinks the corpus to the union
+    of local frontiers, and one single-group resolve of that
+    frontier-mass-bounded survivor set finishes exactly.  No float
+    arithmetic — only comparisons — so exact for any orderable
+    numeric columns."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(keep_columns or [])
+    for c in (x_column, y_column):
+        if c not in cols:
+            cols.append(c)
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(cols)
+        x = b.column(x_column).to_numpy(zero_copy_only=False)
+        y = b.column(y_column).to_numpy(zero_copy_only=False)
+        # x desc, then y desc: a row is on the frontier iff its y
+        # strictly exceeds the best y of every STRICTLY greater x —
+        # with equal x grouped, compare against the running max of
+        # PREVIOUS x-groups
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        new_x = np.r_[True, xs[1:] != xs[:-1]]
+        gid = np.cumsum(new_x) - 1
+        head_y = ys[np.flatnonzero(new_x)]  # per-group max y (y desc)
+        # M_before[g] = best y among STRICTLY greater x; a group
+        # survives iff its head beats it, and within a surviving
+        # group exactly the head-y ties survive (same-x higher-y
+        # dominates, equal points are mutually non-dominating)
+        m_before = np.r_[-np.inf, np.maximum.accumulate(head_y)[:-1]]
+        keep_group = head_y > m_before
+        keep = keep_group[gid] & (ys == head_y[gid])
+        sel = order[keep]
+        return b.select(cols).take(pa.array(np.sort(sel)))
+
+    pruned = ds.map_batches(local_skyline, batch_format="pyarrow")
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__g", pa.array(np.zeros(b.num_rows, np.int64)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        return local_skyline(g)
+
+    return (pruned.map_batches(add_g, batch_format="pyarrow")
+                  .groupby("__g")
+                  .map_groups(resolve, batch_format="pyarrow"))

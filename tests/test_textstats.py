@@ -553,3 +553,38 @@ def test_readability_hand_text(ray_session):
     assert out.loc[1, "flesch"] == want
     assert pd.isna(out.loc[2, "flesch"])
     assert out.loc[3, "n_sentences"] == 1  # clamped to 1
+
+
+def test_skyline2d_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import skyline2d
+
+    rng = np.random.RandomState(5)
+    pts = [(int(rng.randint(0, 20)), int(rng.randint(0, 20)))
+           for _ in range(200)]
+    rows = [{"k": i, "x": x, "y": y} for i, (x, y) in enumerate(pts)]
+
+    def dominated(p):
+        return any(q[0] >= p[0] and q[1] >= p[1]
+                   and (q[0] > p[0] or q[1] > p[1]) for q in pts)
+
+    expect = {i for i, p in enumerate(pts) if not dominated(p)}
+    out = skyline2d(dataset_from_items(rows), "x", "y",
+                    keep_columns=["k"]).to_pandas()
+    assert set(out["k"]) == expect
+
+
+def test_skyline2d_ties_all_kept(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import skyline2d
+
+    # two identical frontier points are mutually non-dominating
+    rows = [{"k": 1, "x": 5, "y": 5}, {"k": 2, "x": 5, "y": 5},
+            {"k": 3, "x": 5, "y": 4}, {"k": 4, "x": 6, "y": 1}]
+    out = skyline2d(dataset_from_items(rows), "x", "y",
+                    keep_columns=["k"]).to_pandas()
+    assert set(out["k"]) == {1, 2, 4}
