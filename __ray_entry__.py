@@ -786,6 +786,36 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_wmedian_len(sf_dir: str):
+    """Per-language TOKEN-weighted median doc length — 'the typical
+    training token lives in a doc of length …'; integer weights keep
+    the rank rule a pure int comparison."""
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import grouped_weighted_median
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = [len(split_words(t or ""))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_chars": b.column("n_chars"),
+                         "wt": pa.array(toks, pa.int64())})
+
+    return grouped_weighted_median(
+        _docs(sf_dir, ["lang", "text", "n_chars"]).map_batches(
+            with_tokens, batch_format="pyarrow"),
+        "lang", "n_chars", "wt")
+
+
+def q_winsor_len(sf_dir: str):
+    """Per-language winsorized mean length (clip at the exact
+    p5/p95 quantile_disc values, then an exact-integer mean) — the
+    robust average a host/lang telemetry rollup wants."""
+    from llm_food_ray.stages.textstats import winsorized_mean
+
+    return winsorized_mean(_docs(sf_dir, ["lang", "n_chars"]),
+                           "lang", "n_chars")
+
+
 def q_skyline(sf_dir: str):
     """2-D Pareto frontier over parts (maximize size AND retail
     price): per-block vectorized sweep prune + one frontier-bounded
@@ -3959,6 +3989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_diversity": q_source_diversity,
         "readability": q_readability,
         "skyline": q_skyline,
+        "wmedian_len": q_wmedian_len,
+        "winsor_len": q_winsor_len,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5200,6 +5232,39 @@ GROUP BY 1, 2 HAVING count(*) >= 2
         "kcore": _kcore_sql(k=5, rounds=3),
         "label_propagation": _labelprop_sql(rounds=3),
         "bfs_depth": _bfs_sql(rounds=3),
+        # weighted rank rule: smallest value with 2·cumweight ≥ total
+        "wmedian_len": r"""
+WITH t AS MATERIALIZED (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w <> ''))::BIGINT AS wt
+  FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, n_chars, sum(wt)::BIGINT AS w
+  FROM t GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, n_chars, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY n_chars) AS cw,
+         sum(w) OVER (PARTITION BY lang) AS tot
+  FROM c
+)
+SELECT lang, round(min(n_chars)::DOUBLE, 6) AS wmedian
+FROM cum WHERE 2 * cw >= tot GROUP BY lang
+""",
+        # clip at exact quantile_disc p5/p95 values, exact int mean
+        "winsor_len": """
+WITH th AS MATERIALIZED (
+  SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, round(max(th.lo)::DOUBLE, 6) AS lo,
+       round(max(th.hi)::DOUBLE, 6) AS hi,
+       floor(sum(least(greatest(d.n_chars, th.lo), th.hi))
+             * 1000000.0 / count(*) + 0.5) / 1000000.0 AS wmean
+FROM documents d JOIN th ON th.lang = d.lang
+GROUP BY d.lang
+""",
         # textbook dominance twin (comparisons only — no float math)
         "skyline": """
 SELECT p_partkey, p_size, p_retailprice

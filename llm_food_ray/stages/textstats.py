@@ -2842,3 +2842,147 @@ def skyline2d(ds, x_column: str, y_column: str, *,
     return (pruned.map_batches(add_g, batch_format="pyarrow")
                   .groupby("__g")
                   .map_groups(resolve, batch_format="pyarrow"))
+
+def grouped_weighted_median(ds, key_column: str, value_column: str,
+                            weight_column: str, *, digits: int = 6):
+    """Per-group WEIGHTED discrete median: the smallest value v with
+    2·Σ(weights of rows ≤ v) ≥ Σ(all weights) — e.g. the
+    token-weighted median document length ("the typical TRAINING TOKEN
+    lives in a doc of length …", which corpus-mean stats misstate
+    badly when long docs dominate token mass).  Integer weights keep
+    the rank rule a pure int comparison — no float anywhere.
+
+    Scale shape: per-batch (key, value) → Σweight partials (the
+    grouped_median histogram posture, weights instead of counts), one
+    pair-keyed ``groupby.sum``, and a keys×values-bounded driver
+    read-off via one global cumsum + searchsorted."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key_column, value_column, weight_column])
+        g = t.group_by([key_column, value_column]).aggregate(
+            [(weight_column, "sum")])
+        return g.rename_columns([key_column, value_column, "pw"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([key_column, value_column])
+                .aggregate(Sum("pw", alias_name="w"))).to_pandas()
+    merged = merged.sort_values([key_column, value_column])
+    if not len(merged):
+        return rd.from_arrow(pa.table({
+            key_column: pa.array([]),
+            "wmedian": pa.array([], pa.float64())}))
+    k = merged[key_column].to_numpy()
+    vals = merged[value_column].to_numpy().astype(np.float64)
+    w = merged["w"].to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    runlen = np.diff(np.r_[starts, len(k)])
+    gc = np.cumsum(w)
+    base = np.r_[0, gc[starts[1:] - 1]]
+    totals = np.add.reduceat(w, starts)
+    # smallest v with 2·cum ≥ total: searchsorted on the per-group
+    # cumulative weights for ceil(total/2)
+    need = (totals + 1) // 2
+    idx = np.searchsorted(gc, base + need)
+    return rd.from_arrow(pa.table({
+        key_column: pa.array(k[starts]),
+        "wmedian": pa.array(
+            [round(float(v), digits) for v in vals[idx]],
+            pa.float64())}))
+
+
+def winsorized_mean(ds, key_column: str, value_column: str, *,
+                    lo_q: float = 0.05, hi_q: float = 0.95,
+                    digits: int = 6):
+    """Per-group winsorized mean: values clip to the group's exact
+    quantile_disc(lo_q)/(hi_q) thresholds before averaging — the
+    outlier-insensitive mean a telemetry rollup wants when a handful
+    of 100 MB pages would otherwise dominate a host's average.
+    → (key, lo, hi, wmean).
+
+    Exactness: thresholds are actual data values (quantile_disc), so
+    clipped integer values sum to an exact int64 and the mean is one
+    division of identical ints, rounded half-away.
+
+    Scale shape: one grouped_quantiles histogram pass for thresholds →
+    groups-sized join back onto the corpus (no broadcast assumption) →
+    clipped integer Σ partials → groups-sized finish."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    empty = pa.table({key_column: pa.array([], pa.string()),
+                      "lo": pa.array([], pa.float64()),
+                      "hi": pa.array([], pa.float64()),
+                      "wmean": pa.array([], pa.float64())})
+    th = grouped_quantiles(ds, key_column, value_column,
+                           qs=[lo_q, hi_q], digits=digits)
+
+    def pivot(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        out = df.pivot_table(index=key_column, columns="q",
+                             values="quantile").reset_index()
+        out.columns = [key_column, "lo", "hi"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    th2 = _nonempty_blocks(th.map_batches(
+        pivot, batch_format="pyarrow").materialize())
+    if th2 is None:
+        return rd.from_arrow(empty)
+    th2 = th2.map_batches(
+        lambda b: pa.table({"__tk": b.column(key_column),
+                            "lo": b.column("lo"),
+                            "hi": b.column("hi")}),
+        batch_format="pyarrow").materialize()
+    th2 = _nonempty_blocks(th2) or th2
+
+    nparts = _join_partitions(16)
+    joined = (ds.select_columns([key_column, value_column])
+                .join(th2, "inner", nparts,
+                      on=(key_column,), right_on=("__tk",)))
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        c = np.clip(v, lo.astype(np.int64), hi.astype(np.int64))
+        t = pa.table({key_column: b.column(key_column),
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "s": pa.array(c),
+                      "lo": b.column("lo"), "hi": b.column("hi")})
+        g = t.group_by([key_column]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("lo", "min"), ("hi", "min")])
+        return g.rename_columns([key_column, "n", "s", "lo", "hi"])
+
+    from ray.data.aggregate import Min
+
+    merged = (joined.map_batches(clip_partial, batch_format="pyarrow")
+                    .groupby(key_column)
+                    .aggregate(Sum("n", alias_name="n"),
+                               Sum("s", alias_name="s"),
+                               Min("lo", alias_name="lo"),
+                               Min("hi", alias_name="hi")))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        m = np.floor(s.astype(np.float64) * scale / n + 0.5) / scale
+        return pa.table({key_column: b.column(key_column),
+                         "lo": b.column("lo"), "hi": b.column("hi"),
+                         "wmean": pa.array(m, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

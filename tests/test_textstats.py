@@ -588,3 +588,35 @@ def test_skyline2d_ties_all_kept(ray_session):
     out = skyline2d(dataset_from_items(rows), "x", "y",
                     keep_columns=["k"]).to_pandas()
     assert set(out["k"]) == {1, 2, 4}
+
+
+def test_grouped_weighted_median_rank_rule(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_weighted_median
+
+    # group a: values 1(w3), 10(w1): total 4, need cum>=2 -> median 1
+    # group b: values 1(w1), 10(w3): need cum>=2 -> median 10
+    # group c: equal mass ties -> smallest value with 2cum>=tot -> 1
+    rows = [{"g": "a", "v": 1, "w": 3}, {"g": "a", "v": 10, "w": 1},
+            {"g": "b", "v": 1, "w": 1}, {"g": "b", "v": 10, "w": 3},
+            {"g": "c", "v": 1, "w": 2}, {"g": "c", "v": 10, "w": 2}]
+    out = (grouped_weighted_median(dataset_from_items(rows),
+                                   "g", "v", "w")
+           .to_pandas().set_index("g")["wmedian"].to_dict())
+    assert out == {"a": 1.0, "b": 10.0, "c": 1.0}
+
+
+def test_winsorized_mean_clips_outlier(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import winsorized_mean
+
+    # 19 values of 10 plus one outlier 100000: p95 threshold (rank
+    # ceil(.95*20)=19) is 10, so the outlier clips to 10 -> mean 10
+    rows = ([{"g": "a", "v": 10}] * 19
+            + [{"g": "a", "v": 100000}])
+    out = (winsorized_mean(dataset_from_items(rows), "g", "v")
+           .to_pandas().set_index("g"))
+    assert out.loc["a", "wmean"] == 10.0
+    assert out.loc["a", "hi"] == 10.0
