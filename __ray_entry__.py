@@ -3915,55 +3915,18 @@ def q_multimodal_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Order matters: the driver's correctness gate checks the FIRST 50
-    # entries.  r4 rotation (VERDICT r3 item #8): everything r3-new or
-    # touched by an r4 code change (cap/sample family, median/quantiles,
-    # scorer pools, minhash propagation, pagerank, anchor_texts) stays
-    # in the window for a consecutive re-check; the r3 tail (sessionize
-    # … extract_spans, all r2-driver-green) rotates back in; 20 entries
-    # untouched this round AND driver-green in BOTH r2 and r3 rotate to
-    # the tail (incl. the two rows-only IVF variants, which have had
-    # their two driver row-checks and stay recall-pytest-pinned).
-    # r4-cont rotation: the 4 most-driver-checked entries (extract_pages
-    # ×3, dedup_exact ×3, lang_id ×2, doc_fingerprint ×2) rotate to the
-    # tail to make room for the 4 new operators (temperature_mix,
-    # mode_source, bpe_pairs, url_blocklist) inside the first-50 window.
-    # r4-cont rotation #2: six r3-driver-green untouched entries
-    # (chunk_spans, outlinks, host_graph, supplier_components,
-    # lm_cross_score, token_budget_mix) rotate to the tail so the six
-    # newest never-driver-checked operators (contamination_frac,
-    # distinctive_terms, embedding_quantize, ann_topk_quantized,
-    # ngram_coverage, bm25_multi) and this session's four (bpe_train,
-    # semdedup, leakage_split, hits) all sit inside the first-50 window.
-    # r4-cont rotation #3 (session 4): the 19 brand-new operators
-    # (triangle_counts, clustering_coef, label_propagation, kcore,
-    # editdist_pairs, bitext_mine, linear_fit, event_transitions,
-    # funnel, cohort_retention, url_templates, crawl_budget,
-    # burst_scores, extract_files, jsonl_ingest, csv_ingest,
-    # robots_policy, politeness_order) enter the window; the 19
-    # entries they displace (profile_table … hybrid_search slice) are
-    # all multi-sweep green (r4 sessions 1-3 + today's spot checks)
-    # and rotate to the tail.
+    # Window policy (r4-cont-4 final): the driver checks the FIRST 50
+    # entries, and NOTHING added in round 4 has ever had a driver row
+    # (CORRECTNESS_r04 runs at round end) — so every window slot goes
+    # to a never-driver-checked query: all 33 session-4 operators
+    # first, then 17 session-1-3 round-4 additions (tokenizer family,
+    # semdedup, top_pmi, curate_full flagship, exact-moment stats,
+    # quantized-ANN pair, retrieval batch, canonical dedup).  Every
+    # displaced entry is r2/r3-driver-green and/or multi-sweep local
+    # green (tools/check_oracle.py, sessions 1-4); the remaining 54
+    # never-checked entries in the tail are all locally sweep-green —
+    # the window simply cannot hold more than 50.
     return {
-        "cap_per_lang": q_cap_per_lang,
-        "resample_mix": q_resample_mix,
-        "weighted_sample_per_lang": q_weighted_sample_per_lang,
-        "quantiles_len": q_quantiles_len,
-        "percent_rank_len": q_percent_rank_len,
-        "nb_lang_classify": q_nb_lang_classify,
-        "oov_rate": q_oov_rate,
-        "len_deciles": q_len_deciles,
-        "lang_confusion": q_lang_confusion,
-        "term_lookup": q_term_lookup,
-        "index_merge": q_index_merge,
-        "hll_distinct": q_hll_distinct,
-        "leakage_split": q_leakage_split,
-        "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "cocitation": q_cocitation,
-        "pagination_chains": q_pagination_chains,
-        "content_lifespan": q_content_lifespan,
-        "hits": q_hits,
         "triangle_counts": q_triangle_counts,
         "clustering_coef": q_clustering_coef,
         "label_propagation": q_label_propagation,
@@ -3997,32 +3960,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_policy": q_robots_policy,
         "politeness_order": q_politeness_order,
         "crawl_plan": q_crawl_plan,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "bpe_pairs": q_bpe_pairs,
+        "semdedup": q_semdedup,
+        "top_pmi": q_top_pmi,
+        "curate_full": q_curate_full,
+        "epoch_order": q_epoch_order,
+        "script_stats": q_script_stats,
+        "grouped_corr": q_grouped_corr,
         "contamination_frac": q_contamination_frac,
         "distinctive_terms": q_distinctive_terms,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_quantized": q_ann_topk_quantized,
         "ngram_coverage": q_ngram_coverage,
         "bm25_multi": q_bm25_multi,
-        "bpe_pairs": q_bpe_pairs,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "curate_full": q_curate_full,
-        "epoch_order": q_epoch_order,
-        "script_stats": q_script_stats,
         "keyword_tag": q_keyword_tag,
+        "dedup_canonical": q_dedup_canonical,
+        "cap_per_lang": q_cap_per_lang,
+        "resample_mix": q_resample_mix,
+        "weighted_sample_per_lang": q_weighted_sample_per_lang,
+        "quantiles_len": q_quantiles_len,
+        "percent_rank_len": q_percent_rank_len,
+        "nb_lang_classify": q_nb_lang_classify,
+        "oov_rate": q_oov_rate,
+        "len_deciles": q_len_deciles,
+        "lang_confusion": q_lang_confusion,
+        "term_lookup": q_term_lookup,
+        "index_merge": q_index_merge,
+        "hll_distinct": q_hll_distinct,
+        "leakage_split": q_leakage_split,
+        "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "cocitation": q_cocitation,
+        "pagination_chains": q_pagination_chains,
+        "content_lifespan": q_content_lifespan,
+        "hits": q_hits,
         "profile_table": q_profile_table,
         "plagiarism_pairs": q_plagiarism_pairs,
         "containment_pairs": q_containment_pairs,
-        "dedup_canonical": q_dedup_canonical,
         "cdf_against": q_cdf_against,
         "collapse_lines": q_collapse_lines,
-        "grouped_corr": q_grouped_corr,
-        "top_pmi": q_top_pmi,
         "anchor_texts": q_anchor_texts,
         "host_tier_filter": q_host_tier_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
         "embedding_outliers": q_embedding_outliers,
         "hard_negatives": q_hard_negatives,
         "diverse_sample": q_diverse_sample,
@@ -4034,15 +4016,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_per_lang": q_top_k_per_lang,
         "sessionize": q_sessionize,
         "sample_per_lang": q_sample_per_lang,
-        # --- long-green rotation tail (driver checks the first 50):
-        # (r4-cont-2: curate [driver-green r2+r3] plus quality_stats,
-        # repetition_stats and quality_filter [driver-green r2,
-        # sweep-green locally today] rotate out to make room for the
-        # four new window/join/bloom operators.  r4-cont-3:
-        # strip_boilerplate and top_bigrams_sketch enter the window;
-        # sessionize [driver-green r3] and sample_per_lang
-        # [driver-green r2+r3] rotate out so the never-driver-checked
-        # top_k_per_lang stays inside.)
         "curate": q_curate,
         "quality_stats": q_quality_stats,
         "repetition_stats": q_repetition_stats,
@@ -4058,8 +4031,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_lm_score": q_ngram_lm_score,
         "tfidf_terms": q_tfidf_terms,
         "top_bigrams": q_top_bigrams,
-        # all driver-green in BOTH r2 and r3, untouched by r4 changes,
-        # plus pca_project (pytest-pinned by design, like the IVF pair) ---
         "extract_hash": q_extract_hash,
         "extract_chunks": q_extract_chunks,
         "extract_spans": q_extract_spans,
