@@ -840,6 +840,38 @@ def q_readability(sf_dir: str):
     return readability(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_media_dedup(sf_dir: str):
+    """Multimodal exact dedup over the REAL (non-stubbed) media
+    profile: payload → integer (length, 16 nibble counts) profile —
+    identical profiles ⇒ identical byte histograms — fed through the
+    standard (hash, min-key) exact-dedup machinery.  The media
+    pipeline's first dedup gate (bit-identical re-encodes, mirrored
+    assets) with all plumbing on the binary payload column; cosine
+    NEAR-dup over these profiles is deliberately NOT oracled — the
+    feature-cosine distribution is dense at every threshold (measured
+    max gap ~3e-7, below the float32 verify noise), exactly the
+    regime where only an exact rule is engine-reproducible."""
+    import numpy as np
+
+    from llm_food_ray.stages.dedup import dedup_exact
+
+    def to_profile(batch: pa.Table) -> pa.Table:
+        profs = []
+        for t in batch.column("text").to_pylist():
+            payload = (t or "").encode("utf-8")
+            arr = np.frombuffer(payload, np.uint8)
+            counts = np.bincount(arr >> 4, minlength=16)
+            profs.append(str(len(payload)) + ":"
+                         + ":".join(str(int(c)) for c in counts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "profile": pa.array(profs, pa.string())})
+
+    prof = _augmented_docs(sf_dir).map_batches(
+        to_profile, batch_format="pyarrow")
+    kept = dedup_exact(prof, "doc_id", "profile")
+    return kept.select_columns(["doc_id"])
+
+
 def q_source_diversity(sf_dir: str):
     """Per-host Simpson diversity of the source mix (hosts = doc_id %
     23): flags single-feed mirror hosts (0) vs mixed-provenance hosts
@@ -3954,6 +3986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "wmedian_len": q_wmedian_len,
         "winsor_len": q_winsor_len,
+        "media_dedup": q_media_dedup,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5264,6 +5297,39 @@ SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
                  / 10000.0
             ELSE NULL END AS flesch
 FROM c
+""",
+        # integer (length, nibble-count) profile string; ASCII corpus
+        # so char position == byte position, utf-8 length == length
+        "media_dedup": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), n_t AS MATERIALIZED (
+  SELECT doc_id, length(text) AS n FROM aug
+), chars AS MATERIALIZED (
+  SELECT a.doc_id, ascii(substr(a.text, i, 1)) AS c
+  FROM aug a,
+       LATERAL (SELECT unnest(generate_series(1, length(a.text)))
+                AS i) g
+  WHERE length(a.text) > 0
+), nib AS MATERIALIZED (
+  SELECT doc_id, c // 16 AS bin, count(*)::BIGINT AS k
+  FROM chars GROUP BY doc_id, c // 16
+), bins AS (
+  SELECT n_t.doc_id, b AS bin
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+), prof AS MATERIALIZED (
+  SELECT bins.doc_id,
+         max(n_t.n) || ':'
+         || array_to_string(list(COALESCE(nib.k, 0)
+                                 ORDER BY bins.bin), ':') AS profile
+  FROM bins
+  LEFT JOIN nib ON nib.doc_id = bins.doc_id AND nib.bin = bins.bin
+  JOIN n_t ON n_t.doc_id = bins.doc_id
+  GROUP BY bins.doc_id
+)
+SELECT min(doc_id) AS doc_id FROM prof GROUP BY profile
 """,
         # exact integer Simpson moments; single-row groups NULL
         "source_diversity": """

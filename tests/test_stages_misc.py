@@ -126,3 +126,32 @@ def test_media_feature_stage(ray_session):
             .map_batches(MediaFeatureStage(), batch_format="pyarrow")
             .to_pandas().set_index("k"))
     assert (out["byte_entropy"] == out2["byte_entropy"]).all()
+
+
+def test_media_profile_dedup_identical_histograms(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import dedup_exact
+
+    import numpy as np
+    import pyarrow as pa
+
+    def profile(payload: bytes) -> str:
+        arr = np.frombuffer(payload, np.uint8)
+        counts = np.bincount(arr >> 4, minlength=16)
+        return (str(len(payload)) + ":"
+                + ":".join(str(int(c)) for c in counts))
+
+    # b is a byte-permutation of a (same histogram, same length);
+    # c differs; d is empty
+    rows = [
+        {"doc_id": 1, "profile": profile(b"abcabc")},
+        {"doc_id": 2, "profile": profile(b"ccbbaa")},
+        {"doc_id": 3, "profile": profile(b"abcabd")},
+        {"doc_id": 4, "profile": profile(b"")},
+    ]
+    kept = sorted(r["doc_id"] for r in
+                  dedup_exact(dataset_from_items(rows),
+                              "doc_id", "profile")
+                  .select_columns(["doc_id"]).take_all())
+    assert kept == [1, 3, 4]
