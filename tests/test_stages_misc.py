@@ -142,16 +142,18 @@ def test_media_profile_dedup_identical_histograms(ray_session):
         return (str(len(payload)) + ":"
                 + ":".join(str(int(c)) for c in counts))
 
-    # b is a byte-permutation of a (same histogram, same length);
-    # c differs; d is empty
+    # 2 is a byte-permutation of 1 (same histogram, same length) and
+    # 3 shares 1's nibble histogram at a DIFFERENT length; 4 sits in
+    # another nibble bin entirely; 5 is empty
     rows = [
         {"doc_id": 1, "profile": profile(b"abcabc")},
         {"doc_id": 2, "profile": profile(b"ccbbaa")},
-        {"doc_id": 3, "profile": profile(b"abcabd")},
-        {"doc_id": 4, "profile": profile(b"")},
+        {"doc_id": 3, "profile": profile(b"abc")},
+        {"doc_id": 4, "profile": profile(b"ABCABC")},
+        {"doc_id": 5, "profile": profile(b"")},
     ]
     kept = sorted(r["doc_id"] for r in
                   dedup_exact(dataset_from_items(rows),
                               "doc_id", "profile")
                   .select_columns(["doc_id"]).take_all())
-    assert kept == [1, 3, 4]
+    assert kept == [1, 3, 4, 5]
