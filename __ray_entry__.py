@@ -840,6 +840,27 @@ def q_readability(sf_dir: str):
     return readability(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_rank_test(sf_dir: str):
+    """Per-language exact Mann–Whitney U between the even- and odd-id
+    document halves on n_chars — the nonparametric distribution-shift
+    test, folded from the value histogram (never n_a×n_b pairs)."""
+    from llm_food_ray.stages.textstats import mannwhitney_u
+
+    def with_side(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        side = np.where(d % 2 == 0, "even", "odd")
+        return pa.table({"lang": b.column("lang"),
+                         "side": pa.array(side.tolist(), pa.string()),
+                         "n_chars": b.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        with_side, batch_format="pyarrow")
+    return mannwhitney_u(ds, "lang", "side", "n_chars",
+                         side_a="even", side_b="odd")
+
+
 def q_media_dedup(sf_dir: str):
     """Multimodal exact dedup over the REAL (non-stubbed) media
     profile: payload → integer (length, 16 nibble counts) profile —
@@ -3987,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wmedian_len": q_wmedian_len,
         "winsor_len": q_winsor_len,
         "media_dedup": q_media_dedup,
+        "rank_test": q_rank_test,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5297,6 +5319,28 @@ SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
                  / 10000.0
             ELSE NULL END AS flesch
 FROM c
+""",
+        # pair-free U: per value, a-count × strictly-below b-mass plus
+        # half the tie product — doubled to stay integer, halved once
+        "rank_test": """
+WITH s AS MATERIALIZED (
+  SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+           AS side, n_chars
+  FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, n_chars,
+         sum(CASE WHEN side = 'even' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN side = 'odd' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s GROUP BY lang, n_chars
+), w AS (
+  SELECT lang, n_chars, ca, cb,
+         (sum(cb) OVER (PARTITION BY lang ORDER BY n_chars)
+          - cb)::BIGINT AS below
+  FROM c
+)
+SELECT lang, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+       (sum(ca * 2 * below + ca * cb) / 2.0) AS u
+FROM w GROUP BY lang
 """,
         # integer (length, nibble-count) profile string; ASCII corpus
         # so char position == byte position, utf-8 length == length

@@ -2986,3 +2986,81 @@ def winsorized_mean(ds, key_column: str, value_column: str, *,
                          "wmean": pa.array(m, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+def mannwhitney_u(ds, group_column: str, side_column: str,
+                  value_column: str, *, side_a, side_b):
+    """Per-group exact Mann–Whitney U statistic between two labeled
+    samples: U = #{(a, b) : v_a > v_b} + ½·#{v_a = v_b} — the
+    nonparametric "did the distribution shift" test a data-quality
+    monitor runs between crawl snapshots or corpus halves, computed
+    WITHOUT pair enumeration.  → (group, n_a, n_b, u).  Counts are
+    exact ints and ties contribute exact binary halves, so u is
+    bit-identical across engines and batchings.
+
+    Scale shape: per-batch (group, value, side) count partials → one
+    (group, value)-keyed ``groupby`` merge → hash(group)-coarse
+    buckets where U folds in one sorted cumsum/reduceat pass over the
+    value histogram — the grouped_median exchange bound (keys ×
+    distinct values), never n_a × n_b pairs."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        side = b.column(side_column)
+        ina = pc.cast(pc.equal(side, side_a), pa.int64())
+        inb = pc.cast(pc.equal(side, side_b), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      value_column: b.column(value_column),
+                      "ca": ina, "cb": inb})
+        g = t.group_by([group_column, value_column]).aggregate(
+            [("ca", "sum"), ("cb", "sum")])
+        return g.rename_columns([group_column, value_column,
+                                 "ca", "cb"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, value_column])
+                .aggregate(Sum("ca", alias_name="ca"),
+                           Sum("cb", alias_name="cb")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(group_column, "ascending"),
+                          (value_column, "ascending")])
+        g = g.take(order)
+        k = g.column(group_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        ca = g.column("ca").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cb = g.column("cb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1),
+                                       k.slice(0, len(k) - 1)), True)
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        runlen = np.diff(np.r_[starts, len(ca)])
+        # per group: cumulative b-count strictly below each value —
+        # global cumsum minus the row itself minus the group's offset
+        gcb = np.cumsum(cb)
+        base = np.repeat(np.r_[0, gcb[starts[1:] - 1]], runlen)
+        below = (gcb - cb) - base
+        u2 = np.add.reduceat(ca * 2 * below + ca * cb, starts)
+        na = np.add.reduceat(ca, starts)
+        nb = np.add.reduceat(cb, starts)
+        return pa.table({
+            group_column: k.take(pa.array(starts)),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "u": pa.array(u2.astype(np.float64) / 2.0, pa.float64())})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))

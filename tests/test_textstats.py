@@ -620,3 +620,44 @@ def test_winsorized_mean_clips_outlier(ray_session):
            .to_pandas().set_index("g"))
     assert out.loc["a", "wmean"] == 10.0
     assert out.loc["a", "hi"] == 10.0
+
+
+def test_mannwhitney_u_matches_scipy_formula(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import mannwhitney_u
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 15, 40)
+    b = rng.randint(3, 18, 35)
+    rows = ([{"g": "x", "s": "A", "v": int(v)} for v in a]
+            + [{"g": "x", "s": "B", "v": int(v)} for v in b])
+    # brute-force pair count
+    gt = sum(1.0 for va in a for vb in b if va > vb)
+    ties = sum(1.0 for va in a for vb in b if va == vb)
+    want = gt + ties / 2
+    out = (mannwhitney_u(dataset_from_items(rows), "g", "s", "v",
+                         side_a="A", side_b="B")
+           .to_pandas().set_index("g"))
+    assert out.loc["x", "u"] == want
+    assert out.loc["x", "n_a"] == 40 and out.loc["x", "n_b"] == 35
+
+
+def test_mannwhitney_u_extremes(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import mannwhitney_u
+
+    # all of A above all of B: u = n_a * n_b; identical samples:
+    # u = n²/2
+    rows = ([{"g": "hi", "s": "A", "v": 100 + i} for i in range(3)]
+            + [{"g": "hi", "s": "B", "v": i} for i in range(4)]
+            + [{"g": "eq", "s": "A", "v": 7} for _ in range(5)]
+            + [{"g": "eq", "s": "B", "v": 7} for _ in range(5)])
+    out = (mannwhitney_u(dataset_from_items(rows), "g", "s", "v",
+                         side_a="A", side_b="B")
+           .to_pandas().set_index("g"))
+    assert out.loc["hi", "u"] == 12.0
+    assert out.loc["eq", "u"] == 12.5
