@@ -840,6 +840,24 @@ def q_readability(sf_dir: str):
     return readability(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_kendall(sf_dir: str):
+    """Global exact Kendall τ-b between n_chars and token count —
+    concordance folded from the 2-D value histogram, never the n²
+    pair space; the monotone-association twin of grouped_corr."""
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import kendall_tau
+
+    def xy(b: pa.Table) -> pa.Table:
+        toks = [len(split_words(t or ""))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"x": b.column("n_chars"),
+                         "y": pa.array(toks, pa.int64())})
+
+    return kendall_tau(
+        _docs(sf_dir, ["text", "n_chars"]).map_batches(
+            xy, batch_format="pyarrow"), "x", "y")
+
+
 def q_rank_test(sf_dir: str):
     """Per-language exact Mann–Whitney U between the even- and odd-id
     document halves on n_chars — the nonparametric distribution-shift
@@ -4009,6 +4027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsor_len": q_winsor_len,
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
+        "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
@@ -5319,6 +5338,33 @@ SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
                  / 10000.0
             ELSE NULL END AS flesch
 FROM c
+""",
+        # brute-force pair twin; tau from the same exact int masses
+        "kendall": r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w <> ''))::BIGINT AS y
+  FROM documents
+), p AS (
+  SELECT sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y)
+                  THEN 1 ELSE 0 END)::BIGINT AS c,
+         sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS np,
+         sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)::BIGINT AS tx,
+         sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS ty
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+), nn AS (SELECT count(*)::BIGINT AS n FROM t)
+SELECT nn.n, p.c AS concordant, p.d AS discordant,
+       CASE WHEN (np - tx) > 0 AND (np - ty) > 0
+            THEN round((p.c - p.d)
+                       / sqrt((np - tx)::DOUBLE * (np - ty)::DOUBLE),
+                       6)
+            ELSE NULL END AS tau
+FROM p CROSS JOIN nn
 """,
         # pair-free U: per value, a-count × strictly-below b-mass plus
         # half the tie product — doubled to stay integer, halved once

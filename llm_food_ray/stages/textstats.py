@@ -3064,3 +3064,81 @@ def mannwhitney_u(ds, group_column: str, side_column: str,
     return (merged.map_batches(bucket, batch_format="pyarrow")
                   .groupby("__pb")
                   .map_groups(fold, batch_format="pyarrow"))
+
+def kendall_tau(ds, x_column: str, y_column: str, *,
+                digits: int = 6, max_cells: int = 50_000_000):
+    """Exact global Kendall τ-b rank correlation between two INTEGER
+    columns — concordant/discordant/tie masses folded from the 2-D
+    value histogram (never the n² pair space):
+
+        τ_b = (C − D) / sqrt((T − Tx)(T − Ty)),  T = n(n−1)/2
+
+    with C/D/Tx/Ty exact int64 counts, so the one float
+    division/sqrt/round is bit-identical across engines (the
+    grouped_corr rule for rank statistics; Pearson sees linearity,
+    τ sees monotonicity — the robust pairing).
+
+    Scale shape: per-batch (x, y) Arrow count partials → one
+    cells-keyed ``groupby.sum`` (``max_cells`` guards the driver
+    gather — distinct VALUE PAIRS, not rows; bin continuous domains
+    upstream) → a dense 2-D cumsum fold on the driver.  → one row
+    (n, concordant, discordant, tau)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"x": b.column(x_column), "y": b.column(y_column)})
+        g = t.group_by(["x", "y"]).aggregate([("y", "count")])
+        return g.rename_columns(["x", "y", "pn"])
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["x", "y"])
+               .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(f"{len(cells)} cells exceed max_cells")
+    if not len(cells):
+        return rd.from_arrow(pa.table({
+            "n": pa.array([], pa.int64()),
+            "concordant": pa.array([], pa.int64()),
+            "discordant": pa.array([], pa.int64()),
+            "tau": pa.array([], pa.float64())}))
+    xs = np.unique(cells["x"].to_numpy())
+    ys = np.unique(cells["y"].to_numpy())
+    xi = np.searchsorted(xs, cells["x"].to_numpy())
+    yi = np.searchsorted(ys, cells["y"].to_numpy())
+    m = np.zeros((len(xs), len(ys)), np.int64)
+    m[xi, yi] = cells["n"].to_numpy()
+    # strictly-less-in-both mass via exclusive 2-D prefix sums
+    cum = m.cumsum(0).cumsum(1)
+    pad = np.zeros((len(xs) + 1, len(ys) + 1), np.int64)
+    pad[1:, 1:] = cum
+    less_both = pad[:-1, :-1][xi, yi]          # x' < x AND y' < y
+    n_cell = m[xi, yi]
+    # discordant mass per cell: x' > x AND y' < y =
+    #   (all x', y' < y) − (x' ≤ x, y' < y)
+    lt_y_le_x = pad[1:, :-1][xi, yi]
+    lt_y_all = pad[-1, :-1][yi]
+    gt_x_lt_y = lt_y_all - lt_y_le_x
+    conc2 = n_cell * less_both
+    disc2 = n_cell * gt_x_lt_y
+    C = int(conc2.sum())
+    D = int(disc2.sum())
+    n = int(m.sum())
+    T = n * (n - 1) // 2
+    row_tot = m.sum(1)
+    col_tot = m.sum(0)
+    Tx = int((row_tot * (row_tot - 1) // 2).sum())
+    Ty = int((col_tot * (col_tot - 1) // 2).sum())
+    denom = float(T - Tx) * float(T - Ty)
+    if denom > 0:
+        tau = round((C - D) / np.sqrt(denom), digits)
+    else:
+        tau = None
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([C], pa.int64()),
+        "discordant": pa.array([D], pa.int64()),
+        "tau": pa.array([tau], pa.float64())}))

@@ -661,3 +661,53 @@ def test_mannwhitney_u_extremes(ray_session):
            .to_pandas().set_index("g"))
     assert out.loc["hi", "u"] == 12.0
     assert out.loc["eq", "u"] == 12.5
+
+
+def test_kendall_tau_matches_bruteforce(ray_session):
+    import math
+
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import kendall_tau
+
+    rng = np.random.RandomState(9)
+    xs = rng.randint(0, 8, 60)
+    ys = (xs + rng.randint(-3, 4, 60)).clip(0, 10)
+    rows = [{"x": int(a), "y": int(b)} for a, b in zip(xs, ys)]
+    C = D = tx = ty = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xs[i] - xs[j]
+            dy = ys[i] - ys[j]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    T = n * (n - 1) // 2
+    want = round((C - D) / math.sqrt((T - tx) * (T - ty)), 6)
+    out = kendall_tau(dataset_from_items(rows), "x", "y").to_pandas()
+    assert int(out.loc[0, "concordant"]) == C
+    assert int(out.loc[0, "discordant"]) == D
+    assert out.loc[0, "tau"] == want
+
+
+def test_kendall_tau_perfect_and_degenerate(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import kendall_tau
+
+    mono = [{"x": i, "y": i * 2} for i in range(10)]
+    out = kendall_tau(dataset_from_items(mono), "x", "y").to_pandas()
+    assert out.loc[0, "tau"] == 1.0
+    const = [{"x": 1, "y": i} for i in range(5)]
+    out2 = kendall_tau(dataset_from_items(const), "x", "y").to_pandas()
+    assert pd.isna(out2.loc[0, "tau"])
