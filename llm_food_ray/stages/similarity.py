@@ -997,9 +997,11 @@ def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
     import ray as _ray
 
     from .dedup import _join_partitions, _nonempty_blocks
+    from .pools import scoring_pool
 
     import ray.data as rd
 
+    pool = scoring_pool(None)
     ref_b = _ray.put(_gather_side(ds_b, key_column, vec_column))
     ref_a = _ray.put(_gather_side(ds_a, key_column, vec_column))
 
@@ -1011,12 +1013,12 @@ def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
     scan_a = (ds_a.map_batches(
         _MarginScan, fn_constructor_kwargs=dict(
             ref=ref_b, k=k, key_column=key_column, vec_column=vec_column),
-        batch_format="pyarrow", concurrency=(1, 8)).materialize())
+        batch_format="pyarrow", concurrency=pool).materialize())
     scan_a = _nonempty_blocks(scan_a)
     scan_b = (ds_b.map_batches(
         _MarginScan, fn_constructor_kwargs=dict(
             ref=ref_a, k=k, key_column=key_column, vec_column=vec_column),
-        batch_format="pyarrow", concurrency=(1, 8)).materialize())
+        batch_format="pyarrow", concurrency=pool).materialize())
     scan_b = _nonempty_blocks(scan_b)
     if scan_a is None or scan_b is None:
         return rd.from_arrow(empty)
