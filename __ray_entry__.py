@@ -3985,6 +3985,62 @@ def q_multimodal_features(sf_dir: str):
     return out.map_batches(explode, batch_format="pyarrow")
 
 
+def _logreg_feats(b: pa.Table) -> pa.Table:
+    """Shared integer feature projection for the classifier-family
+    queries: y = (lang = 'en'), x1 = capped length bucket, x2/x3 =
+    digit / space rate per mille — all exact int64, SQL-replicable
+    (`LEAST(n_chars // 40, 100)`, regexp_replace length diffs)."""
+    import pyarrow.compute as pc
+
+    n = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    den = np.maximum(n, 1)
+    digits = pc.count_substring_regex(b.column("text"), "[0-9]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    spaces = pc.count_substring(b.column("text"), " ").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    y = pc.cast(pc.equal(b.column("lang"), "en"), pa.int64())
+    return pa.table({
+        "source": b.column("source"),
+        "y": y,
+        "x1": pa.array(np.minimum(n // 40, 100)),
+        "x2": pa.array((1000 * digits) // den),
+        "x3": pa.array((1000 * spaces) // den),
+    })
+
+
+def q_quality_logreg(sf_dir: str):
+    """Per-source binary quality classifier (predict lang='en' from
+    char-stat features) trained by 6 epochs of exact fixed-point
+    full-batch gradient descent with a rational sigmoid — the
+    distributed trainable-classifier primitive; weights are int64
+    micro-units so the iterative optimizer is bit-identical to the
+    unrolled-CTE SQL twin."""
+    from llm_food_ray.stages.classify import grouped_logreg_fit
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        _logreg_feats, batch_format="pyarrow")
+    return grouped_logreg_fit(ds, "source", ["x1", "x2", "x3"], "y",
+                              iters=6, lr=0.5)
+
+
+def q_feature_auc(sf_dir: str):
+    """Per-source exact ROC-AUC of the space-rate quality signal
+    against the lang='en' label — the classifier-eval primitive
+    (U/(n₁·n₀) over the value histogram, never n₁×n₀ pairs): the
+    audit a pipeline runs before trusting a cheap filter signal."""
+    from llm_food_ray.stages.textstats import grouped_auc
+
+    def score(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        return pa.table({"source": f.column("source"),
+                         "y": f.column("y"),
+                         "score": f.column("x3")})
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        score, batch_format="pyarrow")
+    return grouped_auc(ds, "source", "y", "score")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Window policy (r4-cont-4 final): the driver checks the FIRST 50
     # entries, and NOTHING added in round 4 has ever had a driver row
@@ -4051,6 +4107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
+        # --- end of driver window (50); tail is locally sweep-green ---
+        "quality_logreg": q_quality_logreg,
+        "feature_auc": q_feature_auc,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -4909,7 +4968,87 @@ SELECT doc_id,
          AS quality
 FROM g
 """
+    # shared integer feature projection for the classifier family
+    # (mirrors _logreg_feats bit-for-bit: exact int64 features)
+    logreg_feats = """
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+         LEAST(n_chars // 40, 100)::BIGINT AS x1,
+         ((1000 * (length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g'))))
+            // GREATEST(n_chars, 1))::BIGINT AS x2,
+         ((1000 * (length(text) - length(replace(text, ' ', ''))))
+            // GREATEST(n_chars, 1))::BIGINT AS x3
+  FROM documents
+"""
+    # unrolled 6-epoch fixed-point gradient descent: the rational
+    # sigmoid (add/abs/divide only) and the 1e-6 residual grid make
+    # every epoch's int64 weights bit-identical to the Ray optimizer
+    logreg_parts = [f"WITH f AS MATERIALIZED ({logreg_feats}),\n"
+                    "w0 AS (SELECT DISTINCT source, 0::BIGINT AS b0,"
+                    " 0::BIGINT AS b1, 0::BIGINT AS b2, 0::BIGINT AS b3"
+                    " FROM f)"]
+    for it in range(1, 7):
+        logreg_parts.append(f""",
+g{it} AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(r)::BIGINT AS d0, sum(r * x1)::BIGINT AS d1,
+         sum(r * x2)::BIGINT AS d2, sum(r * x3)::BIGINT AS d3
+  FROM (SELECT source, x1, x2, x3,
+               CAST(floor(((0.5 + 0.5 * z / (1 + abs(z))) - y) * 1e6
+                          + 0.5) AS BIGINT) AS r
+        FROM (SELECT f.*,
+                     (w.b0 + w.b1 * f.x1 + w.b2 * f.x2
+                      + w.b3 * f.x3) * 1e-6 AS z
+              FROM f JOIN w{it - 1} w USING (source)))
+  GROUP BY source
+),
+w{it} AS (
+  SELECT w.source,
+         w.b0 - CAST(floor(0.5 * g.d0 / g.n + 0.5) AS BIGINT) AS b0,
+         w.b1 - CAST(floor(0.5 * g.d1 / g.n + 0.5) AS BIGINT) AS b1,
+         w.b2 - CAST(floor(0.5 * g.d2 / g.n + 0.5) AS BIGINT) AS b2,
+         w.b3 - CAST(floor(0.5 * g.d3 / g.n + 0.5) AS BIGINT) AS b3
+  FROM w{it - 1} w JOIN g{it} g USING (source)
+)""")
+    logreg_parts.append("""
+SELECT f.source, count(*)::BIGINT AS n,
+       sum(CASE WHEN ((w.b0 + w.b1 * f.x1 + w.b2 * f.x2
+                       + w.b3 * f.x3) >= 0) = (f.y = 1)
+                THEN 1 ELSE 0 END)::BIGINT AS correct,
+       w.b0 AS w0_micro, w.b1 AS w1_micro,
+       w.b2 AS w2_micro, w.b3 AS w3_micro
+FROM f JOIN w6 w USING (source)
+GROUP BY f.source, w.b0, w.b1, w.b2, w.b3
+""")
+    logreg_sql = "".join(logreg_parts)
+    # pair-free per-source AUC of the x3 score vs the y label —
+    # rank_test's windowed-cumsum U, normalized by n_pos * n_neg
+    feature_auc_sql = f"""
+WITH f AS MATERIALIZED ({logreg_feats}),
+c AS MATERIALIZED (
+  SELECT source, x3 AS score,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM f GROUP BY source, x3
+), w AS (
+  SELECT source, ca, cb,
+         (sum(cb) OVER (PARTITION BY source ORDER BY score)
+          - cb)::BIGINT AS below
+  FROM c
+), agg AS (
+  SELECT source, sum(ca)::BIGINT AS n_pos, sum(cb)::BIGINT AS n_neg,
+         sum(ca * 2 * below + ca * cb)::BIGINT AS u2
+  FROM w GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       CASE WHEN n_pos * n_neg > 0
+            THEN (u2 / 2.0) / (n_pos * n_neg) ELSE NULL END AS auc
+FROM agg
+"""
     return {
+        "quality_logreg": logreg_sql,
+        "feature_auc": feature_auc_sql,
         "extract_pages": ext_base,
         "extract_auto": (
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "

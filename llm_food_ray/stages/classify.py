@@ -285,3 +285,152 @@ def nb_classify_against(ds, train_ds, *, key_column: str = "doc_id",
         concurrency=scoring_pool(concurrency),
         batch_format="pyarrow",
     )
+
+
+def grouped_logreg_fit(ds, group_column: str, x_columns: list,
+                       y_column: str, *, iters: int = 6, lr: float = 0.5):
+    """Per-group binary linear classifier trained by full-batch gradient
+    descent in EXACT fixed-point arithmetic — the distributed "fit a
+    cheap quality classifier on corpus statistics" primitive (the
+    trainable sibling of ``nb_classify``; no reference analogue,
+    llm-food trains nothing — brief-scope training-data operator).
+
+    Exactness contract (the repo's integer-moments rule applied to an
+    ITERATIVE optimizer):
+
+    - features ``x_columns`` and the 0/1 label are caller-supplied
+      int64 columns; weights live as int64 micro-units (1e-6);
+    - the squashing function is the RATIONAL sigmoid
+      ``s = 0.5 + 0.5·z/(1+|z|)`` — monotone, saturating, and computed
+      with add/abs/divide only, so it is bit-identical across engines
+      (libm ``exp`` is the one transcendental whose last-ulp behavior
+      differs between DuckDB and numpy; ``ln`` parity in stages/lm.py
+      is measured-safe, but an optimizer COMPOUNDS ulps across
+      iterations, so the link function avoids libm entirely);
+    - per-row residuals snap to a 1e-6 grid
+      (``floor(r·1e6 + 0.5)``), per-group gradients are int64 sums of
+      residual×feature — order-independent — and the weight update
+      ``w ← w − floor(lr·G/n + 0.5)`` is the same IEEE float64
+      expression on both engines.  Every iteration therefore produces
+      identical int64 weights in Ray and in the unrolled-CTE SQL twin.
+
+    Scale shape: the feature projection (group + label + k ints/row) is
+    materialized ONCE; each of the ``iters`` epochs is one streaming
+    ``map_batches`` partial (per-batch Arrow ``group_by`` → groups×(k+2)
+    rows) plus one groups-sized ``groupby.sum`` — the model (groups×k
+    int64) rides the driver and is re-broadcast per epoch, never the
+    data.  A final epoch-shaped pass scores training accuracy
+    (``z ≥ 0`` ⇔ ``s ≥ 0.5`` exactly, integer compare).  Caller owns
+    overflow headroom: |G| = |Σ r_int·x| ≤ rows·1e6·max|x| must stay
+    below 2^53 for the float64 update (≤ ~9e6 rows/group at |x| ≤ 1e3;
+    shrink the residual grid or pre-scale features past that).
+
+    Returns one row per group:
+    ``(group, n, correct, w0_micro..wk_micro)`` — bias weight first.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    k = len(x_columns) + 1  # bias + features
+    wcols = [f"w{j}_micro" for j in range(k)]
+    feats = ds.materialize()
+
+    def grad_partial_fn(weights_keys, weights_mat):
+        def partial(b: pa.Table) -> pa.Table:
+            g = b.column(group_column)
+            gv = np.asarray(g.to_pylist(), dtype=object)
+            X = np.column_stack(
+                [np.ones(len(b), np.int64)]
+                + [b.column(c).to_numpy(zero_copy_only=False)
+                   .astype(np.int64) for c in x_columns])
+            y = b.column(y_column).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(weights_keys):
+                idx = np.searchsorted(weights_keys, gv.astype(str))
+                idx = np.clip(idx, 0, len(weights_keys) - 1)
+                W = weights_mat[idx]
+                miss = weights_keys[idx] != gv.astype(str)
+                if miss.any():
+                    W = W.copy()
+                    W[miss] = 0
+            else:
+                W = np.zeros((len(b), k), np.int64)
+            z_int = (X * W).sum(1)
+            z = z_int.astype(np.float64) * 1e-6
+            s = 0.5 + 0.5 * z / (1.0 + np.abs(z))
+            r_int = np.floor((s - y) * 1e6 + 0.5).astype(np.int64)
+            cols = {group_column: g,
+                    "n": pa.array(np.ones(len(b), np.int64))}
+            for j in range(k):
+                cols[f"g{j}"] = pa.array(r_int * X[:, j])
+            t = pa.table(cols)
+            agg = t.group_by([group_column]).aggregate(
+                [("n", "sum")] + [(f"g{j}", "sum") for j in range(k)])
+            return agg.rename_columns(
+                [group_column, "n"] + [f"g{j}" for j in range(k)])
+        return partial
+
+    weights: dict = {}
+    for _ in range(iters):
+        keys = np.array(sorted(weights), dtype=str)
+        mat = (np.array([weights[kk] for kk in keys], np.int64)
+               if len(keys) else np.zeros((0, k), np.int64))
+        merged = (feats.map_batches(grad_partial_fn(keys, mat),
+                                    batch_format="pyarrow")
+                  .groupby(group_column)
+                  .aggregate(Sum("n", alias_name="n"),
+                             *[Sum(f"g{j}", alias_name=f"g{j}")
+                               for j in range(k)]))
+        for row in merged.take_all():
+            key = str(row[group_column])
+            w = weights.get(key)
+            if w is None:
+                w = np.zeros(k, np.int64)
+            n = np.float64(row["n"])
+            delta = np.array(
+                [np.floor(lr * np.float64(row[f"g{j}"]) / n + 0.5)
+                 for j in range(k)], np.int64)
+            weights[key] = w - delta
+    keys = np.array(sorted(weights), dtype=str)
+    mat = (np.array([weights[kk] for kk in keys], np.int64)
+           if len(keys) else np.zeros((0, k), np.int64))
+
+    def acc_partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_column)
+        gv = np.asarray(g.to_pylist(), dtype=object)
+        X = np.column_stack(
+            [np.ones(len(b), np.int64)]
+            + [b.column(c).to_numpy(zero_copy_only=False)
+               .astype(np.int64) for c in x_columns])
+        y = b.column(y_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(keys, gv.astype(str)),
+                      0, max(len(keys) - 1, 0))
+        W = mat[idx] if len(keys) else np.zeros((len(b), k), np.int64)
+        z_int = (X * W).sum(1)
+        correct = ((z_int >= 0) == (y == 1)).astype(np.int64)
+        t = pa.table({group_column: g,
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "correct": pa.array(correct)})
+        agg = t.group_by([group_column]).aggregate(
+            [("n", "sum"), ("correct", "sum")])
+        return agg.rename_columns([group_column, "n", "correct"])
+
+    acc = (feats.map_batches(acc_partial, batch_format="pyarrow")
+           .groupby(group_column)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("correct", alias_name="correct")))
+
+    def attach_weights(b: pa.Table) -> pa.Table:
+        gv = np.asarray(b.column(group_column).to_pylist(), dtype=object)
+        idx = np.clip(np.searchsorted(keys, gv.astype(str)),
+                      0, max(len(keys) - 1, 0))
+        W = mat[idx] if len(keys) else np.zeros((len(b), k), np.int64)
+        out = {group_column: b.column(group_column),
+               "n": b.column("n"), "correct": b.column("correct")}
+        for j in range(k):
+            out[wcols[j]] = pa.array(W[:, j])
+        return pa.table(out)
+
+    return acc.map_batches(attach_weights, batch_format="pyarrow")

@@ -3065,6 +3065,51 @@ def mannwhitney_u(ds, group_column: str, side_column: str,
                   .groupby("__pb")
                   .map_groups(fold, batch_format="pyarrow"))
 
+
+def grouped_auc(ds, group_column: str, y_column: str, score_column: str):
+    """Per-group exact ROC-AUC of a score against a 0/1 label — the
+    classifier-evaluation primitive (no reference analogue; llm-food
+    evaluates nothing — brief-scope training-data operator):
+
+        AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+            = U / (n_pos · n_neg)
+
+    i.e. the Mann–Whitney U of the positive sample against the
+    negative one, normalized — so this is a thin finisher over
+    :func:`mannwhitney_u` (sides = label 1 / label 0, values = the
+    score column) and inherits its exactness contract: U is an exact
+    binary half-integer folded from the (group, score) value
+    histogram, and the one float division of two exactly-representable
+    numbers is IEEE-identical across engines.  Groups with an empty
+    class get a NULL auc (AUC is undefined there).
+
+    Scale shape: identical to ``mannwhitney_u`` — per-batch count
+    partials → one (group, score)-keyed merge → coarse-bucket cumsum
+    fold; the exchange is keys × distinct scores, never n⁺ × n⁻
+    pairs.  → (group, n_pos, n_neg, auc)."""
+    import numpy as np
+
+    mw = mannwhitney_u(ds, group_column, y_column, score_column,
+                       side_a=1, side_b=0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        prod = (na * nb).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = np.where(prod > 0, u / prod, np.nan)
+        return pa.table({
+            group_column: b.column(group_column),
+            "n_pos": pa.array(na), "n_neg": pa.array(nb),
+            "auc": pa.array(auc, pa.float64(),
+                            mask=~(prod > 0))})
+
+    return mw.map_batches(finish, batch_format="pyarrow")
+
+
 def kendall_tau(ds, x_column: str, y_column: str, *,
                 digits: int = 6, max_cells: int = 50_000_000):
     """Exact global Kendall τ-b rank correlation between two INTEGER

@@ -136,3 +136,87 @@ def test_nb_min_count_prune_preserves_denominators(ray_session):
         assert (c1["n"][pos] == c2["n"]).all()
         assert (c2["n"] >= 3).all()
     assert m2["stats"]["rows_model"] <= m2["stats"]["rows_merged"]
+
+
+def _naive_logreg(df: pd.DataFrame, xcols: list, iters: int = 6,
+                  lr: float = 0.5) -> dict:
+    """Single-process replica of grouped_logreg_fit's exact
+    fixed-point optimizer (rational sigmoid, 1e-6 residual grid)."""
+    import numpy as np
+
+    k = len(xcols) + 1
+    out = {}
+    for g, part in df.groupby("g"):
+        X = np.column_stack([np.ones(len(part), np.int64)]
+                            + [part[c].to_numpy(np.int64) for c in xcols])
+        y = part["y"].to_numpy(np.int64)
+        w = np.zeros(k, np.int64)
+        for _ in range(iters):
+            z = (X * w).sum(1).astype(np.float64) * 1e-6
+            s = 0.5 + 0.5 * z / (1.0 + np.abs(z))
+            r = np.floor((s - y) * 1e6 + 0.5).astype(np.int64)
+            grad = (r[:, None] * X).sum(0)
+            n = np.float64(len(part))
+            w = w - np.array([np.floor(lr * np.float64(gj) / n + 0.5)
+                              for gj in grad], np.int64)
+        z_int = (X * w).sum(1)
+        correct = int((((z_int >= 0)) == (y == 1)).sum())
+        out[g] = {"w": w, "n": len(part), "correct": correct}
+    return out
+
+
+def _logreg_frame(seed: int = 5, n: int = 120) -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x1 = rng.randint(0, 100, n)
+    x2 = rng.randint(0, 50, n)
+    # separable-with-noise label on x1
+    y = ((x1 > 50) ^ (rng.rand(n) < 0.1)).astype(int)
+    g = np.where(rng.rand(n) < 0.5, "a", "b")
+    return pd.DataFrame({"g": g, "y": y, "x1": x1, "x2": x2})
+
+
+def test_grouped_logreg_matches_naive(ray_session):
+    from llm_food_ray.stages.classify import grouped_logreg_fit
+
+    df = _logreg_frame()
+    out = (grouped_logreg_fit(_from_pandas(df), "g", ["x1", "x2"], "y")
+           .to_pandas().set_index("g"))
+    want = _naive_logreg(df, ["x1", "x2"])
+    for g in ("a", "b"):
+        assert out.loc[g, "n"] == want[g]["n"]
+        assert out.loc[g, "correct"] == want[g]["correct"]
+        for j in range(3):
+            assert out.loc[g, f"w{j}_micro"] == want[g]["w"][j]
+
+
+def test_grouped_logreg_batching_invariant(ray_session):
+    from llm_food_ray.stages.classify import grouped_logreg_fit
+
+    df = _logreg_frame(seed=9)
+    cols = ["n", "correct", "w0_micro", "w1_micro", "w2_micro"]
+    outs = []
+    for nblocks in (1, 7):
+        ds = _from_pandas(df).repartition(nblocks)
+        outs.append(grouped_logreg_fit(ds, "g", ["x1", "x2"], "y")
+                    .to_pandas().set_index("g").sort_index()[cols])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_logreg_learns_separable(ray_session):
+    import numpy as np
+
+    from llm_food_ray.stages.classify import grouped_logreg_fit
+
+    rng = np.random.RandomState(2)
+    x1 = rng.randint(0, 100, 200)
+    df = pd.DataFrame({"g": ["only"] * 200, "y": (x1 > 50).astype(int),
+                       "x1": x1})
+    out = (grouped_logreg_fit(_from_pandas(df), "g", ["x1"], "y",
+                              iters=8)
+           .to_pandas().set_index("g"))
+    # must beat the majority-class baseline on a separable signal
+    base = max((x1 > 50).sum(), (x1 <= 50).sum())
+    assert out.loc["only", "correct"] > base
+    assert out.loc["only", "w1_micro"] > 0  # positive slope on x1

@@ -711,3 +711,50 @@ def test_kendall_tau_perfect_and_degenerate(ray_session):
     const = [{"x": 1, "y": i} for i in range(5)]
     out2 = kendall_tau(dataset_from_items(const), "x", "y").to_pandas()
     assert pd.isna(out2.loc[0, "tau"])
+
+
+def test_grouped_auc_matches_pair_count(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_auc
+
+    rng = np.random.RandomState(11)
+    pos = rng.randint(5, 20, 30)
+    neg = rng.randint(0, 15, 25)
+    rows = ([{"g": "x", "y": 1, "s": int(v)} for v in pos]
+            + [{"g": "x", "y": 0, "s": int(v)} for v in neg])
+    u = (sum(1.0 for a in pos for b in neg if a > b)
+         + sum(0.5 for a in pos for b in neg if a == b))
+    want = u / (len(pos) * len(neg))
+    out = (grouped_auc(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().set_index("g"))
+    assert out.loc["x", "auc"] == want
+    assert out.loc["x", "n_pos"] == 30 and out.loc["x", "n_neg"] == 25
+
+
+def test_grouped_auc_extremes_and_degenerate(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_auc
+
+    rows = (
+        # perfect separation -> 1.0; inverted -> 0.0; all ties -> 0.5
+        [{"g": "sep", "y": 1, "s": 10 + i} for i in range(3)]
+        + [{"g": "sep", "y": 0, "s": i} for i in range(4)]
+        + [{"g": "inv", "y": 0, "s": 10 + i} for i in range(3)]
+        + [{"g": "inv", "y": 1, "s": i} for i in range(4)]
+        + [{"g": "tie", "y": 1, "s": 7} for _ in range(2)]
+        + [{"g": "tie", "y": 0, "s": 7} for _ in range(3)]
+        # single-class group: AUC undefined -> null
+        + [{"g": "one", "y": 1, "s": i} for i in range(5)])
+    out = (grouped_auc(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().set_index("g"))
+    assert out.loc["sep", "auc"] == 1.0
+    assert out.loc["inv", "auc"] == 0.0
+    assert out.loc["tie", "auc"] == 0.5
+    assert pd.isna(out.loc["one", "auc"])
+    assert out.loc["one", "n_neg"] == 0
