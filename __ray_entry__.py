@@ -4041,6 +4041,64 @@ def q_feature_auc(sf_dir: str):
     return grouped_auc(ds, "source", "y", "score")
 
 
+def q_pr_curve(sf_dir: str):
+    """Per-source precision/recall/F1 sweep of the space-rate quality
+    signal at every realized threshold — how a pipeline picks the
+    cutoff for a cheap filter: exact suffix sums of the score
+    histogram, one division per metric."""
+    from llm_food_ray.stages.textstats import threshold_metrics
+
+    def score(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        return pa.table({"source": f.column("source"),
+                         "y": f.column("y"),
+                         "score": f.column("x3")})
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        score, batch_format="pyarrow")
+    return threshold_metrics(ds, "source", "y", "score")
+
+
+def q_calibration(sf_dir: str):
+    """Per-(source, decile-bin) calibration decomposition of the
+    space-rate signal (per-mille scale) against the lang='en' label —
+    exact per-bin int moments plus the two single-division rates; the
+    reliability-diagram input, never a cross-bin float ECE sum."""
+    from llm_food_ray.stages.textstats import calibration_bins
+
+    def score(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        return pa.table({"source": f.column("source"),
+                         "y": f.column("y"),
+                         "score": f.column("x3")})
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        score, batch_format="pyarrow")
+    return calibration_bins(ds, "source", "y", "score",
+                            n_bins=10, score_scale=1000)
+
+
+def q_label_agreement(sf_dir: str):
+    """Per-source Cohen's kappa between two binarized cheap quality
+    signals (space-rate ≥ 160‰ vs length-bucket ≥ 25) — do two filter
+    heuristics agree beyond chance; exact confusion moments, one
+    division."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import label_agreement
+
+    def labels(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        hi = pa.array(["hi"] * len(f)), pa.array(["lo"] * len(f))
+        a = pc.if_else(pc.greater_equal(f.column("x3"), 160), *hi)
+        bb = pc.if_else(pc.greater_equal(f.column("x1"), 25), *hi)
+        return pa.table({"source": f.column("source"), "a": a, "b": bb})
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        labels, batch_format="pyarrow")
+    return label_agreement(ds, "source", "a", "b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Window policy (r4-cont-4 final): the driver checks the FIRST 50
     # entries, and NOTHING added in round 4 has ever had a driver row
@@ -4110,6 +4168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- end of driver window (50); tail is locally sweep-green ---
         "quality_logreg": q_quality_logreg,
         "feature_auc": q_feature_auc,
+        "pr_curve": q_pr_curve,
+        "calibration": q_calibration,
+        "label_agreement": q_label_agreement,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5046,9 +5107,82 @@ SELECT source, n_pos, n_neg,
             THEN (u2 / 2.0) / (n_pos * n_neg) ELSE NULL END AS auc
 FROM agg
 """
+    # threshold sweep: suffix sums via DESC windows over the distinct
+    # (source, score) histogram — tp+fp ≥ 1 at a realized threshold
+    pr_curve_sql = f"""
+WITH f AS MATERIALIZED ({logreg_feats}),
+c AS (
+  SELECT source, x3 AS threshold,
+         sum(y)::BIGINT AS ca, sum(1 - y)::BIGINT AS cb
+  FROM f GROUP BY source, x3
+), w AS (
+  SELECT source, threshold, ca, cb,
+         sum(ca) OVER (PARTITION BY source
+                       ORDER BY threshold DESC)::BIGINT AS tp,
+         sum(cb) OVER (PARTITION BY source
+                       ORDER BY threshold DESC)::BIGINT AS fp,
+         sum(ca) OVER (PARTITION BY source)::BIGINT AS npos
+  FROM c
+)
+SELECT source, threshold, tp, fp, (npos - tp)::BIGINT AS fn,
+       tp::DOUBLE / (tp + fp) AS "precision",
+       CASE WHEN npos > 0 THEN tp::DOUBLE / npos END AS recall,
+       CASE WHEN npos > 0
+            THEN (2 * tp)::DOUBLE / (tp + fp + npos) END AS f1
+FROM w
+"""
+    # per-(source, decile) calibration decomposition: exact int
+    # moments, two single divisions (frac_pos, mean predicted rate)
+    calibration_sql = f"""
+WITH f AS MATERIALIZED ({logreg_feats})
+SELECT source, LEAST(x3 * 10 // 1000, 9)::BIGINT AS bin,
+       count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+       sum(x3)::BIGINT AS sum_score,
+       sum(y)::DOUBLE / count(*) AS frac_pos,
+       sum(x3)::DOUBLE / (count(*) * 1000) AS mean_score
+FROM f GROUP BY source, bin
+"""
+    # Cohen's kappa between the two binarized signals: diagonal mass,
+    # margin cross products, one division — all from the confusion
+    # histogram
+    label_agreement_sql = f"""
+WITH f AS MATERIALIZED ({logreg_feats}),
+l AS (
+  SELECT source,
+         CASE WHEN x3 >= 160 THEN 'hi' ELSE 'lo' END AS a,
+         CASE WHEN x1 >= 25 THEN 'hi' ELSE 'lo' END AS b
+  FROM f
+), conf AS (
+  SELECT source, a, b, count(*)::BIGINT AS c FROM l GROUP BY source, a, b
+), ra AS (
+  SELECT source, a AS k, sum(c)::BIGINT AS row_c FROM conf
+  GROUP BY source, a
+), cm AS (
+  SELECT source, b AS k, sum(c)::BIGINT AS col_c FROM conf
+  GROUP BY source, b
+), pe AS (
+  SELECT ra.source, sum(row_c * col_c)::BIGINT AS pe_num
+  FROM ra JOIN cm ON ra.source = cm.source AND ra.k = cm.k
+  GROUP BY ra.source
+), agg AS (
+  SELECT source, sum(c)::BIGINT AS n,
+         sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree
+  FROM conf GROUP BY source
+)
+SELECT agg.source, n, agree,
+       COALESCE(pe.pe_num, 0)::BIGINT AS pe_num,
+       CASE WHEN n * n - COALESCE(pe.pe_num, 0) <> 0
+            THEN (n * agree - COALESCE(pe.pe_num, 0))::DOUBLE
+                 / (n * n - COALESCE(pe.pe_num, 0))
+       END AS kappa
+FROM agg LEFT JOIN pe ON agg.source = pe.source
+"""
     return {
         "quality_logreg": logreg_sql,
         "feature_auc": feature_auc_sql,
+        "pr_curve": pr_curve_sql,
+        "calibration": calibration_sql,
+        "label_agreement": label_agreement_sql,
         "extract_pages": ext_base,
         "extract_auto": (
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "

@@ -3110,6 +3110,229 @@ def grouped_auc(ds, group_column: str, y_column: str, score_column: str):
     return mw.map_batches(finish, batch_format="pyarrow")
 
 
+def threshold_metrics(ds, group_column: str, y_column: str,
+                      score_column: str):
+    """Per-group precision/recall/F1 at EVERY realized score threshold
+    (predict positive ⇔ score ≥ t) — the full PR sweep a pipeline runs
+    to pick a filter cutoff for a cheap quality signal (no reference
+    analogue; llm-food evaluates nothing — brief-scope operator).
+
+    Exactness: tp/fp/fn are suffix sums of the (group, score) count
+    histogram — exact int64 — and each metric is ONE division of two
+    exactly-representable ints (IEEE-identical across engines).
+    tp+fp ≥ 1 always (the threshold row itself counts), so precision
+    never divides by zero; recall/f1 are NULL when the group has no
+    positives.
+
+    Scale shape: identical to :func:`mannwhitney_u` — per-batch count
+    partials → one (group, score)-keyed merge → hash(group)-coarse
+    buckets folded with sorted cumsums.  Output is keys × distinct
+    scores (a report, same bound as the histogram exchange).
+    → (group, threshold, tp, fp, fn, precision, recall, f1)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(b.column(y_column), 1), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      score_column: b.column(score_column),
+                      "ca": y, "cb": pc.subtract(1, y)})
+        g = t.group_by([group_column, score_column]).aggregate(
+            [("ca", "sum"), ("cb", "sum")])
+        return g.rename_columns([group_column, score_column, "ca", "cb"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, score_column])
+                .aggregate(Sum("ca", alias_name="ca"),
+                           Sum("cb", alias_name="cb")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(group_column, "ascending"),
+                          (score_column, "ascending")])
+        g = g.take(order)
+        k = g.column(group_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        ca = g.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = g.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1),
+                                       k.slice(0, len(k) - 1)), True)
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        runlen = np.diff(np.r_[starts, len(ca)])
+        cpos, cneg = np.cumsum(ca), np.cumsum(cb)
+        base_p = np.repeat(np.r_[0, cpos[starts[1:] - 1]], runlen)
+        base_n = np.repeat(np.r_[0, cneg[starts[1:] - 1]], runlen)
+        npos = np.repeat(np.add.reduceat(ca, starts), runlen)
+        nneg = np.repeat(np.add.reduceat(cb, starts), runlen)
+        tp = npos - (cpos - ca - base_p)
+        fp = nneg - (cneg - cb - base_n)
+        fn = npos - tp
+        prec = tp.astype(np.float64) / (tp + fp).astype(np.float64)
+        has_pos = npos > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rec = np.where(has_pos, tp / npos.astype(np.float64), np.nan)
+            f1 = np.where(has_pos,
+                          (2 * tp).astype(np.float64)
+                          / (tp + fp + npos).astype(np.float64), np.nan)
+        return pa.table({
+            group_column: k,
+            "threshold": g.column(score_column),
+            "tp": pa.array(tp), "fp": pa.array(fp), "fn": pa.array(fn),
+            "precision": pa.array(prec, pa.float64()),
+            "recall": pa.array(rec, pa.float64(), mask=~has_pos),
+            "f1": pa.array(f1, pa.float64(), mask=~has_pos)})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))
+
+
+def calibration_bins(ds, group_column: str, y_column: str,
+                     score_column: str, *, n_bins: int = 10,
+                     score_scale: int = 1000):
+    """Per-(group, bin) calibration decomposition of an integer score
+    in ``[0, score_scale]`` against a 0/1 label: bin count, positive
+    count, exact score mass, observed positive rate, and mean predicted
+    rate — the inputs to a reliability diagram / ECE.  The drift_psi
+    rule applied to calibration: emit the EXACT per-bin decomposition
+    (n, n_pos, sum_score all int64; the two rates are single divisions
+    of exact ints), never the cross-bin float ECE sum.
+
+    Bin id = min(score·n_bins // score_scale, n_bins−1) — pure integer
+    arithmetic, replicable in SQL verbatim.  Scale shape: one streaming
+    per-batch partial → one (group, bin)-keyed merge; output is
+    groups × n_bins. → (group, bin, n, n_pos, sum_score, frac_pos,
+    mean_score)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column(score_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bins = np.minimum(s * n_bins // score_scale, n_bins - 1)
+        y = pc.cast(pc.equal(b.column(y_column), 1), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      "bin": pa.array(bins),
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "n_pos": y, "sum_score": pa.array(s)})
+        g = t.group_by([group_column, "bin"]).aggregate(
+            [("n", "sum"), ("n_pos", "sum"), ("sum_score", "sum")])
+        return g.rename_columns(
+            [group_column, "bin", "n", "n_pos", "sum_score"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, "bin"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("n_pos", alias_name="n_pos"),
+                           Sum("sum_score", alias_name="sum_score")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        npos = b.column("n_pos").to_numpy(zero_copy_only=False)
+        ssum = b.column("sum_score").to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_column: b.column(group_column),
+            "bin": b.column("bin"), "n": b.column("n"),
+            "n_pos": b.column("n_pos"),
+            "sum_score": b.column("sum_score"),
+            "frac_pos": pa.array(npos / n, pa.float64()),
+            "mean_score": pa.array(ssum / (n * score_scale),
+                                   pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def label_agreement(ds, group_column: str, a_column: str, b_column: str):
+    """Per-group Cohen's kappa between two label columns — "do two
+    cheap filter signals agree beyond chance" (the audit run before
+    swapping one quality heuristic for another; no reference analogue
+    — brief-scope operator).  Multi-class:
+
+        κ = (n·Σ n_kk − Σ row_k·col_k) / (n² − Σ row_k·col_k)
+
+    where every moment (diagonal mass, row/col margins, their cross
+    products) is an exact int64 from the (group, a, b) confusion
+    histogram, so κ is ONE division of two exact ints — IEEE-identical
+    across engines.  All-diagonal groups with a single label (pe = n²)
+    have undefined κ → NULL.
+
+    Scale shape: per-batch confusion partials → one (group, a, b)-keyed
+    merge (groups × labels² rows, histogram-bounded) → hash(group)-
+    coarse buckets folded with vectorized pandas margin merges (whole-
+    bucket ops, never per group). → (group, n, agree, pe_num, kappa)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_column: b.column(group_column),
+                      "__a": b.column(a_column),
+                      "__b": b.column(b_column),
+                      "c": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by([group_column, "__a", "__b"]).aggregate(
+            [("c", "sum")])
+        return g.rename_columns([group_column, "__a", "__b", "c"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, "__a", "__b"])
+                .aggregate(Sum("c", alias_name="c")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.select([group_column, "__a", "__b", "c"]).to_pandas()
+        ra = (df.groupby([group_column, "__a"], sort=False)["c"].sum()
+                .reset_index().rename(columns={"__a": "__k",
+                                               "c": "row_c"}))
+        cb = (df.groupby([group_column, "__b"], sort=False)["c"].sum()
+                .reset_index().rename(columns={"__b": "__k",
+                                               "c": "col_c"}))
+        cross = ra.merge(cb, on=[group_column, "__k"], how="inner")
+        cross["pe"] = cross["row_c"].astype(np.int64) * cross["col_c"]
+        pe = cross.groupby(group_column, sort=True)["pe"].sum()
+        n = df.groupby(group_column, sort=True)["c"].sum()
+        diag = df[df["__a"] == df["__b"]]
+        agree = (diag.groupby(group_column, sort=True)["c"].sum()
+                 .reindex(n.index, fill_value=0))
+        pe = pe.reindex(n.index, fill_value=0)
+        nn = n.to_numpy(np.int64)
+        pev = pe.to_numpy(np.int64)
+        ag = agree.to_numpy(np.int64)
+        denom = nn * nn - pev
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kappa = np.where(denom != 0,
+                             (nn * ag - pev) / denom.astype(np.float64),
+                             np.nan)
+        return pa.table({
+            group_column: pa.array(n.index),
+            "n": pa.array(nn), "agree": pa.array(ag),
+            "pe_num": pa.array(pev),
+            "kappa": pa.array(kappa, pa.float64(), mask=denom == 0)})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))
+
+
 def kendall_tau(ds, x_column: str, y_column: str, *,
                 digits: int = 6, max_cells: int = 50_000_000):
     """Exact global Kendall τ-b rank correlation between two INTEGER

@@ -758,3 +758,118 @@ def test_grouped_auc_extremes_and_degenerate(ray_session):
     assert out.loc["tie", "auc"] == 0.5
     assert pd.isna(out.loc["one", "auc"])
     assert out.loc["one", "n_neg"] == 0
+
+
+def test_threshold_metrics_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import threshold_metrics
+
+    rng = np.random.RandomState(3)
+    scores = rng.randint(0, 12, 40)
+    ys = (rng.rand(40) < 0.4).astype(int)
+    rows = [{"g": "x", "y": int(y), "s": int(s)}
+            for y, s in zip(ys, scores)]
+    out = (threshold_metrics(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().set_index("threshold").sort_index())
+    assert set(out.index) == set(int(s) for s in scores)
+    for t in out.index:
+        tp = int(((scores >= t) & (ys == 1)).sum())
+        fp = int(((scores >= t) & (ys == 0)).sum())
+        fn = int(ys.sum()) - tp
+        assert out.loc[t, "tp"] == tp
+        assert out.loc[t, "fp"] == fp
+        assert out.loc[t, "fn"] == fn
+        assert out.loc[t, "precision"] == tp / (tp + fp)
+        assert out.loc[t, "recall"] == tp / ys.sum()
+        assert out.loc[t, "f1"] == 2 * tp / (tp + fp + ys.sum())
+
+
+def test_threshold_metrics_no_positive_group(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import threshold_metrics
+
+    rows = [{"g": "z", "y": 0, "s": v} for v in (1, 2, 2, 5)]
+    out = (threshold_metrics(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().set_index("threshold"))
+    assert len(out) == 3  # distinct scores
+    assert (out["tp"] == 0).all()
+    assert (out["precision"] == 0.0).all()  # tp+fp >= 1 always
+    assert out["recall"].isna().all() and out["f1"].isna().all()
+    assert out.loc[2, "fp"] == 3  # scores >= 2
+
+
+def test_calibration_bins_exact(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import calibration_bins
+
+    rows = [  # scale 1000, 10 bins -> bin = min(s//100, 9)
+        {"g": "a", "y": 1, "s": 50},   # bin 0
+        {"g": "a", "y": 0, "s": 99},   # bin 0
+        {"g": "a", "y": 1, "s": 950},  # bin 9
+        {"g": "a", "y": 1, "s": 1000},  # clamps to bin 9
+    ]
+    out = (calibration_bins(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().set_index("bin").sort_index())
+    assert list(out.index) == [0, 9]
+    assert out.loc[0, "n"] == 2 and out.loc[0, "n_pos"] == 1
+    assert out.loc[0, "sum_score"] == 149
+    assert out.loc[0, "frac_pos"] == 0.5
+    assert out.loc[0, "mean_score"] == 149 / 2000
+    assert out.loc[9, "n"] == 2 and out.loc[9, "frac_pos"] == 1.0
+
+
+def test_label_agreement_kappa(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import label_agreement
+
+    rows = (
+        # perfect agreement over 2 labels -> kappa = 1
+        [{"g": "perf", "a": l, "b": l} for l in "xxyy"]
+        # classic 2x2 example: n=10, agree=7, margins a:(6,4) b:(7,3)
+        + [{"g": "mix", "a": "p", "b": "p"} for _ in range(5)]
+        + [{"g": "mix", "a": "p", "b": "q"}]
+        + [{"g": "mix", "a": "q", "b": "p"} for _ in range(2)]
+        + [{"g": "mix", "a": "q", "b": "q"} for _ in range(2)]
+        # single shared label everywhere: pe = n^2 -> undefined
+        + [{"g": "one", "a": "z", "b": "z"} for _ in range(3)])
+    out = (label_agreement(dataset_from_items(rows), "g", "a", "b")
+           .to_pandas().set_index("g"))
+    assert out.loc["perf", "kappa"] == 1.0
+    n, agree = 10, 7
+    pe = 6 * 7 + 4 * 3  # row x col margin products
+    assert out.loc["mix", "n"] == n
+    assert out.loc["mix", "agree"] == agree
+    assert out.loc["mix", "pe_num"] == pe
+    assert out.loc["mix", "kappa"] == (n * agree - pe) / (n * n - pe)
+    assert pd.isna(out.loc["one", "kappa"])
+
+
+def test_label_agreement_batching_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import label_agreement
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["u", "v", "w"], 300),
+        "a": rng.choice(list("lmn"), 300),
+        "b": rng.choice(list("lmn"), 300)})
+    outs = []
+    for nblocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs.append(label_agreement(ds, "g", "a", "b")
+                    .to_pandas().set_index("g").sort_index())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
