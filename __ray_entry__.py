@@ -1404,12 +1404,10 @@ def q_reciprocity(sf_dir: str):
     return reciprocity(edges)
 
 
-def q_bfs_depth(sf_dir: str):
-    """Multi-source BFS depth over the bidirectional purchase graph
-    (every 100th customer is a trusted seed; suppliers ride negated
-    ids): 3 hop rounds of join → +1 → groupby.min — the crawl-depth /
-    blast-radius primitive, distance sibling of connected
-    components."""
+def _purchase_graph(sf_dir: str):
+    """Shared (edges, seeds) construction for the BFS-family queries:
+    the bidirectional customer↔supplier purchase graph (quantity ≥ 40,
+    suppliers ride negated ids) with every 100th customer as seed."""
     import pyarrow as pa
 
     import pyarrow.compute as pc
@@ -1417,7 +1415,6 @@ def q_bfs_depth(sf_dir: str):
     import ray.data as rd
 
     from llm_food_ray.stages.dedup import _join_partitions
-    from llm_food_ray.stages.graph import bfs_depth
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -1453,7 +1450,42 @@ def q_bfs_depth(sf_dir: str):
     seeds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                             columns=["c_custkey"]).map_batches(
         seed, batch_format="pyarrow")
+    return edges, seeds
+
+
+def q_bfs_depth(sf_dir: str):
+    """Multi-source BFS depth over the bidirectional purchase graph
+    (every 100th customer is a trusted seed; suppliers ride negated
+    ids): 3 hop rounds of join → +1 → groupby.min — the crawl-depth /
+    blast-radius primitive, distance sibling of connected
+    components."""
+    from llm_food_ray.stages.graph import bfs_depth
+
+    edges, seeds = _purchase_graph(sf_dir)
     return bfs_depth(edges, seeds, rounds=3)
+
+
+def q_harmonic(sf_dir: str):
+    """Rounds-bounded seeded harmonic centrality over the same
+    purchase graph: Σ 1/d(seed, v) with integer 360360//d
+    contributions — the disconnection-safe centrality a link-graph
+    ranking sanity-checks PageRank against; per-seed BFS state as a
+    Dataset, one join + (node, seed) groupby.min per round."""
+    from llm_food_ray.stages.graph import harmonic_centrality
+
+    edges, seeds = _purchase_graph(sf_dir)
+    return harmonic_centrality(edges, seeds, rounds=3)
+
+
+def q_silhouette(sf_dir: str):
+    """Per-cluster simplified-silhouette summary of the k=8 k-means
+    fit over the embeddings table — the clustering-quality audit:
+    round-9 assigned/runner-up squared distances, one IEEE division,
+    1e-6-grid integer sums (summation-order-safe), k-row output."""
+    from llm_food_ray.stages.similarity import silhouette_summary
+
+    return silhouette_summary(_embeddings(sf_dir), k=8, iters=2,
+                              modulus=61)
 
 
 def q_name_entities(sf_dir: str):
@@ -4171,6 +4203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_curve": q_pr_curve,
         "calibration": q_calibration,
         "label_agreement": q_label_agreement,
+        "harmonic": q_harmonic,
+        "silhouette": q_silhouette,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5177,12 +5211,64 @@ SELECT agg.source, n, agree,
        END AS kappa
 FROM agg LEFT JOIN pe ON agg.source = pe.source
 """
+    # seeded harmonic centrality: the _bfs_sql state extended with a
+    # seed column; integer 360360//d contributions
+    harmonic_parts = ["""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey::BIGINT AS u, (-l.l_suppkey)::BIGINT AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 40
+), e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+), d0 AS MATERIALIZED (
+  SELECT c_custkey::BIGINT AS node, c_custkey::BIGINT AS seed,
+         0::BIGINT AS depth
+  FROM customer WHERE c_custkey % 100 = 1
+)"""]
+    for r in range(3):
+        harmonic_parts.append(f""", d{r + 1} AS MATERIALIZED (
+  SELECT node, seed, min(depth)::BIGINT AS depth FROM (
+    SELECT node, seed, depth FROM d{r}
+    UNION ALL
+    SELECT e.v AS node, d.seed, d.depth + 1 AS depth
+    FROM d{r} d JOIN e ON e.u = d.node
+  ) GROUP BY node, seed
+)""")
+    harmonic_parts.append("""
+SELECT node, count(*)::BIGINT AS n_reached,
+       sum(360360 // depth)::BIGINT AS h_num,
+       sum(360360 // depth)::DOUBLE / 360360 AS harmonic
+FROM d3 WHERE depth >= 1 GROUP BY node""")
+    harmonic_sql = "".join(harmonic_parts)
+    # per-cluster silhouette: own vs runner-up round-9 distance from
+    # the final kmeans round, snapped to the 1e-6 grid before summing
+    _sil_km = _kmeans_sql(iters=2, k=8, modulus=61)
+    _sil_head, _ = _sil_km.rsplit("\nSELECT", 1)
+    silhouette_sql = _sil_head + """,
+sil AS (
+  SELECT a.vec_id, a.cid AS cluster,
+         max(CASE WHEN d.cid = a.cid THEN d.d END) AS a2,
+         min(CASE WHEN d.cid <> a.cid THEN d.d END) AS b2
+  FROM a3 a JOIN d3 d ON d.vec_id = a.vec_id
+  GROUP BY a.vec_id, a.cid
+), sm AS (
+  SELECT cluster,
+         CAST(floor((CASE WHEN greatest(a2, b2) > 0
+                          THEN (b2 - a2) / greatest(a2, b2)
+                          ELSE 0 END) * 1000000 + 0.5) AS BIGINT)
+           AS s_micro
+  FROM sil
+)
+SELECT cluster, count(*)::BIGINT AS n, sum(s_micro)::BIGINT AS s_sum,
+       sum(s_micro)::DOUBLE / (count(*) * 1000000) AS mean_sil
+FROM sm GROUP BY cluster"""
     return {
         "quality_logreg": logreg_sql,
         "feature_auc": feature_auc_sql,
         "pr_curve": pr_curve_sql,
         "calibration": calibration_sql,
         "label_agreement": label_agreement_sql,
+        "harmonic": harmonic_sql,
+        "silhouette": silhouette_sql,
         "extract_pages": ext_base,
         "extract_auto": (
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "

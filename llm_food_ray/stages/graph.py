@@ -1164,3 +1164,114 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst"):
                          "reciprocity": pa.array(ratio, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def harmonic_centrality(edges, seeds, *, src: str = "src",
+                        dst: str = "dst", node_column: str = "node",
+                        rounds: int = 3, scale: int = 360360):
+    """Rounds-bounded seeded harmonic centrality: for every node v,
+    ``h(v) = Σ_{s ∈ seeds, s ≠ v, d(s,v) ≤ rounds} 1/d(s, v)`` — the
+    centrality that handles disconnected graphs gracefully (unreached
+    seeds contribute 0, not ∞ like closeness), restricted to a seed
+    sample and a hop bound as every web-scale centrality estimate is
+    (Boldi & Vigna's HyperBall samples; here seeds are
+    caller-deterministic so the result is exact and oracle-checkable).
+
+    Exactness: distances are exact BFS hop counts; each 1/d
+    contribution is the INTEGER ``scale // d`` (``scale`` defaults to
+    lcm(1..15) = 360360, exact for every rounds ≤ 15), summed in
+    int64; the reported float is one final division.
+
+    Scale shape: the per-seed BFS state ``(node, seed, depth)`` is a
+    Dataset, never driver-side — each round is one hash join of the
+    edge list against the state plus one (node, seed)-keyed
+    ``groupby.min``.  State is bounded by reached-nodes × seeds: the
+    documented partitioning assumption is a BOUNDED seed sample
+    (hundreds, not millions) — for all-nodes centrality use a sketch,
+    not this exact operator.  → (node, n_reached, h_num, harmonic)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import _join_partitions, _nonempty_blocks
+
+    import ray.data as rd
+
+    if not (1 <= rounds <= 15):
+        raise ValueError("rounds must be in [1, 15]")
+
+    def canon_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(b.column(src), pa.int64()),
+            "v": pc.cast(b.column(dst), pa.int64())})
+
+    e = (edges.map_batches(canon_edges, batch_format="pyarrow")
+              .groupby(["u", "v"]).count()
+              .map_batches(lambda b: b.select(["u", "v"]),
+                           batch_format="pyarrow")).materialize()
+    e = _nonempty_blocks(e)
+
+    def canon_seeds(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(node_column), pa.int64())
+        return pa.table({node_column: n, "seed": n,
+                         "depth": pa.array([0] * b.num_rows, pa.int64())})
+
+    state = (seeds.map_batches(canon_seeds,
+                               batch_format="pyarrow")).materialize()
+    state = _nonempty_blocks(state)
+    empty = pa.table({node_column: pa.array([], pa.int64()),
+                      "n_reached": pa.array([], pa.int64()),
+                      "h_num": pa.array([], pa.int64()),
+                      "harmonic": pa.array([], pa.float64())})
+    if state is None or e is None:
+        return rd.from_arrow(empty)
+
+    nparts = _join_partitions(16)
+    for _ in range(rounds):
+        prop = (e.join(state, "inner", nparts,
+                       on=("u",), right_on=(node_column,))
+                 .map_batches(
+                     lambda b: pa.table({
+                         node_column: b.column("v"),
+                         "seed": b.column("seed"),
+                         "depth": pc.add(b.column("depth"), 1)}),
+                     batch_format="pyarrow"))
+        state = (state.union(prop)
+                      .groupby([node_column, "seed"])
+                      .aggregate(Min("depth", alias_name="depth"))
+                 ).materialize()
+        state = _nonempty_blocks(state) or state
+
+    def contrib(b: pa.Table) -> pa.Table:
+        d = b.column("depth").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = d >= 1  # a seed does not contribute to itself
+        if not keep.any():
+            return pa.table({node_column: pa.array([], pa.int64()),
+                             "n_reached": pa.array([], pa.int64()),
+                             "h_num": pa.array([], pa.int64())})
+        t = pa.table({
+            node_column: pc.cast(b.column(node_column),
+                                 pa.int64()).filter(pa.array(keep)),
+            "n_reached": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "h_num": pa.array(scale // d[keep])})
+        g = t.group_by([node_column]).aggregate(
+            [("n_reached", "sum"), ("h_num", "sum")])
+        return g.rename_columns([node_column, "n_reached", "h_num"])
+
+    merged = (state.map_batches(contrib, batch_format="pyarrow")
+                   .groupby(node_column)
+                   .aggregate(Sum("n_reached", alias_name="n_reached"),
+                              Sum("h_num", alias_name="h_num")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = b.column("h_num").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            node_column: b.column(node_column),
+            "n_reached": b.column("n_reached"),
+            "h_num": b.column("h_num"),
+            "harmonic": pa.array(h / scale, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

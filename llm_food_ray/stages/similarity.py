@@ -1049,3 +1049,80 @@ def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
         return t.filter(pa.array(ok & (margin >= min_margin)))
 
     return mutual.map_batches(score, batch_format="pyarrow")
+
+
+def silhouette_summary(ds, *, k: int = 8, iters: int = 2,
+                       modulus: int = 61, key_column: str = "vec_id",
+                       vec_column: str = "embedding", digits: int = 9,
+                       s_scale: int = 1_000_000):
+    """Per-cluster simplified-silhouette summary of a k-means fit —
+    the clustering-quality audit run before trusting cluster-based
+    curation (semdedup buckets, diverse_sample strata): for every
+    vector, a = round-``digits`` squared distance to its OWN centroid,
+    b = the minimum over OTHER centroids, s = (b−a)/max(a,b) ∈ [0, 1)
+    (a is the argmin, so s ≥ 0 by construction; a=b → 0).
+
+    Exactness (the kmeans recipe extended one step): a and b are the
+    SAME round-9 doubles the assignment argmin snaps to, s is one IEEE
+    division of two identical doubles, and each s snaps to a
+    1/``s_scale`` grid (``floor(s·scale + 0.5)`` int64) so the
+    per-cluster SUM is an order-independent integer — the
+    summation-order rule applied to a float quality score.  The mean
+    is one final division.
+
+    Scale shape: centroids broadcast via ``ray.put``; one streaming
+    pass emits per-batch (cluster, n, s_sum) partials → a k-row
+    ``groupby.sum``.  No shuffle, no per-vector output.
+    → (cluster, n, s_sum, mean_sil)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2")
+    cent = kmeans_centroids(ds, k=k, iters=iters, modulus=modulus,
+                            key_column=key_column, vec_column=vec_column,
+                            digits=digits)
+    ref = _ray.put(cent)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        mat = vectors_to_matrix(b.column(vec_column))
+        if not len(mat):
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s_sum": pa.array([], pa.int64())})
+        d2 = ((mat * mat).sum(1)[:, None]
+              - 2.0 * (mat @ c.T)
+              + (c * c).sum(1)[None, :])
+        d2r = np.round(d2, digits)
+        assign = d2r.argmin(1)
+        rows = np.arange(len(mat))
+        a2 = d2r[rows, assign].copy()
+        d2r[rows, assign] = np.inf
+        b2 = d2r.min(1)
+        maxab = np.maximum(a2, b2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(maxab > 0, (b2 - a2) / maxab, 0.0)
+        s_micro = np.floor(s * s_scale + 0.5).astype(np.int64)
+        t = pa.table({"cluster": pa.array(assign.astype(np.int64)),
+                      "n": pa.array(np.ones(len(mat), np.int64)),
+                      "s_sum": pa.array(s_micro)})
+        g = t.group_by(["cluster"]).aggregate([("n", "sum"),
+                                               ("s_sum", "sum")])
+        return g.rename_columns(["cluster", "n", "s_sum"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("cluster")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s_sum", alias_name="s_sum")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = b.column("s_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": b.column("cluster"), "n": b.column("n"),
+            "s_sum": b.column("s_sum"),
+            "mean_sil": pa.array(ss / (n * s_scale), pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

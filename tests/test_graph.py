@@ -409,3 +409,48 @@ def test_reciprocity_mixed_graph(ray_session):
     assert out.loc[2, "reciprocity"] == 1.0
     assert out.loc[3, "n_out"] == 1 and out.loc[3, "n_recip"] == 0
     assert out.loc[3, "reciprocity"] == 0.0
+
+
+def test_harmonic_centrality_path_graph(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import harmonic_centrality
+
+    # path 1->2->3->4, seeds {1, 3}: scale 360360
+    edges = [(1, 2), (2, 3), (3, 4)]
+    ds_e = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    ds_s = dataset_from_items([{"node": 1}, {"node": 3}])
+    out = (harmonic_centrality(ds_e, ds_s, rounds=3).to_pandas()
+           .set_index("node"))
+    s = 360360
+    # node 2: d(1,2)=1 only (3 can't reach 2) -> 1/1
+    assert out.loc[2, "h_num"] == s
+    assert out.loc[2, "n_reached"] == 1
+    assert out.loc[2, "harmonic"] == 1.0
+    # node 3: d(1,3)=2; self excluded -> 1/2
+    assert out.loc[3, "h_num"] == s // 2
+    # node 4: d(1,4)=3, d(3,4)=1 -> 1/3 + 1
+    assert out.loc[4, "h_num"] == s // 3 + s
+    assert out.loc[4, "n_reached"] == 2
+    # node 1: no inbound edges, no contribution -> absent
+    assert 1 not in out.index
+
+
+def test_harmonic_centrality_rounds_bound_and_min_path(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import harmonic_centrality
+
+    # two paths from seed 1 to node 4: length 2 (via 5) and 3 (via 2,3)
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)]
+    ds_e = dataset_from_items([{"src": a, "dst": b} for a, b in edges])
+    ds_s = dataset_from_items([{"node": 1}])
+    out = (harmonic_centrality(ds_e, ds_s, rounds=2).to_pandas()
+           .set_index("node"))
+    # min distance wins: d(1,4)=2
+    assert out.loc[4, "h_num"] == 360360 // 2
+    # rounds=1: node 4 unreached
+    out1 = (harmonic_centrality(ds_e, ds_s, rounds=1).to_pandas()
+            .set_index("node"))
+    assert 4 not in out1.index
+    assert set(out1.index) == {2, 5}

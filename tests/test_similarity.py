@@ -581,3 +581,56 @@ def test_bitext_mine_batch_size_invariant(ray_session):
           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert len(r1) > 0
     assert r1.equals(r2)
+
+
+def test_silhouette_summary_matches_naive(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.similarity import (kmeans_centroids,
+                                                silhouette_summary,
+                                                vectors_to_matrix)
+
+    rows = _vectors(n=240, dim=8, seed=12)
+    ds = dataset_from_items(rows)
+    out = (silhouette_summary(ds, k=4, iters=2, modulus=7)
+           .to_pandas().set_index("cluster").sort_index())
+
+    cent = kmeans_centroids(dataset_from_items(rows), k=4, iters=2,
+                            modulus=7)
+    mat = np.asarray([r["embedding"] for r in rows], np.float64)
+    d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ cent.T)
+          + (cent * cent).sum(1)[None, :])
+    d2r = np.round(d2, 9)
+    assign = d2r.argmin(1)
+    a2 = d2r[np.arange(len(mat)), assign].copy()
+    d2r[np.arange(len(mat)), assign] = np.inf
+    b2 = d2r.min(1)
+    maxab = np.maximum(a2, b2)
+    s = np.where(maxab > 0, (b2 - a2) / maxab, 0.0)
+    sm = np.floor(s * 1_000_000 + 0.5).astype(np.int64)
+    for c in out.index:
+        sel = assign == c
+        assert out.loc[c, "n"] == int(sel.sum())
+        assert out.loc[c, "s_sum"] == int(sm[sel].sum())
+        assert out.loc[c, "mean_sil"] == sm[sel].sum() / (sel.sum() * 1e6)
+    assert out["n"].sum() == len(rows)
+
+
+def test_silhouette_tight_clusters_near_one(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.similarity import silhouette_summary
+
+    # two far-apart tight blobs -> mean silhouette close to 1
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(100):
+        c = np.zeros(4) if i % 2 == 0 else np.full(4, 100.0)
+        rows.append({"vec_id": i,
+                     "embedding": (c + rng.standard_normal(4) * .01)
+                     .tolist()})
+    out = (silhouette_summary(dataset_from_items(rows), k=2, iters=2,
+                              modulus=2).to_pandas())
+    assert (out["mean_sil"] > 0.99).all()
+    with np.testing.assert_raises(ValueError):
+        silhouette_summary(dataset_from_items(rows), k=1)
