@@ -1477,6 +1477,37 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_spearman(sf_dir: str):
+    """Exact global Spearman ρ between n_chars and whitespace token
+    count — Pearson over doubled midranks, every moment an exact int64
+    from the kendall 2-D histogram plan; the third leg of the
+    correlation family (Pearson=linear, τ=monotone-pairs, ρ=monotone-
+    ranks)."""
+    from llm_food_ray.functions.repetition import split_words
+    from llm_food_ray.stages.textstats import spearman_rho
+
+    def xy(b: pa.Table) -> pa.Table:
+        toks = [len(split_words(t or ""))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"x": b.column("n_chars"),
+                         "y": pa.array(toks, pa.int64())})
+
+    ds = _docs(sf_dir, ["text", "n_chars"]).map_batches(
+        xy, batch_format="pyarrow")
+    return spearman_rho(ds, "x", "y")
+
+
+def q_gini_lang(sf_dir: str):
+    """Per-language exact Gini of document character mass — the
+    concentration audit ("do a few documents carry all the text"):
+    tie-correct closed form over the (lang, n_chars) histogram, exact
+    int64 numerator, one division."""
+    from llm_food_ray.stages.textstats import grouped_gini
+
+    return grouped_gini(_docs(sf_dir, ["lang", "n_chars"]),
+                        "lang", "n_chars")
+
+
 def q_silhouette(sf_dir: str):
     """Per-cluster simplified-silhouette summary of the k=8 k-means
     fit over the embeddings table — the clustering-quality audit:
@@ -4205,6 +4236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_agreement": q_label_agreement,
         "harmonic": q_harmonic,
         "silhouette": q_silhouette,
+        "spearman": q_spearman,
+        "gini_lang": q_gini_lang,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5269,6 +5302,62 @@ FROM sm GROUP BY cluster"""
         "label_agreement": label_agreement_sql,
         "harmonic": harmonic_sql,
         "silhouette": silhouette_sql,
+        # Spearman via doubled midranks from the marginal histograms:
+        # 2·cum − cnt + 1, exact int64 moments, sqrt/division at the end
+        "spearman": r"""
+WITH t AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w <> ''))::BIGINT AS y
+  FROM documents
+), mx AS (
+  SELECT x, count(*)::BIGINT AS cnt FROM t GROUP BY x
+), rxm AS (
+  SELECT x, (2 * sum(cnt) OVER (ORDER BY x) - cnt + 1)::BIGINT AS rx2,
+         cnt
+  FROM mx
+), my AS (
+  SELECT y, count(*)::BIGINT AS cnt FROM t GROUP BY y
+), rym AS (
+  SELECT y, (2 * sum(cnt) OVER (ORDER BY y) - cnt + 1)::BIGINT AS ry2,
+         cnt
+  FROM my
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(rx2 * ry2)::BIGINT AS sxy4
+  FROM t JOIN rxm USING (x) JOIN rym USING (y)
+), vx AS (SELECT sum(cnt * rx2 * rx2)::BIGINT AS sxx4 FROM rxm),
+vy AS (SELECT sum(cnt * ry2 * ry2)::BIGINT AS syy4 FROM rym)
+SELECT n,
+       CASE WHEN sxx4 - n * (n + 1) * (n + 1) > 0
+             AND syy4 - n * (n + 1) * (n + 1) > 0
+            THEN round((sxy4 - n * (n + 1) * (n + 1))::DOUBLE
+                       / (sqrt((sxx4 - n * (n + 1) * (n + 1))::DOUBLE)
+                          * sqrt((syy4 - n * (n + 1) * (n + 1))::DOUBLE)),
+                       6)
+       END AS rho
+FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # tie-correct Gini closed form over the (lang, n_chars)
+        # histogram: x·c·(2·below + c − n), one division of exact ints
+        "gini_lang": """
+WITH c AS MATERIALIZED (
+  SELECT lang, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, n_chars
+), w AS (
+  SELECT lang, v, c,
+         (sum(c) OVER (PARTITION BY lang ORDER BY v) - c)::BIGINT
+           AS below,
+         sum(c) OVER (PARTITION BY lang)::BIGINT AS n,
+         sum(v * c) OVER (PARTITION BY lang)::BIGINT AS wt
+  FROM c
+)
+SELECT lang, max(n)::BIGINT AS n,
+       CASE WHEN max(wt) > 0
+            THEN sum(v * c * (2 * below + c - n))::DOUBLE
+                 / (max(n)::DOUBLE * max(wt)::DOUBLE)
+       END AS gini
+FROM w GROUP BY lang
+""",
         "extract_pages": ext_base,
         "extract_auto": (
             f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "

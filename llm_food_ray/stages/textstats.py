@@ -3333,6 +3333,149 @@ def label_agreement(ds, group_column: str, a_column: str, b_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def spearman_rho(ds, x_column: str, y_column: str, *,
+                 digits: int = 6, max_cells: int = 50_000_000):
+    """Exact global Spearman ρ rank correlation between two INTEGER
+    columns — Pearson over midranks, with every moment an exact int64
+    folded from the same 2-D value histogram as :func:`kendall_tau`
+    (never per-row ranks, never the n² pair space):
+
+        rx2(v) = 2·cum_below(v) + cnt(v) + 1   (doubled midrank)
+        ρ = (Sxy4 − n(n+1)²) /
+            (√(Sxx4 − n(n+1)²) · √(Syy4 − n(n+1)²))
+
+    using Σ c·rx2 = n(n+1) exactly.  Doubled midranks keep ties
+    integer; the one division and the two sqrts (IEEE sqrt is
+    correctly rounded) act on exactly-representable ints, and the
+    result snaps to ``digits`` like kendall's.  Int64 headroom:
+    Sxy4 ≤ 4n³ needs n ≲ 1.3e6 — the same driver-gather regime the
+    ``max_cells`` guard already implies; bin upstream past that.
+
+    Scale shape: identical to kendall — per-batch (x, y) count
+    partials → cells-keyed ``groupby.sum`` → marginal-cumsum driver
+    fold.  → one row (n, rho); constant columns → NULL rho."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"x": b.column(x_column), "y": b.column(y_column)})
+        g = t.group_by(["x", "y"]).aggregate([("y", "count")])
+        return g.rename_columns(["x", "y", "pn"])
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["x", "y"])
+               .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    if len(cells) > max_cells:
+        raise ValueError(f"{len(cells)} cells exceed max_cells")
+    if not len(cells):
+        return rd.from_arrow(pa.table({
+            "n": pa.array([], pa.int64()),
+            "rho": pa.array([], pa.float64())}))
+    c = cells["n"].to_numpy().astype(np.int64)
+    xs, xi = np.unique(cells["x"].to_numpy(), return_inverse=True)
+    ys, yi = np.unique(cells["y"].to_numpy(), return_inverse=True)
+    row_tot = np.zeros(len(xs), np.int64)
+    np.add.at(row_tot, xi, c)
+    col_tot = np.zeros(len(ys), np.int64)
+    np.add.at(col_tot, yi, c)
+    rx2 = 2 * (np.cumsum(row_tot) - row_tot) + row_tot + 1
+    ry2 = 2 * (np.cumsum(col_tot) - col_tot) + col_tot + 1
+    n = int(c.sum())
+    sxy4 = int((c * rx2[xi] * ry2[yi]).sum())
+    sxx4 = int((row_tot * rx2 * rx2).sum())
+    syy4 = int((col_tot * ry2 * ry2).sum())
+    mean4 = n * (n + 1) * (n + 1)
+    num = sxy4 - mean4
+    vx, vy = sxx4 - mean4, syy4 - mean4
+    if vx > 0 and vy > 0:
+        rho = round(float(num) / (np.sqrt(float(vx))
+                                  * np.sqrt(float(vy))), digits)
+    else:
+        rho = None
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "rho": pa.array([rho], pa.float64())}))
+
+
+def grouped_gini(ds, group_column: str, value_column: str):
+    """Per-group exact Gini coefficient of a non-negative INTEGER
+    value — the concentration audit a curation pipeline runs on token
+    mass per source/host ("do a few documents carry all the tokens"):
+
+        G = Σ_v x_v·c_v·(2·below_v + c_v − n) / (n · W),  W = Σ x·c
+
+    where ``below`` is the item count strictly below v, so the
+    numerator is the tie-correct closed form of Σ (2i − n − 1)x_i
+    over the sorted items — an exact int64 from the (group, value)
+    histogram; the denominator is one IEEE product of two
+    exactly-converted ints and the division is single.  Zero-mass
+    groups (W = 0) → NULL.
+
+    Scale shape: the :func:`mannwhitney_u` plan — per-batch count
+    partials → one (group, value)-keyed merge → hash(group)-coarse
+    buckets folded with sorted cumsums.  → (group, n, gini)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_column: b.column(group_column),
+                      value_column: b.column(value_column)})
+        g = t.group_by([group_column, value_column]).aggregate(
+            [(value_column, "count")])
+        return g.rename_columns([group_column, value_column, "c"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, value_column])
+                .aggregate(Sum("c", alias_name="c")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(group_column, "ascending"),
+                          (value_column, "ascending")])
+        g = g.take(order)
+        k = g.column(group_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        x = g.column(value_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1),
+                                       k.slice(0, len(k) - 1)), True)
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        runlen = np.diff(np.r_[starts, len(c)])
+        cum = np.cumsum(c)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], runlen)
+        below = cum - c - base
+        n = np.repeat(np.add.reduceat(c, starts), runlen)
+        bnum = np.add.reduceat(x * c * (2 * below + c - n), starts)
+        ng = np.add.reduceat(c, starts)
+        w = np.add.reduceat(x * c, starts)
+        denom = ng.astype(np.float64) * w.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = np.where(w > 0, bnum / denom, np.nan)
+        return pa.table({
+            group_column: k.take(pa.array(starts)),
+            "n": pa.array(ng),
+            "gini": pa.array(gini, pa.float64(), mask=~(w > 0))})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))
+
+
 def kendall_tau(ds, x_column: str, y_column: str, *,
                 digits: int = 6, max_cells: int = 50_000_000):
     """Exact global Kendall τ-b rank correlation between two INTEGER

@@ -873,3 +873,96 @@ def test_label_agreement_batching_invariant(ray_session):
         outs.append(label_agreement(ds, "g", "a", "b")
                     .to_pandas().set_index("g").sort_index())
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_spearman_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import spearman_rho
+
+    rng = np.random.RandomState(21)
+    x = rng.randint(0, 15, 200)
+    y = x + rng.randint(-3, 4, 200)  # monotone-ish with ties
+    rows = [{"x": int(a), "y": int(b)} for a, b in zip(x, y)]
+    out = spearman_rho(dataset_from_items(rows), "x", "y").to_pandas()
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v), np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+    rx, ry = midranks(x), midranks(y)
+    want = (((rx - rx.mean()) * (ry - ry.mean())).sum()
+            / np.sqrt(((rx - rx.mean()) ** 2).sum()
+                      * ((ry - ry.mean()) ** 2).sum()))
+    assert out.loc[0, "n"] == 200
+    assert abs(out.loc[0, "rho"] - want) < 1e-6
+
+
+def test_spearman_perfect_and_degenerate(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import spearman_rho
+
+    mono = [{"x": i, "y": i * i} for i in range(10)]
+    out = spearman_rho(dataset_from_items(mono), "x", "y").to_pandas()
+    assert out.loc[0, "rho"] == 1.0
+    anti = [{"x": i, "y": -i} for i in range(10)]
+    out2 = spearman_rho(dataset_from_items(anti), "x", "y").to_pandas()
+    assert out2.loc[0, "rho"] == -1.0
+    const = [{"x": 3, "y": i} for i in range(5)]
+    out3 = spearman_rho(dataset_from_items(const), "x", "y").to_pandas()
+    assert pd.isna(out3.loc[0, "rho"])
+
+
+def test_grouped_gini_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_gini
+
+    rng = np.random.RandomState(4)
+    vals = {"even": rng.randint(50, 60, 40),
+            "skew": np.r_[np.ones(39, np.int64), [10_000]]}
+    rows = [{"g": g, "v": int(v)} for g, arr in vals.items() for v in arr]
+    out = (grouped_gini(dataset_from_items(rows), "g", "v")
+           .to_pandas().set_index("g"))
+
+    def brute(a):
+        a = np.sort(np.asarray(a, np.float64))
+        n = len(a)
+        i = np.arange(1, n + 1)
+        return ((2 * i - n - 1) * a).sum() / (n * a.sum())
+    for g, arr in vals.items():
+        assert out.loc[g, "n"] == len(arr)
+        assert abs(out.loc[g, "gini"] - brute(arr)) < 1e-12
+    assert out.loc["skew", "gini"] > 0.9 > out.loc["even", "gini"]
+
+
+def test_grouped_gini_edge_cases(ray_session):
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_gini
+
+    rows = ([{"g": "one", "v": 7}]            # single item -> 0
+            + [{"g": "same", "v": 5}] * 6     # all equal -> 0
+            + [{"g": "zero", "v": 0}] * 3)    # zero mass -> NULL
+    out = (grouped_gini(dataset_from_items(rows), "g", "v")
+           .to_pandas().set_index("g"))
+    assert out.loc["one", "gini"] == 0.0
+    assert out.loc["same", "gini"] == 0.0
+    assert pd.isna(out.loc["zero", "gini"])
