@@ -1477,6 +1477,29 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_term_drift(sf_dir: str):
+    """Vocabulary-drift PSI between the even- and odd-doc_id corpus
+    halves over 64 md5 term buckets — the categorical drift monitor
+    between crawl snapshots: per-batch distinct-word bucket partials
+    (term strings never leave the workers), per-bucket exact counts +
+    one identical float expression."""
+    from llm_food_ray.stages.textstats import term_psi
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def half(parity):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1),
+                            parity)
+            return b.filter(keep).select(["text"])
+        return f
+
+    ref = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    return term_psi(new, ref, "text", n_buckets=64)
+
+
 def q_spearman(sf_dir: str):
     """Exact global Spearman ρ between n_chars and whitespace token
     count — Pearson over doubled midranks, every moment an exact int64
@@ -4238,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette": q_silhouette,
         "spearman": q_spearman,
         "gini_lang": q_gini_lang,
+        "term_drift": q_term_drift,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5336,6 +5360,41 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # categorical PSI over md5 term buckets: first 16 md5 hex chars
+        # as UBIGINT == stable_hash64; same float expression per bucket
+        "term_drift": r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+), bk AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x' || substr(md5(w), 1, 16))::UBIGINT % 64)::BIGINT
+           AS bucket
+  FROM toks
+), cr AS MATERIALIZED (
+  SELECT bucket, count(*)::BIGINT AS nr FROM bk
+  WHERE doc_id % 2 = 0 GROUP BY bucket
+), cn AS MATERIALIZED (
+  SELECT bucket, count(*)::BIGINT AS nn FROM bk
+  WHERE doc_id % 2 = 1 GROUP BY bucket
+), tot AS (
+  SELECT (SELECT sum(nr) FROM cr)::BIGINT AS tr,
+         (SELECT sum(nn) FROM cn)::BIGINT AS tn
+)
+SELECT COALESCE(cr.bucket, cn.bucket) AS bucket,
+       COALESCE(cr.nr, 0)::BIGINT AS n_ref,
+       COALESCE(cn.nn, 0)::BIGINT AS n_new,
+       CASE WHEN COALESCE(cr.nr, 0) > 0 AND COALESCE(cn.nn, 0) > 0
+            THEN floor((cn.nn::DOUBLE / tot.tn - cr.nr::DOUBLE / tot.tr)
+                       * ln((cn.nn::DOUBLE / tot.tn)
+                            / (cr.nr::DOUBLE / tot.tr))
+                       * 1000000 + 0.5) / 1000000.0
+            ELSE NULL END AS psi_term
+FROM cr FULL OUTER JOIN cn ON cn.bucket = cr.bucket
+CROSS JOIN tot
 """,
         # tie-correct Gini closed form over the (lang, n_chars)
         # histogram: x·c·(2·below + c − n), one division of exact ints

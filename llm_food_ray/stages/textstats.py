@@ -2506,6 +2506,82 @@ def drift_psi(new_ds, ref_ds, value_column: str, *,
         "psi_term": pa.array(terms, pa.float64()),
     }))
 
+def term_psi(new_ds, ref_ds, text_column: str = "text", *,
+             n_buckets: int = 64, digits: int = 6):
+    """Vocabulary-drift PSI between a REFERENCE corpus and a NEW corpus
+    over md5 TERM buckets — the categorical sibling of
+    :func:`drift_psi` ("did the language change between crawl
+    snapshots", robust to unbounded vocabularies because terms fold
+    into ``n_buckets`` hash buckets before anything is exchanged):
+
+        psi_term = (p_new − p_ref) · ln(p_new / p_ref)   per bucket
+
+    emitted PER BUCKET (the decomposition rule — no cross-bucket float
+    sum); token counts are exact ints, each term is the same float
+    expression of the same integers on both engines, snapped half-away
+    to ``digits``; buckets empty on either side → NULL.
+
+    Bucket function: ``stable_hash64(word) % n_buckets`` (md5 prefix —
+    the one hash both engines share).  The md5 runs once per DISTINCT
+    word PER BATCH (np.unique first), not per token, and only
+    buckets-sized (≤ n_buckets-row) partials leave the workers — the
+    term strings never ride an exchange.  → (bucket, n_ref, n_new,
+    psi_term)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..functions.repetition import split_words
+
+    def bucket_counts(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            words = [w for t in b.column(text_column).to_pylist()
+                     for w in split_words(t or "")]
+            if not words:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            uniq, cnt = np.unique(np.asarray(words, object),
+                                  return_counts=True)
+            bk = np.fromiter((stable_hash64(w) % n_buckets
+                              for w in uniq), np.int64, count=len(uniq))
+            acc = np.zeros(n_buckets, np.int64)
+            np.add.at(acc, bk, cnt.astype(np.int64))
+            nz = np.flatnonzero(acc)
+            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                             "n": pa.array(acc[nz])})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .aggregate(Sum("n", alias_name="n"))).take_all()
+        return {r["bucket"]: r["n"] for r in rows}
+
+    cr = bucket_counts(ref_ds)
+    cn = bucket_counts(new_ds)
+    t_ref = sum(cr.values())
+    t_new = sum(cn.values())
+    scale = 10 ** digits
+    buckets = sorted(set(cr) | set(cn))
+    terms = []
+    for bk in buckets:
+        nr, nn = cr.get(bk, 0), cn.get(bk, 0)
+        if nr > 0 and nn > 0:
+            p, q = nn / t_new, nr / t_ref
+            terms.append(
+                np.floor((p - q) * np.log(p / q) * scale + 0.5) / scale)
+        else:
+            terms.append(None)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.int64()),
+        "n_ref": pa.array([cr.get(b, 0) for b in buckets], pa.int64()),
+        "n_new": pa.array([cn.get(b, 0) for b in buckets], pa.int64()),
+        "psi_term": pa.array(terms, pa.float64()),
+    }))
+
+
 def grouped_mad(ds, key_column: str, value_column: str, *,
                 digits: int = 6):
     """Per-group robust center + scale: ``(key, median, mad)`` with

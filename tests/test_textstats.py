@@ -966,3 +966,53 @@ def test_grouped_gini_edge_cases(ray_session):
     assert out.loc["one", "gini"] == 0.0
     assert out.loc["same", "gini"] == 0.0
     assert pd.isna(out.loc["zero", "gini"])
+
+
+def test_term_psi_identical_halves_zero(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import term_psi
+
+    rows = [{"text": "alpha beta gamma delta"} for _ in range(10)]
+    ds = dataset_from_items(rows)
+    out = term_psi(ds, ds, "text", n_buckets=8).to_pandas()
+    # identical distributions: every populated bucket has psi 0
+    assert (out["psi_term"] == 0.0).all()
+    assert (out["n_ref"] == out["n_new"]).all()
+    assert out["n_ref"].sum() == 40
+
+
+def test_term_psi_matches_naive(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.functions.hashing import stable_hash64
+
+    from llm_food_ray.stages.textstats import term_psi
+
+    ref_rows = [{"text": "aa bb cc"}, {"text": "aa dd"}]
+    new_rows = [{"text": "aa aa ee"}, {"text": "bb"}]
+    out = (term_psi(dataset_from_items(new_rows),
+                    dataset_from_items(ref_rows), "text", n_buckets=4)
+           .to_pandas().set_index("bucket"))
+
+    def counts(rows):
+        acc = {}
+        for r in rows:
+            for w in r["text"].split():
+                b = stable_hash64(w) % 4
+                acc[b] = acc.get(b, 0) + 1
+        return acc
+    cr, cn = counts(ref_rows), counts(new_rows)
+    tr, tn = sum(cr.values()), sum(cn.values())
+    assert set(out.index) == set(cr) | set(cn)
+    for b in out.index:
+        assert out.loc[b, "n_ref"] == cr.get(b, 0)
+        assert out.loc[b, "n_new"] == cn.get(b, 0)
+        if cr.get(b, 0) and cn.get(b, 0):
+            p, q = cn[b] / tn, cr[b] / tr
+            want = np.floor((p - q) * np.log(p / q) * 1e6 + 0.5) / 1e6
+            assert out.loc[b, "psi_term"] == want
+        else:
+            assert np.isnan(out.loc[b, "psi_term"])
