@@ -1477,6 +1477,28 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_signal_mi(sf_dir: str):
+    """Per-source mutual-information decomposition between the
+    language label and the binarized space-rate signal — the
+    feature-selection audit (is the cheap signal informative about
+    the label): per-(source, lang, signal) exact counts + one
+    identical float MI term, decomposition emitted."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import grouped_mi
+
+    def labels(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        hi = pa.array(["hi"] * len(f)), pa.array(["lo"] * len(f))
+        sig = pc.if_else(pc.greater_equal(f.column("x3"), 160), *hi)
+        return pa.table({"source": f.column("source"),
+                         "lang": b.column("lang"), "signal": sig})
+
+    ds = _docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        labels, batch_format="pyarrow")
+    return grouped_mi(ds, "source", "lang", "signal")
+
+
 def q_term_drift(sf_dir: str):
     """Vocabulary-drift PSI between the even- and odd-doc_id corpus
     halves over 64 md5 term buckets — the categorical drift monitor
@@ -4262,6 +4284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q_spearman,
         "gini_lang": q_gini_lang,
         "term_drift": q_term_drift,
+        "signal_mi": q_signal_mi,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5360,6 +5383,30 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # per-cell MI terms: margins via windows over the confusion
+        # histogram, one identical float expression, 1e-6 snap
+        "signal_mi": """
+WITH l AS MATERIALIZED (
+  SELECT source, lang AS a,
+         CASE WHEN ((1000 * (length(text) - length(replace(text, ' ', ''))))
+                    // GREATEST(n_chars, 1)) >= 160
+              THEN 'hi' ELSE 'lo' END AS b
+  FROM documents
+), conf AS (
+  SELECT source, a, b, count(*)::BIGINT AS c FROM l GROUP BY source, a, b
+), w AS (
+  SELECT source, a, b, c,
+         sum(c) OVER (PARTITION BY source, a)::BIGINT AS ca,
+         sum(c) OVER (PARTITION BY source, b)::BIGINT AS cb,
+         sum(c) OVER (PARTITION BY source)::BIGINT AS n
+  FROM conf
+)
+SELECT source, a AS lang, b AS signal, c AS n_ab,
+       floor((c::DOUBLE / n)
+             * ln((c::DOUBLE * n) / (ca::DOUBLE * cb))
+             * 1000000 + 0.5) / 1000000.0 AS mi_term
+FROM w
 """,
         # categorical PSI over md5 term buckets: first 16 md5 hex chars
         # as UBIGINT == stable_hash64; same float expression per bucket

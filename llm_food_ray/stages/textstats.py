@@ -3552,6 +3552,75 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def grouped_mi(ds, group_column: str, a_column: str, b_column: str, *,
+               digits: int = 6):
+    """Per-group mutual-information DECOMPOSITION between two
+    categorical columns — "how informative is this cheap signal about
+    that label", the feature-selection primitive (no reference
+    analogue — brief-scope operator).  Every (group, a, b) cell
+    reports its additive MI term
+
+        mi_term = (c_ab/n) · ln((c_ab·n) / (c_a·c_b))
+
+    computed from exact int64 histogram counts with ONE identical
+    float expression per cell, snapped half-away to ``digits`` — the
+    drift_psi decomposition rule applied to MI (no cross-cell float
+    sum; Σ mi_term ≥ 0 is the caller's one-liner).
+
+    Scale shape: per-batch confusion partials → one (group, a, b)-keyed
+    merge (groups × labels², histogram-bounded) → hash(group)-coarse
+    buckets where margins attach via whole-bucket pandas transforms
+    (never per group).  → (group, a, b, n_ab, mi_term)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_column: b.column(group_column),
+                      "__a": b.column(a_column),
+                      "__b": b.column(b_column),
+                      "c": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by([group_column, "__a", "__b"]).aggregate(
+            [("c", "sum")])
+        return g.rename_columns([group_column, "__a", "__b", "c"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, "__a", "__b"])
+                .aggregate(Sum("c", alias_name="c")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    scale = 10 ** digits
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.select([group_column, "__a", "__b", "c"]).to_pandas()
+        c = df["c"].to_numpy(np.int64)
+        ca = (df.groupby([group_column, "__a"], sort=False)["c"]
+                .transform("sum").to_numpy(np.int64))
+        cb = (df.groupby([group_column, "__b"], sort=False)["c"]
+                .transform("sum").to_numpy(np.int64))
+        n = (df.groupby(group_column, sort=False)["c"]
+               .transform("sum").to_numpy(np.int64))
+        mi = (c / n) * np.log((c.astype(np.float64) * n)
+                              / (ca.astype(np.float64) * cb))
+        mi = np.floor(mi * scale + 0.5) / scale
+        return pa.table({
+            group_column: pa.Array.from_pandas(df[group_column]),
+            a_column: pa.Array.from_pandas(df["__a"]),
+            b_column: pa.Array.from_pandas(df["__b"]),
+            "n_ab": pa.array(c),
+            "mi_term": pa.array(mi, pa.float64())})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))
+
+
 def kendall_tau(ds, x_column: str, y_column: str, *,
                 digits: int = 6, max_cells: int = 50_000_000):
     """Exact global Kendall τ-b rank correlation between two INTEGER

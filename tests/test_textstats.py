@@ -1016,3 +1016,60 @@ def test_term_psi_matches_naive(ray_session):
             assert out.loc[b, "psi_term"] == want
         else:
             assert np.isnan(out.loc[b, "psi_term"])
+
+
+def test_grouped_mi_matches_naive_and_sums_nonneg(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_mi
+
+    rng = np.random.RandomState(6)
+    rows = []
+    for _ in range(300):
+        a = rng.choice(["en", "de", "fr"])
+        # b correlates with a in group "dep", independent in "ind"
+        rows.append({"g": "dep", "a": a,
+                     "b": "hi" if a == "en" else "lo"})
+        rows.append({"g": "ind", "a": a,
+                     "b": rng.choice(["hi", "lo"])})
+    out = (grouped_mi(dataset_from_items(rows), "g", "a", "b")
+           .to_pandas())
+
+    from collections import Counter
+    for g in ("dep", "ind"):
+        sub = [(r["a"], r["b"]) for r in rows if r["g"] == g]
+        n = len(sub)
+        cab = Counter(sub)
+        ca = Counter(x for x, _ in sub)
+        cb = Counter(y for _, y in sub)
+        want_total = 0.0
+        dfg = out[out["g"] == g].set_index(["a", "b"])
+        assert len(dfg) == len(cab)
+        for (x, y), c in cab.items():
+            want = np.floor((c / n) * np.log((c * n) / (ca[x] * cb[y]))
+                            * 1e6 + 0.5) / 1e6
+            assert dfg.loc[(x, y), "mi_term"] == want
+            assert dfg.loc[(x, y), "n_ab"] == c
+            want_total += want
+        if g == "dep":
+            assert want_total > 0.5  # strongly dependent
+        else:
+            assert abs(want_total) < 0.05  # near-independent
+
+
+def test_grouped_mi_perfect_dependence(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_mi
+
+    # two equiprobable labels, b == a: MI = ln 2
+    rows = ([{"g": "x", "a": "p", "b": "p"}] * 8
+            + [{"g": "x", "a": "q", "b": "q"}] * 8)
+    out = (grouped_mi(dataset_from_items(rows), "g", "a", "b")
+           .to_pandas())
+    total = out["mi_term"].sum()
+    assert abs(total - np.log(2)) < 2e-6
