@@ -741,6 +741,27 @@ def run_bench() -> dict:
     queries["event_analytics"] = round(time.perf_counter() - t0, 3)
     assert n_et > 0 and n_fu == 3
 
+    # --- trainable classifier: 6 exact fixed-point GD epochs + one
+    # accuracy pass (8 scans of the documents table) ------------------
+    t0 = time.perf_counter()
+    n_lr = _entry.q_quality_logreg(SF_DIR).count()
+    queries["quality_logreg"] = round(time.perf_counter() - t0, 3)
+    assert n_lr > 0
+
+    # --- seeded harmonic centrality: 3 per-seed BFS rounds over the
+    # purchase graph (join + (node, seed) groupby.min per round) ------
+    t0 = time.perf_counter()
+    n_hc = _entry.q_harmonic(SF_DIR).count()
+    queries["harmonic"] = round(time.perf_counter() - t0, 3)
+    assert n_hc > 0
+
+    # --- vocabulary-drift PSI: two tokenizing scans folding into 64
+    # md5 term buckets ------------------------------------------------
+    t0 = time.perf_counter()
+    n_td = _entry.q_term_drift(SF_DIR).count()
+    queries["term_drift"] = round(time.perf_counter() - t0, 3)
+    assert n_td > 0
+
     ray.shutdown()
     return {
         "metric": "end-to-end extraction seconds over replicated pages corpus "
