@@ -454,3 +454,28 @@ def test_harmonic_centrality_rounds_bound_and_min_path(ray_session):
             .set_index("node"))
     assert 4 not in out1.index
     assert set(out1.index) == {2, 5}
+
+
+def test_harmonic_centrality_plans_identical(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.graph import harmonic_centrality
+
+    rng = np.random.RandomState(13)
+    edges = [{"src": int(a), "dst": int(b)}
+             for a, b in rng.randint(0, 40, (300, 2)) if a != b]
+    seeds = [{"node": int(n)} for n in rng.choice(40, 6, replace=False)]
+    outs = []
+    for plan in ("broadcast", "join"):
+        out = (harmonic_centrality(dataset_from_items(edges),
+                                   dataset_from_items(seeds),
+                                   rounds=3, exec=plan)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    with np.testing.assert_raises(ValueError):
+        harmonic_centrality(dataset_from_items(edges),
+                            dataset_from_items(seeds), exec="bogus")
