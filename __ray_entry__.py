@@ -1477,6 +1477,16 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between the 20 sources — "which
+    sources are redundant": distinct 57-bit word fps → fp-keyed
+    bitmask OR → per-batch 20² Bᵀ·B intersection tiles; no pair space,
+    no term strings on any exchange."""
+    from llm_food_ray.stages.textstats import vocab_overlap
+
+    return vocab_overlap(_docs(sf_dir, ["source", "text"]), "source")
+
+
 def q_signal_mi(sf_dir: str):
     """Per-source mutual-information decomposition between the
     language label and the binarized space-rate signal — the
@@ -4285,6 +4295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_lang": q_gini_lang,
         "term_drift": q_term_drift,
         "signal_mi": q_signal_mi,
+        "vocab_overlap": q_vocab_overlap,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5383,6 +5394,36 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # pairwise vocabulary Jaccard: the same 57-bit md5-prefix fps,
+        # distinct (source, fp) self-join — pair counts are exact and
+        # any fp collision is shared with the Ray side by construction
+        "vocab_overlap": r"""
+WITH toks AS MATERIALIZED (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+), d AS MATERIALIZED (
+  SELECT DISTINCT source,
+         (('0x' || substr(md5(w), 1, 16))::UBIGINT >> 7)::BIGINT AS fp
+  FROM toks
+), sz AS (
+  SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source
+), inter AS (
+  SELECT a.source AS ga, b.source AS gb, count(*)::BIGINT AS n_common
+  FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT sa.source AS group_a, sb.source AS group_b,
+       sa.n AS n_a, sb.n AS n_b,
+       COALESCE(i.n_common, 0)::BIGINT AS n_common,
+       CASE WHEN sa.n + sb.n - COALESCE(i.n_common, 0) > 0
+            THEN COALESCE(i.n_common, 0)::DOUBLE
+                 / (sa.n + sb.n - COALESCE(i.n_common, 0))
+       END AS jaccard
+FROM sz sa JOIN sz sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
 """,
         # per-cell MI terms: margins via windows over the confusion
         # histogram, one identical float expression, 1e-6 snap

@@ -3552,6 +3552,122 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def vocab_overlap(ds, group_column: str, text_column: str = "text", *,
+                  max_groups: int = 62):
+    """Pairwise vocabulary Jaccard between groups (sources/hosts) —
+    "which sources are redundant": |V_a ∩ V_b| / |V_a ∪ V_b| over
+    DISTINCT word fingerprints, for every unordered group pair.
+
+    Scale shape (the whole point): word strings never ride an
+    exchange and no pair space ever materializes —
+
+    1. per-batch distinct (fp, group) pairs (md5-prefix fp, once per
+       distinct word per batch),
+    2. one fp-keyed ``groupby.sum`` of per-group BITMASKS (input rows
+       are distinct, so the int sum IS the bitwise OR),
+    3. per-batch 62-wide bit matrix ``B`` → ``Bᵀ·B`` partial (a
+       groups² int64 tile per batch) folded on the driver.
+
+    Exactness: intersection/union counts are exact int64 (md5-prefix
+    fps are shared with the SQL twin, so any 1-in-2⁶⁴ collision is
+    IDENTICAL on both engines); Jaccard is one division.  Groups are
+    gathered first and must number ≤ ``max_groups`` (bitmask width) —
+    the documented bound; past it, shard the group set.
+    → (group_a, group_b, n_a, n_b, n_common, jaccard) for a < b."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from ..functions.repetition import split_words
+
+    groups = sorted(
+        r[group_column]
+        for r in ds.groupby(group_column).count().take_all())
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceed the {max_groups} bitmask "
+            "bound; shard the group set")
+    gidx = {g: i for i, g in enumerate(groups)}
+    k = len(groups)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fps, gis = [], []
+        for g, t in zip(b.column(group_column).to_pylist(),
+                        b.column(text_column).to_pylist()):
+            ws = set(split_words(t or ""))
+            if not ws:
+                continue
+            gi = gidx[g]
+            # 57-bit fp (md5 prefix >> 7): packs with the 6-bit group
+            # index into one int64 key for the in-batch distinct; the
+            # SQL twin shifts identically, so any collision is shared
+            fps.extend(stable_hash64(w) >> 7 for w in ws)
+            gis.extend([gi] * len(ws))
+        if not fps:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "gi": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        fp_a = np.array(fps, np.int64)
+        gi_a = np.array(gis, np.int64)
+        key = fp_a * np.int64(64) + gi_a
+        uk = np.unique(key)
+        return pa.table({"fp": pa.array(uk // 64),
+                         "gi": pa.array(uk % 64),
+                         "one": pa.array(np.ones(len(uk), np.int64))})
+
+    # global distinct (fp, gi): groupby.count collapses cross-batch
+    # duplicates, THEN masks sum to an exact bitwise OR
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["fp", "gi"])
+                  .aggregate(Sum("one", alias_name="c")))
+
+    def to_mask(b: pa.Table) -> pa.Table:
+        gi = b.column("gi").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({"fp": b.column("fp"),
+                         "mask": pa.array(np.int64(1) << gi)})
+
+    masks = (distinct.map_batches(to_mask, batch_format="pyarrow")
+                     .groupby("fp")
+                     .aggregate(Sum("mask", alias_name="mask")))
+
+    def tile(b: pa.Table) -> pa.Table:
+        m = b.column("mask").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bits = ((m[:, None] >> np.arange(k)[None, :]) & 1).astype(
+            np.int64)
+        inter = bits.T @ bits
+        return pa.table({"tile": pa.array([inter.ravel().tolist()],
+                                          pa.list_(pa.int64()))})
+
+    tiles = (masks.map_batches(tile, batch_format="pyarrow")
+                  .take_all())
+    total = np.zeros((k, k), np.int64)
+    for r in tiles:
+        total += np.array(r["tile"], np.int64).reshape(k, k)
+    sizes = np.diag(total)
+    ga, gb, na, nb, nc, jc = [], [], [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            inter = int(total[i, j])
+            union = int(sizes[i] + sizes[j] - inter)
+            ga.append(groups[i])
+            gb.append(groups[j])
+            na.append(int(sizes[i]))
+            nb.append(int(sizes[j]))
+            nc.append(inter)
+            jc.append(inter / union if union > 0 else None)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "group_a": pa.array(ga), "group_b": pa.array(gb),
+        "n_a": pa.array(na, pa.int64()), "n_b": pa.array(nb, pa.int64()),
+        "n_common": pa.array(nc, pa.int64()),
+        "jaccard": pa.array(jc, pa.float64())}))
+
+
 def grouped_mi(ds, group_column: str, a_column: str, b_column: str, *,
                digits: int = 6):
     """Per-group mutual-information DECOMPOSITION between two

@@ -1073,3 +1073,58 @@ def test_grouped_mi_perfect_dependence(ray_session):
            .to_pandas())
     total = out["mi_term"].sum()
     assert abs(total - np.log(2)) < 2e-6
+
+
+def test_vocab_overlap_matches_sets(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import vocab_overlap
+
+    rows = [
+        {"g": "a", "text": "cat dog fish"},
+        {"g": "a", "text": "dog bird"},
+        {"g": "b", "text": "dog fish worm"},
+        {"g": "c", "text": "xyzzy plugh"},
+        {"g": "c", "text": ""},
+    ]
+    out = (vocab_overlap(dataset_from_items(rows), "g")
+           .to_pandas().set_index(["group_a", "group_b"]))
+    vocab = {}
+    for r in rows:
+        vocab.setdefault(r["g"], set()).update(r["text"].split())
+    assert len(out) == 3  # 3 choose 2
+    for (a, b), row in out.iterrows():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert row["n_a"] == len(vocab[a])
+        assert row["n_b"] == len(vocab[b])
+        assert row["n_common"] == inter
+        assert row["jaccard"] == inter / union
+    assert out.loc[("a", "c"), "n_common"] == 0
+    assert out.loc[("a", "b"), "n_common"] == 2  # dog, fish
+
+
+def test_vocab_overlap_batching_invariant_and_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import vocab_overlap
+
+    rng = np.random.RandomState(8)
+    words = [f"w{i}" for i in range(60)]
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q", "r", "s"], 200),
+        "text": [" ".join(rng.choice(words, 5)) for _ in range(200)]})
+    outs = []
+    for nblocks in (1, 11):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs.append(vocab_overlap(ds, "g").to_pandas()
+                    .sort_values(["group_a", "group_b"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    with np.testing.assert_raises(ValueError):
+        many = pd.DataFrame({"g": [f"g{i}" for i in range(70)],
+                             "text": ["x"] * 70})
+        vocab_overlap(rd.from_pandas(many), "g")
