@@ -1477,6 +1477,61 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_prop_test(sf_dir: str):
+    """Per-language two-proportion z between the even/odd doc halves
+    on the space-rate≥160 pass signal — "did the filter pass-rate
+    shift between snapshots": four exact streaming int sums, one float
+    expression, 1e-6 snap."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import two_prop_test
+
+    def proj(b: pa.Table) -> pa.Table:
+        f = _logreg_feats(b)
+        par = pc.bit_wise_and(b.column("doc_id"), 1)
+        side = pc.if_else(pc.equal(par, 0),
+                          pa.array(["even"] * len(b)),
+                          pa.array(["odd"] * len(b)))
+        y = pc.cast(pc.greater_equal(f.column("x3"), 160), pa.int64())
+        return pa.table({"lang": b.column("lang"), "side": side,
+                         "y": y})
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source",
+                        "n_chars"]).map_batches(
+        proj, batch_format="pyarrow")
+    return two_prop_test(ds, "lang", "side", "y",
+                         side_a="even", side_b="odd")
+
+
+def q_entity_spans(sf_dir: str):
+    """Typed entity extraction exploded to one row per match (the
+    flat-map sibling of pii_scrub, same deterministic PII footer and
+    the same progressive-redaction order contract): (doc_id,
+    entity_type, entity, ord)."""
+    from llm_food_ray.functions.pii import extract_entities
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, types, ents, ords = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            full = (f"{t or ''}\nContact: user{d}@mail.example.com, "
+                    f"call +1-555-{d % 1000:03d}-{d % 10000:04d} or "
+                    f"visit 10.{d % 256}.0.{d % 250} now")
+            for et, ev, o in extract_entities(full):
+                ids_out.append(d)
+                types.append(et)
+                ents.append(ev)
+                ords.append(o)
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "entity_type": pa.array(types, pa.string()),
+            "entity": pa.array(ents, pa.string()),
+            "ord": pa.array(ords, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
 def q_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between the 20 sources — "which
     sources are redundant": distinct 57-bit word fps → fp-keyed
@@ -4296,6 +4351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_drift": q_term_drift,
         "signal_mi": q_signal_mi,
         "vocab_overlap": q_vocab_overlap,
+        "prop_test": q_prop_test,
+        "entity_spans": q_entity_spans,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5394,6 +5451,85 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # two-proportion z from four exact int sums; the variance
+        # expression mirrors textstats.two_prop_test term for term
+        "prop_test": """
+WITH l AS MATERIALIZED (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS side,
+         CASE WHEN ((1000 * (length(text)
+                             - length(replace(text, ' ', ''))))
+                    // GREATEST(n_chars, 1)) >= 160
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+), agg AS (
+  SELECT lang,
+         sum(CASE WHEN side = 'even' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN side = 'even' THEN y ELSE 0 END)::BIGINT AS k_a,
+         sum(CASE WHEN side = 'odd' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN side = 'odd' THEN y ELSE 0 END)::BIGINT AS k_b
+  FROM l GROUP BY lang
+)
+SELECT lang, n_a, k_a, n_b, k_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND ((k_a + k_b)::DOUBLE / (n_a + n_b))
+                 * (1 - (k_a + k_b)::DOUBLE / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b) > 0
+            THEN floor((k_a::DOUBLE / n_a - k_b::DOUBLE / n_b)
+                       / sqrt(((k_a + k_b)::DOUBLE / (n_a + n_b))
+                              * (1 - (k_a + k_b)::DOUBLE / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+                       * 1000000 + 0.5) / 1000000.0
+       END AS z
+FROM agg
+""",
+        # typed entity explode over the same progressively-redacted
+        # footer text; unnest of equal-length lists zips in DuckDB
+        "entity_spans": r"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+    text || chr(10) || 'Contact: user' || doc_id
+    || '@mail.example.com, call +1-555-'
+    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    || ' or visit 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+    || ' now' AS fulltxt
+  FROM documents
+), s1 AS MATERIALIZED (
+  SELECT doc_id, fulltxt,
+    regexp_replace(fulltxt,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+      'g') AS t1
+  FROM aug
+), s2 AS MATERIALIZED (
+  SELECT doc_id, fulltxt, t1,
+    regexp_replace(t1,
+      '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+      '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, 'email' AS entity_type,
+       unnest(regexp_extract_all(fulltxt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity,
+       unnest(generate_series(1, len(regexp_extract_all(fulltxt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))))::BIGINT
+         AS ord
+FROM s1
+UNION ALL
+SELECT doc_id, 'ip',
+       unnest(regexp_extract_all(t1,
+         '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')),
+       unnest(generate_series(1, len(regexp_extract_all(t1,
+         '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))))::BIGINT
+FROM s2
+UNION ALL
+SELECT doc_id, 'phone',
+       unnest(regexp_extract_all(t2,
+         '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b')),
+       unnest(generate_series(1, len(regexp_extract_all(t2,
+         '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b'))))::BIGINT
+FROM s2
 """,
         # pairwise vocabulary Jaccard: the same 57-bit md5-prefix fps,
         # distinct (source, fp) self-join — pair counts are exact and

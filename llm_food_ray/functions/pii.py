@@ -38,6 +38,26 @@ def scrub_pii(text: str) -> str:
     return text
 
 
+def extract_entities(text: str) -> list:
+    """Typed entity extraction with the scrub_pii order contract:
+    emails matched first, then IPv4 on the email-redacted text, then
+    phones on the IP-redacted text (so an email's digits can't double-
+    match as a phone).  Returns ``(entity_type, entity, ord)`` with
+    ``ord`` the 1-based within-type match index — exactly
+    reconstructible in SQL via regexp_extract_all over the same
+    progressively-redacted text."""
+    out = []
+    emails = _EMAIL_RE.findall(text)
+    out.extend(("email", e, i + 1) for i, e in enumerate(emails))
+    text = _EMAIL_RE.sub(EMAIL_TOKEN, text)
+    ips = _IPV4_RE.findall(text)
+    out.extend(("ip", e, i + 1) for i, e in enumerate(ips))
+    text = _IPV4_RE.sub(IP_TOKEN, text)
+    phones = _PHONE_RE.findall(text)
+    out.extend(("phone", e, i + 1) for i, e in enumerate(phones))
+    return out
+
+
 def count_pii(text: str) -> dict:
     """Counts per category BEFORE redaction (same patterns/order —
     counted on the progressively redacted text exactly as scrub_pii

@@ -3552,6 +3552,75 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def two_prop_test(ds, group_column: str, side_column: str,
+                  success_column: str, *, side_a, side_b,
+                  digits: int = 6):
+    """Per-group two-proportion z-test between two labeled samples —
+    "did the pass-rate of a filter change between crawl snapshots":
+
+        z = (k_a/n_a − k_b/n_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),
+        p̂ = (k_a + k_b)/(n_a + n_b)
+
+    The four moments are exact int64 streaming sums (one per-batch
+    partial → one groups-sized merge, zero value histograms — the
+    cheapest member of the shift-test family; mannwhitney_u is the
+    distribution-sensitive sibling).  z is one float expression of the
+    four ints (IEEE sqrt is correctly rounded), snapped half-away to
+    ``digits``; NULL when a side is empty or p̂ ∈ {0, 1} (zero
+    variance).  → (group, n_a, k_a, n_b, k_b, z)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        side = b.column(side_column)
+        ina = pc.cast(pc.equal(side, side_a), pa.int64())
+        inb = pc.cast(pc.equal(side, side_b), pa.int64())
+        y = pc.cast(pc.equal(b.column(success_column), 1), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      "n_a": ina, "k_a": pc.multiply(ina, y),
+                      "n_b": inb, "k_b": pc.multiply(inb, y)})
+        g = t.group_by([group_column]).aggregate(
+            [("n_a", "sum"), ("k_a", "sum"),
+             ("n_b", "sum"), ("k_b", "sum")])
+        return g.rename_columns([group_column, "n_a", "k_a",
+                                 "n_b", "k_b"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("n_a", alias_name="n_a"),
+                           Sum("k_a", alias_name="k_a"),
+                           Sum("n_b", alias_name="n_b"),
+                           Sum("k_b", alias_name="k_b")))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ka = b.column("k_a").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        kb = b.column("k_b").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phat = (ka + kb) / (na + nb)
+            var = phat * (1.0 - phat) * (1.0 / na + 1.0 / nb)
+            z = (ka / na - kb / nb) / np.sqrt(var)
+            z = np.floor(z * scale + 0.5) / scale
+        ok = (na > 0) & (nb > 0) & (var > 0)
+        return pa.table({
+            group_column: b.column(group_column),
+            "n_a": b.column("n_a"), "k_a": b.column("k_a"),
+            "n_b": b.column("n_b"), "k_b": b.column("k_b"),
+            "z": pa.array(np.where(ok, z, np.nan), pa.float64(),
+                          mask=~ok)})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def vocab_overlap(ds, group_column: str, text_column: str = "text", *,
                   max_groups: int = 62):
     """Pairwise vocabulary Jaccard between groups (sources/hosts) —

@@ -1128,3 +1128,33 @@ def test_vocab_overlap_batching_invariant_and_bound(ray_session):
         many = pd.DataFrame({"g": [f"g{i}" for i in range(70)],
                              "text": ["x"] * 70})
         vocab_overlap(rd.from_pandas(many), "g")
+
+
+def test_two_prop_test_matches_formula(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import two_prop_test
+
+    rows = ([{"g": "x", "s": "a", "y": 1}] * 30
+            + [{"g": "x", "s": "a", "y": 0}] * 70
+            + [{"g": "x", "s": "b", "y": 1}] * 45
+            + [{"g": "x", "s": "b", "y": 0}] * 55
+            # one-sided group -> NULL z
+            + [{"g": "solo", "s": "a", "y": 1}] * 5
+            # zero-variance group (all successes) -> NULL z
+            + [{"g": "flat", "s": "a", "y": 1}] * 4
+            + [{"g": "flat", "s": "b", "y": 1}] * 6)
+    out = (two_prop_test(dataset_from_items(rows), "g", "s", "y",
+                         side_a="a", side_b="b")
+           .to_pandas().set_index("g"))
+    na, ka, nb, kb = 100, 30, 100, 45
+    phat = (ka + kb) / (na + nb)
+    z = ((ka / na - kb / nb)
+         / np.sqrt(phat * (1 - phat) * (1 / na + 1 / nb)))
+    want = np.floor(z * 1e6 + 0.5) / 1e6
+    assert out.loc["x", "z"] == want
+    assert out.loc["x", "n_a"] == na and out.loc["x", "k_b"] == kb
+    assert np.isnan(out.loc["solo", "z"])
+    assert np.isnan(out.loc["flat", "z"])
