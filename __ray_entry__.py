@@ -1477,6 +1477,16 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_gopher_flags(sf_dir: str):
+    """Gopher-style quality-rule decomposition per doc — one integer-
+    exact flag per rule plus the composed pass verdict (audit WHICH
+    rule drops what, not just the verdict); pure streaming map."""
+    from llm_food_ray.stages.textstats import gopher_flags
+
+    return gopher_flags(_docs(sf_dir, ["doc_id", "text"]),
+                        min_words=30)
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4353,6 +4363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap": q_vocab_overlap,
         "prop_test": q_prop_test,
         "entity_spans": q_entity_spans,
+        "gopher_flags": q_gopher_flags,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5451,6 +5462,43 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # Gopher rules, cross-multiplied to pure integer comparisons;
+        # counts via the same RE2 semantics (non-overlapping matches)
+        "gopher_flags": r"""
+WITH m AS MATERIALIZED (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[^\s]+'))::BIGINT AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS sum_chars,
+    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+      AS n_ell,
+    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT
+      AS n_lines,
+    (len(regexp_extract_all(text, chr(10) || '[-*•]'))
+     + CASE WHEN regexp_matches(text, '^[-*•]') THEN 1 ELSE 0
+       END)::BIGINT AS bullets,
+    ((length(text) - length(replace(text, '...' || chr(10), ''))) // 4
+     + CASE WHEN ends_with(text, '...') THEN 1 ELSE 0 END)::BIGINT
+      AS ell_end,
+    len(regexp_extract_all(text,
+        '(?:^|[\s])[^\s]*[A-Za-z]'))::BIGINT AS alpha_w
+  FROM documents
+)
+SELECT doc_id, n_words, n_lines,
+  (n_words >= 30 AND n_words <= 100000) AS f_wordcount,
+  (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words) AS f_meanlen,
+  (10 * (n_hash + n_ell) <= n_words) AS f_symbol,
+  (2 * bullets <= n_lines) AS f_bullet,
+  (10 * ell_end <= 3 * n_lines) AS f_ellipsis,
+  (10 * alpha_w >= 8 * n_words) AS f_alpha,
+  ((n_words >= 30 AND n_words <= 100000)
+   AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
+   AND (10 * (n_hash + n_ell) <= n_words)
+   AND (2 * bullets <= n_lines)
+   AND (10 * ell_end <= 3 * n_lines)
+   AND (10 * alpha_w >= 8 * n_words)) AS "pass"
+FROM m
 """,
         # two-proportion z from four exact int sums; the variance
         # expression mirrors textstats.two_prop_test term for term

@@ -3552,6 +3552,73 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def gopher_flags(ds, text_column: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000):
+    """Gopher-style quality-rule DECOMPOSITION per document (Rae et
+    al. '21 repetition-free subset of the rules, integer-exact): one
+    flag column per rule plus the composed ``pass`` — emitted per
+    rule, not just the verdict, so a curation run can audit WHICH rule
+    drops what (the drift_psi decomposition posture applied to
+    filtering).  Every rule is a pure integer comparison — ratio
+    thresholds are cross-multiplied (mean word length in [3, 10] ⇔
+    ``3·n_words ≤ sum_chars ≤ 10·n_words``) so no float ever appears:
+
+    - ``f_wordcount``: min_words ≤ n_words ≤ max_words
+    - ``f_meanlen``:   3·n_words ≤ sum_word_chars ≤ 10·n_words
+    - ``f_symbol``:    10·(#'#' + #'...') ≤ n_words
+    - ``f_bullet``:    2·bullet_lines ≤ n_lines
+    - ``f_ellipsis``:  10·ellipsis_end_lines ≤ 3·n_lines
+    - ``f_alpha``:     10·alpha_words ≥ 8·n_words
+
+    All counts are Arrow RE2 kernels (shared regex semantics with the
+    DuckDB twin); zero exchanges — a pure streaming map.
+    → (…, n_words, n_lines, f_*, pass)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column(text_column), "")
+        n_words = pc.count_substring_regex(t, r"[^\s]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        stripped = pc.replace_substring_regex(t, r"\s+", "")
+        sum_chars = pc.utf8_length(stripped).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_hash = pc.count_substring(t, "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ell = pc.count_substring(t, "...").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_lines = pc.count_substring(t, "\n").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        bullets = (pc.count_substring_regex(t, r"\n[-*•]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            + pc.cast(pc.match_substring_regex(t, r"^[-*•]"),
+                      pa.int64()).to_numpy(zero_copy_only=False))
+        ell_end = (pc.count_substring(t, "...\n").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            + pc.cast(pc.ends_with(t, "..."), pa.int64()).to_numpy(
+                zero_copy_only=False))
+        alpha_w = pc.count_substring_regex(
+            t, r"(?:^|[\s])[^\s]*[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        f_wc = (n_words >= min_words) & (n_words <= max_words)
+        f_ml = (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+        f_sy = 10 * (n_hash + n_ell) <= n_words
+        f_bu = 2 * bullets <= n_lines
+        f_el = 10 * ell_end <= 3 * n_lines
+        f_al = 10 * alpha_w >= 8 * n_words
+        keep_cols = {c: b.column(c) for c in b.column_names
+                     if c != text_column}
+        keep_cols.update({
+            "n_words": pa.array(n_words), "n_lines": pa.array(n_lines),
+            "f_wordcount": pa.array(f_wc), "f_meanlen": pa.array(f_ml),
+            "f_symbol": pa.array(f_sy), "f_bullet": pa.array(f_bu),
+            "f_ellipsis": pa.array(f_el), "f_alpha": pa.array(f_al),
+            "pass": pa.array(f_wc & f_ml & f_sy & f_bu & f_el & f_al)})
+        return pa.table(keep_cols)
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
 def two_prop_test(ds, group_column: str, side_column: str,
                   success_column: str, *, side_a, side_b,
                   digits: int = 6):

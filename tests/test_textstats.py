@@ -1158,3 +1158,31 @@ def test_two_prop_test_matches_formula(ray_session):
     assert out.loc["x", "n_a"] == na and out.loc["x", "k_b"] == kb
     assert np.isnan(out.loc["solo", "z"])
     assert np.isnan(out.loc["flat", "z"])
+
+
+def test_gopher_flags_rules(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import gopher_flags
+
+    good = " ".join(["word"] * 60)
+    rows = [
+        {"doc_id": 1, "text": good},                       # passes all
+        {"doc_id": 2, "text": "short text"},               # f_wordcount
+        {"doc_id": 3, "text": " ".join(["a"] * 60)},       # f_meanlen low
+        {"doc_id": 4, "text": " ".join(["#"] * 60)},       # symbol+alpha
+        {"doc_id": 5, "text": "\n".join(["- b c d"] * 60)},  # f_bullet
+        {"doc_id": 6, "text": "\n".join(["end..."] * 60)},   # f_ellipsis
+        {"doc_id": 7, "text": " ".join(["123"] * 60)},     # f_alpha
+    ]
+    out = (gopher_flags(dataset_from_items(rows), min_words=50)
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[1, "pass"])
+    assert not out.loc[2, "f_wordcount"] and not out.loc[2, "pass"]
+    assert not out.loc[3, "f_meanlen"]
+    assert not out.loc[4, "f_symbol"] and not out.loc[4, "f_alpha"]
+    assert not out.loc[5, "f_bullet"]
+    assert out.loc[5, "f_wordcount"]  # 240 words, rule isolation
+    assert not out.loc[6, "f_ellipsis"]
+    assert not out.loc[7, "f_alpha"] and out.loc[7, "f_meanlen"]
+    assert out.loc[1, "n_words"] == 60
