@@ -1477,6 +1477,27 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_c4_lines(sf_dir: str):
+    """C4-style line cleaning over a deterministic line view of the
+    corpus (' the ' → '.\\n', the same replace on both engines): keep
+    punct-terminated ≥4-word lines without javascript/braces, rejoin;
+    per-doc (n_lines, n_kept, clean) report."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import c4_line_filter
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.fill_null(b.column("text"), ""), " the ", ".\n"),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_lines, batch_format="pyarrow")
+    return c4_line_filter(ds)
+
+
 def q_gopher_flags(sf_dir: str):
     """Gopher-style quality-rule decomposition per doc — one integer-
     exact flag per rule plus the composed pass verdict (audit WHICH
@@ -4364,6 +4385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prop_test": q_prop_test,
         "entity_spans": q_entity_spans,
         "gopher_flags": q_gopher_flags,
+        "c4_lines": q_c4_lines,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5462,6 +5484,26 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # C4 line rules over the shared deterministic line view
+        "c4_lines": r"""
+WITH lv AS MATERIALIZED (
+  SELECT doc_id, replace(text, ' the ', '.' || chr(10)) AS t
+  FROM documents
+), ls AS MATERIALIZED (
+  SELECT doc_id, string_split(t, chr(10)) AS lines FROM lv
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]$')
+           AND len(regexp_extract_all(l, '[^\s]+')) >= 4
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(l, '{')) AS kept
+  FROM ls
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean
+FROM k
 """,
         # Gopher rules, cross-multiplied to pure integer comparisons;
         # counts via the same RE2 semantics (non-overlapping matches)

@@ -3552,6 +3552,59 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def c4_line_filter(ds, text_column: str = "text", *,
+                   min_words: int = 4):
+    """C4-style per-LINE cleaning (Raffel et al. '20): keep lines that
+    end in terminal punctuation (``.!?"``), have ≥ ``min_words`` words,
+    and contain neither ``javascript`` (case-insensitive) nor ``{`` —
+    then rejoin survivors.  The per-doc report (n_lines, n_kept,
+    clean) keeps the decomposition auditable.
+
+    Scale shape: pure streaming map — lines explode via Arrow
+    ``split_pattern``/``list_flatten``/``list_parent_indices`` with
+    all four rules as vectorized RE2/substring kernels over the FLAT
+    line array; reassembly is one whole-batch pandas groupby-join over
+    kept lines (batch-bounded, never per doc).  Zero exchanges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column(text_column), "")
+        lines = pc.split_pattern(t, pattern="\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        ends = pc.match_substring_regex(flat, r"[.!?\"]$")
+        enough = pc.greater_equal(
+            pc.count_substring_regex(flat, r"[^\s]+"), min_words)
+        no_js = pc.invert(pc.match_substring(flat, "javascript",
+                                             ignore_case=True))
+        no_brace = pc.invert(pc.match_substring(flat, "{"))
+        keep = pc.and_(pc.and_(ends, enough),
+                       pc.and_(no_js, no_brace)).to_numpy(
+            zero_copy_only=False)
+        n_docs = len(b)
+        n_lines = np.zeros(n_docs, np.int64)
+        np.add.at(n_lines, parent, 1)
+        n_kept = np.zeros(n_docs, np.int64)
+        np.add.at(n_kept, parent[keep], 1)
+        kept_df = pd.DataFrame({
+            "p": parent[keep],
+            "l": flat.to_pandas()[keep].to_numpy()})
+        joined = kept_df.groupby("p", sort=True)["l"].agg("\n".join)
+        clean_col = np.full(n_docs, "", object)
+        clean_col[joined.index.to_numpy()] = joined.to_numpy()
+        out = {c: b.column(c) for c in b.column_names
+               if c != text_column}
+        out.update({"n_lines": pa.array(n_lines),
+                    "n_kept": pa.array(n_kept),
+                    "clean": pa.array(clean_col, pa.string())})
+        return pa.table(out)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def gopher_flags(ds, text_column: str = "text", *,
                  min_words: int = 50, max_words: int = 100_000):
     """Gopher-style quality-rule DECOMPOSITION per document (Rae et

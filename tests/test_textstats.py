@@ -1186,3 +1186,27 @@ def test_gopher_flags_rules(ray_session):
     assert not out.loc[6, "f_ellipsis"]
     assert not out.loc[7, "f_alpha"] and out.loc[7, "f_meanlen"]
     assert out.loc[1, "n_words"] == 60
+
+
+def test_c4_line_filter_rules(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import c4_line_filter
+
+    text = "\n".join([
+        "this line is long enough.",     # kept
+        "short line.",                   # < 4 words
+        "no terminal punctuation here",  # no punct end
+        "enable JavaScript to view this.",  # javascript (any case)
+        "some code { return 1; } here.",    # brace
+        'he said "stop right there!"',      # ends with quote -> kept
+    ])
+    out = (c4_line_filter(dataset_from_items(
+        [{"doc_id": 1, "text": text},
+         {"doc_id": 2, "text": "nothing survives here"}]))
+        .to_pandas().set_index("doc_id"))
+    assert out.loc[1, "n_lines"] == 6
+    assert out.loc[1, "n_kept"] == 2
+    assert out.loc[1, "clean"] == ('this line is long enough.\n'
+                                   'he said "stop right there!"')
+    assert out.loc[2, "n_kept"] == 0 and out.loc[2, "clean"] == ""
