@@ -1477,6 +1477,38 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_ks_test(sf_dir: str):
+    """Per-language exact two-sample Kolmogorov–Smirnov D between the
+    even/odd doc halves on n_chars — the shape-sensitive sibling of
+    rank_test, folded from the same value histogram."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import ks_test
+
+    def proj(b: pa.Table) -> pa.Table:
+        par = pc.bit_wise_and(b.column("doc_id"), 1)
+        side = pc.if_else(pc.equal(par, 0),
+                          pa.array(["even"] * len(b)),
+                          pa.array(["odd"] * len(b)))
+        return pa.table({"lang": b.column("lang"), "side": side,
+                         "n_chars": b.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        proj, batch_format="pyarrow")
+    return ks_test(ds, "lang", "side", "n_chars",
+                   side_a="even", side_b="odd")
+
+
+def q_length_outliers(sf_dir: str):
+    """Per-language robust length outliers (|n_chars − median| >
+    2·MAD) — the "drop weird docs" audit; exact integer keep rule,
+    groups-sized (median, mad) broadcast into one streaming filter."""
+    from llm_food_ray.stages.textstats import length_outliers
+
+    return length_outliers(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                           "lang", "n_chars", k_mad=2)
+
+
 def q_c4_lines(sf_dir: str):
     """C4-style line cleaning over a deterministic line view of the
     corpus (' the ' → '.\\n', the same replace on both engines): keep
@@ -4386,6 +4418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_spans": q_entity_spans,
         "gopher_flags": q_gopher_flags,
         "c4_lines": q_c4_lines,
+        "ks_test": q_ks_test,
+        "length_outliers": q_length_outliers,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5484,6 +5518,50 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # KS D from windowed CDFs over the shared value histogram
+        "ks_test": """
+WITH s AS MATERIALIZED (
+  SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+           AS side, n_chars
+  FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, n_chars,
+         sum(CASE WHEN side = 'even' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN side = 'odd' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM s GROUP BY lang, n_chars
+), w AS (
+  SELECT lang,
+         sum(ca) OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT
+           AS cuma,
+         sum(cb) OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT
+           AS cumb,
+         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb
+  FROM c
+)
+SELECT lang, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN floor(max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb))
+                       * 1000000 + 0.5) / 1000000.0
+       END AS d_stat
+FROM w GROUP BY lang
+""",
+        # robust outliers: exact quantile_disc median/MAD, integer rule
+        "length_outliers": """
+WITH med AS MATERIALIZED (
+  SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS median
+  FROM documents GROUP BY lang
+), dev AS MATERIALIZED (
+  SELECT d.lang, abs(d.n_chars - m.median)::BIGINT AS dv
+  FROM documents d JOIN med m USING (lang)
+), madt AS (
+  SELECT lang, quantile_disc(dv, 0.5)::BIGINT AS mad
+  FROM dev GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, m.median, t.mad
+FROM documents d JOIN med m USING (lang) JOIN madt t USING (lang)
+WHERE abs(d.n_chars - m.median) > 2 * t.mad
 """,
         # C4 line rules over the shared deterministic line view
         "c4_lines": r"""

@@ -3552,6 +3552,146 @@ def grouped_gini(ds, group_column: str, value_column: str):
                   .map_groups(fold, batch_format="pyarrow"))
 
 
+def ks_test(ds, group_column: str, side_column: str, value_column: str,
+            *, side_a, side_b, digits: int = 6):
+    """Per-group exact two-sample Kolmogorov–Smirnov statistic —
+    D = max_v |F_a(v) − F_b(v)| over the pooled support — the
+    distribution-shift test that sees SHAPE changes MWU's rank sum
+    misses (and vice versa; the repo ships both).
+
+    Exactness: both empirical CDFs fold from the same (group, value)
+    count histogram; each CDF value is one division of exact ints, the
+    pointwise |diff| and max are order-independent, and D snaps
+    half-away to ``digits``.  Empty sides → NULL.
+
+    Scale shape: the :func:`mannwhitney_u` plan verbatim — per-batch
+    count partials → one (group, value)-keyed merge → hash(group)-
+    coarse buckets folded with sorted cumsums.  → (group, n_a, n_b,
+    d_stat)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        side = b.column(side_column)
+        ina = pc.cast(pc.equal(side, side_a), pa.int64())
+        inb = pc.cast(pc.equal(side, side_b), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      value_column: b.column(value_column),
+                      "ca": ina, "cb": inb})
+        g = t.group_by([group_column, value_column]).aggregate(
+            [("ca", "sum"), ("cb", "sum")])
+        return g.rename_columns([group_column, value_column,
+                                 "ca", "cb"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, value_column])
+                .aggregate(Sum("ca", alias_name="ca"),
+                           Sum("cb", alias_name="cb")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hs = [stable_hash64(str(v)) % 64
+              for v in b.column(group_column).to_pylist()]
+        return b.append_column("__pb", pa.array(hs, pa.int64()))
+
+    scale = 10 ** digits
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(group_column, "ascending"),
+                          (value_column, "ascending")])
+        g = g.take(order)
+        k = g.column(group_column)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        ca = g.column("ca").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cb = g.column("cb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ne = pc.fill_null(pc.not_equal(k.slice(1),
+                                       k.slice(0, len(k) - 1)), True)
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)])
+        runlen = np.diff(np.r_[starts, len(ca)])
+        cuma, cumb = np.cumsum(ca), np.cumsum(cb)
+        base_a = np.repeat(np.r_[0, cuma[starts[1:] - 1]], runlen)
+        base_b = np.repeat(np.r_[0, cumb[starts[1:] - 1]], runlen)
+        na = np.add.reduceat(ca, starts)
+        nb = np.add.reduceat(cb, starts)
+        na_r = np.repeat(na, runlen)
+        nb_r = np.repeat(nb, runlen)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fa = (cuma - base_a) / na_r
+            fb = (cumb - base_b) / nb_r
+            diff = np.abs(fa - fb)
+        diff = np.where((na_r > 0) & (nb_r > 0), diff, np.nan)
+        d = np.maximum.reduceat(np.nan_to_num(diff), starts)
+        d = np.floor(d * scale + 0.5) / scale
+        ok = (na > 0) & (nb > 0)
+        return pa.table({
+            group_column: k.take(pa.array(starts)),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "d_stat": pa.array(np.where(ok, d, np.nan), pa.float64(),
+                               mask=~ok)})
+
+    return (merged.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(fold, batch_format="pyarrow"))
+
+
+def length_outliers(ds, group_column: str, value_column: str, *,
+                    k_mad: int = 5):
+    """Robust per-group outlier REPORT: rows whose value deviates from
+    the group median by more than ``k_mad``·MAD — the "drop weird
+    docs" audit (corrupt extractions, concatenation bugs, binary blobs
+    parked in a text column), composed from :func:`grouped_mad`.
+
+    Exactness: median and MAD are exact ``quantile_disc`` values of an
+    integer domain, so the keep rule ``|v − med| > k·mad`` is a pure
+    integer comparison — no float ever decides membership.
+
+    Scale shape: grouped_mad's two histogram passes → a groups-sized
+    (median, mad) table broadcast into one streaming filter pass.
+    → the outlier rows + (median, mad) provenance."""
+    import numpy as np
+
+    import ray as _ray
+
+    md = grouped_mad(ds, group_column, value_column)
+    rows = md.take_all()
+    keys = np.array(sorted(str(r[group_column]) for r in rows))
+    by = {str(r[group_column]): (int(r["median"]), int(r["mad"]))
+          for r in rows}
+    med = np.array([by[k][0] for k in keys], np.int64)
+    mad = np.array([by[k][1] for k in keys], np.int64)
+    ref = _ray.put((keys, med, mad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        ks, me, ma = _ray.get(ref)
+        if not len(ks):
+            t = b.append_column(
+                "median", pa.array(np.zeros(len(b), np.int64)))
+            t = t.append_column(
+                "mad", pa.array(np.zeros(len(b), np.int64)))
+            return t.slice(0, 0)
+        gv = np.asarray([str(v) for v in
+                         b.column(group_column).to_pylist()], object)
+        v = b.column(value_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(ks, gv.astype(str)),
+                      0, len(ks) - 1)
+        dev = np.abs(v - me[idx])
+        keep = dev > k_mad * ma[idx]
+        t = b.append_column("median", pa.array(me[idx])) \
+             .append_column("mad", pa.array(ma[idx]))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def c4_line_filter(ds, text_column: str = "text", *,
                    min_words: int = 4):
     """C4-style per-LINE cleaning (Raffel et al. '20): keep lines that

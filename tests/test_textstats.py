@@ -1210,3 +1210,60 @@ def test_c4_line_filter_rules(ray_session):
     assert out.loc[1, "clean"] == ('this line is long enough.\n'
                                    'he said "stop right there!"')
     assert out.loc[2, "n_kept"] == 0 and out.loc[2, "clean"] == ""
+
+
+def test_ks_test_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import ks_test
+
+    rng = np.random.RandomState(17)
+    a = rng.randint(0, 30, 80)
+    b = rng.randint(5, 40, 60)
+    rows = ([{"g": "x", "s": "p", "v": int(v)} for v in a]
+            + [{"g": "x", "s": "q", "v": int(v)} for v in b])
+    out = (ks_test(dataset_from_items(rows), "g", "s", "v",
+                   side_a="p", side_b="q").to_pandas().set_index("g"))
+    support = np.unique(np.r_[a, b])
+    d = max(abs((a <= v).mean() - (b <= v).mean()) for v in support)
+    want = np.floor(d * 1e6 + 0.5) / 1e6
+    assert out.loc["x", "d_stat"] == want
+    assert out.loc["x", "n_a"] == 80 and out.loc["x", "n_b"] == 60
+
+
+def test_ks_test_identical_and_disjoint(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import ks_test
+
+    rows = ([{"g": "same", "s": "p", "v": v} for v in (1, 2, 3)] * 2
+            + [{"g": "same", "s": "q", "v": v} for v in (1, 2, 3)] * 2
+            + [{"g": "disj", "s": "p", "v": v} for v in (1, 2)]
+            + [{"g": "disj", "s": "q", "v": v} for v in (10, 20)]
+            + [{"g": "one", "s": "p", "v": 5}])
+    out = (ks_test(dataset_from_items(rows), "g", "s", "v",
+                   side_a="p", side_b="q").to_pandas().set_index("g"))
+    assert out.loc["same", "d_stat"] == 0.0
+    assert out.loc["disj", "d_stat"] == 1.0
+    assert np.isnan(out.loc["one", "d_stat"])
+
+
+def test_length_outliers_integer_rule(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import length_outliers
+
+    # group a: median 10, MAD 1 -> threshold |v-10| > 2
+    rows = ([{"g": "a", "v": v} for v in (8, 9, 10, 11, 12)]
+            + [{"g": "a", "v": 100}]     # outlier
+            + [{"g": "b", "v": 5}] * 5)  # mad 0 -> any deviation flags
+    out = (length_outliers(dataset_from_items(rows), "g", "v", k_mad=2)
+           .to_pandas())
+    assert set(out[out["g"] == "a"]["v"]) == {100}
+    assert len(out[out["g"] == "b"]) == 0
+    row = out[out["v"] == 100].iloc[0]
+    assert row["median"] == 10 and row["mad"] == 1
