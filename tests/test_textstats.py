@@ -1267,3 +1267,27 @@ def test_length_outliers_integer_rule(ray_session):
     assert len(out[out["g"] == "b"]) == 0
     row = out[out["v"] == 100].iloc[0]
     assert row["median"] == 10 and row["mad"] == 1
+
+
+def test_auc_equals_threshold_sweep_trapezoid(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_auc, threshold_metrics
+
+    rng = np.random.RandomState(23)
+    rows = [{"g": "x", "y": int(rng.rand() < 0.5), "s": int(v)}
+            for v in rng.randint(0, 25, 150)]
+    auc = (grouped_auc(dataset_from_items(rows), "g", "y", "s")
+           .to_pandas().iloc[0])
+    sweep = (threshold_metrics(dataset_from_items(rows), "g", "y", "s")
+             .to_pandas().sort_values("threshold", ascending=False))
+    # ROC from the sweep: (fp, tp) ascending from (0,0); the trapezoid
+    # area over it IS the Mann-Whitney AUC (ties -> the diagonal
+    # segment's area equals the half-credit term exactly)
+    tp = np.r_[0, sweep["tp"].to_numpy()]
+    fp = np.r_[0, sweep["fp"].to_numpy()]
+    area2 = ((fp[1:] - fp[:-1]) * (tp[1:] + tp[:-1])).sum()
+    want = area2 / (2.0 * auc["n_pos"] * auc["n_neg"])
+    assert abs(auc["auc"] - want) < 1e-12
