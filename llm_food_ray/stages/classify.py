@@ -336,26 +336,43 @@ def grouped_logreg_fit(ds, group_column: str, x_columns: list,
     wcols = [f"w{j}_micro" for j in range(k)]
     feats = ds.materialize()
 
+    def _group_rows(b: pa.Table):
+        """Dictionary-encode the group column: per-key Python cost once
+        per DISTINCT group per batch, row alignment via codes."""
+        import pyarrow.compute as pc
+
+        denc = pc.dictionary_encode(
+            pc.cast(b.column(group_column), pa.string()))
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dvals = np.asarray(denc.dictionary.to_pylist(), dtype=str)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        return dvals, codes
+
+    def _lookup_weights(dvals, codes, weights_keys, weights_mat, n):
+        if not len(weights_keys):
+            return np.zeros((n, k), np.int64)
+        didx = np.clip(np.searchsorted(weights_keys, dvals),
+                       0, len(weights_keys) - 1)
+        Wd = weights_mat[didx]
+        miss = weights_keys[didx] != dvals
+        if miss.any():
+            Wd = Wd.copy()
+            Wd[miss] = 0
+        return Wd[codes]
+
     def grad_partial_fn(weights_keys, weights_mat):
         def partial(b: pa.Table) -> pa.Table:
             g = b.column(group_column)
-            gv = np.asarray(g.to_pylist(), dtype=object)
+            dvals, codes = _group_rows(b)
             X = np.column_stack(
                 [np.ones(len(b), np.int64)]
                 + [b.column(c).to_numpy(zero_copy_only=False)
                    .astype(np.int64) for c in x_columns])
             y = b.column(y_column).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            if len(weights_keys):
-                idx = np.searchsorted(weights_keys, gv.astype(str))
-                idx = np.clip(idx, 0, len(weights_keys) - 1)
-                W = weights_mat[idx]
-                miss = weights_keys[idx] != gv.astype(str)
-                if miss.any():
-                    W = W.copy()
-                    W[miss] = 0
-            else:
-                W = np.zeros((len(b), k), np.int64)
+            W = _lookup_weights(dvals, codes, weights_keys,
+                                weights_mat, len(b))
             z_int = (X * W).sum(1)
             z = z_int.astype(np.float64) * 1e-6
             s = 0.5 + 0.5 * z / (1.0 + np.abs(z))
@@ -398,16 +415,14 @@ def grouped_logreg_fit(ds, group_column: str, x_columns: list,
 
     def acc_partial(b: pa.Table) -> pa.Table:
         g = b.column(group_column)
-        gv = np.asarray(g.to_pylist(), dtype=object)
+        dvals, codes = _group_rows(b)
         X = np.column_stack(
             [np.ones(len(b), np.int64)]
             + [b.column(c).to_numpy(zero_copy_only=False)
                .astype(np.int64) for c in x_columns])
         y = b.column(y_column).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        idx = np.clip(np.searchsorted(keys, gv.astype(str)),
-                      0, max(len(keys) - 1, 0))
-        W = mat[idx] if len(keys) else np.zeros((len(b), k), np.int64)
+        W = _lookup_weights(dvals, codes, keys, mat, len(b))
         z_int = (X * W).sum(1)
         correct = ((z_int >= 0) == (y == 1)).astype(np.int64)
         t = pa.table({group_column: g,

@@ -3670,6 +3670,8 @@ def length_outliers(ds, group_column: str, value_column: str, *,
     ref = _ray.put((keys, med, mad))
 
     def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ks, me, ma = _ray.get(ref)
         if not len(ks):
             t = b.append_column(
@@ -3677,16 +3679,22 @@ def length_outliers(ds, group_column: str, value_column: str, *,
             t = t.append_column(
                 "mad", pa.array(np.zeros(len(b), np.int64)))
             return t.slice(0, 0)
-        gv = np.asarray([str(v) for v in
-                         b.column(group_column).to_pylist()], object)
+        # dictionary-encode the group column: the per-key Python str()
+        # runs once per DISTINCT group per batch, rows gather via codes
+        denc = pc.dictionary_encode(
+            pc.cast(b.column(group_column), pa.string()))
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        dvals = np.asarray(denc.dictionary.to_pylist(), dtype=str)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        didx = np.clip(np.searchsorted(ks, dvals), 0, len(ks) - 1)
         v = b.column(value_column).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        idx = np.clip(np.searchsorted(ks, gv.astype(str)),
-                      0, len(ks) - 1)
-        dev = np.abs(v - me[idx])
-        keep = dev > k_mad * ma[idx]
-        t = b.append_column("median", pa.array(me[idx])) \
-             .append_column("mad", pa.array(ma[idx]))
+        med_r = me[didx][codes]
+        mad_r = ma[didx][codes]
+        keep = np.abs(v - med_r) > k_mad * mad_r
+        t = b.append_column("median", pa.array(med_r)) \
+             .append_column("mad", pa.array(mad_r))
         return t.filter(pa.array(keep))
 
     return ds.map_batches(flag, batch_format="pyarrow")
