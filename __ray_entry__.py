@@ -1477,6 +1477,15 @@ def q_harmonic(sf_dir: str):
     return harmonic_centrality(edges, seeds, rounds=3)
 
 
+def q_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (BPE-ish tokens per whitespace
+    word) — the token-budget sizing audit; exact int RE2 count sums,
+    one division."""
+    from llm_food_ray.stages.textstats import fertility_by_group
+
+    return fertility_by_group(_docs(sf_dir, ["lang", "text"]), "lang")
+
+
 def q_ks_test(sf_dir: str):
     """Per-language exact two-sample Kolmogorov–Smirnov D between the
     even/odd doc halves on n_chars — the shape-sensitive sibling of
@@ -4420,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_lines": q_c4_lines,
         "ks_test": q_ks_test,
         "length_outliers": q_length_outliers,
+        "fertility": q_fertility,
         "cap_per_lang": q_cap_per_lang,
         "resample_mix": q_resample_mix,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
@@ -5518,6 +5528,18 @@ SELECT n,
                        6)
        END AS rho
 FROM agg CROSS JOIN vx CROSS JOIN vy
+""",
+        # fertility: same RE2 counts, exact int sums, one division
+        "fertility": r"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '[^\s]+')))::BIGINT AS n_words,
+       sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT
+         AS n_tokens,
+       CASE WHEN sum(len(regexp_extract_all(text, '[^\s]+'))) > 0
+            THEN sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::DOUBLE
+                 / sum(len(regexp_extract_all(text, '[^\s]+')))
+       END AS fertility
+FROM documents GROUP BY lang
 """,
         # KS D from windowed CDFs over the shared value histogram
         "ks_test": """

@@ -3820,6 +3820,56 @@ def gopher_flags(ds, text_column: str = "text", *,
     return ds.map_batches(flags, batch_format="pyarrow")
 
 
+def fertility_by_group(ds, group_column: str, text_column: str = "text"):
+    """Per-group tokenizer fertility — tokens per whitespace word
+    (``\\w+|[^\\w\\s]`` BPE-ish proxy): the "how much does tokenizing
+    this language cost" audit that sizes token budgets per corpus
+    slice.  Both counts are Arrow RE2 kernels summed as exact int64
+    per-batch partials → one groups-sized merge; fertility is one
+    division (NULL for wordless groups).  Zero value histograms —
+    the cheapest rollup shape.  → (group, n_docs, n_words, n_tokens,
+    fertility)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column(text_column), "")
+        words = pc.count_substring_regex(t, r"[^\s]+")
+        toks = pc.count_substring_regex(t, r"\w+|[^\w\s]")
+        tt = pa.table({group_column: b.column(group_column),
+                       "n_docs": pa.array(np.ones(len(b), np.int64)),
+                       "n_words": pc.cast(words, pa.int64()),
+                       "n_tokens": pc.cast(toks, pa.int64())})
+        g = tt.group_by([group_column]).aggregate(
+            [("n_docs", "sum"), ("n_words", "sum"),
+             ("n_tokens", "sum")])
+        return g.rename_columns([group_column, "n_docs", "n_words",
+                                 "n_tokens"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("n_docs", alias_name="n_docs"),
+                           Sum("n_words", alias_name="n_words"),
+                           Sum("n_tokens", alias_name="n_tokens")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b.column("n_words").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tk = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.where(w > 0, tk / w, np.nan)
+        return pa.table({
+            group_column: b.column(group_column),
+            "n_docs": b.column("n_docs"),
+            "n_words": b.column("n_words"),
+            "n_tokens": b.column("n_tokens"),
+            "fertility": pa.array(f, pa.float64(), mask=~(w > 0))})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def two_prop_test(ds, group_column: str, side_column: str,
                   success_column: str, *, side_a, side_b,
                   digits: int = 6):

@@ -1291,3 +1291,25 @@ def test_auc_equals_threshold_sweep_trapezoid(ray_session):
     area2 = ((fp[1:] - fp[:-1]) * (tp[1:] + tp[:-1])).sum()
     want = area2 / (2.0 * auc["n_pos"] * auc["n_neg"])
     assert abs(auc["auc"] - want) < 1e-12
+
+
+def test_fertility_by_group_counts(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import fertility_by_group
+
+    rows = [
+        {"g": "en", "text": "don't stop-me now"},  # 3 words, 7 tokens
+        {"g": "en", "text": "plain words here"},   # 3 words, 3 tokens
+        {"g": "empty", "text": ""},
+    ]
+    out = (fertility_by_group(dataset_from_items(rows), "g")
+           .to_pandas().set_index("g"))
+    # don't -> don ' t ; stop-me -> stop - me ; now -> now
+    assert out.loc["en", "n_words"] == 6
+    assert out.loc["en", "n_tokens"] == 10
+    assert out.loc["en", "fertility"] == 10 / 6
+    assert out.loc["en", "n_docs"] == 2
+    assert np.isnan(out.loc["empty", "fertility"])
