@@ -574,14 +574,14 @@ def q_pagerank(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_suppkey"])
-    joined = orders.join(lineitem, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, lineitem, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -680,7 +680,7 @@ def q_cocitation(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     import pyarrow.compute as pc
 
@@ -693,8 +693,8 @@ def q_cocitation(sf_dir: str):
         lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 48))
                    .select(["l_orderkey", "l_suppkey"]),
         batch_format="pyarrow")
-    joined = orders.join(lineitem, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, lineitem, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def proj(b: pa.Table) -> pa.Table:
         return pa.table({"src": b.column("o_custkey"),
@@ -718,14 +718,14 @@ def q_pagerank_personalized(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_suppkey"])
-    joined = orders.join(lineitem, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, lineitem, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -760,14 +760,14 @@ def q_hits(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_suppkey"])
-    joined = orders.join(lineitem, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, lineitem, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1132,7 +1132,7 @@ def q_crawl_plan(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions, \
+    from llm_food_ray.stages.joins import safe_join, \
         _nonempty_blocks
     from llm_food_ray.stages.textstats import crawl_budget
     from llm_food_ray.stages.webfilter import (longest_prefix_policy,
@@ -1200,9 +1200,9 @@ def q_crawl_plan(sf_dir: str):
     # the frontier projection
     frontier = urls.map_batches(
         lambda b: b.select(["url", "host"]), batch_format="pyarrow")
-    al = (frontier.join(allowed.map_batches(
+    al = (safe_join(frontier, allowed.map_batches(
         lambda b: b.rename_columns(["a_url"]),
-        batch_format="pyarrow"), "inner", _join_partitions(16),
+        batch_format="pyarrow"), "inner", 16,
         on=("url",), right_on=("a_url",))
         .map_batches(lambda b: b.select(["url", "host"]),
                      batch_format="pyarrow")).materialize()
@@ -1214,12 +1214,13 @@ def q_crawl_plan(sf_dir: str):
                           out_key="host").materialize()
     quotas = _nonempty_blocks(quotas) or quotas
 
-    planned = ordered.join(
+    planned = safe_join(
+        ordered,
         quotas.map_batches(
             lambda b: pa.table({"q_host": b.column("host"),
                                 "quota": b.column("quota")}),
             batch_format="pyarrow"),
-        "inner", _join_partitions(16),
+        "inner", 16,
         on=("host",), right_on=("q_host",))
 
     def inside(b: pa.Table) -> pa.Table:
@@ -1414,7 +1415,7 @@ def _purchase_graph(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -1425,8 +1426,8 @@ def _purchase_graph(sf_dir: str):
         lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 40))
                    .select(["l_orderkey", "l_suppkey"]),
         batch_format="pyarrow")
-    joined = orders.join(li, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, li, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def both_dirs(b: pa.Table) -> pa.Table:
         c = pc.cast(b.column("o_custkey"), pa.int64())
@@ -1733,7 +1734,7 @@ def q_kcore(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
     from llm_food_ray.stages.graph import kcore
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -1745,8 +1746,8 @@ def q_kcore(sf_dir: str):
         lambda b: b.filter(pc.greater_equal(b.column("l_quantity"), 40))
                    .select(["l_orderkey", "l_suppkey"]),
         batch_format="pyarrow")
-    joined = orders.join(li, "inner", _join_partitions(16),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+    joined = safe_join(orders, li, "inner", 16,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
     def proj(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1772,7 +1773,7 @@ def q_triangle_counts(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
     from llm_food_ray.stages.graph import triangle_counts
 
     def hot(b: pa.Table) -> pa.Table:
@@ -1786,7 +1787,7 @@ def q_triangle_counts(sf_dir: str):
     right = li.map_batches(
         lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
         batch_format="pyarrow")
-    pairs = li.join(right, "inner", _join_partitions(16),
+    pairs = safe_join(li, right, "inner", 16,
                     on=("l_orderkey",), right_on=("r_orderkey",))
 
     def proj(b: pa.Table) -> pa.Table:
@@ -1809,7 +1810,7 @@ def q_label_propagation(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
     from llm_food_ray.stages.graph import label_propagation
 
     def hot(b: pa.Table) -> pa.Table:
@@ -1823,7 +1824,7 @@ def q_label_propagation(sf_dir: str):
     right = li.map_batches(
         lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
         batch_format="pyarrow")
-    pairs = li.join(right, "inner", _join_partitions(16),
+    pairs = safe_join(li, right, "inner", 16,
                     on=("l_orderkey",), right_on=("r_orderkey",))
     edges = pairs.map_batches(
         lambda b: pa.table({"src": b.column("l_suppkey"),
@@ -1860,7 +1861,7 @@ def q_clustering_coef(sf_dir: str):
 
     import ray.data as rd
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
     from llm_food_ray.stages.graph import clustering_coefficients
 
     def hot(b: pa.Table) -> pa.Table:
@@ -1874,7 +1875,7 @@ def q_clustering_coef(sf_dir: str):
     right = li.map_batches(
         lambda b: b.rename_columns(["r_orderkey", "r_suppkey"]),
         batch_format="pyarrow")
-    pairs = li.join(right, "inner", _join_partitions(16),
+    pairs = safe_join(li, right, "inner", 16,
                     on=("l_orderkey",), right_on=("r_orderkey",))
 
     def proj(b: pa.Table) -> pa.Table:
@@ -2864,7 +2865,7 @@ def q_host_tier_filter(sf_dir: str):
     (doc_id, host))."""
     import pyarrow.compute as pc
 
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
     from llm_food_ray.stages.textstats import (grouped_rollup,
                                                tier_by_global_quantiles)
 
@@ -2887,9 +2888,8 @@ def q_host_tier_filter(sf_dir: str):
         lambda b: b.filter(pc.equal(b.column("tier"), 4))
                    .select(["host"]),
         batch_format="pyarrow")
-    return (ds.select_columns(["doc_id", "host"])
-              .join(top, "inner", _join_partitions(8),
-                    on=("host",), right_on=("host",)))
+    return safe_join(ds.select_columns(["doc_id", "host"]), top,
+                     "inner", 8, on=("host",), right_on=("host",))
 
 
 def q_dedup_paragraph(sf_dir: str):
@@ -3628,14 +3628,13 @@ def q_lang_confusion(sf_dir: str):
     from ray.data.aggregate import Count
 
     from llm_food_ray.stages.classify import nb_classify
-    from llm_food_ray.stages.dedup import _join_partitions
+    from llm_food_ray.stages.joins import safe_join
 
     pred = nb_classify(_docs(sf_dir, ["doc_id", "text", "lang"]),
                        label_column="lang").select_columns(
                            ["doc_id", "pred"])
     actual = _docs(sf_dir, ["doc_id", "lang"])
-    return (actual.join(pred, "inner", _join_partitions(16),
-                        on=("doc_id",))
+    return (safe_join(actual, pred, "inner", 16, on=("doc_id",))
                   .groupby(["lang", "pred"])
                   .aggregate(Count(alias_name="n")))
 
@@ -6554,7 +6553,7 @@ WITH u AS MATERIALIZED (
   SELECT url, allow FROM (
     SELECT url, allow,
            row_number() OVER (PARTITION BY url
-                              ORDER BY plen DESC, prefix, allow) AS rn
+                              ORDER BY plen DESC, allow DESC, prefix) AS rn
     FROM m) WHERE rn = 1
 ), al AS MATERIALIZED (
   SELECT uu.url, uu.host FROM uu
@@ -6608,7 +6607,8 @@ SELECT url, host, host_rank,
 FROM r
 """,
         # RFC 9309 precedence twin: longest matching prefix wins,
-        # (prefix, allow) breaks equal-length ties, default allow
+        # Allow wins equal-length ties (least restrictive, RFC 9309
+        # 2.2.2), prefix breaks same-verdict ties, default allow
         "robots_policy": """
 WITH u AS MATERIALIZED (
   SELECT 'site' || (doc_id % 10) || '.example.com' AS host,
@@ -6640,7 +6640,7 @@ WITH u AS MATERIALIZED (
   SELECT url, allow, prefix FROM (
     SELECT url, allow, prefix,
            row_number() OVER (PARTITION BY url
-                              ORDER BY plen DESC, prefix, allow) AS rn
+                              ORDER BY plen DESC, allow DESC, prefix) AS rn
     FROM m) WHERE rn = 1
 )
 SELECT uu.url, COALESCE(w.allow, TRUE) AS allowed,

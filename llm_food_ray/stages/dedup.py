@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .joins import _join_partitions, _nonempty_blocks, safe_join  # noqa: F401
 from ..functions.hashing import (
     MinHasher,
     _mix64 as _mix_u64,
@@ -195,14 +196,18 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
     if seen_keys is None:
         return ds
     if exec == "bloom":
-        joined = join_input.join(seen_keys, "left_anti",
-                                 _join_partitions(num_partitions),
-                                 on=("__md5",), right_on=("content_md5",))
+        joined = safe_join(join_input, seen_keys, "left_anti",
+                           num_partitions,
+                           on=("__md5",), right_on=("content_md5",))
     else:
-        joined = (join_input.map_batches(add_md5, batch_format="pyarrow")
-                            .join(seen_keys, "left_anti",
-                                  _join_partitions(num_partitions),
-                                  on=("__md5",), right_on=("content_md5",)))
+        joined = safe_join(
+            join_input.map_batches(add_md5, batch_format="pyarrow"),
+            seen_keys, "left_anti", num_partitions,
+            on=("__md5",), right_on=("content_md5",))
+    if joined is None:
+        # left side was all-empty: ds itself (plain path) or the bloom
+        # candidate leg (then the bloom-negative pass IS the answer)
+        return bloom_pass if bloom_pass is not None else ds.limit(0)
     joined = joined.select_columns(out_cols)
     if bloom_pass is None:
         return joined
@@ -244,12 +249,32 @@ def crawl_diff(old_ds, new_ds, key_column: str, hash_column: str, *,
         key_type = old_ds.schema().base_schema.field(key_column).type
     except Exception:
         pass
-    joined = (old_ds.map_batches(prep("__k_old", "__h_old"),
-                                 batch_format="pyarrow")
-              .join(new_ds.map_batches(prep("__k_new", "__h_new"),
-                                       batch_format="pyarrow"),
-                    "full_outer", _join_partitions(num_partitions),
-                    on=("__k_old",), right_on=("__k_new",)))
+    from .joins import _normalize
+
+    old_p = _normalize(old_ds.map_batches(prep("__k_old", "__h_old"),
+                                          batch_format="pyarrow"))
+    new_p = _normalize(new_ds.map_batches(prep("__k_new", "__h_new"),
+                                          batch_format="pyarrow"))
+    # full-outer empty-side identities (an all-empty shuffle side has no
+    # recoverable schema, so safe_join cannot synthesize them):
+    # empty old → every new url is 'added'; empty new → all 'removed'
+    if old_p is None and new_p is None:
+        joined = None
+    elif old_p is None:
+        joined = new_p.map_batches(
+            lambda b: pa.table({"__k_old": b.column("__k_new"),
+                                "__h_old": pa.nulls(b.num_rows,
+                                                    pa.string()),
+                                "__h_new": b.column("__h_new")}),
+            batch_format="pyarrow")
+    elif new_p is None:
+        joined = old_p.map_batches(
+            lambda b: b.append_column("__h_new",
+                                      pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow")
+    else:
+        joined = safe_join(old_p, new_p, "full_outer", num_partitions,
+                           on=("__k_old",), right_on=("__k_new",))
 
     def classify(b: pa.Table) -> pa.Table:
         # the join coalesces the key into the LEFT column and drops the
@@ -271,6 +296,12 @@ def crawl_diff(old_ds, new_ds, key_column: str, hash_column: str, *,
         })
         return t.filter(pa.array(keep))
 
+    if joined is None:
+        import ray.data as rd
+
+        kt = key_type if key_type is not None else pa.string()
+        return rd.from_arrow(pa.table({key_column: pa.array([], kt),
+                                       "change": pa.array([], pa.string())}))
     out = joined.map_batches(classify, batch_format="pyarrow")
     if key_type is not None:
         empty = pa.table({key_column: pa.array([], key_type),
@@ -370,8 +401,8 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
         # partitioned keep-join: both sides hash-partitioned on the key,
         # matching rows kept per partition — never a driver merge or a
         # broadcast key set
-        return ds.join(kept_ds, "left_semi", _join_partitions(num_buckets // 4),
-                       on=(key_column,), right_on=(key_column,))
+        return safe_join(ds, kept_ds, "left_semi", num_buckets // 4,
+                         on=(key_column,), right_on=(key_column,))
     keys_ref = _ray.put(pa.array(np.sort(kept_keys)))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -417,43 +448,6 @@ class MinHashSignatures:
         arrays += [pa.array(fh, pa.uint64()), pa.array(fl, pa.uint64())]
         names += ["__fh", "__fl"]
         return pa.Table.from_arrays(arrays, names=names)
-
-
-def _nonempty_blocks(mat_ds):
-    """Rebuild a MATERIALIZED Dataset from only its non-empty blocks.
-
-    Ray's hash-shuffle operators (join/aggregate) emit zero-row blocks
-    with an EMPTY schema for empty partitions; map transforms skip empty
-    blocks, so the schema-less blocks survive and break key resolution in
-    any downstream join partition that receives only them.  Only block
-    METADATA touches the driver here — the data refs stay in the object
-    store (zero-copy)."""
-    import ray.data as rd
-
-    refs = []
-    for bundle in mat_ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                refs.append(ref)
-    return rd.from_arrow_refs(refs) if refs else None
-
-
-def _join_partitions(requested: int | None) -> int:
-    """Hash-join partition count.  ``None`` → one partition per cluster
-    CPU (every partition is an aggregator actor; fewer under-parallelizes
-    the per-partition join finalize, more thrashes the scheduler — e.g. a
-    16-way join on a 4-CPU test session sits mostly idle).  An explicit
-    ``requested`` is still capped by the CPU count for the same reason;
-    on a real multi-node cluster pass the node×core product."""
-    import ray
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 0)) or (requested or 4)
-    except Exception:
-        cpus = requested or 4
-    if requested is None:
-        return max(2, cpus)
-    return max(2, min(requested, cpus))
 
 
 def _list_col_to_binary(col: pa.ChunkedArray | pa.Array,
@@ -1074,21 +1068,23 @@ def _verify_pairs_semijoin(pairs_fp, sig_source, key_column: str, key_type, *,
     # is an aggregator actor, and e.g. 128 of them deadlock a 4-CPU
     # session (the 32 B distinct exchange above keeps the full C fan-out)
     JP = _join_partitions(num_partitions)
-    j1 = pairs_d.join(sigs_a, "inner", JP, on=("ah", "al"),
-                      right_on=("__ah", "__al")).materialize()
-    # Ray's join emits zero-row SCHEMA-LESS blocks for empty partitions,
-    # and map transforms skip empty blocks, so only a block-level rebuild
-    # (_nonempty_blocks) keeps j2's key resolution alive.  The j1
-    # materialization is bounded by the distinct candidate-pair mass —
-    # the same assumption the caller's pairs_fp.materialize() already
-    # makes.
-    j1 = _nonempty_blocks(j1)
+    # safe_join strips the zero-row SCHEMA-LESS blocks Ray's shuffle
+    # emits for empty partitions on both sides of each join; the j1
+    # materialization inside it is bounded by the distinct candidate-
+    # pair mass — the same assumption the caller's
+    # pairs_fp.materialize() already makes.
+    j1 = safe_join(pairs_d, sigs_a, "inner", JP, on=("ah", "al"),
+                   right_on=("__ah", "__al"))
     if j1 is None:
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_table(key_type))
-    j2 = j1.join(sigs_b, "inner", JP, on=("bh", "bl"),
-                 right_on=("__bh", "__bl"))
+    j2 = safe_join(j1, sigs_b, "inner", JP, on=("bh", "bl"),
+                   right_on=("__bh", "__bl"))
+    if j2 is None:
+        import ray.data as rd
+
+        return rd.from_arrow(_empty_pairs_table(key_type))
 
     def score(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -1440,12 +1436,13 @@ def _collapse_classes_semijoin(sig_ds, key_column: str, key_type,
         return (b.drop_columns(["__sigbin", "__jh", "__jl"])
                  .append_column("minhash_sig", sig))
 
-    reps = (sig_ds.map_batches(add_jcols, batch_format="pyarrow")
-                  .join(rep_fps, "left_semi", _join_partitions(num_coarse),
-                        on=("__jh", "__jl"), right_on=("__jh", "__jl"))
-                  .map_batches(rebuild_sig, batch_format="pyarrow")
-            ).materialize()
-    reps = _nonempty_blocks(reps)
+    reps = safe_join(sig_ds.map_batches(add_jcols, batch_format="pyarrow"),
+                     rep_fps, "left_semi", num_coarse,
+                     on=("__jh", "__jl"), right_on=("__jh", "__jl"))
+    if reps is not None:
+        reps = _nonempty_blocks(
+            reps.map_batches(rebuild_sig,
+                             batch_format="pyarrow").materialize())
     if reps is None:
         import ray.data as rd
 
@@ -2320,8 +2317,8 @@ def dedup_near_keep(ds, key_column: str, pairs_ds, *,
     drop = _nonempty_blocks(drop_nodes_min_label(labels).materialize())
     if drop is None:   # no duplicates found → corpus unchanged
         return ds
-    return ds.join(drop, "left_anti", _join_partitions(num_partitions),
-                   on=(key_column,), right_on=("node",))
+    return safe_join(ds, drop, "left_anti", num_partitions,
+                     on=(key_column,), right_on=("node",))
 
 
 def dedup_near_keep_best(ds, key_column: str, pairs_ds, order_column: str,
@@ -2414,11 +2411,11 @@ def dedup_near_keep_best(ds, key_column: str, pairs_ds, order_column: str,
     if labels is None:
         return ds
 
-    contenders = _nonempty_blocks(
-        ds.select_columns([key_column, order_column])
-          .join(labels, "inner", parts,
-                on=(key_column,), right_on=("node",))
-          .materialize())
+    contenders = safe_join(ds.select_columns([key_column, order_column]),
+                           labels, "inner", parts,
+                           on=(key_column,), right_on=("node",))
+    if contenders is not None:
+        contenders = _nonempty_blocks(contenders.materialize())
     if contenders is None:
         return ds
 
@@ -2434,22 +2431,22 @@ def dedup_near_keep_best(ds, key_column: str, pairs_ds, order_column: str,
                   .materialize())
     best = contenders.groupby("label").aggregate(
         Max("__v", alias_name="__best"))
-    tied = _nonempty_blocks(
-        contenders.join(_nonempty_blocks(best.materialize()),
-                        "inner", parts,
-                        on=("label", "__v"), right_on=("label", "__best"))
-                  .materialize())
+    tied = safe_join(contenders, best, "inner", parts,
+                     on=("label", "__v"), right_on=("label", "__best"))
+    if tied is not None:
+        tied = _nonempty_blocks(tied.materialize())
+    if tied is None:   # unreachable in practice: every label has a max
+        return ds
     winners = tied.groupby("label").aggregate(
         Min(key_column, alias_name="__wkey"))
-    losers = _nonempty_blocks(
-        labels.join(_nonempty_blocks(winners.materialize()),
-                    "left_anti", parts,
-                    on=("node",), right_on=("__wkey",))
-              .materialize())
+    losers = safe_join(labels, winners, "left_anti", parts,
+                       on=("node",), right_on=("__wkey",))
+    if losers is not None:
+        losers = _nonempty_blocks(losers.materialize())
     if losers is None:
         return ds
-    return ds.join(losers, "left_anti", parts,
-                   on=(key_column,), right_on=("node",))
+    return safe_join(ds, losers, "left_anti", parts,
+                     on=(key_column,), right_on=("node",))
 
 
 def dedup_near_against(new_ds, seen_ds, key_column: str, text_column: str,
@@ -2496,23 +2493,24 @@ def dedup_near_against(new_ds, seen_ds, key_column: str, text_column: str,
     if labels is None:   # no near-dups anywhere → new corpus unchanged
         return new_ds
     parts = _join_partitions(num_partitions)
-    bad_labels = _nonempty_blocks(
-        labels.join(seen_ds.select_columns([key_column]), "left_semi",
-                    parts, on=("node",), right_on=(key_column,))
-              .map_batches(lambda b: b.select(["label"]),
-                           batch_format="pyarrow")
-              .materialize())
+    bad_labels = safe_join(labels, seen_ds.select_columns([key_column]),
+                           "left_semi", parts,
+                           on=("node",), right_on=(key_column,))
+    if bad_labels is not None:
+        bad_labels = _nonempty_blocks(
+            bad_labels.map_batches(lambda b: b.select(["label"]),
+                                   batch_format="pyarrow").materialize())
     if bad_labels is None:   # no component touches the seen corpus
         return new_ds
-    drop = _nonempty_blocks(
-        labels.join(bad_labels, "left_semi", parts,
-                    on=("label",), right_on=("label",))
-              .map_batches(lambda b: b.select(["node"]),
-                           batch_format="pyarrow")
-              .materialize())
+    drop = safe_join(labels, bad_labels, "left_semi", parts,
+                     on=("label",), right_on=("label",))
+    if drop is not None:
+        drop = _nonempty_blocks(
+            drop.map_batches(lambda b: b.select(["node"]),
+                             batch_format="pyarrow").materialize())
     if drop is None:
         return new_ds
-    return new_ds.join(drop, "left_anti", parts,
+    return safe_join(new_ds, drop, "left_anti", parts,
                        on=(key_column,), right_on=("node",))
 
 
@@ -2592,10 +2590,10 @@ def near_dup_cluster_labels(ds, key_column: str, pairs_ds, *,
             "cluster": pc.coalesce(lab, b.column(key_column)),
         })
 
-    return (ds.select_columns([key_column])
-              .join(labels, "left_outer", _join_partitions(num_partitions),
-                    on=(key_column,), right_on=("node",))
-              .map_batches(coalesce, batch_format="pyarrow"))
+    return (safe_join(ds.select_columns([key_column]), labels,
+                      "left_outer", num_partitions,
+                      on=(key_column,), right_on=("node",))
+            .map_batches(coalesce, batch_format="pyarrow"))
 
 
 def leakage_safe_split(ds, key_column: str, pairs_ds, *,
@@ -2916,10 +2914,11 @@ def strip_host_boilerplate(ds, host_column: str = "host",
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     if hot_keys is not None:
-        exploded = exploded.join(
-            hot_keys, "left_anti", _join_partitions(num_partitions),
+        exploded = safe_join(
+            exploded, hot_keys, "left_anti", num_partitions,
             on=(host_column, "__lh"), right_on=(host_column, "__lh"))
-    survivors = _nonempty_blocks(exploded.materialize())
+    survivors = (_nonempty_blocks(exploded.materialize())
+                 if exploded is not None else None)
     if survivors is None:  # pathological: every doc fully templated
         def empty_out(batch: pa.Table) -> pa.Table:
             return pa.table({

@@ -48,7 +48,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import _FNV_PRIME, _mix64, stable_hash64
-from .dedup import _join_partitions, _nonempty_blocks
+from .joins import _join_partitions, _nonempty_blocks, safe_join
 
 _SPAN_FIELDS = ["span_no", "start_word", "end_word", "n_words"]
 
@@ -318,10 +318,10 @@ def _spans_distributed(ds, model, *, id_column: str, text_column: str,
         return rd.from_arrow(_empty_spans_table(id_field))
     wins = _window_rows(ds, id_column=id_column, text_column=text_column,
                         window=window)
-    hits = wins.join(model_mat, "left_semi",
-                     _join_partitions(num_partitions),
-                     on=("fp",), right_on=("fp",)).materialize()
-    hits = _nonempty_blocks(hits)
+    hits = safe_join(wins, model_mat, "left_semi", num_partitions,
+                     on=("fp",), right_on=("fp",))
+    if hits is not None:
+        hits = _nonempty_blocks(hits.materialize())
     if hits is None:
         return rd.from_arrow(_empty_spans_table(id_field))
 
@@ -554,9 +554,9 @@ def duplicate_span_strip(ds, *, id_column: str = "doc_id",
 
     if packed is None:
         return ds.map_batches(rebuild, batch_format="pyarrow")
-    joined = ds.join(packed, "left_outer",
-                     _join_partitions(num_partitions),
-                     on=(id_column,), right_on=(id_column,))
+    joined = safe_join(ds, packed, "left_outer", num_partitions,
+                       on=(id_column,), right_on=(id_column,),
+                       right_empty_fill={"__spans": pa.binary()})
     return joined.map_batches(rebuild, batch_format="pyarrow")
 
 
@@ -651,12 +651,12 @@ def window_coverage_against(new_ds, seen_ds, *, id_column: str = "doc_id",
     totals = (parts.map_batches(keep_kind(0), batch_format="pyarrow")
                    .select_columns([id_column, "n"]))
     win_rows = parts.map_batches(keep_kind(1), batch_format="pyarrow")
-    hits = _nonempty_blocks(
-        win_rows.join(seen, "inner", _join_partitions(num_partitions),
-                      on=("h",), right_on=("h",))
-                .groupby(id_column)
+    hit_rows = safe_join(win_rows, seen, "inner", num_partitions,
+                         on=("h",), right_on=("h",))
+    hits = (_nonempty_blocks(
+        hit_rows.groupby(id_column)
                 .aggregate(Sum("n", alias_name="n_seen"))
-                .materialize())
+                .materialize()) if hit_rows is not None else None)
 
     def finish(b: pa.Table) -> pa.Table:
         tot = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -676,9 +676,9 @@ def window_coverage_against(new_ds, seen_ds, *, id_column: str = "doc_id",
 
     if hits is None:
         return totals.map_batches(finish, batch_format="pyarrow")
-    joined = totals.join(hits, "left_outer",
-                         _join_partitions(num_partitions),
-                         on=(id_column,), right_on=(id_column,))
+    joined = safe_join(totals, hits, "left_outer", num_partitions,
+                       on=(id_column,), right_on=(id_column,),
+                       right_empty_fill={"n_seen": pa.int64()})
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
@@ -727,7 +727,7 @@ def plagiarism_pairs(ds, key_column: str = "doc_id",
               .map_batches(lambda b: b.filter(
                   pc.less_equal(b.column("count()"), max_df)).select(["fp"]),
                   batch_format="pyarrow"))
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     df = _nonempty_blocks(df.materialize())  # None when fully pruned
     if df is None or df.count() == 0:
@@ -737,7 +737,7 @@ def plagiarism_pairs(ds, key_column: str = "doc_id",
         return rd.from_arrow(pa.table({
             "a": pa.array([], key_type), "b": pa.array([], key_type),
             "shared": pa.array([], pa.int64())}))
-    kept = rows.join(df, "inner", _join_partitions(16), on=("fp",))
+    kept = safe_join(rows, df, "inner", 16, on=("fp",))
 
     def bucket(b: pa.Table) -> pa.Table:
         f = b.column("fp").to_numpy(zero_copy_only=False)
@@ -806,7 +806,7 @@ def containment_pairs(ds, key_column: str = "doc_id",
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import winnow_fingerprint
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     pairs = plagiarism_pairs(ds, key_column, text_column, k=k,
                              window=window, min_shared=1, max_df=max_df,
@@ -838,8 +838,10 @@ def containment_pairs(ds, key_column: str = "doc_id",
                       "shared": b.column("shared")})])
 
     both = pairs.map_batches(mirror, batch_format="pyarrow")
-    joined = both.join(counts, "inner", _join_partitions(16),
+    joined = safe_join(both, counts, "inner", 16,
                        on=("a",), right_on=(key_column,))
+    if joined is None:
+        return rd.from_arrow(empty)
 
     scale = 10.0 ** digits
 
@@ -881,7 +883,7 @@ def pagination_chains(ds, key_column: str = "doc_id",
     import ray.data as rd
 
     from ..functions.hashing import stable_hash64
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     def boundaries(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).to_pylist()
@@ -927,8 +929,8 @@ def pagination_chains(ds, key_column: str = "doc_id",
         keep = _nonempty_blocks(keep)
         if keep is None or keep.count() == 0:
             return None
-        return side_ds.join(keep, "inner", _join_partitions(16),
-                            on=("fp",)).materialize()
+        j = safe_join(side_ds, keep, "inner", 16, on=("fp",))
+        return j.materialize() if j is not None else None
 
     hc, tc = capped(heads), capped(tails)
     if hc is None or tc is None:
@@ -950,5 +952,7 @@ def pagination_chains(ds, key_column: str = "doc_id",
         t = b.filter(pc.invert(pc.equal(b.column("a"), b.column("b"))))
         return pa.table({"a": t.column("a"), "b": t.column("b")})
 
-    joined = tc.join(hc, "inner", _join_partitions(16), on=("fp",))
+    joined = safe_join(tc, hc, "inner", 16, on=("fp",))
+    if joined is None:
+        return rd.from_arrow(empty)
     return joined.map_batches(fmt, batch_format="pyarrow")

@@ -197,7 +197,7 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
     blocks that would poison the next round's key resolution)."""
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     JP = _join_partitions(num_partitions)
     pr0 = round(1.0 / n, digits)
@@ -232,8 +232,8 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
     state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
 
     for _ in range(iters):
-        j = edges.join(state, "inner", JP,
-                       on=(src,), right_on=("node",))
+        j = safe_join(edges, state, "inner", JP,
+                      on=(src,), right_on=("node",))
 
         def contrib(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -245,10 +245,13 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
             g = t.group_by(["dst"]).aggregate([("c", "sum")])
             return g.rename_columns(["dst", "pc"])
 
-        sums = (j.map_batches(contrib, batch_format="pyarrow")
-                 .groupby("dst")
-                 .aggregate(Sum("pc", alias_name="c"))).materialize()
-        sums = _nonempty_blocks(sums)
+        if j is None:
+            sums = None
+        else:
+            sums = _nonempty_blocks(
+                (j.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("dst")
+                  .aggregate(Sum("pc", alias_name="c"))).materialize())
 
         def fold(b: pa.Table) -> pa.Table:
             import numpy as np
@@ -283,10 +286,11 @@ def _pagerank_join(edges, deg, *, src, dst, weight, damping, iters,
 
             folded = state.map_batches(zero_fold, batch_format="pyarrow")
         else:
-            folded = (state.select_columns(["node", "outw"])
-                           .join(sums, "left_outer", JP,
-                                 on=("node",), right_on=("dst",))
-                           .map_batches(fold, batch_format="pyarrow"))
+            folded = (safe_join(state.select_columns(["node", "outw"]),
+                                sums, "left_outer", JP,
+                                on=("node",), right_on=("dst",),
+                                right_empty_fill={"c": pa.float64()})
+                      .map_batches(fold, batch_format="pyarrow"))
         state = folded.materialize()
         nb = _nonempty_blocks(state)
         if nb is not None:
@@ -463,7 +467,7 @@ def cocitation_pairs(edges, *, src: str = "src", dst: str = "dst",
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import stable_hash64
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -486,7 +490,7 @@ def cocitation_pairs(edges, *, src: str = "src", dst: str = "dst",
     if deg is None or deg.count() == 0:
         return rd.from_arrow(empty)
 
-    kept = pairs_in.join(deg, "inner", _join_partitions(16), on=(dst,))
+    kept = safe_join(pairs_in, deg, "inner", 16, on=(dst,))
 
     def bucket(b: pa.Table) -> pa.Table:
         hs = [stable_hash64(str(v)) % num_buckets
@@ -570,7 +574,7 @@ def _triangle_parts(edges, src: str, dst: str, num_buckets: int):
 
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -605,16 +609,17 @@ def _triangle_parts(edges, src: str, dst: str, num_buckets: int):
         return None, None
 
     nparts = _join_partitions(16)
-    j1 = ecan.join(deg, "inner", nparts, on=("a",), right_on=("node",))
-    # join outputs can carry schema-less empty partition blocks that
-    # break key resolution in the NEXT join — strip between joins
-    j1 = _nonempty_blocks(j1.map_batches(
-        lambda b: pa.table({"a": b.column("a"), "b": b.column("b"),
-                            "da": b.column("deg")}),
-        batch_format="pyarrow").materialize())
+    j1 = safe_join(ecan, deg, "inner", nparts,
+                   on=("a",), right_on=("node",))
+    if j1 is not None:
+        j1 = _nonempty_blocks(j1.map_batches(
+            lambda b: pa.table({"a": b.column("a"), "b": b.column("b"),
+                                "da": b.column("deg")}),
+            batch_format="pyarrow").materialize())
     if j1 is None:
         return None, deg
-    j2 = j1.join(deg, "inner", nparts, on=("b",), right_on=("node",))
+    j2 = safe_join(j1, deg, "inner", nparts,
+                   on=("b",), right_on=("node",))
 
     def orient(b: pa.Table) -> pa.Table:
         a, bb = b.column("a"), b.column("b")
@@ -668,8 +673,10 @@ def _triangle_parts(edges, src: str, dst: str, num_buckets: int):
     if wedges is None:
         return None, deg
 
-    tri = wedges.join(ecan, "inner", nparts,
-                      on=("lo", "hi"), right_on=("a", "b"))
+    tri = safe_join(wedges, ecan, "inner", nparts,
+                    on=("lo", "hi"), right_on=("a", "b"))
+    if tri is None:
+        return None, deg
 
     def tri_nodes(b: pa.Table) -> pa.Table:
         node = pa.chunked_array([
@@ -718,29 +725,19 @@ def clustering_coefficients(edges, *, src: str = "src",
 
     import ray.data as rd
 
-    from .dedup import _join_partitions
+    from .joins import _join_partitions, safe_join
 
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "deg": pa.array([], pa.int64()),
                       "n_triangles": pa.array([], pa.int64()),
                       "coef": pa.array([], pa.float64())})
-    from .dedup import _nonempty_blocks
+    from .joins import _nonempty_blocks, safe_join
 
     tri, deg = _triangle_parts(edges, src, dst, num_buckets)
     if deg is None:
         return rd.from_arrow(empty)
-    if tri is not None:
-        # hash-aggregate output can carry schema-less empty blocks
-        # that break key resolution in the outer join
-        tri = _nonempty_blocks(tri.materialize())
-    if tri is None:
-        joined = deg.map_batches(
-            lambda b: b.append_column(
-                "n_triangles", pa.nulls(b.num_rows, pa.int64())),
-            batch_format="pyarrow")
-    else:
-        joined = deg.join(tri, "left_outer", _join_partitions(16),
-                          on=("node",))
+    joined = safe_join(deg, tri, "left_outer", 16, on=("node",),
+                       right_empty_fill={"n_triangles": pa.int64()})
 
     scale = 10 ** digits
 
@@ -796,7 +793,7 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
     import ray as _ray
     import ray.data as rd
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     if exec not in ("auto", "broadcast", "join"):
         raise ValueError(f"exec={exec!r}")
@@ -860,20 +857,22 @@ def kcore(edges, *, src: str = "src", dst: str = "dst",
             ecur = ecur.map_batches(keep_edges,
                                     batch_format="pyarrow").materialize()
         else:
-            half = (ecur.join(kept, "inner", nparts,
-                              on=("a",), right_on=("node",))
-                        .map_batches(lambda b: b.select(["a", "b"]),
-                                     batch_format="pyarrow")).materialize()
-            # strip schema-less empty join-partition blocks before the
-            # second join (they break its key resolution)
-            half = _nonempty_blocks(half)
+            half = safe_join(ecur, kept, "inner", nparts,
+                             on=("a",), right_on=("node",))
+            if half is not None:
+                half = _nonempty_blocks(
+                    half.map_batches(lambda b: b.select(["a", "b"]),
+                                     batch_format="pyarrow").materialize())
             if half is None:
                 return rd.from_arrow(empty)
-            ecur = (half.join(kept, "inner", nparts,
-                              on=("b",), right_on=("node",))
-                        .map_batches(lambda b: b.select(["a", "b"]),
-                                     batch_format="pyarrow")).materialize()
-        ecur = _nonempty_blocks(ecur)
+            ecur = safe_join(half, kept, "inner", nparts,
+                             on=("b",), right_on=("node",))
+            if ecur is not None:
+                ecur = (ecur.map_batches(lambda b: b.select(["a", "b"]),
+                                         batch_format="pyarrow")
+                        ).materialize()
+        if ecur is not None:
+            ecur = _nonempty_blocks(ecur)
         if ecur is None:
             return rd.from_arrow(empty)
 
@@ -907,7 +906,7 @@ def label_propagation(edges, seeds, *, src: str = "src",
 
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -966,8 +965,13 @@ def label_propagation(edges, seeds, *, src: str = "src",
 
     labels = seeds_n
     for _ in range(rounds):
-        contrib = und.join(labels, "inner", nparts,
-                           on=("u",), right_on=(node_column,))
+        contrib = safe_join(und, labels, "inner", nparts,
+                            on=("u",), right_on=(node_column,))
+        if contrib is None:
+            # no edge touches a labeled node — fixed point (labels can
+            # only exceed the seed set via edges, so this implies
+            # labels == seeds and zero future propagation)
+            break
         counts = (contrib.map_batches(
             lambda b: pa.table({node_column: b.column("v"),
                                 label_column: b.column(label_column),
@@ -1025,7 +1029,7 @@ def bfs_depth(edges, seeds, *, src: str = "src", dst: str = "dst",
 
     from ray.data.aggregate import Min
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -1057,14 +1061,15 @@ def bfs_depth(edges, seeds, *, src: str = "src", dst: str = "dst",
 
     nparts = _join_partitions(16)
     for _ in range(rounds):
-        prop = (e.join(state, "inner", nparts,
-                       on=("u",), right_on=(node_column,))
-                 .map_batches(
-                     lambda b: pa.table({
-                         node_column: b.column("v"),
-                         depth_column: pc.add(b.column(depth_column),
-                                              1)}),
-                     batch_format="pyarrow"))
+        prop = safe_join(e, state, "inner", nparts,
+                         on=("u",), right_on=(node_column,))
+        if prop is None:
+            break  # frontier reaches no edges — BFS fixed point
+        prop = prop.map_batches(
+            lambda b: pa.table({
+                node_column: b.column("v"),
+                depth_column: pc.add(b.column(depth_column), 1)}),
+            batch_format="pyarrow")
         state = (state.union(prop)
                       .groupby(node_column)
                       .aggregate(Min(depth_column,
@@ -1093,7 +1098,7 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst"):
 
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -1120,10 +1125,11 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst"):
         lambda b: pa.table({"ru": b.column("v"), "rv": b.column("u")}),
         batch_format="pyarrow").materialize()
     rev = _nonempty_blocks(rev) or rev
-    recip = (e.join(rev, "inner", nparts,
-                    on=("u", "v"), right_on=("ru", "rv"))
-              .map_batches(lambda b: b.select(["u", "v"]),
-                           batch_format="pyarrow"))
+    recip = safe_join(e, rev, "inner", nparts,
+                      on=("u", "v"), right_on=("ru", "rv"))
+    if recip is not None:
+        recip = recip.map_batches(lambda b: b.select(["u", "v"]),
+                                  batch_format="pyarrow")
 
     def count_u(ds_in, name):
         def part(b: pa.Table) -> pa.Table:
@@ -1139,18 +1145,15 @@ def reciprocity(edges, *, src: str = "src", dst: str = "dst"):
     n_out = _nonempty_blocks(n_out)
     if n_out is None:
         return rd.from_arrow(empty)
-    n_recip = _nonempty_blocks(count_u(recip, "n_recip").materialize())
-    if n_recip is None:
-        joined = n_out.map_batches(
-            lambda b: b.append_column(
-                "n_recip", pa.nulls(b.num_rows, pa.int64())),
-            batch_format="pyarrow")
-    else:
-        joined = n_out.join(
-            n_recip.map_batches(
-                lambda b: b.rename_columns(["ru", "n_recip"]),
-                batch_format="pyarrow"),
-            "left_outer", nparts, on=("u",), right_on=("ru",))
+    n_recip = (_nonempty_blocks(count_u(recip, "n_recip").materialize())
+               if recip is not None else None)
+    joined = safe_join(
+        n_out,
+        (n_recip.map_batches(
+            lambda b: b.rename_columns(["ru", "n_recip"]),
+            batch_format="pyarrow") if n_recip is not None else None),
+        "left_outer", nparts, on=("u",), right_on=("ru",),
+        right_empty_fill={"n_recip": pa.int64()})
 
     def finish(b: pa.Table) -> pa.Table:
         no = b.column("n_out").to_numpy(zero_copy_only=False)
@@ -1212,7 +1215,7 @@ def harmonic_centrality(edges, seeds, *, src: str = "src",
 
     from ray.data.aggregate import Min, Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -1354,9 +1357,11 @@ def harmonic_centrality(edges, seeds, *, src: str = "src",
                 return agg.rename_columns([node_column, "seed",
                                            "depth"])
 
-            prop = (e.join(state, "inner", nparts,
-                           on=("u",), right_on=(node_column,))
-                     .map_batches(bump, batch_format="pyarrow"))
+            prop = safe_join(e, state, "inner", nparts,
+                             on=("u",), right_on=(node_column,))
+            if prop is None:
+                break  # frontier reaches no edges — fixed point
+            prop = prop.map_batches(bump, batch_format="pyarrow")
             state = (state.union(prop)
                           .groupby([node_column, "seed"])
                           .aggregate(Min("depth", alias_name="depth"))

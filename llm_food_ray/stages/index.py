@@ -140,7 +140,7 @@ def phrase_lookup(index_dir: str, phrase: list[str], *,
 
     import ray.data as rd
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     assert len(phrase) >= 1
     legs = []
@@ -156,12 +156,17 @@ def phrase_lookup(index_dir: str, phrase: list[str], *,
 
     acc = legs[0]
     for leg in legs[1:]:
-        acc = _nonempty_blocks(
-            acc.join(leg, "inner", _join_partitions(8),
-                     on=(id_column, "p0"),
-                     right_on=(id_column, "p0")).materialize())
+        acc = safe_join(acc, leg, "inner", 8,
+                        on=(id_column, "p0"), right_on=(id_column, "p0"))
+        if acc is None:
+            break
     from ray.data.aggregate import Count
 
+    if acc is None:   # some term never co-occurs at the right offset
+        id_type = legs[0].schema().base_schema.field(id_column).type
+        return rd.from_arrow(pa.table({
+            id_column: pa.array([], id_type),
+            name: pa.array([], pa.int64())}))
     return (acc.groupby(id_column)
                .aggregate(Count(alias_name=name)))
 

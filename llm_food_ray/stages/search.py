@@ -390,7 +390,7 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
     from ray.data.aggregate import Count, Sum
 
     from ..functions.repetition import split_words
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _nonempty_blocks, safe_join
     from .textstats import top_k_per_group
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -423,9 +423,8 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
     df = (merged.groupby("term").aggregate(Count(alias_name="df"))
                 .map_batches(lambda b: b.rename_columns(["__t", "df"]),
                              batch_format="pyarrow"))
-    joined = _nonempty_blocks(
-        merged.join(df, "inner", _join_partitions(num_partitions),
-                    on=("term",), right_on=("__t",)).materialize())
+    joined = safe_join(merged, df, "inner", num_partitions,
+                       on=("term",), right_on=("__t",))
 
     def score(batch: pa.Table) -> pa.Table:
         n = (batch.column("n").to_numpy(zero_copy_only=False)

@@ -484,7 +484,7 @@ def cohort_retention(ds, user_column: str = "user_id",
     the final exchange is cohorts×offsets-sized.  Integer-exact."""
     from ray.data.aggregate import Count, Min
 
-    from ..stages.dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -525,8 +525,9 @@ def cohort_retention(ds, user_column: str = "user_id",
     if active is None:
         return rd.from_arrow(empty)
 
-    joined = active.join(cohort, "inner", _join_partitions(16),
-                         on=(user_column,))
+    joined = safe_join(active, cohort, "inner", 16, on=(user_column,))
+    if joined is None:
+        return rd.from_arrow(empty)
 
     def offsets(b: pa.Table) -> pa.Table:
         w = b.column("w").to_numpy(zero_copy_only=False)
@@ -634,7 +635,7 @@ def active_users(ds, user_column: str = "user_id",
     division of identical ints."""
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -694,10 +695,12 @@ def active_users(ds, user_column: str = "user_id",
     if wau is None:
         return rd.from_arrow(empty)
 
-    joined = dau.join(wau.map_batches(
+    joined = safe_join(dau, wau.map_batches(
         lambda b: b.rename_columns(["w_day", "wau"]),
-        batch_format="pyarrow"), "inner", _join_partitions(16),
+        batch_format="pyarrow"), "inner", 16,
         on=("day",), right_on=("w_day",))
+    if joined is None:
+        return rd.from_arrow(empty)
 
     scale = 10 ** digits
 

@@ -996,7 +996,7 @@ def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
     IVF index in this module for candidate generation."""
     import ray as _ray
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
     from .pools import scoring_pool
 
     import ray.data as rd
@@ -1027,10 +1027,11 @@ def bitext_mine(ds_a, ds_b, *, k: int = 4, min_margin: float = 1.0,
         return pa.table({"me2": b.column("nn"), "nn2": b.column("me"),
                          "ksum_b": b.column("ksum")})
 
-    mutual = scan_a.join(
-        scan_b.map_batches(flip, batch_format="pyarrow"),
-        "inner", _join_partitions(16),
-        on=("me", "nn"), right_on=("me2", "nn2"))
+    mutual = safe_join(
+        scan_a, scan_b.map_batches(flip, batch_format="pyarrow"),
+        "inner", 16, on=("me", "nn"), right_on=("me2", "nn2"))
+    if mutual is None:
+        return rd.from_arrow(empty)
 
     def score(b: pa.Table) -> pa.Table:
         c = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -1635,7 +1635,7 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
     from ray.data.aggregate import Sum
 
     from ..functions.repetition import split_words
-    from .dedup import _join_partitions
+    from .joins import _join_partitions, safe_join
 
     def partial(batch: pa.Table) -> pa.Table:
         # fully vectorized combiner: Arrow RE2 split + dictionary
@@ -1765,12 +1765,12 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
 
         joined = gated.map_batches(attach, batch_format="pyarrow")
     else:
-        joined = (gated.join(unis, "inner", _join_partitions(16),
-                             on=("a",), right_on=("term",))
-                       .rename_columns({"cu": "cu_a"})
-                       .join(unis, "inner", _join_partitions(16),
-                             on=("b",), right_on=("term",))
-                       .rename_columns({"cu": "cu_b"}))
+        j1 = safe_join(gated, unis, "inner", 16,
+                       on=("a",), right_on=("term",))
+        joined = (safe_join(j1.rename_columns({"cu": "cu_a"}), unis,
+                            "inner", 16, on=("b",), right_on=("term",))
+                  .rename_columns({"cu": "cu_b"})
+                  if j1 is not None else None)
 
     def score(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1795,6 +1795,13 @@ def top_pmi_pairs(ds, text_column: str = "text", *, window: int = 2,
             ("pmi", "descending"), ("a", "ascending"), ("b", "ascending")])
         return b.take(order[:k])
 
+    if joined is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
     return (joined.map_batches(score, batch_format="pyarrow")
                   .map_batches(local_topk, batch_format="pyarrow")
                   .sort(["pmi", "a", "b"], descending=[True, False, False])
@@ -2598,7 +2605,7 @@ def grouped_mad(ds, key_column: str, value_column: str, *,
     stay exact throughout (deviations are exact floats of ints)."""
     import pyarrow.compute as pc
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -2615,10 +2622,12 @@ def grouped_mad(ds, key_column: str, value_column: str, *,
     if med is None:
         return rd.from_arrow(empty)
 
-    nparts = _join_partitions(16)
-    joined = (ds.select_columns([key_column, value_column])
-                .join(med, "inner", nparts,
-                      on=(key_column,), right_on=("__mk",)))
+    nparts = 16
+    joined = safe_join(ds.select_columns([key_column, value_column]),
+                       med, "inner", nparts,
+                       on=(key_column,), right_on=("__mk",))
+    if joined is None:
+        return rd.from_arrow(empty)
 
     def dev(b: pa.Table) -> pa.Table:
         v = pc.cast(b.column(value_column), pa.float64())
@@ -2637,8 +2646,10 @@ def grouped_mad(ds, key_column: str, value_column: str, *,
     if mad is None:
         return rd.from_arrow(empty)
 
-    out = med.join(mad, "inner", nparts,
-                   on=("__mk",), right_on=("__gk",))
+    out = safe_join(med, mad, "inner", nparts,
+                    on=("__mk",), right_on=("__gk",))
+    if out is None:
+        return rd.from_arrow(empty)
     return out.map_batches(
         lambda b: pa.table({key_column: b.column("__mk"),
                             "median": b.column("median"),
@@ -2720,7 +2731,7 @@ def vocab_growth(ds, text_column: str = "text",
               .groupby("checkpoint")
               .aggregate(Sum("pt", alias_name="n_tokens")))
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     vocab = _nonempty_blocks(vocab.materialize())
     toks = _nonempty_blocks(toks.materialize())
@@ -2729,9 +2740,9 @@ def vocab_growth(ds, text_column: str = "text",
             "checkpoint": pa.array([], pa.int64()),
             "vocab_size": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64())}))
-    return (vocab.join(toks.map_batches(
+    return (safe_join(vocab, toks.map_batches(
         lambda b: b.rename_columns(["c2", "n_tokens"]),
-        batch_format="pyarrow"), "inner", _join_partitions(4),
+        batch_format="pyarrow"), "inner", 4,
         on=("checkpoint",), right_on=("c2",))
         .map_batches(lambda b: b.select(["checkpoint", "vocab_size",
                                          "n_tokens"]),
@@ -2992,7 +3003,7 @@ def winsorized_mean(ds, key_column: str, value_column: str, *,
 
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -3023,10 +3034,11 @@ def winsorized_mean(ds, key_column: str, value_column: str, *,
         batch_format="pyarrow").materialize()
     th2 = _nonempty_blocks(th2) or th2
 
-    nparts = _join_partitions(16)
-    joined = (ds.select_columns([key_column, value_column])
-                .join(th2, "inner", nparts,
-                      on=(key_column,), right_on=("__tk",)))
+    joined = safe_join(ds.select_columns([key_column, value_column]),
+                       th2, "inner", 16,
+                       on=(key_column,), right_on=("__tk",))
+    if joined is None:
+        return rd.from_arrow(empty)
 
     def clip_partial(b: pa.Table) -> pa.Table:
         v = b.column(value_column).to_numpy(

@@ -77,13 +77,13 @@ def longest_prefix_policy(urls, rules, *, url_column: str = "url",
     (candidates only — the asymptotically small set); the winner per
     URL resolves inside hash(url)-coarse buckets via the sorted
     run-length first-row take; one LEFT OUTER join fills defaults.
-    Ties at equal prefix length break deterministically by (prefix,
-    allow) order."""
+    Ties at equal prefix length: Allow wins (RFC 9309 §2.2.2, least
+    restrictive rule), then prefix order — deterministic either way."""
     import numpy as np
     import pyarrow.compute as pc
 
     from ..functions.hashing import stable_hash64
-    from .dedup import _join_partitions, _nonempty_blocks
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     import ray.data as rd
 
@@ -103,12 +103,14 @@ def longest_prefix_policy(urls, rules, *, url_column: str = "url",
                 "rule": pa.array([""] * b.num_rows, pa.string()),
             }), batch_format="pyarrow")
 
-    cand = urls_m.join(rules_m, "inner", nparts, on=(host_column,))
+    cand = safe_join(urls_m, rules_m, "inner", nparts, on=(host_column,))
 
     def match(b: pa.Table) -> pa.Table:
         paths = b.column(path_column).to_pylist()
         prefixes = b.column("prefix").to_pylist()
-        keep = pa.array([p.startswith(r) for p, r in
+        # null paths/prefixes match as '' instead of raising (crawl
+        # tables carry null paths for bare-host urls)
+        keep = pa.array([(p or "").startswith(r or "") for p, r in
                          zip(paths, prefixes)])
         t = b.filter(keep)
         plen = pc.utf8_length(t.column("prefix"))
@@ -129,11 +131,14 @@ def longest_prefix_policy(urls, rules, *, url_column: str = "url",
             return b.append_column("__pb", pa.array(hs, pa.int64()))
 
         def resolve(g: pa.Table) -> pa.Table:
+            # RFC 9309 §2.2.2: equal-length Allow/Disallow → the least
+            # restrictive rule wins, so allow sorts DESCENDING (True
+            # first) at equal plen
             order = pc.sort_indices(
                 g, sort_keys=[(url_column, "ascending"),
                               ("plen", "descending"),
-                              ("prefix", "ascending"),
-                              ("allow", "ascending")])
+                              ("allow", "descending"),
+                              ("prefix", "ascending")])
             g = g.take(order)
             u = g.column(url_column).to_numpy(zero_copy_only=False)
             first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
@@ -156,8 +161,10 @@ def longest_prefix_policy(urls, rules, *, url_column: str = "url",
                 "rule": pa.array([""] * b.num_rows, pa.string()),
             }), batch_format="pyarrow")
 
-    joined = urls_m.join(winners, "left_outer", nparts,
-                         on=(url_column,))
+    joined = safe_join(urls_m, winners, "left_outer", nparts,
+                       on=(url_column,),
+                       right_empty_fill={"w_allow": pa.bool_(),
+                                         "w_rule": pa.string()})
 
     def finish(b: pa.Table) -> pa.Table:
         allow = pc.fill_null(pc.cast(b.column("w_allow"), pa.bool_()),
