@@ -2834,18 +2834,60 @@ def strip_host_boilerplate(ds, host_column: str = "host",
     if exec not in ("auto", "broadcast", "anti"):
         raise ValueError(f"exec={exec!r}")
 
+    def _flat_lines(col):
+        """Vectorized ``(t or "").split("\\n")`` over the column:
+        (flat line StringArray, int64 doc index per line, per-doc line
+        counts)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(col.cast(pa.string()), ""),
+                                 "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = (pc.list_value_length(lists)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = lists.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return flat, doc_of, lens
+
+    def _line_md5s(dictionary: pa.Array) -> pa.Array:
+        # the only Python loop left: md5 once per DISTINCT batch line
+        # (boilerplate repeats heavily — that is this operator's point)
+        return pa.array([md5_hex(s) for s in dictionary.to_pylist()],
+                        pa.string())
+
     def line_doc_partial(batch: pa.Table) -> pa.Table:
-        counts: dict[tuple, int] = {}
-        for h, t in zip(batch.column(host_column).to_pylist(),
-                        batch.column(text_column).to_pylist()):
-            for lh in {md5_hex(ln) for ln in (t or "").split("\n")}:
-                k = (h, lh)
-                counts[k] = counts.get(k, 0) + 1
-        ks = list(counts.keys())
+        # vectorized (host, line-hash) doc-frequency combiner: line
+        # dictionary encode + two packed-int64 np.unique passes (first
+        # dedups lines WITHIN a doc, second counts docs per host+line)
+        lines, doc_of, _lens = _flat_lines(batch.column(text_column))
+        empty = pa.table({host_column: pa.array([], pa.string()),
+                          "__lh": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64())})
+        if len(lines) == 0:
+            return empty
+        hcol = batch.column(host_column)
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        henc = hcol.cast(pa.string()).dictionary_encode()
+        hdict, hidx = henc.dictionary, henc.indices
+        if hidx.null_count:
+            hidx = pc.fill_null(hidx, len(hdict))
+            hdict = pa.concat_arrays([hdict, pa.nulls(1, hdict.type)])
+        hi = hidx.to_numpy(zero_copy_only=False).astype(np.int64)
+        lenc = lines.dictionary_encode()
+        lidx = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = len(lenc.dictionary)
+        per_doc = np.unique(doc_of * L + lidx)
+        uk, cnt = np.unique(hi[per_doc // L] * L + per_doc % L,
+                            return_counts=True)
+        lh_dict = _line_md5s(lenc.dictionary)
         return pa.table({
-            host_column: pa.array([k[0] for k in ks], pa.string()),
-            "__lh": pa.array([k[1] for k in ks], pa.string()),
-            "pn": pa.array(list(counts.values()), pa.int64()),
+            host_column: pc.take(hdict, pa.array(uk // L)).cast(pa.string()),
+            "__lh": pc.take(lh_dict, pa.array(uk % L)),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
     def hot_only(b: pa.Table) -> pa.Table:
@@ -2865,52 +2907,75 @@ def strip_host_boilerplate(ds, host_column: str = "host",
                 else "anti")
 
     if exec == "broadcast":
-        packed: set[str] = set()
+        parts: list[pa.Array] = []
         for b in hot.iter_batches(batch_size=65_536,
                                   batch_format="pyarrow"):
-            packed.update(pc.binary_join_element_wise(
-                b.column(host_column), b.column("__lh"),
-                "\x00").to_pylist())
-        hot_ref = _ray.put(packed)
+            j = pc.binary_join_element_wise(
+                b.column(host_column), b.column("__lh"), "\x00")
+            parts.append(j.combine_chunks()
+                         if isinstance(j, pa.ChunkedArray) else j)
+        hot_arr = (pc.unique(pa.concat_arrays(parts)) if parts
+                   else pa.array([], pa.string()))
+        hot_ref = _ray.put(hot_arr)
 
         def rebuild(batch: pa.Table) -> pa.Table:
-            hotset = _ray.get(hot_ref)
-            out = []
-            for h, t in zip(batch.column(host_column).to_pylist(),
-                            batch.column(text_column).to_pylist()):
-                pre = h + "\x00"
-                out.append("\n".join(
-                    ln for ln in (t or "").split("\n")
-                    if pre + md5_hex(ln) not in hotset))
+            # vectorized: md5 once per distinct line, one is_in probe
+            # against the broadcast hot array, list-offset rebuild
+            hot_keys = _ray.get(hot_ref)
+            lines, doc_of, lens = _flat_lines(batch.column(text_column))
+            lenc = lines.dictionary_encode()
+            lh = pc.take(_line_md5s(lenc.dictionary), lenc.indices)
+            hcol = batch.column(host_column)
+            if isinstance(hcol, pa.ChunkedArray):
+                hcol = hcol.combine_chunks()
+            host_of = pc.take(hcol.cast(pa.string()), pa.array(doc_of))
+            key = pc.binary_join_element_wise(host_of, lh, "\x00")
+            keep = pc.invert(pc.is_in(key, value_set=hot_keys)).to_numpy(
+                zero_copy_only=False)
+            ck = np.r_[0, np.cumsum(keep.astype(np.int64))]
+            ends = np.cumsum(lens)
+            kept_per_doc = ck[ends] - ck[ends - lens]
+            offsets = pa.array(np.r_[0, np.cumsum(kept_per_doc)]
+                               .astype(np.int32), pa.int32())
+            kept = lines.filter(pa.array(keep))
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(offsets, kept), "\n")
             return pa.table({key_column: batch.column(key_column),
-                             out_column: pa.array(out, pa.string())})
+                             out_column: joined.cast(pa.string())})
 
         return ds.map_batches(rebuild, batch_format="pyarrow")
 
     hot_keys = _nonempty_blocks(hot.materialize())
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, hosts, idxs, lhs, lines = [], [], [], [], []
-        for k, h, t in zip(batch.column(key_column).to_pylist(),
-                           batch.column(host_column).to_pylist(),
-                           batch.column(text_column).to_pylist()):
-            keys.append(k)
-            hosts.append(h)
-            idxs.append(-1)
-            lhs.append("")          # sentinel: never a 32-hex md5
-            lines.append("")
-            for i, ln in enumerate((t or "").split("\n")):
-                keys.append(k)
-                hosts.append(h)
-                idxs.append(i)
-                lhs.append(md5_hex(ln))
-                lines.append(ln)
-        kt = batch.schema.field(key_column).type
-        return pa.table({key_column: pa.array(keys, kt),
-                         host_column: pa.array(hosts, pa.string()),
-                         "__idx": pa.array(idxs, pa.int64()),
-                         "__lh": pa.array(lhs, pa.string()),
-                         "__line": pa.array(lines, pa.string())})
+        # vectorized doc→line explode: one sentinel row per doc
+        # (__idx=-1, __lh="" — never a 32-hex md5) followed by the line
+        # rows; md5 runs once per DISTINCT batch line
+        lines, doc_of, lens = _flat_lines(batch.column(text_column))
+        n_docs = batch.num_rows
+        lenc = lines.dictionary_encode()
+        lh = pc.take(_line_md5s(lenc.dictionary), lenc.indices)
+        if isinstance(lh, pa.ChunkedArray):
+            lh = lh.combine_chunks()
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        idx = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of]
+        take_docs = pa.array(np.r_[np.arange(n_docs, dtype=np.int64),
+                                   doc_of])
+        kcol = batch.column(key_column)
+        hcol = batch.column(host_column)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        blanks = pa.array([""] * n_docs, pa.string())
+        return pa.table({
+            key_column: pc.take(kcol, take_docs),
+            host_column: pc.take(hcol.cast(pa.string()), take_docs),
+            "__idx": pa.array(np.r_[np.full(n_docs, -1, np.int64), idx],
+                              pa.int64()),
+            "__lh": pa.concat_arrays([blanks, lh]),
+            "__line": pa.concat_arrays([blanks, lines]),
+        })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     if hot_keys is not None:

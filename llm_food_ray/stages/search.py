@@ -385,25 +385,45 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
     for trillion-shingle vocabularies compose the candidate prune of
     :func:`textstats.top_ngrams_sketch` in front.  No reference
     analogue (brief-scope corpus analysis)."""
-    from collections import Counter
-
     from ray.data.aggregate import Count, Sum
 
-    from ..functions.repetition import split_words
     from .joins import _nonempty_blocks, safe_join
-    from .textstats import top_k_per_group
+    from .textstats import flat_split_words, top_k_per_group
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for g, t in zip(batch.column(group_column).to_pylist(),
-                        batch.column(text_column).to_pylist()):
-            for w in split_words(t or ""):
-                c[(g, w)] += 1
+        # vectorized (group, term) combiner: RE2 split + dictionary
+        # encode, one packed-int64 np.unique — no Python loop over
+        # token occurrences (the round-4 Counter loop was 7x the cost
+        # of the equivalent top_pmi_pairs combiner on the same corpus)
+        import pyarrow.compute as pc
+
         ktype = batch.schema.field(group_column).type
+        empty = pa.table({group_column: pa.array([], ktype),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        words, word_of, _ = flat_split_words(batch.column(text_column))
+        if len(words) == 0:
+            return empty
+        gcol = batch.column(group_column)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        genc = gcol.dictionary_encode()
+        gdict = genc.dictionary
+        gidx = genc.indices
+        if gidx.null_count:
+            # null groups count like any other key (Counter parity):
+            # route them to a sentinel dictionary slot decoding to null
+            gidx = pc.fill_null(gidx, len(gdict))
+            gdict = pa.concat_arrays([gdict, pa.nulls(1, gdict.type)])
+        gi = gidx.to_numpy(zero_copy_only=False).astype(np.int64)
+        wenc = words.dictionary_encode()
+        winv = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(wenc.dictionary)
+        uk, ucnt = np.unique(gi[word_of] * V + winv, return_counts=True)
         return pa.table({
-            group_column: pa.array([g for g, _ in c], ktype),
-            "term": pa.array([w for _, w in c], pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
+            group_column: pc.take(gdict, pa.array(uk // V)).cast(ktype),
+            "term": pc.take(wenc.dictionary, pa.array(uk % V)),
+            "n": pa.array(ucnt.astype(np.int64), pa.int64()),
         })
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")

@@ -107,6 +107,66 @@ class RepetitionStage:
         return out
 
 
+def flat_split_words(col):
+    """Vectorized :func:`functions.repetition.split_words` over a whole
+    string column: Arrow RE2 split on the same ``[ \\t\\r\\n\\f]+``
+    class, empties dropped — the per-occurrence work runs in C, never a
+    Python loop over rows.  Returns ``(flat word StringArray, int64 doc
+    index per word, n_docs)``; token stream per doc is byte-identical
+    to ``split_words(t or "")``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.fill_null(col.cast(pa.string()), ""), "[ \t\r\n\f]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lens = (pc.list_value_length(lists)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "")
+    words = flat.filter(keep)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                       lens)[keep.to_numpy(zero_copy_only=False)]
+    return words, doc_of, len(lens)
+
+
+def _batch_gram_counts(batch: pa.Table, text_column: str, n: int):
+    """Vectorized per-batch n-gram combiner shared by the exact and
+    sketch top-gram plans: RE2 split + dictionary encode + an n-column
+    Arrow group_by count.  Gram strings materialize once per DISTINCT
+    batch gram.  Returns ``(gram StringArray, int64 count ndarray,
+    total window count)``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    words, word_of, _ = flat_split_words(batch.column(text_column))
+    nw = len(words)
+    if nw < n:
+        return pa.array([], pa.string()), np.empty(0, np.int64), 0
+    enc = words.dictionary_encode()
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # window starts whose n tokens sit in ONE document
+    starts = np.flatnonzero(word_of[:nw - n + 1] == word_of[n - 1:])
+    if len(starts) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64), 0
+    t = pa.table({f"c{j}": pa.array(inv[starts + j]) for j in range(n)})
+    g = t.group_by([f"c{j}" for j in range(n)]).aggregate(
+        [("c0", "count")])
+    gram = pc.binary_join_element_wise(
+        *[pc.take(enc.dictionary, g.column(f"c{j}")) for j in range(n)],
+        " ")
+    if isinstance(gram, pa.ChunkedArray):
+        gram = gram.combine_chunks()
+    counts = (g.column("c0_count").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+    return gram.cast(pa.string()), counts, len(starts)
+
+
 def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
     """Corpus-wide top-k n-grams: the canonical pre-aggregated wide
     count.  Each batch emits PARTIAL (gram, n) counts (a local hash
@@ -114,20 +174,18 @@ def top_ngrams(ds, text_column: str = "text", *, n: int = 2, k: int = 20):
     one row per token occurrence), one ``groupby.sum`` merges them, a
     per-block local top-k prunes the sort input (safe AFTER the global
     sum), and a tiny (count desc, gram asc) sort yields a deterministic
-    top-k even across ties."""
-    from collections import Counter
-
+    top-k even across ties.  The per-batch combiner is fully
+    vectorized (Arrow RE2 split + dictionary encode + an n-column
+    group_by count); gram strings materialize only once per DISTINCT
+    batch gram via ``binary_join_element_wise``."""
+    import numpy as np
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from ..functions.repetition import split_words
-
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for t in batch.column(text_column).to_pylist():
-            ws = split_words(t or "")
-            counts.update(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
-        return pa.table({"gram": pa.array(list(counts.keys()), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        gram, counts, _total = _batch_gram_counts(batch, text_column, n)
+        return pa.table({"gram": gram,
+                         "n": pa.array(counts, pa.int64())})
 
     def local_topk(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -172,33 +230,32 @@ def top_ngrams_sketch(ds, text_column: str = "text", *, n: int = 2,
        byte-identical either way, so the operator keeps a value-level
        SQL oracle while the sketch path never ships the long tail.
     """
-    from collections import Counter
-
+    import numpy as np
     import pyarrow.compute as pc
 
     import ray as _ray
 
     from ray.data.aggregate import Sum
 
-    from ..functions.repetition import split_words
-
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        total = 0
-        for t in batch.column(text_column).to_pylist():
-            ws = split_words(t or "")
-            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
-            total += len(grams)
-            counts.update(grams)
+        gram, counts, total = _batch_gram_counts(batch, text_column, n)
         if len(counts) > capacity:
-            items = counts.most_common(capacity)
-            err = items[-1][1]    # every dropped count ≤ smallest kept
+            # keep the capacity most frequent (ties by ascending gram —
+            # deterministic, unlike Counter.most_common's insertion
+            # order; any valid kept-set keeps the err bound correct)
+            order = pc.sort_indices(
+                pa.table({"g": gram, "n": pa.array(counts)}),
+                sort_keys=[("n", "descending"), ("g", "ascending")])
+            keep = order[:capacity]
+            gram = pc.take(gram, keep)
+            counts = counts[keep.to_numpy(zero_copy_only=False)]
+            err = int(counts.min())  # every dropped count ≤ smallest kept
         else:
-            items, err = list(counts.items()), 0
+            err = 0
         return pa.table({
-            "gram": pa.array([g for g, _ in items] + [None], pa.string()),
-            "n": pa.array([c for _, c in items] + [total], pa.int64()),
-            "__err": pa.array([0] * len(items) + [err], pa.int64()),
+            "gram": pa.concat_arrays([gram, pa.nulls(1, pa.string())]),
+            "n": pa.array(list(counts) + [total], pa.int64()),
+            "__err": pa.array([0] * len(counts) + [err], pa.int64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
@@ -232,21 +289,19 @@ def top_ngrams_sketch(ds, text_column: str = "text", *, n: int = 2,
     cand_parts = list(
         merged.filter(expr=f"n >= {L_k - T}")
               .iter_batches(batch_size=65_536, batch_format="pyarrow"))
-    cand = set(pa.concat_tables(cand_parts, promote_options="default")
-                 .column("gram").to_pylist()) if cand_parts else set()
+    cand = (pc.unique(pa.concat_tables(cand_parts,
+                                       promote_options="default")
+                        .column("gram").combine_chunks())
+            if cand_parts else pa.array([], pa.string()))
     cand_ref = _ray.put(cand)
 
     def exact_partial(batch: pa.Table) -> pa.Table:
         want = _ray.get(cand_ref)
-        counts: Counter = Counter()
-        for t in batch.column(text_column).to_pylist():
-            ws = split_words(t or "")
-            counts.update(g for g in
-                          (" ".join(ws[i:i + n])
-                           for i in range(len(ws) - n + 1))
-                          if g in want)
-        return pa.table({"gram": pa.array(list(counts.keys()), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        gram, counts, _total = _batch_gram_counts(batch, text_column, n)
+        keep = pc.is_in(gram, value_set=want)
+        return pa.table({"gram": gram.filter(keep),
+                         "n": pa.array(counts[keep.to_numpy(
+                             zero_copy_only=False)], pa.int64())})
 
     exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
                .groupby("gram")
