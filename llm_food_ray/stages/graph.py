@@ -323,9 +323,139 @@ def connected_components(edges, *, src: str = "src", dst: str = "dst",
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def _hits_join(edges, uniq, n: int, *, src: str, dst: str,
+               weight: str | None, iters: int, digits: int,
+               num_partitions: int | None = None):
+    """HITS with score state AS A DATASET — the 10⁸+-node path (the
+    ``_pagerank_join`` recipe run twice per round).  Each half-round is
+    edges ⋈ state (attach the feeding score) → per-batch contribution
+    partials → ONE nodes-bounded ``groupby.sum`` → a blocks-bounded
+    driver fold of per-block MAXIMA (the only driver state is that one
+    scalar denominator) → state LEFT OUTER sums → rounded fold.
+    Byte-equal to the broadcast plan (pytest-pinned): same partial-sum
+    shapes, same round-then-normalize-then-round grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import _join_partitions, _nonempty_blocks, safe_join
+
+    JP = _join_partitions(num_partitions)
+    h0 = round(1.0 / n, digits)
+
+    def canon_edges(b: pa.Table) -> pa.Table:
+        # node keys canonicalize to string so edge ⋈ state key types
+        # always line up with the (string) node universe
+        cols = {src: b.column(src).cast(pa.string()),
+                dst: b.column(dst).cast(pa.string())}
+        if weight:
+            cols[weight] = b.column(weight)
+        return pa.table(cols)
+
+    edges = edges.map_batches(canon_edges,
+                              batch_format="pyarrow").materialize()
+
+    def init_state(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node").cast(pa.string()),
+            "hub": pa.array([h0] * b.num_rows, pa.float64()),
+            "authority": pa.array([0.0] * b.num_rows, pa.float64())})
+
+    state = uniq.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    def _half(state, feed_col: str, edge_in: str, edge_out: str,
+              out_col: str):
+        feed = state.map_batches(
+            lambda b, fc=feed_col: pa.table({
+                "node": b.column("node"), "__s": b.column(fc)}),
+            batch_format="pyarrow")
+        j = safe_join(edges, feed, "inner", JP,
+                      on=(edge_in,), right_on=("node",))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            w = (b.column(weight).to_numpy(zero_copy_only=False)
+                 .astype(np.float64) if weight
+                 else np.ones(b.num_rows, np.float64))
+            s = b.column("__s").to_numpy(zero_copy_only=False)
+            t = pa.table({"__nd": b.column(edge_out).cast(pa.string()),
+                          "pc": pa.array(s * w, pa.float64())})
+            g = t.group_by(["__nd"]).aggregate([("pc", "sum")])
+            return g.rename_columns(["__nd", "pc"])
+
+        def round_raw(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False)
+            raw = np.fromiter((round(v, digits) for v in c.tolist()),
+                              np.float64, len(c))
+            return pa.table({"__nd": b.column("__nd"),
+                             "raw": pa.array(raw, pa.float64())})
+
+        sums = None
+        if j is not None:
+            sums = _nonempty_blocks(
+                j.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("__nd").aggregate(Sum("pc", alias_name="c"))
+                 .map_batches(round_raw, batch_format="pyarrow")
+                 .materialize())
+        if sums is None:
+            # no contributions at all: raw ≡ 0, denom 0 → score 0
+            return state.map_batches(
+                lambda b, oc=out_col: b.set_column(
+                    b.column_names.index(oc), oc,
+                    pa.array([0.0] * b.num_rows, pa.float64())),
+                batch_format="pyarrow").materialize()
+
+        # blocks-bounded driver fold: per-block maxima + row count
+        m = float("-inf")
+        n_rows = 0
+        for b in sums.map_batches(
+                lambda b: pa.table({
+                    "m": pa.array([pc.max(b.column("raw")).as_py()],
+                                  pa.float64()),
+                    "k": pa.array([b.num_rows], pa.int64())}),
+                batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"):
+            for mv, kv in zip(b.column("m").to_pylist(),
+                              b.column("k").to_pylist()):
+                if mv is not None:
+                    m = max(m, mv)
+                n_rows += kv
+        if n_rows < n:     # nodes without in-edges hold implicit raw=0
+            m = max(m, 0.0)
+        denom = m if m > 0.0 else 0.0
+
+        merged = safe_join(state, sums, "left_outer", JP,
+                           on=("node",), right_on=("__nd",),
+                           right_empty_fill={"raw": pa.float64()})
+
+        def fold(b: pa.Table) -> pa.Table:
+            raw = pc.fill_null(b.column("raw"), 0.0).to_numpy(
+                zero_copy_only=False)
+            if denom == 0.0:
+                out = raw
+            else:
+                out = np.fromiter(
+                    (round(v / denom, digits) for v in raw.tolist()),
+                    np.float64, len(raw))
+            keep = [c for c in ("node", "hub", "authority")
+                    if c != out_col]
+            t = b.select(keep)
+            return t.append_column(out_col, pa.array(out, pa.float64()))
+
+        return merged.map_batches(fold, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        state = _half(state, "hub", src, dst, "authority")
+        state = _half(state, "authority", dst, src, "hub")
+
+    return state.map_batches(
+        lambda b: b.select(["node", "hub", "authority"]),
+        batch_format="pyarrow")
+
+
 def hits(edges, *, src: str = "src", dst: str = "dst",
          weight: str | None = "w", iters: int = 5, digits: int = 12,
-         broadcast_budget_nodes: int = 20_000_000):
+         exec: str = "auto", broadcast_budget_nodes: int = 20_000_000,
+         num_partitions: int | None = None):
     """→ Dataset (node, hub, authority) after ``iters`` HITS rounds
     (Kleinberg): per round
 
@@ -348,9 +478,12 @@ def hits(edges, *, src: str = "src", dst: str = "dst",
     per-batch (node, partial) Arrow combiners + one nodes-bounded
     ``groupby.sum``; the score vector broadcasts via ONE ``ray.put``
     per half-round; driver state is two nodes-sized numpy arrays.
-    Beyond ``broadcast_budget_nodes`` this raises — the documented swap
-    is the ``_pagerank_join`` state-as-Dataset pattern (same exchange
-    volume, no driver state), which pagerank demonstrates end to end.
+
+    ``exec`` picks the plan (byte-equal, pytest-pinned): "broadcast"
+    as above; "join" keeps the score state AS A DATASET
+    (:func:`_hits_join` — the 10⁸+-node path, driver holds one scalar
+    per half-round); "auto" (default) routes by
+    ``broadcast_budget_nodes``.
     """
     from ray.data.aggregate import Sum
 
@@ -382,10 +515,14 @@ def hits(edges, *, src: str = "src", dst: str = "dst",
             "node": pa.array([], pa.string()),
             "hub": pa.array([], pa.float64()),
             "authority": pa.array([], pa.float64())}))
-    if n > broadcast_budget_nodes:
-        raise NotImplementedError(
-            "hits: node set exceeds the broadcast budget; port the "
-            "_pagerank_join state-as-Dataset plan for 10^8+-node graphs")
+    if exec not in ("auto", "broadcast", "join"):
+        raise ValueError(f"exec={exec!r}")
+    if exec == "auto":
+        exec = "broadcast" if n <= broadcast_budget_nodes else "join"
+    if exec == "join":
+        return _hits_join(edges, uniq, n, src=src, dst=dst,
+                          weight=weight, iters=iters, digits=digits,
+                          num_partitions=num_partitions)
     nodes_t = pa.concat_tables(
         uniq.iter_batches(batch_size=None, batch_format="pyarrow"))
     nodes = nodes_t.column("node").combine_chunks().sort()

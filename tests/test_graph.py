@@ -479,3 +479,47 @@ def test_harmonic_centrality_plans_identical(ray_session):
     with np.testing.assert_raises(ValueError):
         harmonic_centrality(dataset_from_items(edges),
                             dataset_from_items(seeds), exec="bogus")
+
+
+def test_hits_join_plan_byte_equal(ray_session):
+    """The state-as-Dataset plan (exec="join", the 10^8+-node path) is
+    byte-identical to the broadcast plan on a mixed weighted graph,
+    including int node ids (canonicalized to string) and a node with no
+    in-edges."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import hits
+
+    edges = rd.from_items([
+        {"src": 1, "dst": 2, "w": 2.0},
+        {"src": 1, "dst": 3, "w": 1.0},
+        {"src": 2, "dst": 3, "w": 1.5},
+        {"src": 3, "dst": 2, "w": 0.5},
+        {"src": 4, "dst": 2, "w": 1.0},   # node 4: hub only, no in-edges
+    ])
+    b = {r["node"]: (r["hub"], r["authority"])
+         for r in hits(edges, iters=4, exec="broadcast").take_all()}
+    j = {r["node"]: (r["hub"], r["authority"])
+         for r in hits(edges, iters=4, exec="join",
+                       num_partitions=16).take_all()}
+    assert b == j
+    assert len(b) == 4 and b["4"][1] == 0.0
+
+
+def test_hits_join_plan_unweighted(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.graph import hits
+
+    edges = rd.from_items([
+        {"src": "a", "dst": "b"},
+        {"src": "b", "dst": "a"},
+        {"src": "a", "dst": "c"},
+    ])
+    b = {r["node"]: (r["hub"], r["authority"])
+         for r in hits(edges, weight=None, iters=3,
+                       exec="broadcast").take_all()}
+    j = {r["node"]: (r["hub"], r["authority"])
+         for r in hits(edges, weight=None, iters=3,
+                       exec="join").take_all()}
+    assert b == j
