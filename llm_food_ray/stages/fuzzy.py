@@ -54,7 +54,14 @@ def editdist_pairs(ds, key_column: str, value_column: str, *,
     distance 1, with the exact distance (0 for equal strings).  Rows
     whose value exceeds ``max_len`` chars are dropped (loudly wrong
     input for a short-string join — at 128 chars each row already
-    ships 129 signatures)."""
+    ships 129 signatures).
+
+    PRECONDITION: ``key_column`` uniquely identifies its value — the
+    candidate dedup aggregates values with Max under that functional
+    dependence, so duplicate keys carrying DIFFERENT strings would
+    verify (value_a, value_b) combinations that never co-occurred
+    (wrong dist, or a silently dropped true pair).  Dedup keys first
+    (e.g. ``dedup_exact``) if the table can violate this."""
     import numpy as np
     import pyarrow.compute as pc
 

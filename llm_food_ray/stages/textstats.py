@@ -3950,9 +3950,12 @@ def two_prop_test(ds, group_column: str, side_column: str,
     partial → one groups-sized merge, zero value histograms — the
     cheapest member of the shift-test family; mannwhitney_u is the
     distribution-sensitive sibling).  z is one float expression of the
-    four ints (IEEE sqrt is correctly rounded), snapped half-away to
-    ``digits``; NULL when a side is empty or p̂ ∈ {0, 1} (zero
-    variance).  → (group, n_a, k_a, n_b, k_b, z)."""
+    four ints (IEEE sqrt is correctly rounded), snapped to ``digits``
+    via ``floor(z·10^digits + 0.5)`` — round-half-UP, which differs
+    from half-away for negative z at exact half-grid values; the SQL
+    twin uses the IDENTICAL floor expression (NOT round()), which is
+    what guarantees bit parity.  NULL when a side is empty or
+    p̂ ∈ {0, 1} (zero variance).  → (group, n_a, k_a, n_b, k_b, z)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -4205,9 +4208,12 @@ def kendall_tau(ds, x_column: str, y_column: str, *,
     τ sees monotonicity — the robust pairing).
 
     Scale shape: per-batch (x, y) Arrow count partials → one
-    cells-keyed ``groupby.sum`` (``max_cells`` guards the driver
-    gather — distinct VALUE PAIRS, not rows; bin continuous domains
-    upstream) → a dense 2-D cumsum fold on the driver.  → one row
+    cells-keyed ``groupby.sum`` → a dense 2-D cumsum fold on the
+    driver.  ``max_cells`` guards BOTH driver allocations: the sparse
+    cell gather AND the |distinct x| × |distinct y| DENSE matrix the
+    fold builds (a long sparse diagonal — 1M × 1M from 1M cells —
+    would pass a cells-only guard yet allocate terabytes; bin
+    continuous domains upstream).  → one row
     (n, concordant, discordant, tau)."""
     import numpy as np
 
@@ -4233,6 +4239,11 @@ def kendall_tau(ds, x_column: str, y_column: str, *,
             "tau": pa.array([], pa.float64())}))
     xs = np.unique(cells["x"].to_numpy())
     ys = np.unique(cells["y"].to_numpy())
+    if len(xs) * len(ys) > max_cells:
+        raise ValueError(
+            f"dense fold needs a {len(xs)}x{len(ys)} matrix "
+            f"(> max_cells={max_cells}); bin x/y upstream "
+            "(e.g. textstats.binned before kendall_tau)")
     xi = np.searchsorted(xs, cells["x"].to_numpy())
     yi = np.searchsorted(ys, cells["y"].to_numpy())
     m = np.zeros((len(xs), len(ys)), np.int64)
