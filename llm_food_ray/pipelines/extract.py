@@ -107,8 +107,20 @@ def extract_dataset(pages_ds, cfg: ExtractConfig | None = None, *,
                                   **stage_kwargs)
     return phase1.map_batches(
         WhaleFinish, fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_whale_pool(), num_cpus=1,
     )
+
+
+def _whale_pool() -> tuple[int, int]:
+    """Whale-finish actor bounds: CPU-derived like the scoring pools
+    (a hard (1, 4) silently serialized N simultaneous whales on a
+    32-CPU node — the r4 skew dial finding), but each whale is a
+    multi-hundred-MB document, so cap at half the cluster CPUs to
+    leave heap headroom for the streaming pages."""
+    from ..stages.pools import scoring_pool
+
+    _, mx = scoring_pool()
+    return (1, max(2, mx // 2))
 
 
 def _group_paths(paths: list[str], num_groups: int) -> list[list[str]]:
@@ -195,7 +207,7 @@ def run_extract(input_paths: list[str], out_dir: str,
             ).map_batches(
                 ExtractStage, fn_constructor_kwargs={"cfg": cfg},
                 batch_format="pyarrow", batch_size=1,
-                concurrency=(1, 4), num_cpus=1,
+                concurrency=_whale_pool(), num_cpus=1,
             ).map_batches(
                 lambda b: b.append_column(
                     "deferred_payload", _pa.nulls(b.num_rows, _pa.binary())),

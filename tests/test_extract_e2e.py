@@ -396,3 +396,21 @@ def test_file_corpus_roundtrip_matches_pages_path(ray_session, tmp_path):
     b = via_pages.sort_values("doc").reset_index(drop=True)
     assert a["status"].tolist() == b["status"].tolist()
     assert a["markdown"].tolist() == b["markdown"].tolist()
+
+
+def test_whale_pool_tracks_cluster_cpus(ray_session, monkeypatch):
+    """The whale-finish pool max derives from the cluster CPU count
+    (half, floor 2) instead of the old hard (1, 4) cap that serialized
+    concurrent whales on big nodes."""
+    import ray
+
+    from llm_food_ray.pipelines.extract import _whale_pool
+
+    lo, hi = _whale_pool()
+    assert lo == 1
+    assert hi == max(2, int(ray.cluster_resources()["CPU"]) // 2)
+
+    import llm_food_ray.stages.pools as pools
+
+    monkeypatch.setattr(pools, "scoring_pool", lambda c=None: (1, 32))
+    assert _whale_pool() == (1, 16)   # 32-CPU node -> 16 > the old 4
