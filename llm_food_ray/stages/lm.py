@@ -115,6 +115,54 @@ class _TokenHasher:
         return (hu[idx] if len(idx) else np.empty(0, np.uint64)), lens
 
 
+def _unpack_fps(col) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-fp binary column → (flat u64 fingerprints, per-doc token
+    counts), read straight off the Arrow buffers (zero Python per-doc
+    work)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    off = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data_buf = col.buffers()[2]
+    data = (np.frombuffer(data_buf, np.uint8) if data_buf is not None
+            else np.empty(0, np.uint8))
+    flat = np.ascontiguousarray(data[off[0]:off[-1]]).view(np.uint64)
+    lens = (off[1:] - off[:-1]) // 8
+    return flat, lens
+
+
+class TokenizeFps(_TokenHasher):
+    """ONE tokenize pass for train+score pipelines: emits the key plus
+    a packed binary column of per-doc u64 token fingerprints (8 B per
+    occurrence — roughly the text's own size), so the model-train
+    exchange AND the scoring pass both read fingerprints instead of
+    re-splitting the text (BASELINE.md's "two tokenize passes" cost)."""
+
+    def __init__(self, key_column: str = "doc_id",
+                 text_column: str = "text", fp_column: str = "__tf"):
+        super().__init__()
+        self.key_column = key_column
+        self.text_column = text_column
+        self.fp_column = fp_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        nbytes = int(lens.sum()) * 8
+        if nbytes > 2**31 - 1:   # Arrow binary offsets are int32
+            raise ValueError("fp pack exceeds 2 GiB in one batch; "
+                             "lower batch_size")
+        off = np.r_[0, np.cumsum(lens * 8)].astype(np.int32)
+        packed = pa.Array.from_buffers(
+            pa.binary(), len(lens),
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(th_all.tobytes())])
+        return pa.table({self.key_column: batch.column(self.key_column),
+                         self.fp_column: packed})
+
+
 def _bigram_fp(th: np.ndarray) -> np.ndarray:
     """u64 bigram fingerprint from consecutive token fingerprints."""
     return _mix64(th[:-1] * _FNV + th[1:])
@@ -171,12 +219,16 @@ class _GramPartials(_TokenHasher):
     the exchange ships vocabulary-sized 17 B rows, never a row per
     token occurrence and never a gram string."""
 
-    def __init__(self, text_column: str):
+    def __init__(self, text_column: str, fp_column: str | None = None):
         super().__init__()
         self.text_column = text_column
+        self.fp_column = fp_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        if self.fp_column and self.fp_column in batch.column_names:
+            th_all, lens = _unpack_fps(batch.column(self.fp_column))
+        else:
+            th_all, lens = self.flat_token_fps(batch, self.text_column)
         w1, w2 = _flat_pairs(th_all, lens)
         uh, un = (np.unique(th_all, return_counts=True)
                   if len(th_all) else (np.empty(0, np.uint64),
@@ -195,7 +247,8 @@ class _GramPartials(_TokenHasher):
 
 
 def train_bigram_model(ds, text_column: str = "text", *,
-                       min_count: int = 1) -> dict:
+                       min_count: int = 1,
+                       fp_column: str | None = None) -> dict:
     """→ packed fingerprint model {u_h, u_n, b_h, b_n, v}: distributed
     partial counts, one groupby.sum merge, exact pre-prune V from
     per-block scalars, pruned gather as fixed-width numpy arrays.
@@ -208,7 +261,7 @@ def train_bigram_model(ds, text_column: str = "text", *,
 
     import pyarrow.compute as pc
 
-    merged = (ds.map_batches(_GramPartials(text_column),
+    merged = (ds.map_batches(_GramPartials(text_column, fp_column),
                              batch_format="pyarrow")
                 .groupby(["kind", "h"])
                 .aggregate(Sum("n", alias_name="n"))).materialize()
@@ -301,7 +354,8 @@ class BigramNllScorer(_TokenHasher):
     def __init__(self, uni: dict | None = None, big: dict | None = None,
                  key_column: str = "doc_id", text_column: str = "text",
                  digits: int = 6, model=None,
-                 passthrough_columns: tuple = ()):
+                 passthrough_columns: tuple = (),
+                 fp_column: str | None = None):
         super().__init__()
         self._model_src = (model if model is not None
                            else _pack_model_from_dicts(uni or {}, big or {}))
@@ -310,6 +364,7 @@ class BigramNllScorer(_TokenHasher):
         self.text_column = text_column
         self.digits = digits
         self.passthrough_columns = tuple(passthrough_columns)
+        self.fp_column = fp_column
 
     def _get_model(self) -> dict:
         if self._model is None:
@@ -323,7 +378,10 @@ class BigramNllScorer(_TokenHasher):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self._get_model()
-        th_all, lens = self.flat_token_fps(batch, self.text_column)
+        if self.fp_column and self.fp_column in batch.column_names:
+            th_all, lens = _unpack_fps(batch.column(self.fp_column))
+        else:
+            th_all, lens = self.flat_token_fps(batch, self.text_column)
         n_big = np.maximum(lens - 1, 0)
         w1, w2 = _flat_pairs(th_all, lens)
         nll = [0.0] * len(lens)
@@ -379,19 +437,47 @@ def lm_score_against(ds, ref_ds, *, key_column: str = "doc_id",
 
 
 def lm_score(ds, *, key_column: str = "doc_id", text_column: str = "text",
-             min_count: int = 1, concurrency=None):
+             min_count: int = 1, concurrency=None,
+             reuse_tokens: bool = False):
     """Train the corpus bigram LM (fingerprint-keyed, pruned at
     ``min_count``), broadcast it once via ``ray.put``, then score every
     document's mean negative log-likelihood in one streaming actor-pool
-    pass."""
+    pass.
+
+    ``reuse_tokens=True`` tokenizes ONCE: a :class:`TokenizeFps` pass
+    materializes (key, packed fp) — ~the text's own byte mass,
+    object-store-spillable — and both the train exchange and the scorer
+    read the fingerprints.  MEASURED (500k docs, 32 cpus): the one-pass
+    plan is SLOWER here (20.9 s vs 11.5 s) — the vectorized
+    split + per-actor md5 cache makes re-tokenizing cheaper than the
+    corpus-mass materialize round-trip — so streaming two-pass is the
+    default; flip it when the tokenizer is genuinely expensive (BPE,
+    normalization-heavy).  Outputs are bit-identical either way (the
+    fps are the same u64s)."""
     from llm_food_ray.stages.pools import scoring_pool
 
+    pool = scoring_pool(concurrency)
+    if reuse_tokens:
+        tok = ds.map_batches(
+            TokenizeFps,
+            fn_constructor_kwargs={"key_column": key_column,
+                                   "text_column": text_column},
+            concurrency=pool, batch_format="pyarrow").materialize()
+        model = train_bigram_model(tok, text_column,
+                                   min_count=min_count, fp_column="__tf")
+        return tok.map_batches(
+            BigramNllScorer,
+            fn_constructor_kwargs={"key_column": key_column,
+                                   "text_column": text_column,
+                                   "fp_column": "__tf",
+                                   "model": model},
+            concurrency=pool, batch_format="pyarrow")
     model = train_bigram_model(ds, text_column, min_count=min_count)
     return ds.map_batches(
         BigramNllScorer,
         fn_constructor_kwargs={"key_column": key_column,
                                "text_column": text_column,
                                "model": model},
-        concurrency=scoring_pool(concurrency),
+        concurrency=pool,
         batch_format="pyarrow",
     )

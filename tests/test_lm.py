@@ -194,3 +194,24 @@ def test_model_stats_record_prune_posture(ray_session):
     assert dfull["stats"]["rows_model"] == 3
     assert dpruned["stats"]["rows_model"] == 1
     assert dpruned["n_docs"] == 2
+
+
+def test_lm_score_single_tokenize_byte_equal(ray_session):
+    """reuse_tokens=True (one TokenizeFps pass feeding train AND score)
+    is bit-identical to the streaming two-pass plan."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.lm import lm_score
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a b a b c"},
+        {"doc_id": 2, "text": "a b"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "c c c c a"},
+    ])
+    one = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+           for r in lm_score(ds, reuse_tokens=True).take_all()}
+    two = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+           for r in lm_score(ds, reuse_tokens=False).take_all()}
+    assert one == two
+    assert one[3] == (0, 0.0)
