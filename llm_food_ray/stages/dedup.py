@@ -149,9 +149,11 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
                    for h in batch.column("content_md5").to_pylist()]
         return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
-    def distinct_hashes(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"content_md5": group["content_md5"].unique()})
+    def distinct_hashes(group: pa.Table) -> pa.Table:
+        col = group.column("content_md5")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"content_md5": pc.unique(col)})
 
     join_input = ds
     bloom_pass = None
@@ -191,7 +193,7 @@ def dedup_against(ds, seen_ds, *, text_column: str = "text",
     seen_keys = _nonempty_blocks(
         partials.map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("__bucket")
-                .map_groups(distinct_hashes, batch_format="pandas")
+                .map_groups(distinct_hashes, batch_format="pyarrow")
                 .materialize())
     if seen_keys is None:
         return ds
@@ -386,14 +388,16 @@ def dedup_exact(ds, key_column: str = "doc_id", text_column: str = "text", *,
                        for h in batch.column("content_md5").to_pylist()]
             return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
-        def min_key_per_hash(group: pd.DataFrame) -> pd.DataFrame:
-            kept = group.groupby("content_md5", sort=False)[key_column].min()
-            return pd.DataFrame({key_column: kept.to_numpy()})
+        def min_key_per_hash(group: pa.Table) -> pa.Table:
+            g = group.group_by(["content_md5"]).aggregate(
+                [(key_column, "min")])
+            return pa.table({
+                key_column: g.column(f"{key_column}_min")})
 
         kept_ds = (partials
                    .map_batches(add_bucket, batch_format="pyarrow")
                    .groupby("__bucket")
-                   .map_groups(min_key_per_hash, batch_format="pandas")
+                   .map_groups(min_key_per_hash, batch_format="pyarrow")
                    .materialize())   # keep-set ready before the join plan
         kept_ds = _nonempty_blocks(kept_ds)
         if kept_ds is None:   # empty input → nothing to keep

@@ -20,7 +20,6 @@ default leg.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..functions import pdf_md
@@ -61,31 +60,60 @@ class ExplodePdfPages:
         )
 
 
-def _join_pages_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _join_pages_bucket(t: pa.Table) -> pa.Table:
     """Re-aggregate EVERY url inside one coarse bucket with vectorized
-    pandas groupbys — one pandas frame per ~256th of the keyspace, not one
-    per url (map_groups over millions of singleton url groups pays pandas
-    overhead per document and crawls; same rationale as
-    the dedup family's coarse-bucket exchanges)."""
-    df = df.sort_values(["url", "page_number"],
-                        kind="mergesort")   # ORDER BY page_number, app.py:1250
-    urls = pd.Index(df["url"].unique())
-    ok = df[df["status"] == "ok"]
-    texts = (ok.groupby("url", sort=False)["page_markdown"].agg(list)
-               .reindex(urls))
-    texts = texts.apply(lambda v: v if isinstance(v, list) else [])
-    failed = df[df["status"] == "failed"]
-    err = (failed.groupby("url", sort=False)["error"].first()
-                 .reindex(urls).fillna(""))
-    has_fail = failed["url"].unique()
-    status = pd.Series("ok", index=urls)
-    status[status.index.isin(has_fail)] = "failed"
-    return pd.DataFrame({
-        "url": urls,
-        "markdown": texts.map(PAGE_JOINER.join).to_numpy(),
-        "texts": texts.to_numpy(),
-        "status": status.to_numpy(),
-        "error": err.to_numpy(),
+    ARROW kernels — sort → url run-length boundaries →
+    ``ListArray.from_arrays`` + ``pc.binary_join`` (the
+    ``grouped_string_agg`` bucket machinery; this was the repo's last
+    pandas ``map_groups`` path).  One call per ~256th of the keyspace,
+    never one group per url."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return pa.table({
+            "url": pa.array([], pa.string()),
+            "markdown": pa.array([], pa.string()),
+            "texts": pa.array([], pa.list_(pa.string())),
+            "status": pa.array([], pa.string()),
+            "error": pa.array([], pa.string())})
+    order = pc.sort_indices(
+        t, sort_keys=[("url", "ascending"),
+                      ("page_number", "ascending")])  # app.py:1250 ORDER BY
+    t = t.take(order)
+    u = t.column("url").combine_chunks()
+    md = t.column("page_markdown").combine_chunks()
+    ne = pc.fill_null(pc.not_equal(u.slice(1), u.slice(0, len(u) - 1)),
+                      True)
+    new_run = np.r_[True, ne.to_numpy(zero_copy_only=False)]
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], len(u)]
+    okm = pc.equal(t.column("status"), "ok").to_numpy(
+        zero_copy_only=False)
+    cum_ok = np.r_[0, np.cumsum(okm.astype(np.int64))]
+    ok_counts = cum_ok[ends] - cum_ok[starts]
+    offsets = pa.array(np.r_[0, np.cumsum(ok_counts)].astype(np.int32),
+                       pa.int32())
+    texts = pa.ListArray.from_arrays(offsets, md.filter(pa.array(okm)))
+    markdown = pc.binary_join(texts, PAGE_JOINER)
+    failm = ~okm
+    run_of = np.repeat(np.arange(len(starts)), ends - starts)
+    fail_idx = np.flatnonzero(failm)
+    status = np.full(len(starts), "ok", object)
+    error = np.full(len(starts), "", object)
+    if len(fail_idx):
+        fail_runs, first_pos = np.unique(run_of[fail_idx],
+                                         return_index=True)
+        status[fail_runs] = "failed"
+        errs = pc.fill_null(t.column("error"), "").take(
+            pa.array(fail_idx[first_pos])).to_pylist()
+        error[fail_runs] = errs
+    return pa.table({
+        "url": u.take(pa.array(starts)),
+        "markdown": markdown.cast(pa.string()),
+        "texts": texts,
+        "status": pa.array(status.tolist(), pa.string()),
+        "error": pa.array(error.tolist(), pa.string()),
     })
 
 
@@ -111,4 +139,4 @@ def explode_extract_reaggregate(pdf_pages_ds, structured: bool = True, *,
 
     return (exploded.map_batches(add_cb, batch_format="pyarrow")
                     .groupby("__cb")
-                    .map_groups(_join_pages_bucket, batch_format="pandas"))
+                    .map_groups(_join_pages_bucket, batch_format="pyarrow"))
