@@ -170,6 +170,26 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_warc_ingest(sf_dir: str):
+    """WARC-shard ingestion → the SAME extraction pipeline as the
+    crawl path: deterministic Common-Crawl-layout shards on disk
+    (per-record gzip members, HTTP response envelopes) →
+    `sources/warc.pages_from_warc` → content-type dispatch → markdown.
+    Urls are the synthesis urls, so the synthesis-parity extract_auto
+    oracle checks the whole round trip value-level."""
+    import os
+
+    from llm_food_ray.sources.warc import (pages_from_warc,
+                                           write_warc_corpus)
+
+    out_dir = ("/tmp/llm_food_ray_warc_"
+               + os.path.basename(os.path.normpath(sf_dir)))
+    write_warc_corpus(sf_dir, out_dir)
+    ds = extract_dataset(pages_from_warc(out_dir), _AUTO,
+                         whale_leg=False)
+    return ds.select_columns(["url", "doc_type", "status", "markdown"])
+
+
 def q_jsonl_ingest(sf_dir: str):
     """JSONL source leg: documents round-trip through
     `write_json` → `read_json` and a per-lang rollup proves every
@@ -4355,6 +4375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (tools/check_oracle.py).
     return {
         "distinctive_terms": q_distinctive_terms,
+        "warc_ingest": q_warc_ingest,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -5845,6 +5866,12 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
 """,
+        # the WARC-ingestion twin: identical payload rules, crawl urls
+        "warc_ingest": (
+            f"SELECT {_URL} AS url, {_DOC_TYPE_SQL} AS doc_type, "
+            f"{_STATUS_SQL} AS status, ({auto_md}) AS markdown "
+            f"FROM documents AS d2"
+        ),
         # the file-ingestion twin: identical payload rules, file:// keys
         "extract_files": (
             f"SELECT 'file://doc' || doc_id AS url, "
