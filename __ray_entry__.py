@@ -170,6 +170,55 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_charset_normalize(sf_dir: str):
+    """Mixed-encoding normalization: documents re-serialized as
+    utf-8 / BOM-utf-16 / meta-declared windows-1252 / BOM-utf-8
+    payloads (doc_id%4 rule), sniffed + re-encoded by
+    `stages.extract.normalize_charset`; the output decodes back to the
+    exact constructed markup, so the oracle rebuilds both the charset
+    label and the markup with pure SQL string ops."""
+    import codecs
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.extract import normalize_charset
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        payloads = []
+        for d, t in zip(ids, texts):
+            kind = d % 4
+            meta = ('<meta charset="iso-8859-1">' if kind == 2 else "")
+            markup = (f"<html><head>{meta}</head>"
+                      f"<body>caf\u00e9 m\u00fcn\u00fc {t or ''}</body></html>")
+            if kind == 0:
+                payloads.append(markup.encode("utf-8"))
+            elif kind == 1:
+                payloads.append(markup.encode("utf-16"))   # LE BOM
+            elif kind == 2:
+                payloads.append(markup.encode("windows-1252"))
+            else:
+                payloads.append(codecs.BOM_UTF8 + markup.encode("utf-8"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(payloads, pa.binary())})
+
+    pages = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+             .map_batches(build, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "charset": b.column("charset"),
+            "markup": pa.array([p.decode("utf-8")
+                                for p in b.column("html").to_pylist()],
+                               pa.string())})
+
+    return normalize_charset(pages).map_batches(finish,
+                                                batch_format="pyarrow")
+
+
 def q_warc_ingest(sf_dir: str):
     """WARC-shard ingestion → the SAME extraction pipeline as the
     crawl path: deterministic Common-Crawl-layout shards on disk
@@ -4376,6 +4425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "distinctive_terms": q_distinctive_terms,
         "warc_ingest": q_warc_ingest,
+        "charset_normalize": q_charset_normalize,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -5865,6 +5915,19 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
+""",
+        # charset-sniff twin: label from the doc_id rule, markup
+        # rebuilt with the same string concat
+        "charset_normalize": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16'
+            WHEN 2 THEN 'windows-1252' ELSE 'utf-8-sig' END AS charset,
+       '<html><head>'
+       || CASE WHEN doc_id % 4 = 2
+               THEN '<meta charset="iso-8859-1">' ELSE '' END
+       || '</head><body>caf\u00e9 m\u00fcn\u00fc ' || text
+       || '</body></html>' AS markup
+FROM documents
 """,
         # the WARC-ingestion twin: identical payload rules, crawl urls
         "warc_ingest": (

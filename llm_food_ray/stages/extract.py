@@ -102,6 +102,34 @@ def _spans_from_blocks(pages_blocks: list[list[str]]) -> tuple[str, list[str], l
     return markdown, texts, spans
 
 
+def normalize_charset(pages_ds, payload_column: str = "html"):
+    """Pre-normalization stage for mixed-encoding crawls: sniff each
+    payload's charset (BOM → meta prescan → strict-utf-8 → 1252
+    fallback, functions/charset.py) and re-encode to utf-8, appending
+    the detected ``charset`` column.  The extract stage downstream then
+    keeps its reference byte-parity utf-8 contract while the pipeline
+    as a whole handles the real Common-Crawl encoding tail.
+
+    Scale shape: a pure streaming map; codec work is C-level per row,
+    no shuffle, no driver state."""
+    from ..functions.charset import to_utf8
+
+    def f(b: pa.Table) -> pa.Table:
+        out, css = [], []
+        for p in b.column(payload_column).to_pylist():
+            if p:
+                u, cs = to_utf8(p)
+            else:
+                u, cs = p, ""
+            out.append(u)
+            css.append(cs)
+        i = b.column_names.index(payload_column)
+        return (b.set_column(i, payload_column, pa.array(out, pa.binary()))
+                 .append_column("charset", pa.array(css, pa.string())))
+
+    return pages_ds.map_batches(f, batch_format="pyarrow")
+
+
 class ExtractStage:
     """Callable class for ``map_batches`` (actor pool when concurrency is
     set; also valid as stateless tasks). Arrow in / Arrow out.

@@ -414,3 +414,49 @@ def test_whale_pool_tracks_cluster_cpus(ray_session, monkeypatch):
 
     monkeypatch.setattr(pools, "scoring_pool", lambda c=None: (1, 32))
     assert _whale_pool() == (1, 16)   # 32-CPU node -> 16 > the old 4
+
+
+class TestCharsetNormalize:
+    def test_detect_rules(self):
+        import codecs
+
+        from llm_food_ray.functions.charset import detect_charset
+
+        assert detect_charset("hi".encode("utf-8")) == "utf-8"
+        assert detect_charset(codecs.BOM_UTF8 + b"hi") == "utf-8-sig"
+        assert detect_charset("hé".encode("utf-16")) == "utf-16"
+        assert detect_charset(
+            b'<meta charset="ISO-8859-1">caf\xe9') == "windows-1252"
+        # undeclared non-utf8 bytes fall back to 1252 (total decode)
+        assert detect_charset(b"caf\xe9") == "windows-1252"
+
+    def test_to_utf8_roundtrip(self):
+        from llm_food_ray.functions.charset import to_utf8
+
+        s = "café münü"
+        for enc, expect in (("utf-8", "utf-8"), ("utf-16", "utf-16"),
+                            ("windows-1252", "windows-1252")):
+            payload = s.encode(enc)
+            if enc == "windows-1252":
+                payload = b'<meta charset="latin-1">' + payload
+                out, cs = to_utf8(payload)
+                assert out.decode("utf-8").endswith(s)
+            else:
+                out, cs = to_utf8(payload)
+                assert out.decode("utf-8") == s
+            assert cs == expect
+
+    def test_stage_appends_charset(self, ray_session):
+        import ray.data as rd
+
+        from llm_food_ray.stages.extract import normalize_charset
+
+        pages = rd.from_items([
+            {"url": "u1", "html": "café".encode("utf-16")},
+            {"url": "u2", "html": b""},
+        ])
+        rows = {r["url"]: r
+                for r in normalize_charset(pages).take_all()}
+        assert rows["u1"]["charset"] == "utf-16"
+        assert rows["u1"]["html"].decode("utf-8") == "café"
+        assert rows["u2"]["charset"] == ""
