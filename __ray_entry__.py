@@ -170,6 +170,46 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_robots_parse(sf_dir: str):
+    """robots.txt BODY parsing: per-host robots text synthesized with
+    agent groups, comments, unknown directives and the empty-Disallow
+    idiom; `webfilter.parse_robots` extracts the agent='*' group rules,
+    which the oracle re-derives as the same rule union the
+    robots_policy twin uses."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.webfilter import parse_robots
+
+    def build(b: pa.Table) -> pa.Table:
+        ks = sorted({d % 10 for d in b.column("doc_id").to_pylist()})
+        hosts, bodies = [], []
+        for k in ks:
+            lines = [
+                "# robots for site" + str(k),
+                "User-agent: badbot",
+                "Disallow: /",
+                "",
+                "User-agent: *",
+                "Disallow: /static/   # assets",
+                "Crawl-delay: 1",
+            ]
+            if k % 3 == 0:
+                lines.append("disallow: /p/")
+            if k % 2 == 0:
+                lines.append("Allow: /p/1")
+            lines.append("Disallow:")
+            hosts.append(f"site{k}.example.com")
+            bodies.append("\n".join(lines))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "robots_txt": pa.array(bodies, pa.string())})
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+          .repartition(1)
+          .map_batches(build, batch_format="pyarrow", batch_size=None))
+    return parse_robots(ds)
+
+
 def q_charset_normalize(sf_dir: str):
     """Mixed-encoding normalization: documents re-serialized as
     utf-8 / BOM-utf-16 / meta-declared windows-1252 / BOM-utf-8
@@ -4426,6 +4466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": q_distinctive_terms,
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
+        "robots_parse": q_robots_parse,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -5915,6 +5956,18 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
+""",
+        # robots-parse twin: the same rule union robots_policy derives
+        "robots_parse": """
+SELECT 'site' || k || '.example.com' AS host,
+       '/static/' AS prefix, FALSE AS allow
+FROM range(0, 10) t(k)
+UNION ALL
+SELECT 'site' || k || '.example.com', '/p/', FALSE
+FROM range(0, 10) t(k) WHERE k % 3 = 0
+UNION ALL
+SELECT 'site' || k || '.example.com', '/p/1', TRUE
+FROM range(0, 10) t(k) WHERE k % 2 = 0
 """,
         # charset-sniff twin: label from the doc_id rule, markup
         # rebuilt with the same string concat

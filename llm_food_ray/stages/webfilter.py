@@ -59,6 +59,75 @@ def filter_blocked_hosts(ds, host_column: str, *, blocked,
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
+def parse_robots(ds, host_column: str = "host",
+                 text_column: str = "robots_txt", *, agent: str = "*"):
+    """robots.txt BODIES → the (host, prefix, allow) rules table that
+    :func:`longest_prefix_policy` consumes — the missing first half of
+    the crawl-permission pipeline (real crawls fetch robots.txt text,
+    not rule tables).
+
+    Group semantics (RFC 9309 §2.2.1): a group is one or more
+    consecutive ``User-agent:`` lines followed by rules; the group
+    applying to ``agent`` is the EXACT agent match when present, else
+    the ``*`` group; rules outside any group are ignored, unknown
+    directives skipped, comments (#) stripped, matching
+    case-insensitive on directive names and agent tokens.  Empty-path
+    ``Disallow:`` (allow-all idiom) emits no rule.
+
+    Scale shape: a pure streaming map — one robots body is a few KB and
+    there is one per HOST, not per document; the downstream policy join
+    stays the only exchange."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    agent_l = agent.lower()
+
+    def parse_one(body: str) -> list[tuple[str, bool]]:
+        rules_star: list[tuple[str, bool]] = []
+        rules_exact: list[tuple[str, bool]] = []
+        cur_agents: list[str] = []
+        in_group_rules = False
+        saw_exact = False
+        for raw in (body or "").split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if in_group_rules:
+                    cur_agents = []
+                    in_group_rules = False
+                cur_agents.append(val.lower())
+                continue
+            if key not in ("allow", "disallow"):
+                continue
+            in_group_rules = True
+            if not cur_agents or not val:
+                continue
+            rule = (val, key == "allow")
+            if agent_l in cur_agents:
+                saw_exact = True
+                rules_exact.append(rule)
+            if "*" in cur_agents:
+                rules_star.append(rule)
+        return rules_exact if saw_exact else rules_star
+
+    def f(b: pa.Table) -> pa.Table:
+        hosts, prefixes, allows = [], [], []
+        for h, t in zip(b.column(host_column).to_pylist(),
+                        b.column(text_column).to_pylist()):
+            for prefix, allow in parse_one(t or ""):
+                hosts.append(h)
+                prefixes.append(prefix)
+                allows.append(allow)
+        return pa.table({host_column: pa.array(hosts, pa.string()),
+                         "prefix": pa.array(prefixes, pa.string()),
+                         "allow": pa.array(allows, pa.bool_())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def longest_prefix_policy(urls, rules, *, url_column: str = "url",
                           host_column: str = "host",
                           path_column: str = "path",

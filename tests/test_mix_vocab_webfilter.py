@@ -645,3 +645,33 @@ def test_politeness_order_round_robin(ray_session):
                                    "a/2", "b/2", "a/3"]
     assert out["position"].tolist() == [0, 1, 2, 3, 4, 5]
     assert out["host_rank"].tolist() == [0, 0, 0, 1, 1, 2]
+
+
+def test_parse_robots_groups_and_agent_precedence(ray_session):
+    """Exact agent group beats *, multi-agent group headers share
+    rules, unknown directives/comments/empty Disallow are ignored."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.webfilter import parse_robots
+
+    body = "\n".join([
+        "User-agent: alpha",
+        "User-agent: beta",
+        "Disallow: /private/",
+        "",
+        "User-agent: *",
+        "Disallow: /all/   # comment",
+        "Allow: /all/ok",
+        "Sitemap: https://x.example/sitemap.xml",
+        "Disallow:",
+    ])
+    ds = rd.from_items([{"host": "h", "robots_txt": body}])
+    star = sorted((r["prefix"], r["allow"])
+                  for r in parse_robots(ds).take_all())
+    assert star == [("/all/", False), ("/all/ok", True)]
+    beta = sorted((r["prefix"], r["allow"])
+                  for r in parse_robots(ds, agent="BETA").take_all())
+    assert beta == [("/private/", False)]
+    gamma = sorted((r["prefix"], r["allow"])
+                   for r in parse_robots(ds, agent="gamma").take_all())
+    assert gamma == star   # no exact group -> falls back to *
