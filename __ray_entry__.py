@@ -170,6 +170,38 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_page_meta(sf_dir: str):
+    """Per-page header metadata (first title, first h1, outlink count)
+    over the HTML rows — the crawl-index sidecar table; synthesis
+    parity pins title/h1 to the template strings and n_links to the
+    template's 6 anchors."""
+    from llm_food_ray.functions.html_md import extract_page_meta
+    from llm_food_ray.sources.pages import pages_dataset
+
+    def meta(batch: pa.Table) -> pa.Table:
+        urls_out, titles, h1s, nl = [], [], [], []
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            if not payload or not payload.startswith(b"<"):
+                continue
+            try:
+                html = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            m = extract_page_meta(html)
+            urls_out.append(u)
+            titles.append(m["title"])
+            h1s.append(m["h1"])
+            nl.append(m["n_links"])
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "h1": pa.array(h1s, pa.string()),
+            "n_links": pa.array(nl, pa.int64())})
+
+    return pages_dataset(sf_dir).map_batches(meta, batch_format="pyarrow")
+
+
 def q_robots_parse(sf_dir: str):
     """robots.txt BODY parsing: per-host robots text synthesized with
     agent groups, comments, unknown directives and the empty-Disallow
@@ -4467,6 +4499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
         "robots_parse": q_robots_parse,
+        "page_meta": q_page_meta,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -5956,6 +5989,16 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
+""",
+        # page-meta twin: template strings + the template's 6 anchors
+        "page_meta": f"""
+SELECT {_URL} AS url,
+       'Doc ' || doc_id AS title,
+       'Document ' || doc_id AS h1,
+       6::BIGINT AS n_links
+FROM documents
+WHERE doc_id % 50 NOT IN (3, 13)
+  AND doc_id % 10 != 7 AND doc_id % 5 != 1
 """,
         # robots-parse twin: the same rule union robots_policy derives
         "robots_parse": """

@@ -515,6 +515,26 @@ def extract_links(html: str) -> list[tuple[str, str]]:
     return out
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>",
+                       re.IGNORECASE | re.DOTALL)
+_H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_page_meta(html: str) -> dict:
+    """Head/landmark metadata for corpus indexing: first <title>, first
+    <h1> (both tag-stripped + whitespace-normalized) and the outlink
+    count — the per-page header row a crawl index keeps alongside the
+    extracted text.  Pure function; the Ray side runs it per batch."""
+    def first(rx):
+        m = rx.search(html)
+        if not m:
+            return ""
+        return " ".join(_INNER_TAG_RE.sub(" ", m.group(1)).split())
+
+    return {"title": first(_TITLE_RE), "h1": first(_H1_RE),
+            "n_links": len(extract_links(html))}
+
+
 def resolve_href(page_url: str, href: str) -> str:
     """Minimal absolute-URL resolution for crawl outlinks: absolute
     hrefs pass through, root-relative ('/x') join scheme://authority,

@@ -180,3 +180,16 @@ def test_extract_links_and_resolve():
     assert resolve_href("https://h.com/d/p", "rel.html") == "https://h.com/d/rel.html"
     assert resolve_href("https://h.com/d/p", "http://o.io/q") == "http://o.io/q"
     assert extract_links("") == []
+
+
+def test_extract_page_meta():
+    from llm_food_ray.functions.html_md import extract_page_meta
+
+    html = ('<html><head><title> My <b>Site</b>\n Page </title></head>'
+            '<body><h1>Hello <i>World</i></h1><h1>second</h1>'
+            '<a href="/x">one</a><a href="/y">two</a></body></html>')
+    m = extract_page_meta(html)
+    assert m == {"title": "My Site Page", "h1": "Hello World",
+                 "n_links": 2}
+    assert extract_page_meta("<p>no head</p>") == {
+        "title": "", "h1": "", "n_links": 0}
