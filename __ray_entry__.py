@@ -170,6 +170,49 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_content_density(sf_dir: str):
+    """Readability-style main-content selection REPORT: for every HTML
+    page, the winning candidate container plus its text mass / link
+    mass / link density — the inspectable form of the boilerplate-strip
+    heuristic the extractor applies (functions/html_md.py
+    score_candidate).  Synthesis parity: the template's <article> wins
+    with zero link mass and text = h1 + paragraph text."""
+    from llm_food_ray.functions.html_md import (_tl_bottom_up, parse_html,
+                                                select_main)
+    from llm_food_ray.sources.pages import pages_dataset
+
+    def report(batch: pa.Table) -> pa.Table:
+        urls_out, tags, tls, lls, dens = [], [], [], [], []
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            if not payload or not payload.startswith(b"<"):
+                continue
+            try:
+                root = parse_html(payload.decode("utf-8"))
+            except Exception:
+                continue
+            main = select_main(root)
+            if main is None:
+                continue
+            cache: dict = {}
+            _tl_bottom_up(root, cache)
+            tl, ll = cache.get(id(main), (0, 0))
+            urls_out.append(u)
+            tags.append(main.tag)
+            tls.append(tl)
+            lls.append(ll)
+            dens.append(round(ll / tl, 6) if tl else 0.0)
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "main_tag": pa.array(tags, pa.string()),
+            "text_len": pa.array(tls, pa.int64()),
+            "link_len": pa.array(lls, pa.int64()),
+            "link_density": pa.array(dens, pa.float64())})
+
+    return pages_dataset(sf_dir).map_batches(report,
+                                             batch_format="pyarrow")
+
+
 def q_page_meta(sf_dir: str):
     """Per-page header metadata (first title, first h1, outlink count)
     over the HTML rows — the crawl-index sidecar table; synthesis
@@ -4500,6 +4543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_normalize": q_charset_normalize,
         "robots_parse": q_robots_parse,
         "page_meta": q_page_meta,
+        "content_density": q_content_density,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -5989,6 +6033,20 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
+""",
+        # density twin: the template article wins; its text mass is
+        # len('Document '||id) + the whitespace-normalized body text
+        "content_density": f"""
+SELECT {_URL} AS url,
+       'article' AS main_tag,
+       (length('Document ' || doc_id)
+        + length(trim(regexp_replace(text, '\\s+', ' ', 'g'))))::BIGINT
+           AS text_len,
+       0::BIGINT AS link_len,
+       0.0::DOUBLE AS link_density
+FROM documents
+WHERE doc_id % 50 NOT IN (3, 13)
+  AND doc_id % 10 != 7 AND doc_id % 5 != 1
 """,
         # page-meta twin: template strings + the template's 6 anchors
         "page_meta": f"""
