@@ -170,6 +170,49 @@ def q_extract_files(sf_dir: str):
     return ds.select_columns(["url", "doc_type", "status", "markdown"])
 
 
+def q_sitemap_parse(sf_dir: str):
+    """sitemap.xml discovery: one namespaced urlset per host listing
+    that host's document urls with lastmod (the crawl timestamp) and a
+    deterministic priority; `webfilter.parse_sitemaps` explodes them
+    and the oracle re-derives every field from the documents table."""
+    import datetime as _dt
+
+    import ray.data as rd
+
+    from llm_food_ray.stages.webfilter import parse_sitemaps
+
+    def build(b: pa.Table) -> pa.Table:
+        by_host: dict[str, list] = {}
+        for d in b.column("doc_id").to_pylist():
+            by_host.setdefault(f"site{d % 100}.example.com", []).append(d)
+        hosts, bodies = [], []
+        for h in sorted(by_host):
+            entries = []
+            for d in sorted(by_host[h]):
+                ts = _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=d)
+                entries.append(
+                    "<url>"
+                    f"<loc>https://{h}/doc/{d}</loc>"
+                    f"<lastmod>{ts.strftime('%Y-%m-%dT%H:%M:%SZ')}"
+                    "</lastmod>"
+                    f"<priority>0.{(d % 9) + 1}</priority>"
+                    "</url>")
+            hosts.append(h)
+            bodies.append(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(entries) + "</urlset>")
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "sitemap_xml": pa.array(bodies, pa.string())})
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+          .repartition(4)
+          .map_batches(build, batch_format="pyarrow", batch_size=None))
+    return parse_sitemaps(ds)
+
+
 def q_content_density(sf_dir: str):
     """Readability-style main-content selection REPORT: for every HTML
     page, the winning candidate container plus its text mass / link
@@ -4544,6 +4587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_parse": q_robots_parse,
         "page_meta": q_page_meta,
         "content_density": q_content_density,
+        "sitemap_parse": q_sitemap_parse,
         "bm25_multi": q_bm25_multi,
         "keyword_tag": q_keyword_tag,
         "dedup_canonical": q_dedup_canonical,
@@ -6033,6 +6077,16 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_sum
 FROM documents GROUP BY source
+""",
+        # sitemap twin: every field re-derived from documents
+        "sitemap_parse": f"""
+SELECT 'site' || (doc_id % 100) || '.example.com' AS host,
+       'url' AS kind,
+       {_URL} AS loc,
+       strftime(TIMESTAMP '2024-01-01' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+       (0.1 * ((doc_id % 9) + 1))::DOUBLE AS priority
+FROM documents
 """,
         # density twin: the template article wins; its text mass is
         # len('Document '||id) + the whitespace-normalized body text

@@ -128,6 +128,73 @@ def parse_robots(ds, host_column: str = "host",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def parse_sitemaps(ds, host_column: str = "host",
+                   text_column: str = "sitemap_xml"):
+    """sitemap.xml BODIES → one row per discovered URL with its
+    metadata — the crawl-DISCOVERY half that pairs with
+    :func:`parse_robots` (permission) and the frontier planners
+    (ordering/budget).  Handles ``<urlset>`` leaf sitemaps; a
+    ``<sitemapindex>`` body yields (host, loc, kind='sitemap') rows so
+    the caller can schedule the nested fetches — no network here.
+
+    Namespace-agnostic (matches on local tag names, the lenient-parser
+    convention for real-world sitemaps); missing <lastmod>/<priority>
+    yield ''/NULL.  Malformed XML yields zero rows for that body (the
+    crawl goes on) rather than failing the task.
+
+    Scale shape: pure streaming map, one body per HOST — the stdlib
+    XML parse is C-backed (expat) and bodies are ≤50 MB by spec."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def parse_one(body: str):
+        try:
+            root = ET.fromstring(body)
+        except ET.ParseError:
+            return
+        kind = ("sitemap" if local(root.tag) == "sitemapindex" else "url")
+        want = "sitemap" if kind == "sitemap" else "url"
+        for entry in root:
+            if local(entry.tag) != want:
+                continue
+            loc = lastmod = ""
+            prio = None
+            for f in entry:
+                name = local(f.tag)
+                val = (f.text or "").strip()
+                if name == "loc":
+                    loc = val
+                elif name == "lastmod":
+                    lastmod = val
+                elif name == "priority":
+                    try:
+                        prio = float(val)
+                    except ValueError:
+                        prio = None
+            if loc:
+                yield kind, loc, lastmod, prio
+
+    def f(b: pa.Table) -> pa.Table:
+        hosts, kinds, locs, mods, prios = [], [], [], [], []
+        for h, t in zip(b.column(host_column).to_pylist(),
+                        b.column(text_column).to_pylist()):
+            for kind, loc, mod, prio in parse_one(t or ""):
+                hosts.append(h)
+                kinds.append(kind)
+                locs.append(loc)
+                mods.append(mod)
+                prios.append(prio)
+        return pa.table({host_column: pa.array(hosts, pa.string()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "loc": pa.array(locs, pa.string()),
+                         "lastmod": pa.array(mods, pa.string()),
+                         "priority": pa.array(prios, pa.float64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def longest_prefix_policy(urls, rules, *, url_column: str = "url",
                           host_column: str = "host",
                           path_column: str = "path",

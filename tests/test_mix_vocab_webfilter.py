@@ -675,3 +675,32 @@ def test_parse_robots_groups_and_agent_precedence(ray_session):
     gamma = sorted((r["prefix"], r["allow"])
                    for r in parse_robots(ds, agent="gamma").take_all())
     assert gamma == star   # no exact group -> falls back to *
+
+
+def test_parse_sitemaps_leaf_index_and_malformed(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.webfilter import parse_sitemaps
+
+    leaf = ('<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            '<url><loc>https://h/x</loc><lastmod>2024-01-01</lastmod>'
+            '<priority>0.5</priority></url>'
+            '<url><loc>https://h/y</loc></url>'
+            '<url><priority>0.9</priority></url>'   # no loc -> dropped
+            '</urlset>')
+    idx = ('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+           'sitemap/0.9"><sitemap><loc>https://h/s1.xml</loc></sitemap>'
+           '</sitemapindex>')
+    ds = rd.from_items([
+        {"host": "h", "sitemap_xml": leaf},
+        {"host": "i", "sitemap_xml": idx},
+        {"host": "j", "sitemap_xml": "<not xml"},
+    ])
+    rows = sorted((r["host"], r["kind"], r["loc"], r["lastmod"],
+                   r["priority"]) for r in parse_sitemaps(ds).take_all())
+    assert rows == [
+        ("h", "url", "https://h/x", "2024-01-01", 0.5),
+        ("h", "url", "https://h/y", "", None),
+        ("i", "sitemap", "https://h/s1.xml", "", None),
+    ]
