@@ -4234,14 +4234,13 @@ def q_lang_id(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     """Winnowing fingerprint minimum per doc, as fixed-width hex (the
     global min of 5-gram hashes — SQL-reconstructible)."""
-    from llm_food_ray.functions.hashing import winnow_fingerprint
+    from llm_food_ray.functions.hashing import winnow_min_per_doc
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column("text").to_pylist()]
-        mins = [min(winnow_fingerprint(t, 5, 4), default=0) for t in texts]
+        mins = winnow_min_per_doc(batch.column("text"), 5, 4)
         return pa.Table.from_arrays(
             [batch.column("doc_id"),
-             pa.array([format(m, "08x") for m in mins], pa.string())],
+             pa.array([format(int(m), "08x") for m in mins], pa.string())],
             names=["doc_id", "fp8"],
         )
 

@@ -38,6 +38,133 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+def winnow_rows(texts, k: int = 5, window: int = 4):
+    """Vectorized :func:`winnow_fingerprint` over a whole Arrow string
+    column: → (int64 doc index per fingerprint, uint64 fingerprint),
+    each doc's set identical to ``winnow_fingerprint(t, k, window)``
+    (pytest-pinned element-for-element).
+
+    The per-occurrence work (whitespace split, k-token shingle strings,
+    sliding-window minima, per-doc dedup) runs in Arrow/numpy kernels;
+    the only Python loop is md5 over the batch's DISTINCT shingles
+    (boilerplate-heavy corpora repeat shingles — the reason winnowing
+    works at all)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(
+        pc.fill_null(texts.cast(pa.string()), ""))
+    raw_lens = (pc.list_value_length(lists)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(lists)
+    nonempty = pc.not_equal(flat, "")
+    cum0 = np.r_[0, np.cumsum(
+        nonempty.to_numpy(zero_copy_only=False).astype(np.int64))]
+    ends0 = np.cumsum(raw_lens)
+    lens = cum0[ends0] - cum0[ends0 - raw_lens]   # tokens per doc
+    toks = flat.filter(nonempty)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tok = len(toks)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint64))
+    if n_tok == 0:
+        return empty
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts_doc = np.r_[0, np.cumsum(lens)[:-1]]
+
+    # shingle strings: k-shifted element-wise join for full windows;
+    # short docs (1 <= len < k) contribute ONE whole-doc shingle
+    sh_parts: list = []          # (doc ids, shingle Array) pieces
+    if n_tok >= k:
+        ok = doc_of[:n_tok - k + 1] == doc_of[k - 1:]
+        pos = np.flatnonzero(ok)
+    else:
+        pos = np.empty(0, np.int64)
+    if len(pos):
+        cols = [pc.take(toks, pa.array(pos + j)) for j in range(k)]
+        full = pc.binary_join_element_wise(*cols, " ")
+        sh_parts.append((doc_of[pos], full))
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        off = np.empty(len(short) + 1, np.int64)
+        off[0] = 0
+        np.cumsum(lens[short], out=off[1:])
+        vals = pc.take(toks, pa.array(
+            np.concatenate([np.arange(starts_doc[d], starts_doc[d]
+                                      + lens[d]) for d in short])))
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                      vals.combine_chunks()
+                                      if isinstance(vals, pa.ChunkedArray)
+                                      else vals)
+        sh_parts.append((short.astype(np.int64), pc.binary_join(la, " ")))
+    if not sh_parts:
+        return empty
+    sh_doc = np.concatenate([p[0] for p in sh_parts])
+    sh_arr = pa.concat_arrays(
+        [(p[1].combine_chunks() if isinstance(p[1], pa.ChunkedArray)
+          else p[1]).cast(pa.string()) for p in sh_parts])
+    # md5 once per DISTINCT shingle
+    enc = sh_arr.dictionary_encode()
+    hd = np.fromiter((stable_hash64(s) for s in
+                      enc.dictionary.to_pylist()),
+                     np.uint64, len(enc.dictionary)) & np.uint64(_MAX_HASH)
+    h = hd[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+
+    # order within doc = window start order (full windows are emitted
+    # in ascending pos; short-doc singletons are order-free)
+    order = np.argsort(sh_doc, kind="stable")
+    sh_doc = sh_doc[order]
+    h = h[order]
+    ns = np.bincount(sh_doc, minlength=len(lens))      # shingles per doc
+    d_start = np.r_[0, np.cumsum(ns)[:-1]]
+
+    picked_doc: list = []
+    picked_fp: list = []
+    # docs with ns <= window pick their single global min; reduceat
+    # segments must cover EVERY non-empty doc so each min stays inside
+    # its own doc, then the small ones are selected
+    present = np.flatnonzero(ns > 0)
+    if len(present):
+        mins_all = np.minimum.reduceat(h, d_start[present])
+        sel = ns[present] <= window
+        if sel.any():
+            picked_doc.append(present[sel].astype(np.int64))
+            picked_fp.append(mins_all[sel])
+    # docs with ns > window: sliding-window minima over the flat array,
+    # valid where the window stays inside one doc
+    if len(h) >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        valid = sh_doc[:len(h) - window + 1] == sh_doc[window - 1:]
+        vpos = np.flatnonzero(valid)
+        if len(vpos):
+            picked_doc.append(sh_doc[vpos])
+            picked_fp.append(sw[vpos].min(axis=1))
+    if not picked_doc:
+        return empty
+    pd_ = np.concatenate(picked_doc)
+    pf = np.concatenate(picked_fp)
+    # per-doc dedup (winnowing returns the SET)
+    o2 = np.lexsort((pf, pd_))
+    pd_, pf = pd_[o2], pf[o2]
+    keep = np.r_[True, (pd_[1:] != pd_[:-1]) | (pf[1:] != pf[:-1])]
+    return pd_[keep], pf[keep]
+
+
+def winnow_min_per_doc(texts, k: int = 5, window: int = 4) -> np.ndarray:
+    """Per-doc MIN winnowing fingerprint (0 for empty docs) — the
+    cheap whole-document fingerprint column, vectorized via
+    :func:`winnow_rows`."""
+    di, fp = winnow_rows(texts, k=k, window=window)
+    n = len(texts)
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.full(n, sentinel, np.uint64)
+    np.minimum.at(out, di, fp)
+    out[out == sentinel] = 0
+    return out
+
+
 _FNV_PRIME = np.uint64(1099511628211)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 

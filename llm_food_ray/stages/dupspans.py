@@ -709,17 +709,19 @@ def plagiarism_pairs(ds, key_column: str = "doc_id",
 
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import winnow_fingerprint
+    from ..functions.hashing import winnow_rows
 
     def fp_rows(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_pylist()
-        out_k, out_f = [], []
-        for key, t in zip(keys, batch.column(text_column).to_pylist()):
-            fps = winnow_fingerprint(t or "", k=k, window=window)
-            out_k.extend([key] * len(fps))
-            out_f.extend(fps)
-        return pa.table({key_column: pa.array(out_k),
-                         "fp": pa.array(out_f, pa.int64())})
+        # vectorized winnowing (functions/hashing.winnow_rows): Arrow
+        # split + shingle join + sliding-window minima; md5 only per
+        # distinct batch shingle
+        di, fp = winnow_rows(batch.column(text_column),
+                             k=k, window=window)
+        kcol = batch.column(key_column)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table({key_column: kcol.take(pa.array(di)),
+                         "fp": pa.array(fp.astype(np.int64), pa.int64())})
 
     rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
 
@@ -805,7 +807,7 @@ def containment_pairs(ds, key_column: str = "doc_id",
 
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import winnow_fingerprint
+    from ..functions.hashing import winnow_rows
     from .joins import _join_partitions, _nonempty_blocks, safe_join
 
     pairs = plagiarism_pairs(ds, key_column, text_column, k=k,
@@ -821,11 +823,12 @@ def containment_pairs(ds, key_column: str = "doc_id",
         return rd.from_arrow(empty)
 
     def fp_counts(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_column).to_pylist()
-        ns = [len(winnow_fingerprint(t or "", k=k, window=window))
-              for t in batch.column(text_column).to_pylist()]
-        return pa.table({key_column: pa.array(keys),
-                         "n_fp": pa.array(ns, pa.int64())})
+        di, _fp = winnow_rows(batch.column(text_column),
+                              k=k, window=window)
+        ns = np.bincount(di, minlength=batch.num_rows)
+        return pa.table({key_column: batch.column(key_column),
+                         "n_fp": pa.array(ns.astype(np.int64),
+                                          pa.int64())})
 
     counts = ds.map_batches(fp_counts, batch_format="pyarrow") \
                .materialize()

@@ -59,9 +59,11 @@ class TextStatsStage:
             cols["simhash"] = pa.array(
                 [simhash64(t) for t in texts], pa.uint64()
             )
+            from ..functions.hashing import winnow_min_per_doc
+
             cols["fingerprint_min"] = pa.array(
-                [min(winnow_fingerprint(t), default=0) for t in texts], pa.uint64()
-            )
+                winnow_min_per_doc(pa.array(texts, pa.string())),
+                pa.uint64())
         out = batch
         for name, arr in cols.items():
             out = out.append_column(name, arr)

@@ -1313,3 +1313,29 @@ def test_fertility_by_group_counts(ray_session):
     assert out.loc["en", "fertility"] == 10 / 6
     assert out.loc["en", "n_docs"] == 2
     assert np.isnan(out.loc["empty", "fertility"])
+
+
+def test_winnow_rows_matches_scalar():
+    """Vectorized winnow_rows == winnow_fingerprint per doc, across
+    parameter combos, short/empty docs and repeated shingles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from llm_food_ray.functions.hashing import (winnow_fingerprint,
+                                                winnow_min_per_doc,
+                                                winnow_rows)
+
+    texts = ["", "   ", "one", "one two", "a b c d e f g h",
+             "x " * 30, "the quick brown fox jumps over the lazy dog",
+             "dup dup dup dup dup dup dup"]
+    for k, w in ((5, 4), (3, 2), (2, 5)):
+        di, fp = winnow_rows(pa.array(texts), k=k, window=w)
+        got: dict = {}
+        for d, f in zip(di.tolist(), fp.tolist()):
+            got.setdefault(d, []).append(f)
+        for i, t in enumerate(texts):
+            assert sorted(got.get(i, [])) == winnow_fingerprint(
+                t, k=k, window=w), (k, w, i, t)
+    mins = winnow_min_per_doc(pa.array(texts))
+    exp = [min(winnow_fingerprint(t), default=0) for t in texts]
+    assert mins.tolist() == exp
