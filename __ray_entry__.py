@@ -1106,6 +1106,28 @@ def q_rank_test(sf_dir: str):
                          side_a="even", side_b="odd")
 
 
+def q_welch_test(sf_dir: str):
+    """Per-language Welch two-sample t between the even- and odd-id
+    halves on n_chars — the mean-shift member of the shift-test family
+    (rank_test = ranks, ks_test = shape, prop_test = rates), folded
+    from six exact int64 moments per group."""
+    from llm_food_ray.stages.textstats import welch_t_test
+
+    def with_side(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        side = np.where(d % 2 == 0, "even", "odd")
+        return pa.table({"lang": b.column("lang"),
+                         "side": pa.array(side.tolist(), pa.string()),
+                         "n_chars": b.column("n_chars")})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        with_side, batch_format="pyarrow")
+    return welch_t_test(ds, "lang", "side", "n_chars",
+                        side_a="even", side_b="odd")
+
+
 def q_media_dedup(sf_dir: str):
     """Multimodal exact dedup over the REAL (non-stubbed) media
     profile: payload → integer (length, 16 nibble counts) profile —
@@ -4692,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsor_len": q_winsor_len,
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
+        "welch_test": q_welch_test,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -6601,6 +6624,51 @@ WITH s AS MATERIALIZED (
 SELECT lang, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
        (sum(ca * 2 * below + ca * cb) / 2.0) AS u
 FROM w GROUP BY lang
+""",
+        # six exact int64 moments per lang; t/df are the IDENTICAL
+        # float expression tree as the engine finish (every cast and
+        # op mirrored), snapped with the same floor(x*1e6+0.5) —
+        # round-half-UP for negative t by design, never round()
+        "welch_test": """
+WITH base AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END::BIGINT AS ia,
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END::BIGINT AS ib,
+         n_chars::BIGINT AS v
+  FROM documents
+), m AS (
+  SELECT lang,
+         sum(ia)::BIGINT AS na, sum(ia * v)::BIGINT AS sa,
+         sum(ia * v * v)::BIGINT AS ssa,
+         sum(ib)::BIGINT AS nb, sum(ib * v)::BIGINT AS sb,
+         sum(ib * v * v)::BIGINT AS ssb
+  FROM base GROUP BY lang
+), f AS (
+  SELECT lang, na, nb,
+         (na::DOUBLE * ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+           / (na::DOUBLE * (na::DOUBLE - 1.0)) AS va,
+         (nb::DOUBLE * ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+           / (nb::DOUBLE * (nb::DOUBLE - 1.0)) AS vb,
+         sa::DOUBLE / na::DOUBLE AS ma,
+         sb::DOUBLE / nb::DOUBLE AS mb
+  FROM m
+), g AS (
+  SELECT lang, na, nb, ma, mb,
+         va / na::DOUBLE AS sea, vb / nb::DOUBLE AS seb
+  FROM f
+)
+SELECT lang, na AS n_a, nb AS n_b,
+  CASE WHEN na > 1 AND nb > 1 AND (sea + seb) > 0
+       THEN floor((ma - mb) / sqrt(sea + seb) * 1000000.0 + 0.5)
+            / 1000000.0
+       ELSE NULL END AS t,
+  CASE WHEN na > 1 AND nb > 1 AND (sea + seb) > 0
+       THEN floor(((sea + seb) * (sea + seb))
+                  / (sea * sea / (na::DOUBLE - 1.0)
+                     + seb * seb / (nb::DOUBLE - 1.0))
+                  * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS df
+FROM g
 """,
         # integer (length, nibble-count) profile string; ASCII corpus
         # so char position == byte position, utf-8 length == length

@@ -4011,6 +4011,94 @@ def two_prop_test(ds, group_column: str, side_column: str,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def welch_t_test(ds, group_column: str, side_column: str,
+                 value_column: str, *, side_a, side_b,
+                 digits: int = 6):
+    """Per-group Welch two-sample t-test between two labeled samples on
+    an INTEGER value column — "did mean document length move between
+    crawl snapshots, without assuming equal variances":
+
+        t  = (Σa/n_a − Σb/n_b) / sqrt(v_a/n_a + v_b/n_b)
+        v  = (n·Σv² − (Σv)²) / (n·(n−1))           per side
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    (Welch–Satterthwaite df).  The six moments (n, Σv, Σv² per side)
+    are exact int64 streaming sums — one per-batch partial → one
+    groups-sized merge, the mean-sensitive member of the shift-test
+    family (``two_prop_test`` = rates, ``mannwhitney_u`` = ranks,
+    ``ks_test`` = whole shape).  t and df are the same float expression
+    tree of the same integers on both engines (each intermediate is one
+    IEEE op on exactly-representable int64s), snapped to ``digits`` via
+    ``floor(x·10^digits + 0.5)`` — round-half-UP like ``two_prop_test``,
+    and the SQL twin MUST use the identical floor expression (never
+    ``round()``).  NULL when either side has n < 2 or the pooled
+    standard error is 0.  → (group, n_a, n_b, t, df).
+
+    Scale shape: groups-sized exchange only; caller owns overflow
+    headroom (|v| ≤ ~3e4 is safe at 1e9 rows per group)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        side = b.column(side_column)
+        ina = pc.cast(pc.equal(side, side_a), pa.int64())
+        inb = pc.cast(pc.equal(side, side_b), pa.int64())
+        v = pc.cast(pc.fill_null(b.column(value_column), 0), pa.int64())
+        vv = pc.multiply(v, v)
+        t = pa.table({group_column: b.column(group_column),
+                      "n_a": ina, "s_a": pc.multiply(ina, v),
+                      "ss_a": pc.multiply(ina, vv),
+                      "n_b": inb, "s_b": pc.multiply(inb, v),
+                      "ss_b": pc.multiply(inb, vv)})
+        g = t.group_by([group_column]).aggregate(
+            [("n_a", "sum"), ("s_a", "sum"), ("ss_a", "sum"),
+             ("n_b", "sum"), ("s_b", "sum"), ("ss_b", "sum")])
+        return g.rename_columns([group_column, "n_a", "s_a", "ss_a",
+                                 "n_b", "s_b", "ss_b"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("n_a", alias_name="n_a"),
+                           Sum("s_a", alias_name="s_a"),
+                           Sum("ss_a", alias_name="ss_a"),
+                           Sum("n_b", alias_name="n_b"),
+                           Sum("s_b", alias_name="s_b"),
+                           Sum("ss_b", alias_name="ss_b")))
+
+    scale = 10 ** digits
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c).to_numpy(zero_copy_only=False).astype(
+            np.float64) for c in ("n_a", "s_a", "ss_a",
+                                  "n_b", "s_b", "ss_b")}
+        na, sa, ssa = cols["n_a"], cols["s_a"], cols["ss_a"]
+        nb, sb, ssb = cols["n_b"], cols["s_b"], cols["ss_b"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            va = (na * ssa - sa * sa) / (na * (na - 1.0))
+            vb = (nb * ssb - sb * sb) / (nb * (nb - 1.0))
+            sea = va / na
+            seb = vb / nb
+            se2 = sea + seb
+            t = (sa / na - sb / nb) / np.sqrt(se2)
+            df = (se2 * se2) / (sea * sea / (na - 1.0)
+                                + seb * seb / (nb - 1.0))
+            t = np.floor(t * scale + 0.5) / scale
+            df = np.floor(df * scale + 0.5) / scale
+        ok = (na > 1) & (nb > 1) & (se2 > 0)
+        return pa.table({
+            group_column: b.column(group_column),
+            "n_a": b.column("n_a"), "n_b": b.column("n_b"),
+            "t": pa.array(np.where(ok, t, np.nan), pa.float64(),
+                          mask=~ok),
+            "df": pa.array(np.where(ok, df, np.nan), pa.float64(),
+                           mask=~ok)})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def vocab_overlap(ds, group_column: str, text_column: str = "text", *,
                   max_groups: int = 62):
     """Pairwise vocabulary Jaccard between groups (sources/hosts) —

@@ -1160,6 +1160,39 @@ def test_two_prop_test_matches_formula(ray_session):
     assert np.isnan(out.loc["flat", "z"])
 
 
+def test_welch_t_test_matches_scipy_formula(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import welch_t_test
+
+    a = [10, 12, 14, 9, 11, 13, 15, 10]
+    b = [20, 25, 22, 30, 18]
+    rows = ([{"g": "x", "s": "a", "v": v} for v in a]
+            + [{"g": "x", "s": "b", "v": v} for v in b]
+            # n_b = 1 -> NULL (variance undefined)
+            + [{"g": "solo", "s": "a", "v": 5},
+               {"g": "solo", "s": "a", "v": 7},
+               {"g": "solo", "s": "b", "v": 6}]
+            # zero variance on BOTH sides -> se2 = 0 -> NULL
+            + [{"g": "flat", "s": "a", "v": 3}] * 4
+            + [{"g": "flat", "s": "b", "v": 3}] * 4)
+    out = (welch_t_test(dataset_from_items(rows), "g", "s", "v",
+                        side_a="a", side_b="b")
+           .to_pandas().set_index("g"))
+    na, nb = len(a), len(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    sea, seb = va / na, vb / nb
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (sea ** 2 / (na - 1) + seb ** 2 / (nb - 1))
+    assert out.loc["x", "t"] == np.floor(t * 1e6 + 0.5) / 1e6
+    assert abs(out.loc["x", "df"] - df) < 1e-5
+    assert out.loc["x", "n_a"] == na and out.loc["x", "n_b"] == nb
+    assert np.isnan(out.loc["solo", "t"])
+    assert np.isnan(out.loc["flat", "t"])
+
+
 def test_gopher_flags_rules(ray_session):
     from helpers import dataset_from_items
 
