@@ -1128,6 +1128,16 @@ def q_welch_test(sf_dir: str):
                         side_a="even", side_b="odd")
 
 
+def q_zipf_slope(sf_dir: str):
+    """Per-language Zipf exponent over the top-100 terms — the
+    rank-frequency fingerprint (ln-count on ln-rank OLS on a snapped
+    1e-5 log grid, exact integer moments)."""
+    from llm_food_ray.stages.textstats import zipf_slope
+
+    return zipf_slope(_docs(sf_dir, ["lang", "text"]), "lang", "text",
+                      k=100)
+
+
 def q_media_dedup(sf_dir: str):
     """Multimodal exact dedup over the REAL (non-stubbed) media
     profile: payload → integer (length, 16 nibble counts) profile —
@@ -4715,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
+        "zipf_slope": q_zipf_slope,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -6669,6 +6680,45 @@ SELECT lang, na AS n_a, nb AS n_b,
                   * 1000000.0 + 0.5) / 1000000.0
        ELSE NULL END AS df
 FROM g
+""",
+        # both logs snapped to the 1e-5 grid as int64 FIRST (libm ln is
+        # bit-identical on exact integer inputs across engines), then
+        # exact integer moments -> one closed-form float finish
+        "zipf_slope": r"""
+WITH w AS MATERIALIZED (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, term, count(*)::BIGINT AS n FROM w GROUP BY lang, term
+), r AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term ASC) AS rnk
+  FROM c QUALIFY rnk <= 100
+), p AS (
+  SELECT lang,
+         floor(ln(rnk::DOUBLE) * 100000.0 + 0.5)::BIGINT AS x,
+         floor(ln(n::DOUBLE) * 100000.0 + 0.5)::BIGINT AS y
+  FROM r
+), m AS (
+  SELECT lang, count(*)::BIGINT AS np, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(x * y)::BIGINT AS sxy
+  FROM p GROUP BY lang
+)
+SELECT lang, np AS n_terms,
+  CASE WHEN (np * sxx - sx * sx) > 0
+       THEN round((np * sxy - sx * sy)::DOUBLE
+                  / (np * sxx - sx * sx)::DOUBLE, 6)
+       ELSE NULL END AS slope,
+  CASE WHEN (np * sxx - sx * sx) > 0
+       THEN round((sy - ((np * sxy - sx * sy)::DOUBLE
+                         / (np * sxx - sx * sx)::DOUBLE) * sx)
+                  / np / 100000.0, 6)
+       ELSE NULL END AS intercept
+FROM m
 """,
         # integer (length, nibble-count) profile string; ASCII corpus
         # so char position == byte position, utf-8 length == length

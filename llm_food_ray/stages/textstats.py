@@ -2805,6 +2805,107 @@ def vocab_growth(ds, text_column: str = "text",
                                          "n_tokens"]),
                      batch_format="pyarrow"))
 
+def zipf_slope(ds, group_column: str, text_column: str = "text", *,
+               k: int = 100, log_digits: int = 5, digits: int = 6):
+    """Per-group Zipf exponent: the OLS slope (and intercept) of
+    ``ln(count)`` on ``ln(rank)`` over the group's top-``k`` terms —
+    the corpus-health fingerprint a curation pipeline tracks per
+    language/source (natural text ≈ −1; template farms and boilerplate
+    mirrors flatten it, OCR noise steepens it).
+
+    Determinism contract: both logs are snapped to a fixed-point
+    ``10^-log_digits`` grid FIRST (``floor(ln(v)·10^log_digits + 0.5)``
+    as int64 — ``ln`` is libm on both engines, bit-identical for exact
+    integer inputs), and the regression runs on exact integer moments
+    of the snapped grid values, so the only float ops are the closed-
+    form divisions at the end — no summation-order ulps.  The 1e-5 log
+    quantization IS the operator's defined semantics; its effect on the
+    slope is ~1e-5, far inside the round-to-``digits`` output grid.
+
+    Scale shape: vectorized per-batch (group, term) count partials →
+    ONE vocab×groups ``groupby.sum`` → :func:`top_k_per_group` (block-
+    local prune + one coarse bucket exchange) → groups×k moment rows →
+    a groups-sized closed-form finish.  int64 headroom: with
+    ``log_digits=5`` and ``k ≤ 1000``, |snapped log| ≤ ~4.4e6 even at
+    2^63 term counts, so n·Σxy ≤ ~2e18 — safe at any corpus size.
+    → (group, n_terms, slope, intercept)."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        words, doc_of, _ = flat_split_words(batch.column(text_column))
+        if len(words) == 0:
+            return pa.table({group_column: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = batch.column(group_column)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        t = pa.table({group_column: g.take(pa.array(doc_of)),
+                      "term": words})
+        out = (t.group_by([group_column, "term"])
+                .aggregate([("term", "count")]))
+        return out.rename_columns([group_column, "term", "n"])
+
+    merged = (ds.map_batches(count_partial, batch_format="pyarrow")
+                .groupby([group_column, "term"])
+                .aggregate(Sum("n", alias_name="n")))
+    top = top_k_per_group(merged, group_column, "n", "term", k=k)
+
+    lscale = 10 ** log_digits
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        ranks = b.column("rank").to_pylist()
+        cnts = b.column("n").to_pylist()
+        x = np.array([math.floor(math.log(r) * lscale + 0.5)
+                      for r in ranks], np.int64)
+        y = np.array([math.floor(math.log(c) * lscale + 0.5)
+                      for c in cnts], np.int64)
+        t = pa.table({group_column: b.column(group_column),
+                      "np": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "sxy": pa.array(x * y)})
+        g = t.group_by([group_column]).aggregate(
+            [("np", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns([group_column, "np", "sx", "sy",
+                                 "sxx", "sxy"])
+
+    moments = (top.map_batches(moment_partial, batch_format="pyarrow")
+                  .groupby(group_column)
+                  .aggregate(Sum("np", alias_name="np"),
+                             Sum("sx", alias_name="sx"),
+                             Sum("sy", alias_name="sy"),
+                             Sum("sxx", alias_name="sxx"),
+                             Sum("sxy", alias_name="sxy")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("np").to_numpy(zero_copy_only=False)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        ok = vx > 0
+        slope = np.divide(num, vx, out=np.full(len(n), np.nan),
+                          where=ok)
+        inter = np.divide(sy - slope * sx, n,
+                          out=np.full(len(n), np.nan), where=ok)
+        sl = [round(float(v), digits) if m else None
+              for v, m in zip(slope, ok)]
+        ic = [round(float(v / lscale), digits) if m else None
+              for v, m in zip(inter, ok)]
+        return pa.table({group_column: b.column(group_column),
+                         "n_terms": b.column("np"),
+                         "slope": pa.array(sl, pa.float64()),
+                         "intercept": pa.array(ic, pa.float64())})
+
+    return moments.map_batches(finish, batch_format="pyarrow")
+
+
 def source_diversity(ds, group_column: str, cat_column: str, *,
                      digits: int = 6):
     """Per-group categorical diversity: ``(group, n_docs, n_cats,

@@ -1193,6 +1193,36 @@ def test_welch_t_test_matches_scipy_formula(ray_session):
     assert np.isnan(out.loc["flat", "t"])
 
 
+def test_zipf_slope_matches_snapped_log_regression(ray_session):
+    import math
+
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import zipf_slope
+
+    # counts 8/4/2/1 for terms a/b/c/d -> ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    rows = [{"g": "x", "text": text},
+            # single-term group -> zero x variance -> NULL slope
+            {"g": "solo", "text": "only only only"}]
+    out = (zipf_slope(dataset_from_items(rows), "g", "text", k=100)
+           .to_pandas().set_index("g"))
+    snap = lambda v: math.floor(math.log(v) * 1e5 + 0.5)
+    x = np.array([snap(r) for r in (1, 2, 3, 4)], np.int64)
+    y = np.array([snap(c) for c in (8, 4, 2, 1)], np.int64)
+    n = 4
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / float(
+        n * (x * x).sum() - x.sum() ** 2)
+    inter = (y.sum() - slope * x.sum()) / n / 1e5
+    assert out.loc["x", "n_terms"] == 4
+    assert out.loc["x", "slope"] == round(slope, 6)
+    assert out.loc["x", "intercept"] == round(inter, 6)
+    assert out.loc["solo", "n_terms"] == 1
+    assert np.isnan(out.loc["solo", "slope"])
+
+
 def test_gopher_flags_rules(ray_session):
     from helpers import dataset_from_items
 
