@@ -1128,6 +1128,27 @@ def q_welch_test(sf_dir: str):
                         side_a="even", side_b="odd")
 
 
+def q_vocab_js(sf_dir: str):
+    """Jensen–Shannon vocabulary divergence between the even- and
+    odd-id document halves over 64 md5 term buckets — the bounded,
+    symmetric sibling of `term_drift` (PSI), emitted per bucket."""
+    from llm_food_ray.stages.textstats import term_js
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def half(parity):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1),
+                            parity)
+            return b.filter(keep).select(["text"])
+        return f
+
+    ref = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    return term_js(new, ref, "text", n_buckets=64)
+
+
 def q_zipf_slope(sf_dir: str):
     """Per-language Zipf exponent over the top-100 terms — the
     rank-frequency fingerprint (ln-count on ln-rank OLS on a snapped
@@ -4725,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
+        "vocab_js": q_vocab_js,
         "zipf_slope": q_zipf_slope,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
@@ -6680,6 +6702,52 @@ SELECT lang, na AS n_a, nb AS n_b,
                   * 1000000.0 + 0.5) / 1000000.0
        ELSE NULL END AS df
 FROM g
+""",
+        # same md5 bucketing as term_drift; JS term = the IDENTICAL
+        # float expression tree as the engine (libm log2 bit-identical
+        # on identical double inputs), one-sided buckets get the exact
+        # 0.5·p closed form, floor-snapped (js_term >= 0)
+        "vocab_js": r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+), bk AS MATERIALIZED (
+  SELECT doc_id,
+         (('0x' || substr(md5(w), 1, 16))::UBIGINT % 64)::BIGINT
+           AS bucket
+  FROM toks
+), cr AS MATERIALIZED (
+  SELECT bucket, count(*)::BIGINT AS nr FROM bk
+  WHERE doc_id % 2 = 0 GROUP BY bucket
+), cn AS MATERIALIZED (
+  SELECT bucket, count(*)::BIGINT AS nn FROM bk
+  WHERE doc_id % 2 = 1 GROUP BY bucket
+), tot AS (
+  SELECT (SELECT sum(nr) FROM cr)::BIGINT AS tr,
+         (SELECT sum(nn) FROM cn)::BIGINT AS tn
+), j AS (
+  SELECT COALESCE(cr.bucket, cn.bucket) AS bucket,
+         COALESCE(cr.nr, 0)::BIGINT AS nr,
+         COALESCE(cn.nn, 0)::BIGINT AS nn,
+         tot.tr AS tr, tot.tn AS tn
+  FROM cr FULL OUTER JOIN cn ON cn.bucket = cr.bucket
+  CROSS JOIN tot
+), probs AS (
+  SELECT bucket, nr, nn,
+         nn::DOUBLE / tn AS p, nr::DOUBLE / tr AS q
+  FROM j
+)
+SELECT bucket, nr AS n_ref, nn AS n_new,
+  CASE WHEN nn > 0 AND nr > 0
+       THEN floor((0.5 * (p * log2(p / ((p + q) / 2.0)))
+                   + 0.5 * (q * log2(q / ((p + q) / 2.0))))
+                  * 1000000.0 + 0.5) / 1000000.0
+       WHEN nn > 0 THEN floor(0.5 * p * 1000000.0 + 0.5) / 1000000.0
+       ELSE floor(0.5 * q * 1000000.0 + 0.5) / 1000000.0
+  END AS js_term
+FROM probs
 """,
         # both logs snapped to the 1e-5 grid as int64 FIRST (libm ln is
         # bit-identical on exact integer inputs across engines), then

@@ -2570,6 +2570,95 @@ def drift_psi(new_ds, ref_ds, value_column: str, *,
         "psi_term": pa.array(terms, pa.float64()),
     }))
 
+def _term_bucket_counts(ds, text_column: str, n_buckets: int) -> dict:
+    """Shared bucket-count scan for the categorical-drift family
+    (:func:`term_psi`, :func:`term_js`): vectorized tokenize
+    (:func:`flat_split_words`) → ``stable_hash64(word) % n_buckets``
+    once per DISTINCT batch word (dictionary encode + bincount, never
+    per token) → ≤ n_buckets-row partials → one buckets-sized
+    ``groupby.sum``.  Term strings never ride an exchange."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        words, _doc_of, _ = flat_split_words(b.column(text_column))
+        if len(words) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        enc = words.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(inv, minlength=len(enc.dictionary))
+        bk = np.fromiter((stable_hash64(w) % n_buckets
+                          for w in enc.dictionary.to_pylist()),
+                         np.int64, count=len(enc.dictionary))
+        acc = np.zeros(n_buckets, np.int64)
+        np.add.at(acc, bk, cnt.astype(np.int64))
+        nz = np.flatnonzero(acc)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(acc[nz])})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("n", alias_name="n"))).take_all()
+    return {r["bucket"]: r["n"] for r in rows}
+
+
+def term_js(new_ds, ref_ds, text_column: str = "text", *,
+            n_buckets: int = 64, digits: int = 6):
+    """Jensen–Shannon vocabulary divergence between a REFERENCE corpus
+    and a NEW corpus over md5 term buckets — the bounded, symmetric
+    sibling of :func:`term_psi` (JS ∈ [0, 1] bit even when a bucket is
+    empty on one side, where PSI's ln-ratio blows up to NULL):
+
+        m       = (p_new + p_ref) / 2                     per bucket
+        js_term = ½·p_new·log2(p_new/m) + ½·p_ref·log2(p_ref/m)
+
+    with the standard zero conventions (one-sided bucket → ½·p of the
+    populated side; 0·log0 = 0).  Emitted PER BUCKET (the decomposition
+    rule — no cross-bucket float sum; Σ js_term = the JS divergence in
+    bits).  Token counts are exact ints; each term is the same float
+    expression of the same integers on both engines (libm log2 is
+    bit-identical for identical double inputs), snapped via
+    ``floor(x·10^digits + 0.5)`` — js_term ≥ 0, so the floor snap is
+    also half-away.  → (bucket, n_ref, n_new, js_term).
+
+    Scale shape: two :func:`_term_bucket_counts` scans — vectorized
+    per-batch distinct-word bucket partials, buckets-sized exchanges,
+    a ≤ n_buckets-row driver finish."""
+    import math
+
+    cr = _term_bucket_counts(ref_ds, text_column, n_buckets)
+    cn = _term_bucket_counts(new_ds, text_column, n_buckets)
+    t_ref = sum(cr.values())
+    t_new = sum(cn.values())
+    scale = 10 ** digits
+    buckets = sorted(set(cr) | set(cn))
+    terms = []
+    for bk in buckets:
+        nr, nn = cr.get(bk, 0), cn.get(bk, 0)
+        if nn > 0 and nr > 0:
+            p, q = nn / t_new, nr / t_ref
+            m = (p + q) / 2.0
+            v = 0.5 * (p * math.log2(p / m)) + 0.5 * (q * math.log2(q / m))
+        elif nn > 0:
+            v = 0.5 * (nn / t_new)
+        else:
+            v = 0.5 * (nr / t_ref)
+        terms.append(math.floor(v * scale + 0.5) / scale)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.int64()),
+        "n_ref": pa.array([cr.get(b, 0) for b in buckets], pa.int64()),
+        "n_new": pa.array([cn.get(b, 0) for b in buckets], pa.int64()),
+        "js_term": pa.array(terms, pa.float64()),
+    }))
+
+
 def term_psi(new_ds, ref_ds, text_column: str = "text", *,
              n_buckets: int = 64, digits: int = 6):
     """Vocabulary-drift PSI between a REFERENCE corpus and a NEW corpus
@@ -2586,42 +2675,16 @@ def term_psi(new_ds, ref_ds, text_column: str = "text", *,
     to ``digits``; buckets empty on either side → NULL.
 
     Bucket function: ``stable_hash64(word) % n_buckets`` (md5 prefix —
-    the one hash both engines share).  The md5 runs once per DISTINCT
-    word PER BATCH (np.unique first), not per token, and only
-    buckets-sized (≤ n_buckets-row) partials leave the workers — the
-    term strings never ride an exchange.  → (bucket, n_ref, n_new,
-    psi_term)."""
+    the one hash both engines share).  The shared
+    :func:`_term_bucket_counts` scan hashes once per DISTINCT word PER
+    BATCH (dictionary encode + bincount, fully vectorized tokenize),
+    and only buckets-sized (≤ n_buckets-row) partials leave the
+    workers — the term strings never ride an exchange.  → (bucket,
+    n_ref, n_new, psi_term)."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
-
-    from ..functions.hashing import stable_hash64
-    from ..functions.repetition import split_words
-
-    def bucket_counts(ds):
-        def partial(b: pa.Table) -> pa.Table:
-            words = [w for t in b.column(text_column).to_pylist()
-                     for w in split_words(t or "")]
-            if not words:
-                return pa.table({"bucket": pa.array([], pa.int64()),
-                                 "n": pa.array([], pa.int64())})
-            uniq, cnt = np.unique(np.asarray(words, object),
-                                  return_counts=True)
-            bk = np.fromiter((stable_hash64(w) % n_buckets
-                              for w in uniq), np.int64, count=len(uniq))
-            acc = np.zeros(n_buckets, np.int64)
-            np.add.at(acc, bk, cnt.astype(np.int64))
-            nz = np.flatnonzero(acc)
-            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
-                             "n": pa.array(acc[nz])})
-
-        rows = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .aggregate(Sum("n", alias_name="n"))).take_all()
-        return {r["bucket"]: r["n"] for r in rows}
-
-    cr = bucket_counts(ref_ds)
-    cn = bucket_counts(new_ds)
+    cr = _term_bucket_counts(ref_ds, text_column, n_buckets)
+    cn = _term_bucket_counts(new_ds, text_column, n_buckets)
     t_ref = sum(cr.values())
     t_new = sum(cn.values())
     scale = 10 ** digits

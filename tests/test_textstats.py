@@ -1193,6 +1193,54 @@ def test_welch_t_test_matches_scipy_formula(ray_session):
     assert np.isnan(out.loc["flat", "t"])
 
 
+def test_term_js_identical_corpora_zero_and_bounded(ray_session):
+    import numpy as np
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import term_js
+
+    rows = [{"text": "alpha beta gamma delta"},
+            {"text": "alpha alpha beta"}]
+    same = (term_js(dataset_from_items(rows), dataset_from_items(rows))
+            .to_pandas())
+    # identical distributions -> every bucket term is exactly 0
+    assert (same["js_term"] == 0).all()
+
+    # hand-recomputed expectation from the same bucket hash
+    import math
+
+    from llm_food_ray.functions.hashing import stable_hash64
+
+    a_words = ["aaa", "bbb", "ccc", "ddd"]
+    b_words = ["eee", "fff", "ggg", "hhh"]
+    a = [{"text": " ".join(a_words)}]
+    b = [{"text": " ".join(b_words)}]
+    out = (term_js(dataset_from_items(a), dataset_from_items(b))
+           .to_pandas().set_index("bucket"))
+    cn: dict = {}
+    cr: dict = {}
+    for w in a_words:
+        cn[stable_hash64(w) % 64] = cn.get(stable_hash64(w) % 64, 0) + 1
+    for w in b_words:
+        cr[stable_hash64(w) % 64] = cr.get(stable_hash64(w) % 64, 0) + 1
+    for bk in sorted(set(cn) | set(cr)):
+        nn, nr = cn.get(bk, 0), cr.get(bk, 0)
+        if nn > 0 and nr > 0:
+            p, q = nn / 4, nr / 4
+            m = (p + q) / 2.0
+            v = (0.5 * (p * math.log2(p / m))
+                 + 0.5 * (q * math.log2(q / m)))
+        elif nn > 0:
+            v = 0.5 * (nn / 4)
+        else:
+            v = 0.5 * (nr / 4)
+        want = math.floor(v * 1e6 + 0.5) / 1e6
+        assert out.loc[bk, "js_term"] == want
+    assert (out["js_term"] >= 0).all()
+    assert out["js_term"].sum() <= 1.0 + 1e-9
+
+
 def test_zipf_slope_matches_snapped_log_regression(ray_session):
     import math
 
