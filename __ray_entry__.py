@@ -1128,6 +1128,16 @@ def q_welch_test(sf_dir: str):
                         side_a="even", side_b="odd")
 
 
+def q_chi2_terms(sf_dir: str):
+    """Per-source chi-square keywords (top-10) — the margin-normalized
+    sibling of distinctive_terms: exact int64 contingency margins, one
+    shared float expression, ranking on the rounded score."""
+    from llm_food_ray.stages.search import chi2_terms
+
+    return chi2_terms(_docs(sf_dir, ["source", "text"]), "source",
+                      "text", k=10)
+
+
 def q_vocab_js(sf_dir: str):
     """Jensen–Shannon vocabulary divergence between the even- and
     odd-id document halves over 64 md5 term buckets — the bounded,
@@ -4746,6 +4756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
+        "chi2_terms": q_chi2_terms,
         "vocab_js": q_vocab_js,
         "zipf_slope": q_zipf_slope,
         "kendall": q_kendall,
@@ -6702,6 +6713,51 @@ SELECT lang, na AS n_a, nb AS n_b,
                   * 1000000.0 + 0.5) / 1000000.0
        ELSE NULL END AS df
 FROM g
+""",
+        # exact int64 contingency margins; chi2 = the IDENTICAL float
+        # expression tree as the engine score map (every cast and op
+        # mirrored), ranking on the ROUNDED score like the engine
+        "chi2_terms": r"""
+WITH words AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(text, '[ \t\r\n\f]+'),
+           w -> w <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT source, term, count(*)::BIGINT AS n
+  FROM words GROUP BY source, term
+), twt AS (
+  SELECT term, sum(n)::BIGINT AS tw FROM cnt GROUP BY term
+), tgt AS (
+  SELECT source, sum(n)::BIGINT AS tg FROM cnt GROUP BY source
+), tot AS (
+  SELECT sum(n)::BIGINT AS nn FROM cnt
+), cells AS (
+  SELECT c.source, c.term, c.n AS a, twt.tw AS tw, tgt.tg AS tg,
+         tot.nn AS nn,
+         (twt.tw - c.n)::BIGINT AS b,
+         (tgt.tg - c.n)::BIGINT AS cc,
+         (tot.nn - twt.tw - tgt.tg + c.n)::BIGINT AS d
+  FROM cnt c JOIN twt USING (term) JOIN tgt USING (source)
+  CROSS JOIN tot
+), sc AS (
+  SELECT source, term,
+    CASE WHEN (tw::DOUBLE * (nn - tw)::DOUBLE
+               * tg::DOUBLE * (nn - tg)::DOUBLE) > 0
+         THEN round((nn::DOUBLE
+                     * (a::DOUBLE * d::DOUBLE - b::DOUBLE * cc::DOUBLE)
+                     * (a::DOUBLE * d::DOUBLE - b::DOUBLE * cc::DOUBLE))
+                    / (tw::DOUBLE * (nn - tw)::DOUBLE
+                       * tg::DOUBLE * (nn - tg)::DOUBLE), 6)
+         ELSE 0.0 END AS score
+  FROM cells
+)
+SELECT source, score, term, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT source, score, term,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc)
+WHERE rank <= 10
 """,
         # same md5 bucketing as term_drift; JS term = the IDENTICAL
         # float expression tree as the engine (libm log2 bit-identical

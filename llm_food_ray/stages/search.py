@@ -363,38 +363,17 @@ def tfidf_top_terms(ds, *, key_column: str = "doc_id",
     )
 
 
-def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
-                      k: int = 10, num_partitions: int | None = None):
-    """Per-group distinctive terms (c-TF-IDF, the corpus-report /
-    cluster-labeling signal): for group g and term w,
-    ``score = n_gw * ln(n_groups / df_w)`` where n_gw is w's token count
-    inside g and df_w the number of DISTINCT groups containing w —
-    large when a term is frequent in g and absent elsewhere, exactly 0
-    for corpus-universal terms.  → (group, score, term, rank), the k
-    highest-scoring terms per group, ties by ascending term; score
-    rounds to 6 decimals so the SQL oracle matches value-level.
-
-    Scale shape: per-batch (group, term) Counter partials — the same
-    vocabulary-sized pre-aggregation as :func:`textstats.top_ngrams`
-    (the exchange ships groups × vocab count rows, never token
-    occurrences) — ONE ``groupby.sum``, a term-keyed ``Count`` over the
-    merged rows for df (vocab-sized), one vocab-sized hash join to
-    attach df, a vectorized score map, and
-    :func:`textstats.top_k_per_group`'s coarse-bucketed winner resolve
-    (no per-group Python groups).  Nothing corpus-sized materializes;
-    for trillion-shingle vocabularies compose the candidate prune of
-    :func:`textstats.top_ngrams_sketch` in front.  No reference
-    analogue (brief-scope corpus analysis)."""
-    from ray.data.aggregate import Count, Sum
-
-    from .joins import _nonempty_blocks, safe_join
-    from .textstats import flat_split_words, top_k_per_group
+def _group_term_partial(group_column: str, text_column: str):
+    """Vectorized per-batch (group, term) token-count combiner shared
+    by the corpus-report family (:func:`distinctive_terms`,
+    :func:`chi2_terms`): RE2 split + dictionary encode + one
+    packed-int64 ``np.unique`` — no Python loop over token occurrences
+    (the round-4 Counter loop was 7x the cost of the equivalent
+    top_pmi_pairs combiner on the same corpus).  Returns the
+    ``map_batches`` callable emitting (group, term, n) partials."""
+    from .textstats import flat_split_words
 
     def partial(batch: pa.Table) -> pa.Table:
-        # vectorized (group, term) combiner: RE2 split + dictionary
-        # encode, one packed-int64 np.unique — no Python loop over
-        # token occurrences (the round-4 Counter loop was 7x the cost
-        # of the equivalent top_pmi_pairs combiner on the same corpus)
         import pyarrow.compute as pc
 
         ktype = batch.schema.field(group_column).type
@@ -426,7 +405,39 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
             "n": pa.array(ucnt.astype(np.int64), pa.int64()),
         })
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
+    return partial
+
+
+def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
+                      k: int = 10, num_partitions: int | None = None):
+    """Per-group distinctive terms (c-TF-IDF, the corpus-report /
+    cluster-labeling signal): for group g and term w,
+    ``score = n_gw * ln(n_groups / df_w)`` where n_gw is w's token count
+    inside g and df_w the number of DISTINCT groups containing w —
+    large when a term is frequent in g and absent elsewhere, exactly 0
+    for corpus-universal terms.  → (group, score, term, rank), the k
+    highest-scoring terms per group, ties by ascending term; score
+    rounds to 6 decimals so the SQL oracle matches value-level.
+
+    Scale shape: per-batch (group, term) Counter partials — the same
+    vocabulary-sized pre-aggregation as :func:`textstats.top_ngrams`
+    (the exchange ships groups × vocab count rows, never token
+    occurrences) — ONE ``groupby.sum``, a term-keyed ``Count`` over the
+    merged rows for df (vocab-sized), one vocab-sized hash join to
+    attach df, a vectorized score map, and
+    :func:`textstats.top_k_per_group`'s coarse-bucketed winner resolve
+    (no per-group Python groups).  Nothing corpus-sized materializes;
+    for trillion-shingle vocabularies compose the candidate prune of
+    :func:`textstats.top_ngrams_sketch` in front.  No reference
+    analogue (brief-scope corpus analysis)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import _nonempty_blocks, safe_join
+    from .textstats import top_k_per_group
+
+    merged = (ds.map_batches(_group_term_partial(group_column,
+                                                 text_column),
+                             batch_format="pyarrow")
                 .groupby([group_column, "term"])
                 .aggregate(Sum("n", alias_name="n"))).materialize()
     merged = _nonempty_blocks(merged)
@@ -456,6 +467,89 @@ def distinctive_terms(ds, group_column: str, text_column: str = "text", *,
         # ulp from Python/DuckDB round, and the oracle is value-level
         out = np.fromiter((round(float(x), 6) for x in s), np.float64,
                           len(s))
+        return (batch.select([group_column, "term"])
+                     .append_column("score", pa.array(out, pa.float64())))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(scored, group_column, "score", "term", k=k)
+
+
+def chi2_terms(ds, group_column: str, text_column: str = "text", *,
+               k: int = 10, num_partitions: int | None = None):
+    """Per-group chi-square keyword extraction — the classic feature-
+    selection contingency statistic over token counts.  For group g
+    and term w, with a = tokens of w in g, the 2×2 margins reduce to
+    term total ``tw``, group total ``tg`` and corpus total ``N``:
+
+        chi2 = N · (a·d − b·c)² / (tw · (N−tw) · tg · (N−tg))
+
+    (b = tw−a, c = tg−a, d = N−tw−tg+a).  Unlike c-TF-IDF
+    (:func:`distinctive_terms`, frequency-weighted), chi2 normalizes
+    by BOTH margins, so it surfaces terms over-represented relative to
+    group size even in small groups.  → (group, score, term, rank),
+    top-k per group, ties by ascending term; all margins are exact
+    int64 sums, chi2 is one shared float expression of those ints
+    rounded to 6 (ranking runs on the rounded value, so SQL order
+    matches value-level).
+
+    Scale shape: the shared :func:`_group_term_partial` combiner → ONE
+    (group, term) ``groupby.sum`` → vocab-sized term-total and
+    groups-sized group-total aggregates attached via two hash
+    ``safe_join``\\s (never a driver-side dict — group cardinality is
+    unbounded at web scale) → vectorized score map →
+    :func:`textstats.top_k_per_group`."""
+    from ray.data.aggregate import Sum
+
+    from .joins import _nonempty_blocks, safe_join
+    from .textstats import top_k_per_group
+
+    merged = (ds.map_batches(_group_term_partial(group_column,
+                                                 text_column),
+                             batch_format="pyarrow")
+                .groupby([group_column, "term"])
+                .aggregate(Sum("n", alias_name="n"))).materialize()
+    merged = _nonempty_blocks(merged)
+    if merged is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            group_column: pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "term": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64())}))
+    total = int(merged.sum("n"))
+
+    tw = (merged.groupby("term").aggregate(Sum("n", alias_name="tw"))
+                .map_batches(lambda b: b.rename_columns(["__t", "tw"]),
+                             batch_format="pyarrow"))
+    tg = (merged.groupby(group_column)
+                .aggregate(Sum("n", alias_name="tg"))
+                .map_batches(lambda b: b.rename_columns(["__g", "tg"]),
+                             batch_format="pyarrow"))
+    joined = safe_join(merged, tw, "inner", num_partitions,
+                       on=("term",), right_on=("__t",))
+    joined = safe_join(joined, tg, "inner", num_partitions,
+                       on=(group_column,), right_on=("__g",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column("n").to_numpy(zero_copy_only=False)
+        twv = batch.column("tw").to_numpy(zero_copy_only=False)
+        tgv = batch.column("tg").to_numpy(zero_copy_only=False)
+        # exact int64 cells first (no overflow below ~1e15 tokens),
+        # then ONE shared float expression of the exact ints
+        b = (twv - a).astype(np.float64)
+        c = (tgv - a).astype(np.float64)
+        d = (total - twv - tgv + a).astype(np.float64)
+        af = a.astype(np.float64)
+        nf = float(total)
+        det = af * d - b * c
+        den = (twv.astype(np.float64) * (total - twv).astype(np.float64)
+               * tgv.astype(np.float64) * (total - tgv).astype(np.float64))
+        ok = den > 0
+        s = np.divide(nf * det * det, den,
+                      out=np.zeros(len(af), np.float64), where=ok)
+        out = np.fromiter((round(float(x), 6) if m else 0.0
+                           for x, m in zip(s, ok)), np.float64, len(s))
         return (batch.select([group_column, "term"])
                      .append_column("score", pa.array(out, pa.float64())))
 

@@ -171,6 +171,32 @@ def test_distinctive_terms_ctfidf(ray_session):
     assert len(out) == 6
 
 
+def test_chi2_terms_hand_checked(ray_session):
+    """Hand-computed 2x2 chi-square on a 6-token corpus: A='x x y',
+    B='y y z' gives chi2(A,x)=3.0, chi2(B,z)=1.2, chi2(*,y)=2/3; and
+    with a single group tg=N makes every denominator 0 → all scores 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import chi2_terms
+
+    rows = [{"g": "A", "text": "x x y"}, {"g": "B", "text": "y y z"}]
+    out = (chi2_terms(rd.from_arrow(pa.Table.from_pylist(rows))
+                      .repartition(2), "g", "text", k=5)
+           .to_pandas())
+    got = {(r.g, r.term): (r.score, r["rank"]) for _, r in out.iterrows()}
+    assert got[("A", "x")] == (3.0, 1)
+    assert got[("A", "y")] == (0.666667, 2)
+    assert got[("B", "z")] == (1.2, 1)
+    assert got[("B", "y")] == (0.666667, 2)
+    assert len(out) == 4
+
+    solo = (chi2_terms(rd.from_arrow(pa.Table.from_pylist(
+                [{"g": "A", "text": "x x y"}])), "g", "text", k=5)
+            .to_pandas())
+    assert (solo["score"] == 0.0).all() and len(solo) == 2
+
+
 def test_bm25_multi_matches_single_query(ray_session):
     """Each query's multi-retrieval top-k equals the standalone
     bm25_topk run (same stats, same chain order), with per-query
