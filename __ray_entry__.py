@@ -1138,6 +1138,17 @@ def q_chi2_terms(sf_dir: str):
                       "text", k=10)
 
 
+def q_llr_terms(sf_dir: str):
+    """Per-source Dunning G² keywords (top-10) — the calibrated-for-
+    rare-counts sibling of chi2_terms: same exact int64 margins, one
+    shared obs·ln(obs·N/(rt·ct)) expression tree per cell, ranking on
+    the rounded doubled sum."""
+    from llm_food_ray.stages.search import llr_terms
+
+    return llr_terms(_docs(sf_dir, ["source", "text"]), "source",
+                     "text", k=10)
+
+
 def q_vocab_js(sf_dir: str):
     """Jensen–Shannon vocabulary divergence between the even- and
     odd-id document halves over 64 md5 term buckets — the bounded,
@@ -4757,6 +4768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
         "chi2_terms": q_chi2_terms,
+        "llr_terms": q_llr_terms,
         "vocab_js": q_vocab_js,
         "zipf_slope": q_zipf_slope,
         "kendall": q_kendall,
@@ -6750,6 +6762,58 @@ WITH words AS (
                     / (tw::DOUBLE * (nn - tw)::DOUBLE
                        * tg::DOUBLE * (nn - tg)::DOUBLE), 6)
          ELSE 0.0 END AS score
+  FROM cells
+)
+SELECT source, score, term, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT source, score, term,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc)
+WHERE rank <= 10
+""",
+        # same margins as chi2_terms; each G2 cell is the IDENTICAL
+        # obs*ln((obs*N)/(rt*ct)) float tree as the engine, summed
+        # left-to-right, doubled, rounded to 6; ranking on the
+        # rounded score
+        "llr_terms": r"""
+WITH words AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(text, '[ \t\r\n\f]+'),
+           w -> w <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT source, term, count(*)::BIGINT AS n
+  FROM words GROUP BY source, term
+), twt AS (
+  SELECT term, sum(n)::BIGINT AS tw FROM cnt GROUP BY term
+), tgt AS (
+  SELECT source, sum(n)::BIGINT AS tg FROM cnt GROUP BY source
+), tot AS (
+  SELECT sum(n)::BIGINT AS nn FROM cnt
+), cells AS (
+  SELECT c.source, c.term, c.n AS a, twt.tw AS tw, tgt.tg AS tg,
+         tot.nn AS nn,
+         (twt.tw - c.n)::BIGINT AS b,
+         (tgt.tg - c.n)::BIGINT AS cc,
+         (tot.nn - twt.tw - tgt.tg + c.n)::BIGINT AS d
+  FROM cnt c JOIN twt USING (term) JOIN tgt USING (source)
+  CROSS JOIN tot
+), sc AS (
+  SELECT source, term,
+    round(2.0 * (
+      (CASE WHEN a > 0 THEN a::DOUBLE
+              * ln((a::DOUBLE * nn::DOUBLE)
+                   / (tw::DOUBLE * tg::DOUBLE)) ELSE 0.0 END)
+      + (CASE WHEN b > 0 THEN b::DOUBLE
+                * ln((b::DOUBLE * nn::DOUBLE)
+                     / (tw::DOUBLE * (nn - tg)::DOUBLE)) ELSE 0.0 END)
+      + (CASE WHEN cc > 0 THEN cc::DOUBLE
+                * ln((cc::DOUBLE * nn::DOUBLE)
+                     / ((nn - tw)::DOUBLE * tg::DOUBLE)) ELSE 0.0 END)
+      + (CASE WHEN d > 0 THEN d::DOUBLE
+                * ln((d::DOUBLE * nn::DOUBLE)
+                     / ((nn - tw)::DOUBLE * (nn - tg)::DOUBLE))
+         ELSE 0.0 END)), 6) AS score
   FROM cells
 )
 SELECT source, score, term, CAST(rank AS BIGINT) AS rank FROM (

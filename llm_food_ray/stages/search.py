@@ -498,6 +498,85 @@ def chi2_terms(ds, group_column: str, text_column: str = "text", *,
     ``safe_join``\\s (never a driver-side dict — group cardinality is
     unbounded at web scale) → vectorized score map →
     :func:`textstats.top_k_per_group`."""
+
+    def chi2(a, twv, tgv, total):
+        # exact int64 cells first (no overflow below ~1e15 tokens),
+        # then ONE shared float expression of the exact ints
+        b = (twv - a).astype(np.float64)
+        c = (tgv - a).astype(np.float64)
+        d = (total - twv - tgv + a).astype(np.float64)
+        af = a.astype(np.float64)
+        nf = float(total)
+        det = af * d - b * c
+        den = (twv.astype(np.float64) * (total - twv).astype(np.float64)
+               * tgv.astype(np.float64) * (total - tgv).astype(np.float64))
+        ok = den > 0
+        s = np.divide(nf * det * det, den,
+                      out=np.zeros(len(af), np.float64), where=ok)
+        return np.fromiter((round(float(x), 6) if m else 0.0
+                            for x, m in zip(s, ok)), np.float64, len(s))
+
+    return _margin_scored_terms(ds, group_column, text_column, chi2,
+                                k=k, num_partitions=num_partitions)
+
+
+def llr_terms(ds, group_column: str, text_column: str = "text", *,
+              k: int = 10, num_partitions: int | None = None):
+    """Per-group Dunning log-likelihood-ratio (G²) keyword extraction —
+    the keyword statistic of choice for skewed count data (Dunning
+    1993: chi-square over-weights rare events; G² stays calibrated).
+    Same 2×2 contingency margins as :func:`chi2_terms` (a tokens of w
+    in g; b = tw−a outside g; c = tg−a other terms in g; d the rest):
+
+        G² = 2 · Σ_cell  obs · ln(obs · N / (row_total · col_total))
+
+    with the 0·ln(0) = 0 convention (a cell's expected count is 0 only
+    when the cell itself is 0).  → (group, score, term, rank), top-k
+    per group, ties by ascending term; margins are exact int64 sums,
+    G² is one shared float expression (each ``obs·ln((obs·N)/(rt·ct))``
+    term guarded by obs>0, summed left-to-right, doubled, rounded to 6
+    — the SQL oracle mirrors the tree so libm log keeps the match
+    value-level).
+
+    Scale shape: identical to :func:`chi2_terms` — shared combiner,
+    one (group, term) sum, two vocab-/groups-sized margin joins, a
+    vectorized score map, coarse-bucketed top-k."""
+
+    def llr(a, twv, tgv, total):
+        af = a.astype(np.float64)
+        b = (twv - a).astype(np.float64)
+        c = (tgv - a).astype(np.float64)
+        d = (total - twv - tgv + a).astype(np.float64)
+        twf = twv.astype(np.float64)
+        tgf = tgv.astype(np.float64)
+        ntw = (total - twv).astype(np.float64)
+        ntg = (total - tgv).astype(np.float64)
+        nf = float(total)
+
+        def cell(obs, rt, ct):
+            ok = obs > 0
+            ratio = np.divide(obs * nf, rt * ct,
+                              out=np.ones_like(obs), where=ok)
+            return np.where(ok, obs * np.log(ratio), 0.0)
+
+        s = 2.0 * (cell(af, twf, tgf) + cell(b, twf, ntg)
+                   + cell(c, ntw, tgf) + cell(d, ntw, ntg))
+        return np.fromiter((round(float(x), 6) for x in s),
+                           np.float64, len(s))
+
+    return _margin_scored_terms(ds, group_column, text_column, llr,
+                                k=k, num_partitions=num_partitions)
+
+
+def _margin_scored_terms(ds, group_column: str, text_column: str,
+                         score_fn, *, k: int,
+                         num_partitions: int | None):
+    """Shared contingency-margin pipeline for the keyword-statistic
+    family (:func:`chi2_terms`, :func:`llr_terms`): the vectorized
+    (group, term) combiner → ONE groupby.sum → term-total and
+    group-total margin joins → ``score_fn(a, tw, tg, N)`` → top-k.
+    ``score_fn`` receives int64 arrays plus the exact corpus total and
+    returns the rounded float64 scores."""
     from ray.data.aggregate import Sum
 
     from .joins import _nonempty_blocks, safe_join
@@ -535,21 +614,7 @@ def chi2_terms(ds, group_column: str, text_column: str = "text", *,
         a = batch.column("n").to_numpy(zero_copy_only=False)
         twv = batch.column("tw").to_numpy(zero_copy_only=False)
         tgv = batch.column("tg").to_numpy(zero_copy_only=False)
-        # exact int64 cells first (no overflow below ~1e15 tokens),
-        # then ONE shared float expression of the exact ints
-        b = (twv - a).astype(np.float64)
-        c = (tgv - a).astype(np.float64)
-        d = (total - twv - tgv + a).astype(np.float64)
-        af = a.astype(np.float64)
-        nf = float(total)
-        det = af * d - b * c
-        den = (twv.astype(np.float64) * (total - twv).astype(np.float64)
-               * tgv.astype(np.float64) * (total - tgv).astype(np.float64))
-        ok = den > 0
-        s = np.divide(nf * det * det, den,
-                      out=np.zeros(len(af), np.float64), where=ok)
-        out = np.fromiter((round(float(x), 6) if m else 0.0
-                           for x, m in zip(s, ok)), np.float64, len(s))
+        out = score_fn(a, twv, tgv, total)
         return (batch.select([group_column, "term"])
                      .append_column("score", pa.array(out, pa.float64())))
 

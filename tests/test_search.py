@@ -197,6 +197,38 @@ def test_chi2_terms_hand_checked(ray_session):
     assert (solo["score"] == 0.0).all() and len(solo) == 2
 
 
+def test_llr_terms_hand_checked(ray_session):
+    """Dunning G2 on the same 6-token corpus, checked against the
+    textbook per-cell formula computed independently in the test:
+    G2(A,x) = 2*(2ln2 + 3ln1.5 - ln2) ≈ 3.819085; all four (group,
+    term) cells match; unique terms outrank the shared one."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.search import llr_terms
+
+    rows = [{"g": "A", "text": "x x y"}, {"g": "B", "text": "y y z"}]
+    out = (llr_terms(rd.from_arrow(pa.Table.from_pylist(rows))
+                     .repartition(2), "g", "text", k=5)
+           .to_pandas())
+    got = {(r.g, r.term): (r.score, r["rank"]) for _, r in out.iterrows()}
+
+    def g2(a, tw, tg, n=6):
+        cells = [(a, tw, tg), (tw - a, tw, n - tg),
+                 (tg - a, n - tw, tg), (n - tw - tg + a, n - tw, n - tg)]
+        return round(2.0 * sum(o * math.log(o * n / (rt * ct))
+                               for o, rt, ct in cells if o > 0), 6)
+
+    assert got[("A", "x")] == (g2(2, 2, 3), 1)
+    assert got[("A", "y")] == (g2(1, 3, 3), 2)
+    assert got[("B", "z")] == (g2(1, 1, 3), 1)
+    assert got[("B", "y")] == (g2(2, 3, 3), 2)
+    assert got[("A", "x")][0] > got[("A", "y")][0]
+    assert len(out) == 4
+
+
 def test_bm25_multi_matches_single_query(ray_session):
     """Each query's multi-retrieval top-k equals the standalone
     bm25_topk run (same stats, same chain order), with per-query
