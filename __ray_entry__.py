@@ -3313,6 +3313,22 @@ def q_running_totals(sf_dir: str):
     return running_totals(ev, "user_id", "ts", "event_id", "value")
 
 
+def q_rolling_stats(sf_dir: str):
+    """Per-user trailing 5-row window over the events stream: integer-
+    exact rolling cents sum + realized window size in (ts, event_id)
+    order — the ROWS BETWEEN 4 PRECEDING AND CURRENT ROW analogue the
+    cumulative running_totals can't express; one user-bucketed
+    exchange, two reads of one vectorized cumsum."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import rolling_sums
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return rolling_sums(ev, "user_id", "ts", "event_id", "value",
+                        window_rows=5)
+
+
 def q_range_join(sf_dir: str):
     """Equi-key + interval range join (self, orders): per order, the
     count and cents-sum of the same customer's OTHER orders dated within
@@ -4712,6 +4728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cov": q_embedding_cov,
         "hybrid_search": q_hybrid_search,
         "running_totals": q_running_totals,
+        "rolling_stats": q_rolling_stats,
         "range_join": q_range_join,
         "top_k_per_lang": q_top_k_per_lang,
         "pca_project": q_pca_project,
@@ -8381,6 +8398,15 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
+""",
+        "rolling_stats": """
+SELECT event_id, user_id, ts,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+    AS roll_cents,
+  CAST(count(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
         "range_join": """
 SELECT o1.o_orderkey,

@@ -218,6 +218,88 @@ def running_totals(ds, user_column: str = "user_id", ts_column: str = "ts",
               .map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def rolling_sums(ds, user_column: str = "user_id", ts_column: str = "ts",
+                 id_column: str = "event_id", value_column: str = "value",
+                 *, window_rows: int = 5, num_buckets: int = 64):
+    """Per-key trailing fixed-size window — the ``SUM(v) OVER
+    (PARTITION BY user ORDER BY ts, id ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)`` analogue, the anomaly/recency signal the cumulative
+    :func:`running_totals` can't express (old events never age out of
+    a cumulative sum).
+
+    → Dataset (id, user, ts, roll_cents, n_window): ``roll_cents`` the
+    sum of ``round(value * 100)`` over the trailing ``window_rows``
+    events of the same user (inclusive), ``n_window`` how many rows the
+    window actually held (< k near each user's start).
+
+    Integer-exact like running_totals: cents first, then the rolling
+    sum is TWO reads of one int64 cumsum — ``cs[i] − pre[lo]`` with
+    ``lo = max(segment_start, i−k+1)`` — so no float summation-order
+    divergence vs the SQL window frame.
+
+    Scale shape: ONE coarse hash(user) exchange (windows are per-user
+    local), then a fully vectorized per-bucket sweep — lexsort, one
+    cumsum, numpy index arithmetic for the frame bounds.  No per-user
+    Python groups; bucket memory is bucket-rows-bounded.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    from ..stages.dedup import _u64_col
+
+    Cu = np.uint64(num_buckets)
+    k = int(window_rows)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = _u64_col(batch, user_column)
+        return batch.append_column(
+            "__ub", pa.array((u % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        users = _u64_col(t, user_column)
+        ids = _u64_col(t, id_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        vcol = t.column(value_column)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        order = np.lexsort((ids, ts_us, users))
+        u = users[order]
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(u)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n, dtype=np.int64), 0))
+        cs = np.cumsum(cents)
+        pre = cs - cents                         # exclusive prefix at i
+        idxs = np.arange(n, dtype=np.int64)
+        lo = np.maximum(start, idxs - (k - 1))
+        roll_cents = cs - pre[lo]
+        n_window = idxs - lo + 1
+        idx = pa.array(order)
+
+        def take(name):
+            c = t.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return c.take(idx)
+
+        return pa.table({
+            id_column: take(id_column),
+            user_column: take(user_column),
+            ts_column: ts_arr.take(idx),
+            "roll_cents": pa.array(roll_cents),
+            "n_window": pa.array(n_window),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def range_join_nearby(ds, key_column: str = "o_custkey",
                       ts_column: str = "o_orderdate",
                       id_column: str = "o_orderkey",

@@ -105,6 +105,49 @@ def test_running_totals_brute_force(ray_session):
     assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
 
 
+def test_rolling_sums_brute_force(ray_session):
+    """Randomized differential vs pandas groupby.rolling(k, min_periods=1)
+    on cents, with heavy ts ties (id tiebreak), many short users (< k
+    events) and k=4; n_window must shrink at each user's start."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import rolling_sums
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t0 = dt.datetime(2024, 1, 1)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 400, n).astype(np.int64),
+        "ts": [t0 + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 300, n)],   # heavy ts ties
+        "value": np.round(rng.uniform(0.01, 400.0, n), 2),
+    })
+    out = (rolling_sums(rd.from_pandas(df), "user_id", "ts", "event_id",
+                        "value", window_rows=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["cents"] = np.floor(ref["value"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64)
+    g = ref.groupby("user_id")["cents"]
+    ref["roll_cents"] = g.rolling(4, min_periods=1).sum().reset_index(
+        level=0, drop=True).astype(np.int64)
+    ref["n_window"] = np.minimum(ref.groupby("user_id").cumcount() + 1, 4)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["roll_cents"].to_numpy()
+            == ref["roll_cents"].to_numpy()).all()
+    assert (out["n_window"].to_numpy() == ref["n_window"].to_numpy()).all()
+    assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_sums(rd.from_pandas(df), window_rows=0)
+
+
 def test_range_join_nearby_brute_force(ray_session):
     """Randomized differential vs an O(n²) per-key window scan; checks
     inclusive boundaries, self-exclusion and zero-neighbor rows."""
