@@ -3329,6 +3329,22 @@ def q_rolling_stats(sf_dir: str):
                         window_rows=5)
 
 
+def q_rolling_time(sf_dir: str):
+    """Per-user trailing 1-hour RANGE window over the events stream:
+    integer-exact rolling cents sum + realized frame size, with SQL
+    RANGE peer semantics (equal-ts events share the frame) — upper
+    edge from (user, ts) tie-runs, lower edge from one union-merge
+    lexsort; completes the cumulative/ROWS/RANGE frame family."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import rolling_time_sums
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return rolling_time_sums(ev, "user_id", "ts", "event_id", "value",
+                             window_seconds=3600)
+
+
 def q_range_join(sf_dir: str):
     """Equi-key + interval range join (self, orders): per order, the
     count and cents-sum of the same customer's OTHER orders dated within
@@ -4729,6 +4745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": q_hybrid_search,
         "running_totals": q_running_totals,
         "rolling_stats": q_rolling_stats,
+        "rolling_time": q_rolling_time,
         "range_join": q_range_join,
         "top_k_per_lang": q_top_k_per_lang,
         "pca_project": q_pca_project,
@@ -8407,6 +8424,15 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "rolling_time": """
+SELECT event_id, user_id, ts,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+    AS roll_cents,
+  CAST(count(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
         "range_join": """
 SELECT o1.o_orderkey,

@@ -17,6 +17,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ts_i64_us(arr):
+    """Chunk-combined int64 MICROSECONDS view of a timestamp column,
+    normalizing the tick unit first (``from_pandas`` yields ns, parquet
+    us) so every second-denominated threshold in this module means
+    seconds regardless of input resolution.  ns → us truncates
+    sub-microsecond ticks (``safe=False``) — this family's thresholds
+    are whole seconds, so the truncation is inert."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        arr = arr.cast(pa.timestamp("us"), safe=False)
+    return arr.cast(pa.int64()).to_numpy()
+
+
 def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
                id_column: str = "event_id", *, gap_seconds: int = 1800,
                num_buckets: int = 64):
@@ -40,7 +54,7 @@ def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
         if isinstance(ts_col_arr, pa.ChunkedArray):
             ts_col_arr = ts_col_arr.combine_chunks()
         # timestamp[us] → int64 microseconds (zero-copy view)
-        ts_us = ts_col_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_col_arr)
         order = np.lexsort((ids, ts_us, users))
         u = users[order]
         s = ts_us[order]
@@ -101,7 +115,7 @@ def asof_last_match(ds, user_column: str = "user_id", ts_column: str = "ts",
         ts_arr = t.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_arr)
         mcol = t.column(match_column)
         if isinstance(mcol, pa.ChunkedArray):
             mcol = mcol.combine_chunks()
@@ -179,7 +193,7 @@ def running_totals(ds, user_column: str = "user_id", ts_column: str = "ts",
         ts_arr = t.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_arr)
         vcol = t.column(value_column)
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
@@ -260,7 +274,7 @@ def rolling_sums(ds, user_column: str = "user_id", ts_column: str = "ts",
         ts_arr = t.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_arr)
         vcol = t.column(value_column)
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
@@ -279,6 +293,112 @@ def rolling_sums(ds, user_column: str = "user_id", ts_column: str = "ts",
         lo = np.maximum(start, idxs - (k - 1))
         roll_cents = cs - pre[lo]
         n_window = idxs - lo + 1
+        idx = pa.array(order)
+
+        def take(name):
+            c = t.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return c.take(idx)
+
+        return pa.table({
+            id_column: take(id_column),
+            user_column: take(user_column),
+            ts_column: ts_arr.take(idx),
+            "roll_cents": pa.array(roll_cents),
+            "n_window": pa.array(n_window),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def rolling_time_sums(ds, user_column: str = "user_id",
+                      ts_column: str = "ts", id_column: str = "event_id",
+                      value_column: str = "value", *,
+                      window_seconds: int = 3600, num_buckets: int = 64):
+    """Per-key trailing TIME window — the ``SUM(v) OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT
+    ROW)`` analogue, completing the window-frame family (cumulative
+    :func:`running_totals`, count-frame :func:`rolling_sums`, and this
+    time-frame).  SQL RANGE semantics: the frame holds every event of
+    the user with ``ts ∈ [ts_i − w, ts_i]`` INCLUDING later-id peers at
+    exactly ``ts_i`` (peers share the frame).
+
+    → Dataset (id, user, ts, roll_cents, n_window).
+
+    Scale shape: ONE coarse hash(user) exchange, then a vectorized
+    per-bucket sweep with NO per-user loop even for the time bound:
+    the frame's upper edge is the end of the (user, ts) tie-run
+    (run-length arithmetic); the lower edge comes from a union-merge —
+    concatenate (user, ts−w) query rows with the data rows, one
+    lexsort, and the exclusive running data-count at each query
+    position IS the global lower index (the as-of join trick).  Frame
+    sums are two reads of the per-user int64 cents cumsum."""
+    if window_seconds < 0:
+        raise ValueError("window_seconds must be >= 0")
+    from ..stages.dedup import _u64_col
+
+    Cu = np.uint64(num_buckets)
+    # _ts_i64_us normalizes every input resolution to microseconds
+    w_ticks = np.int64(int(window_seconds) * 1_000_000)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = _u64_col(batch, user_column)
+        return batch.append_column(
+            "__ub", pa.array((u % Cu).astype(np.int32)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        users = _u64_col(t, user_column)
+        ids = _u64_col(t, id_column)
+        ts_arr = t.column(ts_column)
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        ts_us = _ts_i64_us(ts_arr)
+        vcol = t.column(value_column)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        order = np.lexsort((ids, ts_us, users))
+        u = users[order]
+        ts_s = ts_us[order]
+        cents = np.floor(v[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(u)
+        idxs = np.arange(n, dtype=np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        start = np.maximum.accumulate(np.where(new_user, idxs, 0))
+        cs = np.cumsum(cents)
+        base = cs[start] - cents[start]
+        cs_user = cs - base                      # inclusive per-user cumsum
+        pre_user = cs_user - cents               # exclusive per-user cumsum
+
+        # upper edge: end of the (user, ts) tie-run (RANGE peers)
+        new_run = new_user | np.r_[True, ts_s[1:] != ts_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_starts = idxs[new_run]
+        run_ends = np.r_[run_starts[1:], n] - 1
+        hi = run_ends[run_id]
+
+        # lower edge: union-merge of (user, ts - w) queries with the
+        # data rows; queries sort before equal-ts data (is_data key),
+        # so the exclusive data-count at a query position is the first
+        # global index with (user, ts) >= (user_i, ts_i - w)
+        q_ts = ts_s - w_ticks
+        u2 = np.concatenate([u, u])
+        t2 = np.concatenate([q_ts, ts_s])
+        is_data = np.concatenate([np.zeros(n, np.int64),
+                                  np.ones(n, np.int64)])
+        order2 = np.lexsort((is_data, t2, u2))
+        csd = np.cumsum(is_data[order2])
+        excl = csd - is_data[order2]
+        lo = np.empty(n, dtype=np.int64)
+        qpos = np.nonzero(is_data[order2] == 0)[0]
+        lo[order2[qpos]] = excl[qpos]            # query j sits at index j
+
+        roll_cents = cs_user[hi] - pre_user[lo]
+        n_window = hi - lo + 1
         idx = pa.array(order)
 
         def take(name):
@@ -420,7 +540,7 @@ def event_transitions(ds, user_column: str = "user_id",
         ts_arr = t.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_arr)
         et = t.column(type_column)
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
@@ -510,7 +630,7 @@ def funnel_counts(ds, steps: list[str], user_column: str = "user_id",
         ts_arr = t.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        ts_us = ts_arr.cast(pa.int64()).to_numpy()
+        ts_us = _ts_i64_us(ts_arr)
         et = t.column(type_column)
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
@@ -576,7 +696,7 @@ def cohort_retention(ds, user_column: str = "user_id",
         ts_arr = b.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        return ts_arr.cast(pa.int64()).to_numpy() // week_us
+        return _ts_i64_us(ts_arr) // week_us
 
     def first_partial(b: pa.Table) -> pa.Table:
         t = pa.table({user_column: b.column(user_column),
@@ -653,7 +773,7 @@ def burst_scores(ds, type_column: str = "event_type",
         ts_arr = b.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        hour = ts_arr.cast(pa.int64()).to_numpy() // bucket_us
+        hour = _ts_i64_us(ts_arr) // bucket_us
         t = pa.table({"type": b.column(type_column),
                       "bucket": pa.array(hour, pa.int64())})
         g = t.group_by(["type", "bucket"]).aggregate(
@@ -727,7 +847,7 @@ def active_users(ds, user_column: str = "user_id",
         ts_arr = b.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        day = ts_arr.cast(pa.int64()).to_numpy() // day_us
+        day = _ts_i64_us(ts_arr) // day_us
         t = pa.table({user_column: b.column(user_column),
                       "day": pa.array(day, pa.int64())})
         return t.group_by([user_column, "day"]).aggregate([])
@@ -819,7 +939,7 @@ def session_durations(ds, user_column: str = "user_id",
         ts_arr = b.column(ts_column)
         if isinstance(ts_arr, pa.ChunkedArray):
             ts_arr = ts_arr.combine_chunks()
-        us = ts_arr.cast(pa.int64())
+        us = pa.array(_ts_i64_us(ts_arr), pa.int64())
         t = pa.table({user_column: b.column(user_column),
                       "session_idx": b.column("session_idx"),
                       "lo": us, "hi": us})

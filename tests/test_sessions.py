@@ -148,6 +148,57 @@ def test_rolling_sums_brute_force(ray_session):
         rolling_sums(rd.from_pandas(df), window_rows=0)
 
 
+def test_rolling_time_sums_brute_force(ray_session):
+    """Randomized differential vs a brute per-row scan implementing SQL
+    RANGE semantics directly (same-user rows with ts in [ts-w, ts],
+    INCLUDING later-id peers at exactly ts), with heavy ts ties and a
+    window that spans several events."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_food_ray.stages.sessions import rolling_time_sums
+
+    rng = np.random.default_rng(17)
+    n = 800
+    t0 = dt.datetime(2024, 1, 1)
+    secs = rng.integers(0, 120, n)               # heavy ties, dense stream
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "ts": [t0 + dt.timedelta(seconds=int(s)) for s in secs],
+        "value": np.round(rng.uniform(0.01, 400.0, n), 2),
+    })
+    out = (rolling_time_sums(rd.from_pandas(df), "user_id", "ts",
+                             "event_id", "value", window_seconds=30)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    uu = df["user_id"].to_numpy()
+    ss = secs.astype(np.int64)
+    exp_sum = np.empty(n, np.int64)
+    exp_cnt = np.empty(n, np.int64)
+    for i in range(n):
+        m = (uu == uu[i]) & (ss >= ss[i] - 30) & (ss <= ss[i])
+        exp_sum[i] = cents[m].sum()
+        exp_cnt[i] = int(m.sum())
+    assert (out["roll_cents"].to_numpy() == exp_sum).all()
+    assert (out["n_window"].to_numpy() == exp_cnt).all()
+
+    # window_seconds=0 keeps exactly the equal-ts peer run
+    out0 = (rolling_time_sums(rd.from_pandas(df), "user_id", "ts",
+                              "event_id", "value", window_seconds=0)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    for i in range(0, n, 97):
+        m = (uu == uu[i]) & (ss == ss[i])
+        assert out0.loc[i, "roll_cents"] == cents[m].sum()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_time_sums(rd.from_pandas(df), window_seconds=-1)
+
+
 def test_range_join_nearby_brute_force(ray_session):
     """Randomized differential vs an O(n²) per-key window scan; checks
     inclusive boundaries, self-exclusion and zero-neighbor rows."""
