@@ -1180,6 +1180,101 @@ def q_zipf_slope(sf_dir: str):
                       k=100)
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine 5-NN graph over the embeddings table → (src, dst,
+    score) edges, neighbours ranked (cosine DESC, dst ASC); scores
+    snapped to 4 decimals for the cross-engine compare (same snap as
+    ann_topk).  Broadcast-index scan — no shuffle; the IVF-partitioned
+    plan is the documented swap past the broadcast budget."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.similarity import knn_graph
+
+    edges = knn_graph(_embeddings(sf_dir), k=5)
+    return edges.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               pc.round(b.column("score"), 4)),
+        batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exact-100 stratified sample of documents by language: Hamilton
+    largest-remainder quotas (integer-exact), each language's quota
+    smallest doc_ids kept — the mix-preserving row-budget downsample."""
+    from llm_food_ray.stages.textstats import stratified_sample
+
+    return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                             "lang", "doc_id", n_total=100)
+
+
+def q_domain_rollup(sf_dir: str):
+    """Per-registrant-domain (eTLD+1) rollup of a synthesized host mix:
+    hosts 'sub{id%7}.site{id%100}.{suffix[id%8]}' over single- AND
+    multi-label public suffixes collapse to 'site{id%100}.{suffix}' —
+    the SQL twin derives the registrant INDEPENDENTLY of the longest-
+    known-suffix logic, so a wrong suffix split breaks the hash.
+    → (domain, n_docs, sum_chars)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from llm_food_ray.functions.urltools import registered_domain
+
+    suffixes = ["com", "org", "co.uk", "com.au", "net", "io", "de",
+                "co.jp"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sufs = np.array(suffixes, object)[ids % 8]
+        doms = [registered_domain("sub%d.site%d.%s" % (i % 7, i % 100, s))
+                for i, s in zip(ids.tolist(), sufs.tolist())]
+        t = pa.table({"domain": pa.array(doms, pa.string()),
+                      "n_chars": b.column("n_chars")})
+        g = t.group_by(["domain"]).aggregate([([], "count_all"),
+                                              ("n_chars", "sum")])
+        return g.rename_columns(["domain", "pn", "pchars"])
+
+    return (_docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("domain")
+            .aggregate(Sum("pn", alias_name="n_docs"),
+                       Sum("pchars", alias_name="sum_chars")))
+
+
+def q_html_tables(sf_dir: str):
+    """Structured HTML-table extraction: each document's first ≤6
+    tokens are laid out as a 2-column <table> (thead/tbody-free, the
+    common crawl shape), the REAL DOM parser reads the cells back, and
+    the result explodes to (doc_id, row_idx, col_idx, cell) — the SQL
+    twin rebuilds the cells from the raw text, so a parser bug in
+    tr/td handling or entity/whitespace normalization breaks the hash."""
+    from llm_food_ray.functions.html_md import extract_table_cells
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, rws, cls, cells = [], [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            toks = (text or "").split()[:6]
+            if not toks:
+                continue
+            body = "".join(
+                "<tr>" + "".join(f"<td>{t}</td>" for t in toks[i:i + 2])
+                + "</tr>" for i in range(0, len(toks), 2))
+            html = f"<html><body><table>{body}</table></body></html>"
+            for _t, r, c, cell in extract_table_cells(html):
+                ids.append(doc_id)
+                rws.append(r)
+                cls.append(c)
+                cells.append(cell)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "row_idx": pa.array(rws, pa.int64()),
+                         "col_idx": pa.array(cls, pa.int64()),
+                         "cell": pa.array(cells, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
 def q_media_dedup(sf_dir: str):
     """Multimodal exact dedup over the REAL (non-stubbed) media
     profile: payload → integer (length, 16 nibble counts) profile —
@@ -4805,6 +4900,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llr_terms": q_llr_terms,
         "vocab_js": q_vocab_js,
         "zipf_slope": q_zipf_slope,
+        "knn_graph": q_knn_graph,
+        "stratified_sample": q_stratified_sample,
+        "domain_rollup": q_domain_rollup,
+        "html_tables": q_html_tables,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -6906,6 +7005,85 @@ FROM probs
         # both logs snapped to the 1e-5 grid as int64 FIRST (libm ln is
         # bit-identical on exact integer inputs across engines), then
         # exact integer moments -> one closed-form float finish
+        # engine ranks (cosine DESC, dst ASC) via stable argsort on the
+        # ascending-id broadcast index — identical to the window below
+        "knn_graph": """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sc
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, round(sc, 4) AS score FROM (
+  SELECT src, dst, sc,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY sc DESC, dst ASC) AS rn
+  FROM s)
+WHERE rn <= 5
+""",
+        # Hamilton apportionment in INTEGER arithmetic: floor via //,
+        # remainder = N*cnt - floor*total, leftovers to largest
+        # remainders (ties by group key ASC) — then quota smallest ids
+        "stratified_sample": """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS t FROM c
+), fl AS (
+  SELECT lang, cnt,
+         (100 * cnt) // t AS fl,
+         100 * cnt - ((100 * cnt) // t) * t AS rem
+  FROM c CROSS JOIN tot
+), alloc AS (
+  SELECT lang,
+         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                        <= 100 - (SELECT sum(fl) FROM fl)
+                   THEN 1 ELSE 0 END AS quota
+  FROM fl
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM r JOIN alloc ON r.lang = alloc.lang
+WHERE r.rn <= alloc.quota
+""",
+        # the registrant is derived WITHOUT the suffix-split logic:
+        # by construction every synthesized host is
+        # sub{k}.site{n}.{suffix}, so eTLD+1 == 'site{n}.' || suffix
+        # for single- AND multi-label suffixes alike
+        "domain_rollup": """
+SELECT 'site' || (doc_id % 100)::VARCHAR || '.' ||
+       (['com','org','co.uk','com.au','net','io','de','co.jp'])
+         [(doc_id % 8) + 1] AS domain,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+        # rebuilds the table cells straight from the text tokens the
+        # engine laid out as <td>s — row-major 2-wide fill of the
+        # first ≤6 tokens
+        "html_tables": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         range(1, least(len(ws), 6) + 1) AS ii
+  FROM toks WHERE len(ws) > 0
+)
+SELECT doc_id,
+       unnest(list_transform(ii, i -> ((i - 1) // 2)::BIGINT))
+         AS row_idx,
+       unnest(list_transform(ii, i -> ((i - 1) % 2)::BIGINT))
+         AS col_idx,
+       unnest(list_transform(ii, i -> ws[i])) AS cell
+FROM idx
+""",
         "zipf_slope": r"""
 WITH w AS MATERIALIZED (
   SELECT lang,

@@ -460,6 +460,56 @@ def _table_rows(node: Node, out: list[str]) -> None:
             _table_rows(child, out)
 
 
+def extract_table_cells(html: str) -> list[tuple[int, int, int, str]]:
+    """(table_idx, row_idx, col_idx, text) for every td/th cell, in
+    document order — the STRUCTURED twin of the markdown table block
+    (the reference flattens tables to pipe-rows via its converter,
+    llm_food/app.py:252-259; a training-data pipeline also needs the
+    cells as relational rows for table-QA / table-to-text corpora).
+
+    Semantics match `_table_rows`' flattening: rows found anywhere
+    inside a <table> (thead/tbody wrappers, nested tables) fold into
+    that ENCLOSING table's row sequence; only rows with at least one
+    non-empty cell advance row_idx; cell text is entity-unescaped and
+    whitespace-normalized like every other inline run."""
+    root = parse_html(html)
+    tables: list[Node] = []
+
+    def find(node: Node) -> None:
+        if node.is_text:
+            return
+        if node.tag == "table":
+            tables.append(node)
+            return
+        for c in node.children:
+            find(c)
+
+    find(root)
+    out: list[tuple[int, int, int, str]] = []
+    for t_idx, tnode in enumerate(tables):
+        r = [0]
+
+        def rows(node: Node) -> None:
+            for child in node.children:
+                if child.is_text:
+                    continue
+                if child.tag == "tr":
+                    cells = [
+                        _norm(_inline_text(c))
+                        for c in child.children
+                        if not c.is_text and c.tag in ("td", "th")
+                    ]
+                    if any(cells):
+                        for c_idx, text in enumerate(cells):
+                            out.append((t_idx, r[0], c_idx, text))
+                        r[0] += 1
+                else:
+                    rows(child)
+
+        rows(tnode)
+    return out
+
+
 # ------------------------------------------------------------- public ----
 
 

@@ -59,3 +59,34 @@ def url_host(url: str) -> str:
     authority = m.group(2).lower()
     host = authority.rsplit("@", 1)[-1]
     return host.split(":")[0]
+
+
+# frozen public-suffix snapshot: the multi-label suffixes under which a
+# registrant domain sits one level deeper than the final label (a small
+# deterministic stand-in for the Mozilla PSL, which would be a data file
+# at production scale — the LOGIC is what matters: longest-known-suffix
+# +1 label)
+_MULTI_SUFFIXES = frozenset({
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.nz", "co.za", "co.kr",
+})
+
+
+def registered_domain(host: str) -> str:
+    """eTLD+1 (registrant domain) of a lowercase-able host: the label
+    unit per-site rollups, crawl budgets and host-level dedup should
+    key on — 'a.b.site.co.uk' and 'www.site.co.uk' are the same
+    registrant 'site.co.uk', while bare hosts / IPs pass through.
+
+    Rule: if the last TWO labels form a known multi-label suffix, keep
+    the last THREE labels; else keep the last TWO; hosts with fewer
+    labels pass through unchanged."""
+    labels = [l for l in (host or "").lower().split(".") if l]
+    if len(labels) >= 3 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return ".".join(labels)

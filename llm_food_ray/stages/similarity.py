@@ -1127,3 +1127,77 @@ def silhouette_summary(ds, *, k: int = 8, iters: int = 2,
             "mean_sil": pa.array(ss / (n * s_scale), pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+class _KnnScan:
+    """Per-batch exact cosine top-k of every row against the broadcast
+    index side (self-pair excluded by key equality).  One ``ray.put``
+    of the (sorted ids, unit matrix) pair; each actor reads it once in
+    ``__init__`` — never re-shipped per batch."""
+
+    def __init__(self, index_ref, k: int, key_column: str,
+                 vec_column: str):
+        import ray as _ray
+
+        self.ids, self.mat = _ray.get(index_ref)
+        self.k = k
+        self.key_column = key_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        keys = batch.column(self.key_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(keys) or not len(self.ids):
+            return empty
+        mat = _unit(vectors_to_matrix(batch.column(self.vec_column)))
+        scores = mat @ self.mat.T                       # (b, n)
+        # self-exclusion: index ids are sorted, so each row's own column
+        # (if present) is found by one searchsorted
+        pos = np.searchsorted(self.ids, keys)
+        ok = pos < len(self.ids)
+        ok[ok] = self.ids[pos[ok]] == keys[ok]
+        scores[np.nonzero(ok)[0], pos[ok]] = -np.inf
+        # stable argsort on -score keeps the original (ascending-dst)
+        # column order for ties → the (score DESC, dst ASC) SQL rank;
+        # at index sizes past one machine the documented swap is the
+        # IVF cluster-partitioned plan (ann_ivf_partitioned), not a
+        # wider sort here
+        k = min(self.k, scores.shape[1])
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(len(keys)), k)
+        cols = order.ravel()
+        sc = scores[rows, cols]
+        keep = np.isfinite(sc)
+        return pa.table({
+            "src": pa.array(np.repeat(keys, k)[keep]),
+            "dst": pa.array(self.ids[cols[keep]]),
+            "score": pa.array(sc[keep], pa.float64())})
+
+
+def knn_graph(ds, *, k: int = 5, key_column: str = "vec_id",
+              vec_column: str = "embedding"):
+    """Exact cosine k-nearest-neighbour graph over an embedding column
+    → (src, dst, score) edges, ``k`` per source (fewer only when the
+    corpus has < k+1 vectors): the adjacency consumed by graph-based
+    curation (kNN dedup sweeps, label propagation over embeddings,
+    connectivity audits).
+
+    Rank rule (engine-reproducible): per source, neighbours by
+    (cosine DESC, dst ASC) — the stable-argsort note in `_KnnScan`.
+    Scale shape: the index side is gathered once (`_gather_side`,
+    bounded by the corpus — the brute-force-baseline bound, same as
+    `bitext_mine`'s per-side bound) and broadcast via ``ray.put``;
+    the corpus then streams through one map_batches.  No shuffle at
+    all; output is corpus×k edges.  Past the broadcast budget the
+    documented swap is the IVF-partitioned plan (cluster-keyed
+    parquet + per-cluster scans, `ivf_write_index`)."""
+    import ray as _ray
+
+    ids, mat = _gather_side(ds, key_column, vec_column)
+    ref = _ray.put((ids, mat))
+    return ds.map_batches(
+        _KnnScan(ref, k, key_column, vec_column),
+        batch_format="pyarrow")

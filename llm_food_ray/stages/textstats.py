@@ -4533,3 +4533,56 @@ def kendall_tau(ds, x_column: str, y_column: str, *,
         "concordant": pa.array([C], pa.int64()),
         "discordant": pa.array([D], pa.int64()),
         "tau": pa.array([tau], pa.float64())}))
+
+
+def stratified_sample(ds, group_column: str, key_column: str, *,
+                      n_total: int):
+    """Exact-N stratified proportional sample: largest-remainder
+    (Hamilton) apportionment of ``n_total`` rows across groups in
+    proportion to group size, then each group's ``quota`` smallest
+    ``key_column`` rows.  The operator that downsizes a corpus to a
+    fixed row budget while PRESERVING the group mix — cap_per_group
+    holds the mix only when every group is above the cap; temperature
+    sampling reshapes the mix; this one freezes it.
+
+    Exactness: quotas use INTEGER arithmetic only — floor via
+    ``(n_total·cnt) // total`` and the remainder ``n_total·cnt −
+    floor·total`` (an integer), leftovers to the largest remainders
+    with ties broken by group key ascending — so the allocation is
+    bit-identical to a SQL twin using ``//`` and ``row_number()``.
+    ``key_column`` must be unique (it is the within-group pick order).
+
+    Scale shape: one per-batch count partial → a groups-sized driver
+    table decides quotas; the pick itself is `cap_per_group`'s
+    candidates-prune + broadcast keep-set (no corpus shuffle).
+    Precondition: ``n_total`` ≤ total rows (quotas never exceed a
+    group's size when that holds, since floor(N·cnt/total) ≤ cnt)."""
+    if n_total < 0:
+        raise ValueError("n_total must be >= 0")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = (b.select([group_column])
+              .group_by([group_column]).aggregate([([], "count_all")]))
+        return g.rename_columns([group_column, "pn"])
+
+    parts = list(ds.map_batches(count_partial, batch_format="pyarrow")
+                   .iter_batches(batch_size=None, batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return ds.filter(lambda _r: False)
+    counts = (pa.concat_tables(parts, promote_options="default")
+                .group_by([group_column]).aggregate([("pn", "sum")]))
+    groups = counts.column(group_column).to_pylist()
+    sizes = counts.column("pn_sum").to_pylist()
+    total = sum(sizes)
+    if n_total > total:
+        raise ValueError(
+            f"n_total={n_total} exceeds corpus size {total}")
+    floors = {g: (n_total * c) // total for g, c in zip(groups, sizes)}
+    rems = {g: n_total * c - floors[g] * total
+            for g, c in zip(groups, sizes)}
+    leftover = n_total - sum(floors.values())
+    for g in sorted(groups, key=lambda g: (-rems[g], g))[:leftover]:
+        floors[g] += 1
+    quotas = {g: q for g, q in floors.items() if q > 0}
+    return cap_per_group(ds, group_column, key_column, n=quotas)

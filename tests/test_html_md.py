@@ -193,3 +193,21 @@ def test_extract_page_meta():
                  "n_links": 2}
     assert extract_page_meta("<p>no head</p>") == {
         "title": "", "h1": "", "n_links": 0}
+
+
+def test_extract_table_cells_structured():
+    from llm_food_ray.functions.html_md import extract_table_cells
+
+    h = ('<table><thead><tr><th>H1</th><th>H2</th></tr></thead>'
+         '<tbody><tr><td> a  b </td><td>c &amp; d</td></tr>'
+         '<tr><td></td><td></td></tr>'  # all-empty row: skipped
+         '</tbody></table>'
+         '<p>between</p>'
+         '<table><tr><td>z</td></tr></table>')
+    cells = extract_table_cells(h)
+    assert cells == [
+        (0, 0, 0, "H1"), (0, 0, 1, "H2"),
+        (0, 1, 0, "a b"), (0, 1, 1, "c & d"),
+        (1, 0, 0, "z"),
+    ]
+    assert extract_table_cells("<p>none</p>") == []

@@ -634,3 +634,43 @@ def test_silhouette_tight_clusters_near_one(ray_session):
     assert (out["mean_sil"] > 0.99).all()
     with np.testing.assert_raises(ValueError):
         silhouette_summary(dataset_from_items(rows), k=1)
+
+
+def test_knn_graph_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.similarity import knn_graph
+
+    rows = _vectors(n=60)
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"vec_id": r["vec_id"], "embedding": r["embedding"]}
+         for r in rows])).repartition(4)
+    got = knn_graph(ds, k=5).to_pandas()
+    # every source has exactly k edges, none to itself
+    assert (got.groupby("src").size() == 5).all()
+    assert set(got["src"]) == {r["vec_id"] for r in rows}
+    assert (got["src"] != got["dst"]).all()
+    # spot-check sources against the full numpy rank
+    mat = np.asarray([r["embedding"] for r in rows], np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    scores = unit @ unit.T
+    for src in (0, 7, 59):
+        order = sorted((i for i in range(len(rows)) if i != src),
+                       key=lambda i: (-scores[src, i], i))[:5]
+        sub = got[got["src"] == src].sort_values(
+            ["score", "dst"], ascending=[False, True])
+        assert sub["dst"].tolist() == order
+
+
+def test_knn_graph_small_corpus_fewer_than_k(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.similarity import knn_graph
+
+    rows = _vectors(n=3)
+    got = knn_graph(dataset_from_items(
+        [{"vec_id": r["vec_id"], "embedding": r["embedding"]}
+         for r in rows]), k=5).to_pandas()
+    # only 2 non-self neighbours exist per source
+    assert (got.groupby("src").size() == 2).all()

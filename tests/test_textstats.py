@@ -1450,3 +1450,50 @@ def test_winnow_rows_matches_scalar():
     mins = winnow_min_per_doc(pa.array(texts))
     exp = [min(winnow_fingerprint(t), default=0) for t in texts]
     assert mins.tolist() == exp
+
+
+def test_stratified_sample_exact_quotas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import stratified_sample
+
+    # 60/30/10 mix → quotas 6/3/1 at n_total=10 (exact proportions)
+    items = [{"doc_id": i,
+              "grp": "a" if i < 60 else ("b" if i < 90 else "c")}
+             for i in range(100)]
+    ds = rd.from_arrow(pa.Table.from_pylist(items)).repartition(5)
+    got = stratified_sample(ds, "grp", "doc_id", n_total=10).to_pandas()
+    assert len(got) == 10
+    mix = got.groupby("grp").size().to_dict()
+    assert mix == {"a": 6, "b": 3, "c": 1}
+    # smallest ids win within each group
+    assert sorted(got[got["grp"] == "a"]["doc_id"]) == list(range(6))
+
+
+def test_stratified_sample_largest_remainder(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import stratified_sample
+
+    # sizes 5/3/3 with n=4: floors 1/1/1, remainders 9/1/1 of 11 —
+    # leftover goes to the largest remainder (group a)
+    items = ([{"doc_id": i, "grp": "a"} for i in range(5)]
+             + [{"doc_id": 10 + i, "grp": "b"} for i in range(3)]
+             + [{"doc_id": 20 + i, "grp": "c"} for i in range(3)])
+    ds = rd.from_arrow(pa.Table.from_pylist(items))
+    got = stratified_sample(ds, "grp", "doc_id", n_total=4).to_pandas()
+    mix = got.groupby("grp").size().to_dict()
+    assert mix == {"a": 2, "b": 1, "c": 1}
+
+
+def test_stratified_sample_overbudget_raises(ray_session):
+    import pytest
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import stratified_sample
+
+    ds = dataset_from_items([{"doc_id": i, "grp": "a"} for i in range(3)])
+    with pytest.raises(ValueError):
+        stratified_sample(ds, "grp", "doc_id", n_total=5)

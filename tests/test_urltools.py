@@ -248,3 +248,16 @@ def test_weighted_sample_bias_and_determinism(ray_session):
     assert heavy >= 40                                      # ~20:1 odds
     assert (a["sample_score"].values[:-1]
             >= a["sample_score"].values[1:]).all()          # sorted desc
+
+
+def test_registered_domain_rules():
+    from llm_food_ray.functions.urltools import registered_domain
+
+    assert registered_domain("a.b.site.co.uk") == "site.co.uk"
+    assert registered_domain("www.site.com") == "site.com"
+    assert registered_domain("site.com") == "site.com"
+    assert registered_domain("Sub.Site.COM.AU") == "site.com.au"
+    # two labels that ARE a multi-suffix pass through (no registrant)
+    assert registered_domain("co.uk") == "co.uk"
+    assert registered_domain("localhost") == "localhost"
+    assert registered_domain("") == ""
