@@ -1275,6 +1275,17 @@ def q_html_tables(sf_dir: str):
         explode, batch_format="pyarrow")
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document bigram novelty: the fraction of each doc's
+    distinct bigrams first owned (minimum doc_id) by that doc — the
+    redundancy-ordering signal; fp-space owner groupby + ONE hash
+    join, never gram strings in the exchange."""
+    from llm_food_ray.stages.dupspans import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir, ["doc_id", "text"]),
+                         "doc_id", "text", k=2)
+
+
 def q_media_dedup(sf_dir: str):
     """Multimodal exact dedup over the REAL (non-stubbed) media
     profile: payload → integer (length, 16 nibble counts) profile —
@@ -4901,6 +4912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_js": q_vocab_js,
         "zipf_slope": q_zipf_slope,
         "knn_graph": q_knn_graph,
+        "ngram_novelty": q_ngram_novelty,
         "stratified_sample": q_stratified_sample,
         "domain_rollup": q_domain_rollup,
         "html_tables": q_html_tables,
@@ -7005,6 +7017,34 @@ FROM probs
         # both logs snapped to the 1e-5 grid as int64 FIRST (libm ln is
         # bit-identical on exact integer inputs across engines), then
         # exact integer moments -> one closed-form float finish
+        # same 57-bit md5-prefix fp space as the engine's gram_rows;
+        # novelty = owner(min doc_id) == doc, floor-snap round parity
+        "ngram_novelty": r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), big AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5(g), 1, 16))::UBIGINT >> 7)::BIGINT AS fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM toks WHERE len(ws) >= 2)
+), own AS (
+  SELECT fp, min(doc_id) AS own FROM big GROUP BY fp
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN o.own = b.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(sum(CASE WHEN o.own = b.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM big b JOIN own o ON o.fp = b.fp
+GROUP BY b.doc_id
+""",
         # engine ranks (cosine DESC, dst ASC) via stable argsort on the
         # ascending-id broadcast index — identical to the window below
         "knn_graph": """

@@ -152,6 +152,62 @@ def winnow_rows(texts, k: int = 5, window: int = 4):
     return pd_[keep], pf[keep]
 
 
+def gram_rows(texts, k: int = 2):
+    """Vectorized DISTINCT k-gram fingerprints over a whole Arrow
+    string column → (int64 doc index, int64 fp) where fp =
+    ``stable_hash64(space-joined gram) >> 7`` (57-bit, the fp-space
+    join idiom with the exact SQL twin
+    ``(('0x' || substr(md5(g), 1, 16))::UBIGINT >> 7)::BIGINT``).
+
+    Docs with fewer than ``k`` tokens emit NOTHING — the SQL
+    full-window rule (``WHERE len(ws) >= k``), unlike winnow_rows'
+    whole-doc fallback.  Same Arrow split + k-shifted element-wise
+    join machinery as winnow_rows; md5 runs once per distinct batch
+    gram."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(
+        pc.fill_null(texts.cast(pa.string()), ""))
+    raw_lens = (pc.list_value_length(lists)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(lists)
+    nonempty = pc.not_equal(flat, "")
+    cum0 = np.r_[0, np.cumsum(
+        nonempty.to_numpy(zero_copy_only=False).astype(np.int64))]
+    ends0 = np.cumsum(raw_lens)
+    lens = cum0[ends0] - cum0[ends0 - raw_lens]
+    toks = flat.filter(nonempty)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tok = len(toks)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if n_tok < k:
+        return empty
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ok = doc_of[:n_tok - k + 1] == doc_of[k - 1:]
+    pos = np.flatnonzero(ok)
+    if not len(pos):
+        return empty
+    cols = [pc.take(toks, pa.array(pos + j)) for j in range(k)]
+    grams = (pc.binary_join_element_wise(*cols, " ") if k > 1
+             else cols[0])
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    enc = grams.dictionary_encode()
+    hd = np.fromiter((stable_hash64(s) >> 7 for s in
+                      enc.dictionary.to_pylist()),
+                     np.int64, len(enc.dictionary))
+    h = hd[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    d = doc_of[pos]
+    o2 = np.lexsort((h, d))
+    d, h = d[o2], h[o2]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    return d[keep], h[keep]
+
+
 def winnow_min_per_doc(texts, k: int = 5, window: int = 4) -> np.ndarray:
     """Per-doc MIN winnowing fingerprint (0 for empty docs) — the
     cheap whole-document fingerprint column, vectorized via

@@ -959,3 +959,78 @@ def pagination_chains(ds, key_column: str = "doc_id",
     if joined is None:
         return rd.from_arrow(empty)
     return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, key_column: str = "doc_id",
+                  text_column: str = "text", *, k: int = 2,
+                  scale: int = 1_000_000):
+    """Per-document n-gram NOVELTY: of the document's distinct
+    k-grams, the fraction whose corpus-wide first owner (minimum key)
+    is this document — the redundancy-ordering signal for curriculum
+    construction and mirror-chain pruning (a late near-copy scores ~0,
+    the corpus's first occurrence of its content scores ~1).  Docs
+    with fewer than ``k`` tokens emit nothing (the SQL full-window
+    rule).
+
+    Plan (all fp-space, fixed-width): one streaming pass emits each
+    doc's DISTINCT gram fingerprints (`functions/hashing.gram_rows`,
+    57-bit md5 prefix — Arrow split + k-shifted join, md5 once per
+    distinct batch gram); ``groupby(fp).min(key)`` builds the owner
+    table (vocabulary-sized); ONE fp-keyed hash join tags each doc-gram
+    with its owner; a per-batch (key, n, novel) combiner then a
+    key-sized ``groupby.sum`` finishes.  Novelty snaps to the 1/scale
+    grid via floor(x·scale + 0.5) — the non-negative-ratio round()
+    parity rule.  → (key, n_grams, n_novel, novelty)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.hashing import gram_rows
+    from .joins import safe_join
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        di, fp = gram_rows(batch.column(text_column), k=k)
+        kcol = batch.column(key_column)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table({key_column: kcol.take(pa.array(di)),
+                         "fp": pa.array(fp, pa.int64())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    owners = rows.groupby("fp").aggregate(Min(key_column,
+                                              alias_name="own"))
+    empty = pa.table({key_column: pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_novel": pa.array([], pa.int64()),
+                      "novelty": pa.array([], pa.float64())})
+    joined = safe_join(rows, owners, "inner", on=("fp",))
+    if joined is None:
+        return rd.from_arrow(empty)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_column)
+        own = b.column("own")
+        novel = pc.cast(pc.equal(keys, own), pa.int64())
+        t = pa.table({key_column: keys, "pn": pa.array(
+            np.ones(b.num_rows, np.int64)), "pnov": novel})
+        g = t.group_by([key_column]).aggregate([("pn", "sum"),
+                                                ("pnov", "sum")])
+        return g.rename_columns([key_column, "pn", "pnov"])
+
+    merged = (joined.map_batches(partial, batch_format="pyarrow")
+                    .groupby(key_column)
+                    .aggregate(Sum("pn", alias_name="n_grams"),
+                               Sum("pnov", alias_name="n_novel")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_grams").to_numpy(zero_copy_only=False)
+        nov = b.column("n_novel").to_numpy(zero_copy_only=False)
+        r = np.floor(nov / n * scale + 0.5) / scale
+        return pa.table({key_column: b.column(key_column),
+                         "n_grams": b.column("n_grams"),
+                         "n_novel": b.column("n_novel"),
+                         "novelty": pa.array(r, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -320,3 +320,46 @@ def test_pagination_chains_df_cap_kills_boilerplate_boundaries(
     # every tail == every head via the boilerplate footer; cap kills it
     n = pagination_chains(rd.from_items(docs), k=8, max_df=5).count()
     assert n == 0
+
+
+def test_gram_rows_matches_naive():
+    import numpy as np
+    import pyarrow as pa
+
+    from llm_food_ray.functions.hashing import gram_rows, stable_hash64
+
+    texts = ["a b c a b", "x", "", "p q", None, "a  b"]
+    di, fp = gram_rows(pa.array(texts, pa.string()), k=2)
+    got = set(zip(di.tolist(), fp.tolist()))
+    want = set()
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        for j in range(len(ws) - 1):
+            want.add((i, stable_hash64(ws[j] + " " + ws[j + 1]) >> 7))
+    assert got == want
+    # distinctness: doc 0 repeats "a b" twice but emits it once
+    assert sorted(di.tolist()).count(0) == 3
+
+
+def test_ngram_novelty_ownership(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.dupspans import ngram_novelty
+
+    items = [
+        {"doc_id": 0, "text": "a b c"},       # owns 'a b', 'b c'
+        {"doc_id": 1, "text": "a b c"},       # exact dup → novelty 0
+        {"doc_id": 2, "text": "x y z"},       # all novel → 1
+        {"doc_id": 3, "text": "b c x y"},     # owns 'c x'; 'b c','x y' taken
+        {"doc_id": 4, "text": "solo"},        # < 2 tokens → absent
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(items)).repartition(3)
+    got = (ngram_novelty(ds, "doc_id", "text", k=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.index.tolist() == [0, 1, 2, 3]
+    assert got.loc[0, "novelty"] == 1.0
+    assert got.loc[1, "novelty"] == 0.0
+    assert got.loc[2, "novelty"] == 1.0
+    assert got.loc[3, "n_grams"] == 3 and got.loc[3, "n_novel"] == 1
+    assert abs(got.loc[3, "novelty"] - 0.333333) < 1e-9
