@@ -1957,6 +1957,16 @@ def q_gopher_flags(sf_dir: str):
                         min_words=30)
 
 
+def q_code_stats(sf_dir: str):
+    """Per-doc code-vs-prose routing signals (StarCoder/StackV2-style
+    corpus split): statement-ender lines, indented lines, symbol
+    chars, keyword hits + a pure-integer is_code verdict; every count
+    an Arrow RE2 kernel sharing its pattern with the twin."""
+    from llm_food_ray.stages.textstats import code_stats
+
+    return code_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4916,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "domain_rollup": q_domain_rollup,
         "html_tables": q_html_tables,
+        "code_stats": q_code_stats,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7044,6 +7055,33 @@ SELECT b.doc_id,
              / count(*), 6) AS novelty
 FROM big b JOIN own o ON o.fp = b.fp
 GROUP BY b.doc_id
+""",
+        # every count an RE2 kernel with the IDENTICAL pattern string;
+        # the verdict is pure integer comparisons (gopher_flags rule)
+        "code_stats": r"""
+WITH m AS MATERIALIZED (
+  SELECT doc_id,
+    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT
+      AS n_lines,
+    len(regexp_extract_all(text, '(?m)[;{}][ \t]*$'))::BIGINT
+      AS punct_lines,
+    len(regexp_extract_all(text, '(?m)^(?:\t|    )'))::BIGINT
+      AS indent_lines,
+    len(regexp_extract_all(text, '[{}()\[\];=<>]'))::BIGINT
+      AS sym_chars,
+    len(regexp_extract_all(text,
+        '\b(?:def|return|import|class|function|var|const|void|static'
+        || '|elif|lambda|public|private|struct|typedef)\b'))::BIGINT
+      AS kw_hits,
+    length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_lines, punct_lines, indent_lines, sym_chars, kw_hits,
+       n_chars,
+       (10 * (punct_lines + indent_lines) >= 3 * n_lines
+        OR (kw_hits >= 3 AND 25 * sym_chars >= n_chars
+            AND n_chars > 0)) AS is_code
+FROM m
 """,
         # engine ranks (cosine DESC, dst ASC) via stable argsort on the
         # ascending-id broadcast index — identical to the window below

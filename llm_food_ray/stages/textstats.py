@@ -4586,3 +4586,64 @@ def stratified_sample(ds, group_column: str, key_column: str, *,
         floors[g] += 1
     quotas = {g: q for g, q in floors.items() if q > 0}
     return cap_per_group(ds, group_column, key_column, n=quotas)
+
+
+CODE_KEYWORD_PATTERN = (
+    r"\b(?:def|return|import|class|function|var|const|void|static"
+    r"|elif|lambda|public|private|struct|typedef)\b")
+
+
+def code_stats(ds, text_column: str = "text"):
+    """Per-document code-vs-prose signals — the StarCoder/StackV2-style
+    routing report that decides whether a page feeds the code corpus
+    or the prose corpus (and whether markdown extraction mangled a
+    code block into "text").  One flag plus its decomposition, the
+    gopher_flags posture:
+
+    - ``n_lines``:       '\\n' count + 1 (the gopher_flags convention)
+    - ``punct_lines``:   lines ending (mod trailing spaces/tabs) in
+                         one of ``; { }`` — statement/block enders
+    - ``indent_lines``:  lines starting with a tab or 4 spaces
+    - ``sym_chars``:     chars in ``{}()[];=<>``
+    - ``kw_hits``:       whole-word programming keywords
+                         (:data:`CODE_KEYWORD_PATTERN`)
+    - ``is_code``:       10·(punct+indent) ≥ 3·n_lines  OR
+                         (kw_hits ≥ 3 AND 25·sym_chars ≥ n_chars > 0)
+
+    Every threshold is cross-multiplied to a pure integer comparison
+    (no floats, the gopher_flags rule); every count is an Arrow RE2
+    kernel sharing its pattern string with the DuckDB twin.  Zero
+    exchanges — a pure streaming map."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column(text_column), "")
+
+        def cnt(pattern: str) -> np.ndarray:
+            return (pc.count_substring_regex(t, pattern)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+
+        n_lines = (pc.count_substring(t, "\n")
+                   .to_numpy(zero_copy_only=False).astype(np.int64) + 1)
+        punct = cnt(r"(?m)[;{}][ \t]*$")
+        indent = cnt(r"(?m)^(?:\t|    )")
+        sym = cnt(r"[{}()\[\];=<>]")
+        kw = cnt(CODE_KEYWORD_PATTERN)
+        n_chars = (pc.utf8_length(t)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        is_code = ((10 * (punct + indent) >= 3 * n_lines)
+                   | ((kw >= 3) & (25 * sym >= n_chars) & (n_chars > 0)))
+        keep = {c: b.column(c) for c in b.column_names
+                if c != text_column}
+        keep.update({
+            "n_lines": pa.array(n_lines),
+            "punct_lines": pa.array(punct),
+            "indent_lines": pa.array(indent),
+            "sym_chars": pa.array(sym),
+            "kw_hits": pa.array(kw),
+            "n_chars": pa.array(n_chars),
+            "is_code": pa.array(is_code)})
+        return pa.table(keep)
+
+    return ds.map_batches(flags, batch_format="pyarrow")

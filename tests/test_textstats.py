@@ -1497,3 +1497,35 @@ def test_stratified_sample_overbudget_raises(ray_session):
     ds = dataset_from_items([{"doc_id": i, "grp": "a"} for i in range(3)])
     with pytest.raises(ValueError):
         stratified_sample(ds, "grp", "doc_id", n_total=5)
+
+
+def test_code_stats_signals(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import code_stats
+
+    code = ("def f(x):\n"
+            "    return x + 1;\n"
+            "\tclass A {\n"
+            "}\n"
+            "import os")
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was a bright cold day in April.")
+    rows = [
+        {"doc_id": 1, "text": code},
+        {"doc_id": 2, "text": prose},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (code_stats(dataset_from_items(rows))
+           .to_pandas().set_index("doc_id"))
+    # code doc: lines 2-4 end in ;/{/}, lines 2-3 indented
+    assert out.loc[1, "n_lines"] == 5
+    assert out.loc[1, "punct_lines"] == 3
+    assert out.loc[1, "indent_lines"] == 2
+    assert out.loc[1, "kw_hits"] == 4  # def, return, class, import
+    assert bool(out.loc[1, "is_code"])
+    assert out.loc[2, "punct_lines"] == 0
+    assert out.loc[2, "indent_lines"] == 0
+    assert not bool(out.loc[2, "is_code"])
+    # empty doc: one line, no signals, not code
+    assert out.loc[3, "n_lines"] == 1 and not bool(out.loc[3, "is_code"])
