@@ -1967,6 +1967,15 @@ def q_code_stats(sf_dir: str):
     return code_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Within-doc duplicate trigram fractions (occurrence + char
+    weighted) — the remaining Gopher §A1.1 repetition signal; pure
+    streaming lexsort/run-length pass, nothing on any exchange."""
+    from llm_food_ray.stages.textstats import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4927,6 +4936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rollup": q_domain_rollup,
         "html_tables": q_html_tables,
         "code_stats": q_code_stats,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7082,6 +7092,40 @@ SELECT doc_id, n_lines, punct_lines, indent_lines, sym_chars, kw_hits,
         OR (kw_hits >= 3 AND 25 * sym_chars >= n_chars
             AND n_chars > 0)) AS is_code
 FROM m
+""",
+        # gram char length = sum(token lens) + n-1 = length of the
+        # ' '-joined gram string; round-6 snap parity on both ratios
+        "dup_ngram_stats": r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+  FROM toks WHERE len(ws) >= 3
+), counted AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c, length(g)::BIGINT AS gl
+  FROM grams GROUP BY doc_id, g
+), agg AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_grams,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup,
+         sum(c * gl)::BIGINT AS ch_tot,
+         sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)::BIGINT AS ch_dup
+  FROM counted GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN a.n_grams > 0
+            THEN round(a.n_dup::DOUBLE / a.n_grams, 6) END AS dup_frac,
+       CASE WHEN a.n_grams > 0
+            THEN round(a.ch_dup::DOUBLE / a.ch_tot, 6) END
+         AS dup_char_frac
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
         # engine ranks (cosine DESC, dst ASC) via stable argsort on the
         # ascending-id broadcast index — identical to the window below

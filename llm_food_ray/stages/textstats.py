@@ -4647,3 +4647,83 @@ def code_stats(ds, text_column: str = "text"):
         return pa.table(keep)
 
     return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def dup_ngram_stats(ds, key_column: str = "doc_id",
+                    text_column: str = "text", *, n: int = 3,
+                    digits: int = 6):
+    """Within-document duplicate n-gram fractions — the remaining
+    Gopher §A1.1 repetition signal :func:`functions.repetition.
+    repetition_features` doesn't cover: how much of a document is the
+    SAME n-word phrase repeated (spun content, template spam, decoding
+    loops).  Per document:
+
+    - ``n_grams``:       total n-token window occurrences
+    - ``n_dup``:         occurrences of grams appearing ≥ 2× in the doc
+    - ``dup_frac``:      n_dup / n_grams (round-``digits`` snap)
+    - ``dup_char_frac``: same, char-weighted — each occurrence weighted
+      by its gram's character length (tokens joined by single spaces),
+      the "fraction of characters in duplicate n-grams" reading
+
+    Docs with fewer than n tokens emit zeros with NULL fractions.
+
+    Scale shape: a PURE STREAMING map — duplication is within-doc, so
+    nothing ever rides an exchange.  Tokens come from
+    :func:`flat_split_words` (one RE2 split per batch); gram identity
+    is the dictionary-encoded token-id tuple resolved with ONE
+    ``np.lexsort`` + run-length pass per batch — no Python loop over
+    rows, no gram strings materialized at all."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    scale = 10 ** digits
+
+    def report(b: pa.Table) -> pa.Table:
+        words, doc_of, ndocs = flat_split_words(b.column(text_column))
+        lens = (pc.utf8_length(words)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        enc = words.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = len(inv)
+        n_grams = np.zeros(ndocs, np.int64)
+        n_dup = np.zeros(ndocs, np.int64)
+        ch_tot = np.zeros(ndocs, np.int64)
+        ch_dup = np.zeros(ndocs, np.int64)
+        starts = (np.flatnonzero(doc_of[:nw - n + 1] == doc_of[n - 1:])
+                  if nw >= n else np.empty(0, np.int64))
+        if len(starts):
+            d = doc_of[starts]
+            cols = [inv[starts + j] for j in range(n)]
+            w = lens[starts] + (n - 1)
+            for j in range(1, n):
+                w = w + lens[starts + j]
+            # lexsort: LAST key is primary → (c_{n-1}, …, c_0, doc)
+            order = np.lexsort(tuple(reversed(cols)) + (d,))
+            d_s = d[order]
+            new = np.ones(len(order), bool)
+            new[1:] = d_s[1:] != d_s[:-1]
+            for c in cols:
+                c_s = c[order]
+                new[1:] |= c_s[1:] != c_s[:-1]
+            gid = np.cumsum(new) - 1
+            sizes = np.bincount(gid)
+            occ_dup = sizes[gid] >= 2
+            w_s = w[order]
+            n_grams[:] = np.bincount(d, minlength=ndocs)
+            n_dup[:] = np.bincount(d_s[occ_dup], minlength=ndocs)
+            ch_tot[:] = np.bincount(d, weights=w,
+                                    minlength=ndocs).astype(np.int64)
+            ch_dup[:] = np.bincount(d_s[occ_dup], weights=w_s[occ_dup],
+                                    minlength=ndocs).astype(np.int64)
+        has = n_grams > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.floor(n_dup / n_grams * scale + 0.5) / scale
+            cfrac = np.floor(ch_dup / ch_tot * scale + 0.5) / scale
+        return pa.table({
+            key_column: b.column(key_column),
+            "n_grams": pa.array(n_grams),
+            "n_dup": pa.array(n_dup),
+            "dup_frac": pa.array(frac, pa.float64(), mask=~has),
+            "dup_char_frac": pa.array(cfrac, pa.float64(), mask=~has)})
+
+    return ds.map_batches(report, batch_format="pyarrow")

@@ -1529,3 +1529,47 @@ def test_code_stats_signals(ray_session):
     assert not bool(out.loc[2, "is_code"])
     # empty doc: one line, no signals, not code
     assert out.loc[3, "n_lines"] == 1 and not bool(out.loc[3, "is_code"])
+
+
+def test_dup_ngram_stats_hand_counts(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import dup_ngram_stats
+
+    rows = [
+        # "a b a b a b": bigrams = ab ba ab ba ab → 'a b'×3, 'b a'×2,
+        # all 5 occurrences duplicated
+        {"doc_id": 1, "text": "a b a b a b"},
+        # all-distinct bigrams
+        {"doc_id": 2, "text": "w x y z"},
+        # too short for a bigram
+        {"doc_id": 3, "text": "solo"},
+    ]
+    out = (dup_ngram_stats(dataset_from_items(rows), n=2)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_dup"] == 5
+    assert out.loc[1, "dup_frac"] == 1.0
+    assert out.loc[1, "dup_char_frac"] == 1.0
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup"] == 0
+    assert out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[3, "n_grams"] == 0
+    import pandas as pd
+    assert pd.isna(out.loc[3, "dup_frac"])
+
+
+def test_dup_ngram_stats_char_weighting(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import dup_ngram_stats
+
+    # trigrams: "aa bb cc" ×2 (len 8), "cc aa bb", "bb cc aa",
+    # "cc dd ee", "dd ee ff" distinct
+    text = "aa bb cc aa bb cc dd ee ff"
+    out = (dup_ngram_stats(dataset_from_items(
+        [{"doc_id": 1, "text": text}]), n=3)
+           .to_pandas().set_index("doc_id"))
+    # 7 windows; only 'aa bb cc' (positions 0 and 3) duplicates
+    assert out.loc[1, "n_grams"] == 7 and out.loc[1, "n_dup"] == 2
+    assert abs(out.loc[1, "dup_frac"] - round(2 / 7, 6)) < 1e-12
+    # every trigram here is 8 chars → char frac == occurrence frac
+    assert out.loc[1, "dup_char_frac"] == out.loc[1, "dup_frac"]
