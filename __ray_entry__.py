@@ -1976,6 +1976,25 @@ def q_dup_ngram_stats(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def q_shard_assign(sf_dir: str):
+    """Token-balanced output shard layout: docs in (md5, id) order cut
+    into ~2000-word shards via the distributed weighted prefix sum —
+    the corpus-export sharding primitive (uniform training-file sizes,
+    RNG-free, cluster-size-independent)."""
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.textstats import shard_assign
+
+    def with_words(b: pa.Table) -> pa.Table:
+        w = pc.cast(pc.count_substring_regex(
+            pc.fill_null(b.column("text"), ""), r"[^\s]+"), pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"), "n_words": w})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_words, batch_format="pyarrow")
+    return shard_assign(ds, "doc_id", "n_words", shard_budget=2000)
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4937,6 +4956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": q_html_tables,
         "code_stats": q_code_stats,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "shard_assign": q_shard_assign,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7126,6 +7146,21 @@ SELECT d.doc_id,
             THEN round(a.ch_dup::DOUBLE / a.ch_tot, 6) END
          AS dup_char_frac
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+        # shard = exclusive weighted cumsum over (md5, id) // budget —
+        # the same window shape as the global_rank/epoch_order twin
+        "shard_assign": r"""
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^\s]+'))::BIGINT AS n_words
+  FROM documents
+)
+SELECT doc_id, n_words,
+       (coalesce(sum(n_words) OVER (
+            ORDER BY md5(doc_id::VARCHAR), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // 2000)::BIGINT AS shard
+FROM w
 """,
         # engine ranks (cosine DESC, dst ASC) via stable argsort on the
         # ascending-id broadcast index — identical to the window below

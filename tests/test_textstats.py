@@ -1573,3 +1573,43 @@ def test_dup_ngram_stats_char_weighting(ray_session):
     assert abs(out.loc[1, "dup_frac"] - round(2 / 7, 6)) < 1e-12
     # every trigram here is 8 chars → char frac == occurrence frac
     assert out.loc[1, "dup_char_frac"] == out.loc[1, "dup_frac"]
+
+
+def test_shard_assign_balance_and_determinism(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.stages.textstats import shard_assign
+
+    rows = [{"doc_id": i, "w": 10} for i in range(40)]
+    out = (shard_assign(dataset_from_items(rows), "doc_id", "w",
+                        shard_budget=100)
+           .to_pandas())
+    # exact reference: cut the md5-ordered exclusive cumsum
+    order = sorted(range(40), key=lambda i: (md5_hex(str(i)), i))
+    cum, expect = 0, {}
+    for i in order:
+        expect[i] = cum // 100
+        cum += 10
+    got = dict(zip(out["doc_id"], out["shard"]))
+    assert got == expect
+    # 400 total weight / 100 budget → exactly 4 shards of 10 rows
+    assert sorted(out["shard"].value_counts().tolist()) == [10, 10, 10, 10]
+
+
+def test_shard_assign_whale_row_owns_shard(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.functions.hashing import md5_hex
+    from llm_food_ray.stages.textstats import shard_assign
+
+    rows = [{"doc_id": 1, "w": 350}, {"doc_id": 2, "w": 1},
+            {"doc_id": 3, "w": 1}]
+    out = (shard_assign(dataset_from_items(rows), "doc_id", "w",
+                        shard_budget=100).to_pandas())
+    order = sorted([1, 2, 3], key=lambda i: (md5_hex(str(i)), i))
+    cum, expect = 0, {}
+    for i in order:
+        expect[i] = cum // 100
+        cum += {1: 350, 2: 1, 3: 1}[i]
+    assert dict(zip(out["doc_id"], out["shard"])) == expect
