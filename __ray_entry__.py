@@ -1995,6 +1995,16 @@ def q_shard_assign(sf_dir: str):
     return shard_assign(ds, "doc_id", "n_words", shard_budget=2000)
 
 
+def q_grouped_zscore(sf_dir: str):
+    """Per-doc length z-score WITHIN its language — the cross-slice
+    score normalizer; exact int64 moments, one groups-sized exchange,
+    broadcast assign, signed floor-snap parity."""
+    from llm_food_ray.stages.textstats import grouped_zscore
+
+    return grouped_zscore(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                          "lang", "n_chars")
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4957,6 +4967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_stats": q_code_stats,
         "dup_ngram_stats": q_dup_ngram_stats,
         "shard_assign": q_shard_assign,
+        "grouped_zscore": q_grouped_zscore,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7161,6 +7172,24 @@ SELECT doc_id, n_words,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // 2000)::BIGINT AS shard
 FROM w
+""",
+        # pinned float sequence mean=S/n; var=Q/n−mean²; z=(v−mean)/√var
+        # with the SIGNED half-up floor snap (two_prop_test convention)
+        "grouped_zscore": """
+WITH m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+         sum(n_chars * n_chars)::BIGINT AS q
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN m.n >= 2
+             AND q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n) > 0
+            THEN floor((d.n_chars - s::DOUBLE / n)
+                       / sqrt(q::DOUBLE / n
+                              - (s::DOUBLE / n) * (s::DOUBLE / n))
+                       * 1000000 + 0.5) / 1000000
+       END AS z
+FROM documents d JOIN m USING (lang)
 """,
         # engine ranks (cosine DESC, dst ASC) via stable argsort on the
         # ascending-id broadcast index — identical to the window below

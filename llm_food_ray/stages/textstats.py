@@ -4800,3 +4800,73 @@ def shard_assign(ds, key_column: str, weight_column: str, *,
             .drop_columns(["__h"]))
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_zscore(ds, group_column: str, value_column: str, *,
+                   z_column: str = "z", digits: int = 6):
+    """Per-row standardized score within its group — ``z = (v − μ_g) /
+    σ_g`` with POPULATION σ: the per-language/per-host score normalizer
+    that makes quality thresholds comparable across corpus slices
+    (a raw "quality 0.7" means different things in different
+    languages; its within-group z does not).
+
+    Determinism: μ, σ derive from exact int64 moments (n, Σv, Σv²) so
+    the pinned float sequence ``mean = S/n; var = Q/n − mean·mean;
+    z = (v − mean)/sqrt(var)`` is bit-identical across engines; z snaps
+    to the 1e-``digits`` grid via ``floor(z·scale + 0.5)`` — the
+    signed half-UP snap both engines share (the two_prop_test
+    convention; the SQL twin uses the same floor expression, NOT
+    round()).  Groups with n < 2 or zero variance → NULL.
+
+    Scale shape: ONE groups-sized moment exchange (per-batch Arrow
+    combiner partials), moments broadcast via ``ray.put``, then a pure
+    streaming assign pass — rows never ride any exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    scale = 10 ** digits
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_column), pa.int64())
+        t = pa.table({group_column: b.column(group_column),
+                      "pn": pa.array(np.ones(len(b), np.int64)),
+                      "ps": v, "pq": pc.multiply(v, v)})
+        g = t.group_by([group_column]).aggregate(
+            [("pn", "sum"), ("ps", "sum"), ("pq", "sum")])
+        return g.rename_columns([group_column, "pn", "ps", "pq"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_column)
+                .aggregate(Sum("pn", alias_name="n"),
+                           Sum("ps", alias_name="s"),
+                           Sum("pq", alias_name="q"))).to_pandas()
+    import pandas as pd
+
+    n = merged["n"].to_numpy(np.int64)
+    s = merged["s"].to_numpy(np.int64)
+    q = merged["q"].to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s / n
+        var = q / n - mean * mean
+    ok = (n >= 2) & (var > 0)
+    sd = np.sqrt(np.where(ok, var, 1.0))
+    idx = pd.Index(merged[group_column])
+    table_ref = _ray.put((idx, mean, sd, ok))
+
+    def assign(b: pa.Table) -> pa.Table:
+        idx_b, mean_b, sd_b, ok_b = _ray.get(table_ref)
+        keys = b.column(group_column).to_numpy(zero_copy_only=False)
+        pos = idx_b.get_indexer(pd.Index(keys))
+        if (pos < 0).any():
+            raise ValueError("group absent from moment table — "
+                             "non-deterministic upstream?")
+        v = (b.column(value_column)
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        z = np.floor((v - mean_b[pos]) / sd_b[pos] * scale + 0.5) / scale
+        return b.append_column(
+            z_column, pa.array(z, pa.float64(), mask=~ok_b[pos]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

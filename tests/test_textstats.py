@@ -1613,3 +1613,30 @@ def test_shard_assign_whale_row_owns_shard(ray_session):
         expect[i] = cum // 100
         cum += {1: 350, 2: 1, 3: 1}[i]
     assert dict(zip(out["doc_id"], out["shard"])) == expect
+
+
+def test_grouped_zscore_values_and_degenerates(ray_session):
+    import math
+
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import grouped_zscore
+
+    rows = [
+        {"doc_id": 1, "grp": "a", "v": 1},
+        {"doc_id": 2, "grp": "a", "v": 2},
+        {"doc_id": 3, "grp": "a", "v": 3},
+        {"doc_id": 4, "grp": "b", "v": 7},   # singleton → NULL
+        {"doc_id": 5, "grp": "c", "v": 5},   # zero variance → NULL
+        {"doc_id": 6, "grp": "c", "v": 5},
+    ]
+    out = (grouped_zscore(dataset_from_items(rows), "grp", "v")
+           .to_pandas().set_index("doc_id"))
+    # group a: mean 2, population sd sqrt(2/3)
+    sd = math.sqrt(2 / 3)
+    for d, v in [(1, 1), (2, 2), (3, 3)]:
+        expect = math.floor((v - 2) / sd * 1e6 + 0.5) / 1e6
+        assert out.loc[d, "z"] == expect
+    import pandas as pd
+    assert pd.isna(out.loc[4, "z"])
+    assert pd.isna(out.loc[5, "z"]) and pd.isna(out.loc[6, "z"])
