@@ -2005,6 +2005,31 @@ def q_grouped_zscore(sf_dir: str):
                           "lang", "n_chars")
 
 
+def q_media_phash(sf_dir: str):
+    """Perceptual-hash media near-dup pairs: every doc_id % 9 == 0
+    asset gets a LENGTH-PRESERVING head retouch (first ≤10 chars →
+    'x') planted as id + 1000000; dHash over the codec-seam fake
+    grayscale grid, 8×8-bit banded Hamming ≤ 7 — pigeonhole-exact, so
+    the twin is the plain brute-force bit_count rule."""
+    from llm_food_ray.stages.multimodal import media_phash_pairs
+
+    def aug(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy()
+        sel = batch.filter(pa.array(ids % 9 == 0))
+        texts = [("x" * min(10, len(t or "")))
+                 + (t or "")[min(10, len(t or "")):]
+                 for t in sel.column("text").to_pylist()]
+        var = pa.table({"doc_id": pc.add(sel.column("doc_id"), 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), var])
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        aug, batch_format="pyarrow")
+    return media_phash_pairs(ds, "doc_id", "text", max_hamming=7)
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4968,6 +4993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "shard_assign": q_shard_assign,
         "grouped_zscore": q_grouped_zscore,
+        "media_phash": q_media_phash,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7172,6 +7198,38 @@ SELECT doc_id, n_words,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // 2000)::BIGINT AS shard
 FROM w
+""",
+        # dHash rebuilt in SQL: 8 char segments → md5 hex-digit pixel
+        # rows → horizontal-gradient bits (char compare == numeric
+        # compare for hex digits); 8×8 banding is pigeonhole-exact at
+        # hamming ≤ 7 so the twin is plain brute-force bit_count
+        "media_phash": """
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         repeat('x', least(10, length(text)))
+         || substr(text, least(10, length(text)) + 1)
+  FROM documents WHERE doc_id % 9 = 0
+), segs AS MATERIALIZED (
+  SELECT doc_id, r.r,
+         md5(substr(text, (r.r * length(text)) // 8 + 1,
+                    ((r.r + 1) * length(text)) // 8
+                    - (r.r * length(text)) // 8)) AS hx
+  FROM aug, (SELECT unnest(range(8)) AS r) r
+), h AS MATERIALIZED (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN substr(hx, c.c + 1, 1)
+                              < substr(hx, c.c + 2, 1)
+                      THEN (1::UBIGINT << (r * 8 + c.c))
+                      ELSE 0::UBIGINT END), 0)::UBIGINT AS s
+  FROM segs, (SELECT unnest(range(8)) AS c) c
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 7
 """,
         # pinned float sequence mean=S/n; var=Q/n−mean²; z=(v−mean)/√var
         # with the SIGNED half-up floor snap (two_prop_test convention)

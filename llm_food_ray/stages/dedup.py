@@ -1688,11 +1688,14 @@ def _build_key_index(src_ds, payload_col: str | None = None,
     return _KeyIndex(fp[order], keys_arr, payload)
 
 
-def simhash_candidate_pairs(ds, key_column: str = "doc_id",
-                            text_column: str = "text", *,
-                            max_hamming: int = 3):
-    """SimHash near-dup pairs: 64-bit signatures, 4×16-bit band index
-    (pigeonhole-exact for hamming ≤ 3), verify by true hamming distance.
+def hash64_band_pairs(ds, key_column: str, hash_column: str, *,
+                      max_hamming: int, num_bands: int = 4):
+    """Hamming-ball near-dup pairs over ANY precomputed 64-bit
+    signature column — the banded plan shared by SimHash text near-dup
+    and perceptual media hashes (dHash/pHash): ``num_bands`` equal-width
+    band buckets (pigeonhole-EXACT for hamming ≤ num_bands − 1: a pair
+    within the threshold must agree on at least one band), verify by
+    true popcount distance.  → (a, b, hamming), a < b by key.
 
     Same fp-space plan as minhash: the band explode ships (band_key,
     fp) 24 B rows — never keys or signatures; in-bucket pairs emit in
@@ -1702,16 +1705,22 @@ def simhash_candidate_pairs(ds, key_column: str = "doc_id",
     than the corpus sizes where broadcast breaks down)."""
     import ray as _ray
 
+    if 64 % num_bands:
+        raise ValueError(f"num_bands must divide 64, got {num_bands}")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_bands > max_hamming "
+            f"for pigeonhole-exact recall (got {num_bands})")
+    width = 64 // num_bands
+
     def sign(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        texts = [t or "" for t in batch.column(text_column).to_pylist()]
-        sigs = np.fromiter((simhash64(t) for t in texts),
-                           dtype=np.uint64, count=len(texts))
         fh, fl = _fingerprint128(keys)
         return pa.table({key_column: keys,
-                         "simhash": pa.array(sigs),
+                         "simhash": batch.column(hash_column)
+                         .cast(pa.uint64()),
                          "__fh": pa.array(fh), "__fl": pa.array(fl)})
 
     signed = ds.map_batches(sign, batch_format="pyarrow").materialize()
@@ -1726,10 +1735,11 @@ def simhash_candidate_pairs(ds, key_column: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         sigs = _u64_col(batch, "simhash")
         n = len(sigs)
-        chunks = np.arange(4, dtype=np.uint64)
-        vals = (sigs[:, None] >> (np.uint64(16) * chunks[None, :])) & np.uint64(0xFFFF)
-        band = ((chunks[None, :] + np.uint64(1)) << np.uint64(16) | vals).ravel()
-        idx = np.repeat(np.arange(n), 4)
+        chunks = np.arange(num_bands, dtype=np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        vals = (sigs[:, None] >> (np.uint64(width) * chunks[None, :])) & mask
+        band = ((chunks[None, :] + np.uint64(1)) << np.uint64(width) | vals).ravel()
+        idx = np.repeat(np.arange(n), num_bands)
         return pa.table({
             "band_key": pa.array(_mix_u64(band)),
             "__fh": pa.array(_u64_col(batch, "__fh")[idx]),
@@ -1805,6 +1815,26 @@ def simhash_candidate_pairs(ds, key_column: str = "doc_id",
                          "hamming": pc.cast(b.column("sim"), pa.int64())})
 
     return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def simhash_candidate_pairs(ds, key_column: str = "doc_id",
+                            text_column: str = "text", *,
+                            max_hamming: int = 3):
+    """SimHash near-dup pairs: 64-bit signatures, 4×16-bit band index
+    (pigeonhole-exact for hamming ≤ 3), verify by true hamming
+    distance.  A thin signature pass over :func:`hash64_band_pairs` —
+    the shared banded-Hamming plan (see there for the scale shape)."""
+
+    def sign(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_column).to_pylist()]
+        sigs = np.fromiter((simhash64(t) for t in texts),
+                           dtype=np.uint64, count=len(texts))
+        return pa.table({key_column: batch.column(key_column),
+                         "simhash": pa.array(sigs)})
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+    return hash64_band_pairs(signed, key_column, "simhash",
+                             max_hamming=max_hamming, num_bands=4)
 
 
 # ------------------------------------------------- embedding near-dup ----

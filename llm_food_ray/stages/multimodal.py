@@ -202,3 +202,72 @@ def media_probe_dataset(ds, payload_column: str = "payload", *,
             concurrency=concurrency, **kwargs,
         )
     return ds.map_batches(MediaProbeStage(payload_column), **kwargs)
+
+
+def fake_gray_grid(text: str, rows: int = 8, cols: int = 9) -> list:
+    """Codec-seam fake decode → a deterministic ``rows × cols``
+    "grayscale" grid: the payload (decoded text) splits into ``rows``
+    equal character segments and row *r*'s pixels are the first
+    ``cols`` hex digits of ``md5(segment_r)``.  A REAL codec would
+    produce this grid by decoding + downscaling the image (the dHash
+    preprocessing step); the fake preserves the property the hash
+    needs — LOCAL payload edits change LOCAL pixel rows — while
+    staying reproducible in SQL (substr + md5)."""
+    s = text or ""
+    n = len(s)
+    grid = []
+    for r in range(rows):
+        seg = s[(r * n) // rows:((r + 1) * n) // rows]
+        h = hashlib.md5(seg.encode("utf-8")).hexdigest()
+        grid.append(h[:cols])
+    return grid
+
+
+def dhash64(grid) -> int:
+    """Difference hash (dHash) over an 8×9 grid — the REAL perceptual
+    hash math: bit ``r·8 + c`` set iff ``grid[r][c] < grid[r][c+1]``
+    (horizontal gradient sign).  Hex-digit pixels compare as
+    characters — '0'-'9' < 'a'-'f' in ASCII, so the char compare IS
+    the numeric compare (and the SQL twin's substr comparison)."""
+    h = 0
+    for r, row in enumerate(grid):
+        for c in range(8):
+            if row[c] < row[c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h
+
+
+def media_phash_pairs(ds, key_column: str = "doc_id",
+                      text_column: str = "text", *,
+                      max_hamming: int = 7):
+    """Perceptual-hash near-dup pairs over media assets: dHash-style
+    64-bit signature per asset (8 pixel rows × 8 horizontal-gradient
+    bits via :func:`fake_gray_grid` + :func:`dhash64`), then the shared
+    banded-Hamming plan :func:`stages.dedup.hash64_band_pairs` with
+    8×8-bit bands — pigeonhole-exact for hamming ≤ 7, so the operator
+    EQUALS the brute-force "all pairs within 7 bits" rule (re-encoded /
+    lightly-retouched asset detection, the near-dup sibling of
+    ``media_dedup``'s exact profile rule).
+
+    Band/structure alignment: one pixel row = one 8-bit band, so an
+    edit confined to k payload segments flips at most k bands —
+    single-segment retouches are always recalled.  At real media
+    scale, raise the signature width / band width (8-bit bands bucket
+    n/256 assets per band value; the banding knob is
+    ``hash64_band_pairs(num_bands=…)``) — documented, not silent.
+    → (a, b, hamming), a < b by key."""
+    import numpy as np
+
+    from .dedup import hash64_band_pairs
+
+    def sign(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        sigs = np.fromiter(
+            (dhash64(fake_gray_grid(t)) for t in texts),
+            dtype=np.uint64, count=len(texts))
+        return pa.table({key_column: batch.column(key_column),
+                         "phash": pa.array(sigs)})
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+    return hash64_band_pairs(signed, key_column, "phash",
+                             max_hamming=max_hamming, num_bands=8)

@@ -157,3 +157,61 @@ def test_media_profile_dedup_identical_histograms(ray_session):
                               "doc_id", "profile")
                   .select_columns(["doc_id"]).take_all())
     assert kept == [1, 3, 4, 5]
+
+
+def test_dhash_local_edit_changes_only_its_row():
+    from llm_food_ray.stages.multimodal import dhash64, fake_gray_grid
+
+    base = "a" * 80
+    # change chars inside segment 3 only (chars 30-39) — same length
+    edited = base[:32] + "ZZZ" + base[35:]
+    h1 = dhash64(fake_gray_grid(base))
+    h2 = dhash64(fake_gray_grid(edited))
+    diff = h1 ^ h2
+    # only bits 24..31 (row 3) may differ
+    assert diff != 0
+    assert diff & ~(0xFF << 24) == 0
+
+
+def test_dhash_gradient_bits():
+    from llm_food_ray.stages.multimodal import dhash64
+
+    # a grid of explicit hex rows: '01234567 8' ascending → all 8 bits
+    asc = "012345678"
+    desc = "987654321"
+    h = dhash64([asc] * 8)
+    assert h == (1 << 64) - 1
+    assert dhash64([desc] * 8) == 0
+
+
+def test_media_phash_pairs_recalls_retouch(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.multimodal import media_phash_pairs
+
+    texts = {i: f"asset {i} " + "payload " * 20 + f"tail {i}"
+             for i in range(6)}
+    rows = [{"doc_id": i, "text": t} for i, t in texts.items()]
+    # planted retouch of asset 2: same length, head overwritten
+    t2 = texts[2]
+    rows.append({"doc_id": 100, "text": "x" * 10 + t2[10:]})
+    out = (media_phash_pairs(dataset_from_items(rows), "doc_id", "text",
+                             max_hamming=7)
+           .to_pandas())
+    pairs = set(zip(out["a"], out["b"]))
+    assert (2, 100) in pairs
+    ham = out.set_index(["a", "b"]).loc[(2, 100), "hamming"]
+    assert 0 < ham <= 7   # head edit flips only row-0 gradient bits
+
+
+def test_hash64_band_pairs_guards(ray_session):
+    import pytest
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.dedup import hash64_band_pairs
+
+    ds = dataset_from_items([{"k": 1, "h": 0}])
+    with pytest.raises(ValueError):
+        hash64_band_pairs(ds, "k", "h", max_hamming=4, num_bands=4)
+    with pytest.raises(ValueError):
+        hash64_band_pairs(ds, "k", "h", max_hamming=2, num_bands=7)
