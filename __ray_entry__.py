@@ -2030,6 +2030,17 @@ def q_media_phash(sf_dir: str):
     return media_phash_pairs(ds, "doc_id", "text", max_hamming=7)
 
 
+def q_props_flatten(sf_dir: str):
+    """Typed JSON property-bag flattening over the events stream —
+    props '{"k": 87}' → an int64 k column; vectorized RE2 extraction
+    under the flat-object contract, zero exchanges."""
+    from llm_food_ray.stages.sessions import flatten_json_props
+
+    return flatten_json_props(
+        _events(sf_dir).select_columns(["event_id", "props"]),
+        "props", fields={"k": "int64"})
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -4994,6 +5005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": q_shard_assign,
         "grouped_zscore": q_grouped_zscore,
         "media_phash": q_media_phash,
+        "props_flatten": q_props_flatten,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7198,6 +7210,13 @@ SELECT doc_id, n_words,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // 2000)::BIGINT AS shard
 FROM w
+""",
+        # engine regex extraction == json parser under the flat-object
+        # contract; twin uses the real JSON reader
+        "props_flatten": """
+SELECT event_id,
+       json_extract_string(props, '$.k')::BIGINT AS k
+FROM events
 """,
         # dHash rebuilt in SQL: 8 char segments → md5 hex-digit pixel
         # rows → horizontal-gradient bits (char compare == numeric

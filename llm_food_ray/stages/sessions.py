@@ -965,3 +965,44 @@ def session_durations(ds, user_column: str = "user_id",
                  .aggregate(Count(alias_name="n_sessions"),
                             Sum("dur", alias_name="total_active_us"),
                             Max("dur", alias_name="longest_us")))
+
+
+def flatten_json_props(ds, props_column: str = "props", *,
+                       fields: dict, keep_props: bool = False):
+    """Typed extraction of FLAT JSON property bags into real columns —
+    the event-stream ETL step that turns ``{"plan": "pro", "n": 3}``
+    strings into queryable ``plan``/``n`` columns.  ``fields`` maps
+    field name → ``"int64" | "float64" | "string"``; absent or
+    non-matching fields yield NULL.
+
+    Contract (documented, not silent): flat objects only — no nested
+    braces, string values without escaped quotes.  Under that contract
+    the per-field Arrow RE2 ``extract_regex`` kernel agrees exactly
+    with a JSON parser (the DuckDB twin uses ``json_extract``), and
+    the whole op stays a vectorized zero-exchange streaming map — a
+    per-row ``json.loads`` costs ~20× more on the hot path.
+    """
+    types = {"int64": pa.int64(), "float64": pa.float64(),
+             "string": pa.string()}
+    for f, t in fields.items():
+        if t not in types:
+            raise ValueError(f"unsupported field type {t!r} for {f!r}")
+
+    def flatten(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b.column(props_column).combine_chunks()
+                           if isinstance(b.column(props_column),
+                                         pa.ChunkedArray)
+                           else b.column(props_column), "")
+        out = {c: b.column(c) for c in b.column_names
+               if keep_props or c != props_column}
+        for f, t in fields.items():
+            if t == "string":
+                pat = f'"{f}"\\s*:\\s*"(?P<v>[^"]*)"'
+            else:
+                pat = f'"{f}"\\s*:\\s*(?P<v>-?[0-9][0-9.eE+-]*)'
+            m = pc.extract_regex(col, pat)
+            vals = pc.struct_field(m, "v")
+            out[f] = pc.cast(vals, types[t])
+        return pa.table(out)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")

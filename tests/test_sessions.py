@@ -427,3 +427,39 @@ def test_session_durations_islands(ray_session):
     assert int(out.loc[1, "longest_us"]) == 10 * M
     assert int(out.loc[2, "n_sessions"]) == 1
     assert int(out.loc[2, "total_active_us"]) == 0
+
+
+def test_flatten_json_props_types_and_nulls(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import flatten_json_props
+
+    rows = [
+        {"id": 1, "props": '{"plan": "pro", "n": 3, "r": 1.5}'},
+        {"id": 2, "props": '{"n": -7}'},          # plan/r absent → NULL
+        {"id": 3, "props": ""},                    # empty → all NULL
+        {"id": 4, "props": '{"plan": "", "n": 0, "r": -2.25}'},
+    ]
+    out = (flatten_json_props(
+        dataset_from_items(rows), "props",
+        fields={"plan": "string", "n": "int64", "r": "float64"})
+        .to_pandas().set_index("id"))
+    assert out.loc[1, "plan"] == "pro" and out.loc[1, "n"] == 3
+    assert out.loc[1, "r"] == 1.5
+    assert out.loc[2, "n"] == -7
+    import pandas as pd
+    assert pd.isna(out.loc[2, "plan"]) and pd.isna(out.loc[2, "r"])
+    assert pd.isna(out.loc[3, "n"])
+    assert out.loc[4, "plan"] == "" and out.loc[4, "r"] == -2.25
+    assert "props" not in out.columns
+
+
+def test_flatten_json_props_bad_type_raises(ray_session):
+    import pytest
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.sessions import flatten_json_props
+
+    with pytest.raises(ValueError):
+        flatten_json_props(dataset_from_items([{"props": "{}"}]),
+                           "props", fields={"x": "bool"})
