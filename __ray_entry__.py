@@ -2041,6 +2041,30 @@ def q_props_flatten(sf_dir: str):
         "props", fields={"k": "int64"})
 
 
+_DE_PARA = ("der die das und ist nicht ein eine zu den von mit "
+            "auf für im sich des dem")
+
+
+def q_para_lang(sf_dir: str):
+    """Per-paragraph language spans (CCNet mixed-document splitter
+    input): one row per non-blank paragraph with ordinal + stopword-
+    coverage language; every doc_id % 4 == 0 page gets a planted
+    German second paragraph so the explode and per-slice routing are
+    actually exercised; pure streaming explode."""
+    from llm_food_ray.stages.textstats import para_lang_spans
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = [(t or "") + ("\n\n" + _DE_PARA if i % 4 == 0 else "")
+                 for i, t in zip(ids, b.column("text").to_pylist())]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        aug, batch_format="pyarrow")
+    return para_lang_spans(ds)
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -5006,6 +5030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_zscore": q_grouped_zscore,
         "media_phash": q_media_phash,
         "props_flatten": q_props_flatten,
+        "para_lang": q_para_lang,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -7210,6 +7235,64 @@ SELECT doc_id, n_words,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // 2000)::BIGINT AS shard
 FROM w
+""",
+        # the lang_id twin applied to exploded non-blank paragraphs;
+        # 1-based ordinal within the FILTERED paragraph list; planted
+        # German second paragraph on doc_id % 4 = 0
+        "para_lang": r"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN chr(10) || chr(10)
+                           || 'der die das und ist nicht ein eine zu '
+                           || 'den von mit auf für im sich des dem'
+                      ELSE '' END AS text
+  FROM documents
+), t AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10) || chr(10)),
+                x -> trim(x, ' ' || chr(9) || chr(13) || chr(10)
+                          || chr(12)) <> '') AS paras
+  FROM aug
+), p AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(paras, 1) AS para_ord,
+         unnest(paras) AS para
+  FROM t
+), tok AS (
+  SELECT doc_id, para_ord,
+         list_transform(regexp_extract_all(para, '\w+'),
+                        x -> lower(x)) AS toks
+  FROM p
+), s AS (
+  SELECT doc_id, para_ord, len(toks) AS n,
+    len(list_filter(toks, x -> x IN ('the','of','and','to','a','in','is',
+      'that','it','for','on','with','as','are','was','be','this','have',
+      'from','or','by'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht',
+      'ein','eine','zu','den','von','mit','auf','für','im','sich','des',
+      'dem'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y',
+      'en','un','una','es','no','por','con','para','del','se','su','al',
+      'como'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','un',
+      'une','est','que','pour','dans','qui','au','du','sur','ne','pas',
+      'ce'))) AS h_fr,
+    len(list_filter(toks, x -> x IN ('bir','ve','bu','da','de','için',
+      'ile','olarak','çok','daha','en','gibi','sonra','kadar','ama',
+      'ben'))) AS h_tr
+  FROM tok
+)
+SELECT doc_id, para_ord,
+  CASE WHEN n = 0 THEN 'und'
+       WHEN GREATEST(h_en, h_de, h_es, h_fr, h_tr) * 1.0 / n <= 0.02
+         THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr
+            AND h_en >= h_tr THEN 'en'
+       WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_tr THEN 'de'
+       WHEN h_es >= h_fr AND h_es >= h_tr THEN 'es'
+       WHEN h_fr >= h_tr THEN 'fr'
+       ELSE 'tr' END AS lang_id
+FROM s
 """,
         # engine regex extraction == json parser under the flat-object
         # contract; twin uses the real JSON reader

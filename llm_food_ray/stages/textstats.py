@@ -4870,3 +4870,36 @@ def grouped_zscore(ds, group_column: str, value_column: str, *,
             z_column, pa.array(z, pa.float64(), mask=~ok_b[pos]))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def para_lang_spans(ds, key_column: str = "doc_id",
+                    text_column: str = "text"):
+    """Per-PARAGRAPH language spans — the CCNet-style mixed-document
+    splitter input: one row per non-blank paragraph with its 1-based
+    ordinal and stopword-coverage language (:func:`functions.textstats.
+    detect_lang`), so a bilingual page can route each slice to its own
+    language corpus instead of being dropped as "mixed".
+
+    Scale shape: pure streaming explode — paragraph splitting and
+    language profiles are per-row local, nothing rides any exchange;
+    output fan-out is bounded by the corpus paragraph count.  The
+    langid loop is per PARAGRAPH (a profile lookup over its tokens),
+    the same cost class as the per-doc ``lang_id`` scorer."""
+    from ..functions.repetition import split_paragraphs
+    from ..functions.textstats import detect_lang
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys_out, ords, langs = [], [], []
+        for k, t in zip(b.column(key_column).to_pylist(),
+                        b.column(text_column).to_pylist()):
+            for i, p in enumerate(split_paragraphs(t or "")):
+                keys_out.append(k)
+                ords.append(i + 1)
+                langs.append(detect_lang(p))
+        return pa.table({
+            key_column: pa.array(keys_out,
+                                 b.schema.field(key_column).type),
+            "para_ord": pa.array(ords, pa.int64()),
+            "lang_id": pa.array(langs, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1640,3 +1640,29 @@ def test_grouped_zscore_values_and_degenerates(ray_session):
     import pandas as pd
     assert pd.isna(out.loc[4, "z"])
     assert pd.isna(out.loc[5, "z"]) and pd.isna(out.loc[6, "z"])
+
+
+def test_para_lang_spans_mixed_doc(ray_session):
+    from helpers import dataset_from_items
+
+    from llm_food_ray.stages.textstats import para_lang_spans
+
+    en = ("the cat sat on the mat and it was happy with the sun "
+          "for a while")
+    de = ("der hund und die katze sind nicht im haus von dem mann "
+          "mit der zeitung")
+    rows = [
+        {"doc_id": 1, "text": en + "\n\n" + de},
+        {"doc_id": 2, "text": "\n\n" + en + "\n\n\n\n"},  # blanks drop
+        {"doc_id": 3, "text": "zzz qqq xxx"},             # und
+        {"doc_id": 4, "text": ""},                        # no rows
+    ]
+    out = (para_lang_spans(dataset_from_items(rows))
+           .to_pandas())
+    d1 = out[out.doc_id == 1].sort_values("para_ord")
+    assert list(d1["para_ord"]) == [1, 2]
+    assert list(d1["lang_id"]) == ["en", "de"]
+    d2 = out[out.doc_id == 2]
+    assert list(d2["para_ord"]) == [1] and list(d2["lang_id"]) == ["en"]
+    assert list(out[out.doc_id == 3]["lang_id"]) == ["und"]
+    assert len(out[out.doc_id == 4]) == 0
