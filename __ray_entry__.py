@@ -2065,6 +2065,28 @@ def q_para_lang(sf_dir: str):
     return para_lang_spans(ds)
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram — the dedup AUDIT report ("how
+    much mass sits in how-big duplicate clusters"): cluster labels →
+    per-cluster count → counts-of-counts.  Both rollups are label- and
+    size-bounded exchanges; the output is tiny by construction."""
+    from ray.data.aggregate import Count, Sum
+
+    labels = q_near_dup_clusters(sf_dir)
+    per_cluster = labels.groupby("cluster").aggregate(
+        Count(alias_name="size"))
+
+    def one(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table({"size": b.column("size"),
+                         "pn": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return (per_cluster.map_batches(one, batch_format="pyarrow")
+            .groupby("size")
+            .aggregate(Sum("pn", alias_name="n_clusters")))
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -5031,6 +5053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash": q_media_phash,
         "props_flatten": q_props_flatten,
         "para_lang": q_para_lang,
+        "cluster_sizes": q_cluster_sizes,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -8055,6 +8078,13 @@ FROM d LEFT JOIN tc ON tc.node = d.node
         # cluster-label twin: same closure, but every doc is labeled by
         # its component's min key (singletons label themselves)
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+        # counts-of-counts over the same closure: the dedup audit
+        "cluster_sizes": f"""
+SELECT size, count(*)::BIGINT AS n_clusters
+FROM (SELECT cluster, count(*)::BIGINT AS size
+      FROM ({_NEAR_DUP_CLUSTERS_SQL}) t GROUP BY cluster)
+GROUP BY size
+""",
         # whole component -> one split: hash_split's md5 bucket rule
         # applied to the CLUSTER id, so near-copies never straddle
         # train and eval
