@@ -2087,6 +2087,40 @@ def q_cluster_sizes(sf_dir: str):
             .aggregate(Sum("pn", alias_name="n_clusters")))
 
 
+def q_dedup_near_indexed(sf_dir: str):
+    """Incremental NEAR dedup against a PERSISTED signature index:
+    the archive (doc_id%5==0, re-suffixed, +3000000) is signed ONCE
+    into a hive-bucketed Parquet index; the delta crawl then signs
+    only itself and unions with the stored signatures — the archive's
+    shingling cost amortizes over every crawl.  Byte-identical to
+    dedup_near_against (shared oracle + plan-equality pytest)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from llm_food_ray.stages.dedup import (dedup_near_against_index,
+                                           write_minhash_index)
+
+    def archive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        old = batch.filter(pa.array(ids % 5 == 0))
+        return pa.table({
+            "doc_id": pc.add(old.column("doc_id"), 3000000),
+            "text": pc.binary_join_element_wise(
+                old.column("text"), " archived copy", ""),
+        })
+
+    seen = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(archive, batch_format="pyarrow"))
+    idx_dir = tempfile.mkdtemp(prefix="mh_index_")
+    write_minhash_index(seen, idx_dir, "doc_id", "text",
+                        num_perm=128, keep_shingles=True)
+    new = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return (dedup_near_against_index(new, idx_dir, "doc_id", "text",
+                                     threshold=0.9, num_bands=32)
+            .select_columns(["doc_id", "lang"]))
+
+
 def q_prop_test(sf_dir: str):
     """Per-language two-proportion z between the even/odd doc halves
     on the space-rate≥160 pass signal — "did the filter pass-rate
@@ -5054,6 +5088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_flatten": q_props_flatten,
         "para_lang": q_para_lang,
         "cluster_sizes": q_cluster_sizes,
+        "dedup_near_indexed": q_dedup_near_indexed,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -5746,6 +5781,46 @@ _DUPSPAN_AGAINST_BASE = _DUPSPAN_TOKS + """, seen AS (
   WHERE w.doc_id % 3 <> 0
 )""" + _DUPSPAN_ISLANDS
 
+
+_NEAR_AGAINST_SQL = """
+WITH RECURSIVE comb AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' archived copy' FROM documents
+  WHERE doc_id % 5 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM comb
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.9
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+), reach(src, node) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), mins AS (
+  SELECT src, min(node) AS mn FROM reach GROUP BY src
+), lab AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(LEAST(m.src, m.mn), c.doc_id) AS BIGINT) AS cluster
+  FROM comb c LEFT JOIN mins m ON c.doc_id = m.src
+), bad AS (
+  SELECT DISTINCT cluster FROM lab WHERE doc_id >= 3000000
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+WHERE l.cluster NOT IN (SELECT cluster FROM bad)
+"""
 
 _NEAR_DUP_CLUSTERS_SQL = """
 WITH RECURSIVE aug AS (
@@ -8143,45 +8218,9 @@ WHERE rn = 1
 """,
         # incremental near-dedup: closure over the new ∪ archive pair
         # graph; new docs sharing a component with an archive doc drop.
-        "dedup_near_against": """
-WITH RECURSIVE comb AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 3000000, text || ' archived copy' FROM documents
-  WHERE doc_id % 5 = 0
-), toks_t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM comb
-), n_t AS (
-  SELECT doc_id, toks, len(toks) AS n FROM toks_t
-), grams AS (
-  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
-  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
-), sh AS (
-  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(a.s || b.s)) >= 0.9
-), edges AS (
-  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-), reach(src, node) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-), mins AS (
-  SELECT src, min(node) AS mn FROM reach GROUP BY src
-), lab AS (
-  SELECT c.doc_id,
-         CAST(COALESCE(LEAST(m.src, m.mn), c.doc_id) AS BIGINT) AS cluster
-  FROM comb c LEFT JOIN mins m ON c.doc_id = m.src
-), bad AS (
-  SELECT DISTINCT cluster FROM lab WHERE doc_id >= 3000000
-)
-SELECT d.doc_id, d.lang
-FROM documents d JOIN lab l ON d.doc_id = l.doc_id
-WHERE l.cluster NOT IN (SELECT cluster FROM bad)
-""",
+        "dedup_near_against": _NEAR_AGAINST_SQL,
+        # identical semantics through the persisted signature index
+        "dedup_near_indexed": _NEAR_AGAINST_SQL,
         # crawl diff: snapshot B derived deterministically from the
         # documents table; unchanged urls excluded by the hash predicate.
         "crawl_diff": """

@@ -1465,8 +1465,17 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
                             pair_mode: str = "all",
                             verify_exec: str = "auto",
                             num_partitions: int | None = None,
-                            broadcast_budget_bytes: int = 2 << 30):
+                            broadcast_budget_bytes: int = 2 << 30,
+                            signed_ds=None):
     """→ Dataset of confirmed near-dup pairs (a, b, sim), a < b by key.
+
+    ``signed_ds``: a PRE-SIGNED signature Dataset (the
+    :func:`minhash_sign` / :func:`read_minhash_index` schema — key,
+    ``minhash_sig``, optional ``shingles``, ``__fh``/``__fl``) skips
+    the shingle+sign pass entirely — the incremental-crawl seam where
+    the archive's signatures come from a persisted index instead of
+    re-reading archive text.  ``verify="exact"`` then requires the
+    ``shingles`` column in the index.  ``ds`` is ignored when given.
 
     Two-phase plan, entirely in 128-bit fingerprint space (the banded
     shuffle carries ONLY (band_hash, fp) — 24 B/row — never the 1 KB
@@ -1520,11 +1529,23 @@ def minhash_candidate_pairs(ds, key_column: str = "doc_id",
     import ray as _ray
     import ray.data as rd
 
-    sig_stage = MinHashSignatures(key_column, text_column, num_perm, k_shingle,
-                                  keep_shingles=(verify == "exact"), seed=seed)
-    # materialized: read twice (banding + verification) without
-    # recomputing shingles; blocks spill to disk if they outgrow memory
-    sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    if signed_ds is not None:
+        sig_ds = signed_ds.materialize()
+        if (verify == "exact" and sig_ds.count() > 0
+                and "shingles" not in
+                sig_ds.schema().base_schema.names):
+            raise ValueError(
+                'verify="exact" over a pre-signed dataset needs the '
+                "'shingles' column (write the index with "
+                "keep_shingles=True)")
+    else:
+        sig_stage = MinHashSignatures(
+            key_column, text_column, num_perm, k_shingle,
+            keep_shingles=(verify == "exact"), seed=seed)
+        # materialized: read twice (banding + verification) without
+        # recomputing shingles; blocks spill if they outgrow memory
+        sig_ds = (ds.map_batches(sig_stage, batch_format="pyarrow")
+                  .materialize())
     if sig_ds.count() == 0:
         return rd.from_arrow(_empty_pairs_table(pa.int64()))
     key_type = sig_ds.schema().base_schema.field(key_column).type
@@ -2521,13 +2542,25 @@ def dedup_near_against(new_ds, seen_ds, key_column: str, text_column: str,
         verify=verify, num_perm=num_perm, num_bands=num_bands,
         pair_mode="star", num_partitions=num_partitions,
     )
+    return _drop_component_contaminated(
+        new_ds, pairs, seen_ds.select_columns([key_column]),
+        key_column, num_partitions)
+
+
+def _drop_component_contaminated(new_ds, pairs, seen_keys, key_column,
+                                 num_partitions):
+    """Shared tail of the incremental near-dup plans: min-label
+    components over the confirmed pairs, then three duplication-mass-
+    bounded joins — labels LEFT SEMI seen keys → contaminated label
+    set, labels LEFT SEMI that set → drop nodes, new LEFT ANTI drop
+    nodes."""
     labels = _nonempty_blocks(
         clusters_min_label(pairs, num_partitions=num_partitions)
         .materialize())
     if labels is None:   # no near-dups anywhere → new corpus unchanged
         return new_ds
     parts = _join_partitions(num_partitions)
-    bad_labels = safe_join(labels, seen_ds.select_columns([key_column]),
+    bad_labels = safe_join(labels, seen_keys,
                            "left_semi", parts,
                            on=("node",), right_on=(key_column,))
     if bad_labels is not None:
@@ -3254,3 +3287,165 @@ def dup_rate_by_group(ds, group_column: str, text_column: str, *,
                          "dup_rate": pa.array(rate, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_sign(ds, key_column: str, text_column: str, *,
+                 num_perm: int = 128, k_shingle: int = 3,
+                 seed: int = 42, keep_shingles: bool = True):
+    """Public signature pass: (key, ``minhash_sig``[, ``shingles``],
+    ``__fh``/``__fl``) rows — the unit the persisted signature index
+    stores and ``minhash_candidate_pairs(signed_ds=…)`` consumes."""
+    stage = MinHashSignatures(key_column, text_column, num_perm,
+                              k_shingle, keep_shingles=keep_shingles,
+                              seed=seed)
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# underscore prefix: parquet dataset discovery ignores it
+_MINHASH_META = "_minhash_index.json"
+
+
+def write_minhash_index(ds, index_dir: str, key_column: str,
+                        text_column: str, *, num_perm: int = 128,
+                        k_shingle: int = 3, seed: int = 42,
+                        keep_shingles: bool = True,
+                        num_buckets: int = 64):
+    """Persist the corpus's MinHash signatures (and, by default, its
+    shingle-fp sets, so ``verify="exact"`` stays available) as a
+    hive-bucketed Parquet index + a config manifest — the archive side
+    of the incremental-crawl near-dup loop: sign the archive ONCE,
+    then every delta crawl signs only itself
+    (:func:`dedup_near_against_index`), instead of re-shingling the
+    full archive per run (`dedup_near_against` re-reads both sides).
+
+    Layout: ``index_dir/bucket=<hash(fp)%num_buckets>/*.parquet`` +
+    ``minhash_index.json`` (num_perm / k_shingle / seed / shingles —
+    appends and reads validate against it; the manifest lands
+    tmp-then-rename AFTER the data, the resumable-writer ordering).
+    ``__fh``/``__fl`` are derived from keys, so they are NOT stored —
+    :func:`read_minhash_index` re-attaches them."""
+    import json
+    import os
+
+    meta = {"num_perm": num_perm, "k_shingle": k_shingle, "seed": seed,
+            "keep_shingles": keep_shingles, "num_buckets": num_buckets,
+            "key_column": key_column}
+    signed = minhash_sign(ds, key_column, text_column,
+                          num_perm=num_perm, k_shingle=k_shingle,
+                          seed=seed, keep_shingles=keep_shingles)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = (_u64_col(b, "__fh") % np.uint64(num_buckets)).astype(
+            np.int64)
+        return (b.drop_columns(["__fh", "__fl"])
+                .append_column("bucket", pa.array(bucket)))
+
+    (signed.map_batches(bucketize, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    tmp = os.path.join(index_dir, _MINHASH_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _MINHASH_META))
+    return meta
+
+
+def read_minhash_index(index_dir: str):
+    """→ (signature Dataset with ``__fh``/``__fl`` re-attached, meta
+    dict).  Validates the manifest exists (a dir without one is an
+    unfinished write)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, _MINHASH_META)) as f:
+        meta = json.load(f)
+    key_column = meta["key_column"]
+    ds = rd.read_parquet(index_dir)
+
+    def attach(b: pa.Table) -> pa.Table:
+        cols = [c for c in b.column_names if c != "bucket"]
+        b = b.select(cols)
+        fh, fl = _fingerprint128(b.column(key_column))
+        return (b.append_column("__fh", pa.array(fh, pa.uint64()))
+                .append_column("__fl", pa.array(fl, pa.uint64())))
+
+    return ds.map_batches(attach, batch_format="pyarrow"), meta
+
+
+def append_minhash_index(ds, index_dir: str, text_column: str):
+    """LSM-style delta append: sign ONLY ``ds`` under the manifest's
+    config and add its rows as new files in the same bucket layout —
+    existing files never rewritten, cost O(delta).  Exactly-once is
+    the caller's job (the merge_term_index contract); delta keys must
+    be new."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _MINHASH_META)) as f:
+        meta = json.load(f)
+    signed = minhash_sign(ds, meta["key_column"], text_column,
+                          num_perm=meta["num_perm"],
+                          k_shingle=meta["k_shingle"],
+                          seed=meta["seed"],
+                          keep_shingles=meta["keep_shingles"])
+    num_buckets = meta["num_buckets"]
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = (_u64_col(b, "__fh") % np.uint64(num_buckets)).astype(
+            np.int64)
+        return (b.drop_columns(["__fh", "__fl"])
+                .append_column("bucket", pa.array(bucket)))
+
+    (signed.map_batches(bucketize, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["bucket"]))
+    return meta
+
+
+def dedup_near_against_index(new_ds, index_dir: str, key_column: str,
+                             text_column: str, *,
+                             threshold: float = 0.9,
+                             num_bands: int = 32,
+                             verify: str = "exact",
+                             num_partitions: int | None = None):
+    """:func:`dedup_near_against` with the archive side read from a
+    persisted signature index: the delta crawl signs ONLY itself; the
+    archive's shingling cost was paid once at
+    :func:`write_minhash_index` time and amortizes over every
+    subsequent crawl.  Output is byte-identical to re-running
+    ``dedup_near_against`` on the archive texts (pytest-pinned).
+
+    Scale shape: identical to ``dedup_near_against`` past the signing
+    seam — star-mode fp-space banding over the UNION of delta
+    signatures and index rows, min-label components, three
+    duplication-mass-bounded joins."""
+    signed_idx, meta = read_minhash_index(index_dir)
+    if meta["key_column"] != key_column:
+        raise ValueError(
+            f"index keyed by {meta['key_column']!r}, got {key_column!r}")
+    keep_shingles = meta["keep_shingles"] or verify != "exact"
+    if not keep_shingles:
+        raise ValueError(
+            'verify="exact" needs an index written with '
+            "keep_shingles=True")
+    new_signed = minhash_sign(new_ds, key_column, text_column,
+                              num_perm=meta["num_perm"],
+                              k_shingle=meta["k_shingle"],
+                              seed=meta["seed"],
+                              keep_shingles=(verify == "exact"))
+    if verify != "exact" and meta["keep_shingles"]:
+        # estimate mode never reads shingles — drop them so the union
+        # schemas line up (and the banding exchange stays thin)
+        cols = [key_column, "minhash_sig", "__fh", "__fl"]
+        signed_idx = signed_idx.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow")
+    pairs = minhash_candidate_pairs(
+        None, key_column, text_column, threshold=threshold,
+        verify=verify, num_perm=meta["num_perm"], num_bands=num_bands,
+        pair_mode="star", num_partitions=num_partitions,
+        signed_ds=new_signed.union(signed_idx),
+    )
+    seen_keys = signed_idx.map_batches(
+        lambda b: b.select([key_column]), batch_format="pyarrow")
+    return _drop_component_contaminated(new_ds, pairs, seen_keys,
+                                        key_column, num_partitions)

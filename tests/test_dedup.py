@@ -941,3 +941,93 @@ def test_dup_rate_by_group(ray_session):
     assert out.loc["b", "n_docs"] == 3 and out.loc["b", "n_dups"] == 3
     assert out.loc["b", "dup_rate"] == 1.0
     assert out.loc["c", "n_dups"] == 0 and out.loc["c", "dup_rate"] == 0.0
+
+
+def test_minhash_index_roundtrip_matches_live_signing(ray_session, tmp_path):
+    """write_minhash_index → read_minhash_index returns the same rows
+    minhash_sign produces live (signatures, shingle sets, re-derived
+    key fingerprints)."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (minhash_sign,
+                                           read_minhash_index,
+                                           write_minhash_index)
+
+    docs = [{"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(40))}
+            for i in range(20)]
+    ds = rd.from_items(docs)
+    idx = str(tmp_path / "idx")
+    meta = write_minhash_index(ds, idx, "doc_id", "text", num_perm=32,
+                               num_buckets=4)
+    assert meta["num_perm"] == 32
+
+    got, meta2 = read_minhash_index(idx)
+    assert meta2 == meta
+    live = (minhash_sign(ds, "doc_id", "text", num_perm=32)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns.sort_values()) == list(
+        live.columns.sort_values())
+    for col in ["doc_id", "__fh", "__fl"]:
+        assert list(got[col]) == list(live[col])
+    for col in ["minhash_sig", "shingles"]:
+        assert [list(v) for v in got[col]] == [list(v) for v in live[col]]
+
+
+def test_minhash_index_append_and_near_against_plan_equality(
+        ray_session, tmp_path):
+    """dedup_near_against_index over a written-then-appended index is
+    byte-identical to dedup_near_against over the live archive texts."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (append_minhash_index,
+                                           dedup_near_against,
+                                           dedup_near_against_index,
+                                           write_minhash_index)
+
+    base = " ".join(f"w{i}" for i in range(60))
+    other = " ".join(f"z{i}" for i in range(60))
+    seen1 = [{"doc_id": 100, "text": base + " archived"}]
+    seen2 = [{"doc_id": 101, "text": other + " archived"}]
+    new = rd.from_items([
+        {"doc_id": 1, "text": base},            # component touches 100
+        {"doc_id": 2, "text": base + " tail"},  # chained to 1
+        {"doc_id": 3, "text": other},           # touches appended 101
+        {"doc_id": 4, "text": " ".join(f"q{i}" for i in range(60))},
+    ])
+    idx = str(tmp_path / "idx")
+    write_minhash_index(rd.from_items(seen1), idx, "doc_id", "text",
+                        num_buckets=4)
+    append_minhash_index(rd.from_items(seen2), idx, "text")
+
+    for verify in ("exact", "estimate"):
+        via_idx = sorted(
+            r["doc_id"] for r in dedup_near_against_index(
+                new, idx, "doc_id", "text", threshold=0.8,
+                verify=verify).take_all())
+        live = sorted(
+            r["doc_id"] for r in dedup_near_against(
+                new, rd.from_items(seen1 + seen2), "doc_id", "text",
+                threshold=0.8, verify=verify).take_all())
+        assert via_idx == live == [4], verify
+
+
+def test_minhash_index_config_validation(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (dedup_near_against_index,
+                                           read_minhash_index,
+                                           write_minhash_index)
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c d e"}])
+    idx = str(tmp_path / "idx")
+    with pytest.raises(FileNotFoundError):
+        read_minhash_index(idx)
+    write_minhash_index(ds, idx, "doc_id", "text", keep_shingles=False,
+                        num_buckets=2)
+    with pytest.raises(ValueError, match="keyed by"):
+        dedup_near_against_index(ds, idx, "url", "text")
+    with pytest.raises(ValueError, match="keep_shingles"):
+        dedup_near_against_index(ds, idx, "doc_id", "text",
+                                 verify="exact")
