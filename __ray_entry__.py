@@ -31,6 +31,7 @@ from llm_food_ray.stages.chunk import ChunkStage
 from llm_food_ray.stages.dedup import (
     dedup_exact,
     embedding_candidate_pairs,
+    jaccard_pairs_exact,
     minhash_candidate_pairs,
     simhash_candidate_pairs,
 )
@@ -2485,6 +2486,26 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         _augmented_docs(sf_dir), "doc_id", "text", threshold=0.8,
         verify="exact", num_perm=128, num_bands=64,
     )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [batch.column("a"), batch.column("b"),
+             pc.round(batch.column("sim"), 4)],
+            names=["a", "b", "jaccard"],
+        )
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_jaccard_join(sf_dir: str):
+    """EXACT all-pairs Jaccard self-join (prefix-filter / AllPairs plan,
+    no LSH): deterministic-complete twin of ngram_jaccard_pairs — the
+    same brute-force SQL oracle, matched by construction rather than by
+    a banding recall argument."""
+    pairs = jaccard_pairs_exact(_augmented_docs(sf_dir), "doc_id", "text",
+                                threshold=0.8, order="df")
 
     def fmt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -5157,6 +5178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_join": q_jaccard_join,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -5781,6 +5803,29 @@ _DUPSPAN_AGAINST_BASE = _DUPSPAN_TOKS + """, seen AS (
   WHERE w.doc_id % 3 <> 0
 )""" + _DUPSPAN_ISLANDS
 
+
+_JACCARD_PAIRS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), toks_t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
+), n_t AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks_t
+), grams AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
+  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+), sh AS (
+  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(a.s || b.s)) >= 0.8
+"""
 
 _NEAR_AGAINST_SQL = """
 WITH RECURSIVE comb AS (
@@ -8307,28 +8352,10 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
-        "ngram_jaccard_pairs": """
-WITH aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-), toks_t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM aug
-), n_t AS (
-  SELECT doc_id, toks, len(toks) AS n FROM toks_t
-), grams AS (
-  SELECT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram
-  FROM n_t, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
-), sh AS (
-  SELECT doc_id, list_distinct(list(gram)) AS s FROM grams GROUP BY doc_id
-)
-SELECT a.doc_id AS a, b.doc_id AS b,
-       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / len(list_distinct(a.s || b.s)), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / len(list_distinct(a.s || b.s)) >= 0.8
-""",
+        # shared by the LSH plan (ngram_jaccard_pairs) and the exact
+        # prefix-filter plan (jaccard_join) — same output contract
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "jaccard_join": _JACCARD_PAIRS_SQL,
         "embedding_neardup": """
 SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
 FROM embeddings WHERE vec_id % 9 = 0

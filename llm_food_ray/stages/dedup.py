@@ -3449,3 +3449,176 @@ def dedup_near_against_index(new_ds, index_dir: str, key_column: str,
         lambda b: b.select([key_column]), batch_format="pyarrow")
     return _drop_component_contaminated(new_ds, pairs, seen_keys,
                                         key_column, num_partitions)
+
+
+# -------------------------------- exact set-similarity join (AllPairs) ----
+
+
+class _ShingleSetStage:
+    """Per-batch distinct k-shingle fp sets + 128-bit key fingerprints —
+    the signature pass of :func:`jaccard_pairs_exact` (MinHashSignatures
+    minus the minhash matrix it does not need)."""
+
+    def __init__(self, key_column: str, text_column: str, k_shingle: int):
+        self.key_column = key_column
+        self.text_column = text_column
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(self.text_column).to_pylist()]
+        sh = [shingle_hashes(t, self.k) for t in texts]
+        fh, fl = _fingerprint128(batch.column(self.key_column))
+        keys = batch.column(self.key_column)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.Table.from_arrays(
+            [keys,
+             pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+             pa.array(fh, pa.uint64()), pa.array(fl, pa.uint64())],
+            names=[self.key_column, "shingles", "__fh", "__fl"])
+
+
+def jaccard_pairs_exact(ds, key_column: str = "doc_id",
+                        text_column: str = "text", *,
+                        threshold: float = 0.8, k_shingle: int = 3,
+                        order: str = "auto", verify_exec: str = "auto",
+                        broadcast_budget_bytes: int = 2 << 30,
+                        num_partitions: int | None = None):
+    """Exact all-pairs Jaccard self-join via prefix filtering (the
+    AllPairs / PPJoin family, Bayardo-Ma-Srikant 2007) → Dataset of
+    (a, b, sim), a < b by key — the deterministic-COMPLETE complement of
+    :func:`minhash_candidate_pairs`: every pair with shingle-set Jaccard
+    ≥ ``threshold`` is emitted, with no LSH recall argument needed
+    (reference parity: llm_food has no similarity join at all; this pairs
+    with the brute-force SQL oracle exactly, not probabilistically).
+
+    Plan — fingerprint space end to end, reusing the minhash machinery:
+
+    1. shingle pass → (key, distinct shingle fps, __fh/__fl), materialized
+       (read twice: prefix emission + verification).
+    2. a GLOBAL total order over tokens.  ``order="df"`` computes global
+       document frequencies (per-batch distinct partials → ONE tok-keyed
+       aggregate) and orders each doc's tokens rarest-first — the classic
+       choice that keeps prefix buckets tiny; it broadcasts the (tok, df)
+       table via ``ray.put`` under ``broadcast_budget_bytes``, else falls
+       back to ``order="hash"``: the token fp itself is the order — no df
+       pass, nothing broadcast, fully streaming (the 100-TB path; prefix
+       buckets are then ~token-df sized, still correct).
+    3. per doc emit only the first ``n - floor(t*n) + 1`` tokens of that
+       order (one LONGER than the canonical ``n - ceil(t*n) + 1``, so
+       float rounding can only widen the candidate superset); token fp =
+       band key → the SAME one-coarse-exchange in-bucket pair sweep the
+       minhash plan uses (:func:`_coarse_pairs_fp`).
+    4. exact shingle-set verification, auto-gated broadcast index vs
+       distributed fp-space semijoin (:func:`_verify_pairs_semijoin`).
+
+    Completeness: under any shared total order, two sets with J ≥ t must
+    intersect within both prefixes (prefix-filter theorem), so step 3's
+    candidates ⊇ the answer and step 4's exact filter makes the output
+    EQUAL the brute-force join.  Skew: ``order="df"`` puts only RARE
+    tokens in prefixes; under ``order="hash"`` a frequent low-fp token
+    fans out ~df candidates for its bucket — the price of the
+    single-pass plan, pruned before the wire by the coarse per-group
+    distinct."""
+    import ray as _ray
+    import ray.data as rd
+
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    sig_ds = ds.map_batches(
+        _ShingleSetStage(key_column, text_column, k_shingle),
+        batch_format="pyarrow").materialize()
+    n_docs = sig_ds.count()
+    if n_docs == 0:
+        return rd.from_arrow(_empty_pairs_table(pa.int64()))
+    key_type = sig_ds.schema().base_schema.field(key_column).type
+
+    if order not in ("auto", "df", "hash"):
+        raise ValueError(f"unknown order {order!r}")
+    df_ref = None
+    if order in ("auto", "df"):
+        from ray.data.aggregate import Sum
+
+        def tok_rows(b: pa.Table) -> pa.Table:
+            col = b.column("shingles")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = np.asarray(col.flatten(), dtype=np.uint64)
+            tok, cnt = np.unique(flat, return_counts=True)
+            # per-doc sets are distinct, so in-batch counts ARE df partials
+            return pa.table({"tok": pa.array(tok.view(np.int64)),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        df_ds = (sig_ds.map_batches(tok_rows, batch_format="pyarrow")
+                 .groupby("tok").aggregate(Sum("n", alias_name="df"))
+                 .materialize())
+        n_tok = df_ds.count()
+        if n_tok * 16 <= broadcast_budget_bytes:
+            toks, dfs = [], []
+            for b in df_ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+                toks.append(_u64_col(b, "tok"))
+                dfs.append(np.asarray(b.column("df"), dtype=np.int64))
+            tok_arr = np.concatenate(toks)
+            df_arr = np.concatenate(dfs)
+            o = np.argsort(tok_arr)
+            df_ref = _ray.put((tok_arr[o], df_arr[o]))
+            order = "df"
+        elif order == "df":
+            raise ValueError(
+                f"order='df' needs the {n_tok}-token df table under the "
+                f"{broadcast_budget_bytes}-byte broadcast budget; use "
+                "order='hash' (single-pass, nothing broadcast)")
+        else:
+            order = "hash"
+    del ds
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        col = b.column("shingles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64)
+        off = col.offsets.to_numpy().astype(np.int64)
+        off = off - off[0]
+        lens = off[1:] - off[:-1]
+        if len(flat) == 0:
+            return pa.table({"band_key": pa.array([], pa.uint64()),
+                             "__fh": pa.array([], pa.uint64()),
+                             "__fl": pa.array([], pa.uint64())})
+        p = lens - np.floor(t * lens).astype(np.int64) + 1
+        np.minimum(p, lens, out=p)          # empty docs -> 0 rows
+        doc = np.repeat(np.arange(len(lens)), lens)
+        if df_ref is not None:
+            tok_sorted, df_sorted = _ray.get(df_ref)
+            dfo = df_sorted[np.searchsorted(tok_sorted, flat)]
+            ordr = np.lexsort((flat, dfo, doc))
+            flat = flat[ordr]               # doc runs stay contiguous
+        # hash order: shingle_hashes output is already sorted per doc
+        rank = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+        keep = rank < np.repeat(p, lens)
+        sel_doc = doc[keep]
+        return pa.table({
+            "band_key": pa.array(flat[keep]),
+            "__fh": pa.array(_u64_col(b, "__fh")[sel_doc]),
+            "__fl": pa.array(_u64_col(b, "__fl")[sel_doc]),
+        })
+
+    banded = sig_ds.map_batches(prefix_rows, batch_format="pyarrow")
+    pairs_fp = _coarse_pairs_fp(
+        banded, "all", num_coarse=num_partitions or 256).materialize()
+    if pairs_fp.count() == 0:
+        return rd.from_arrow(_empty_pairs_table(key_type))
+
+    if verify_exec == "auto":
+        verify_exec = ("broadcast"
+                       if n_docs * 4096 <= broadcast_budget_bytes
+                       else "semijoin")
+    if verify_exec == "broadcast":
+        index = _build_sig_index(sig_ds, key_column, "exact", 0, t)
+        return _verify_pairs_broadcast(pairs_fp, _ray.put(index),
+                                       key_type, t)
+    return _verify_pairs_semijoin(
+        pairs_fp, sig_ds, key_column, key_type, num_perm=128,
+        threshold=t, verify="exact", num_partitions=num_partitions)

@@ -1031,3 +1031,74 @@ def test_minhash_index_config_validation(ray_session, tmp_path):
     with pytest.raises(ValueError, match="keep_shingles"):
         dedup_near_against_index(ds, idx, "doc_id", "text",
                                  verify="exact")
+
+
+def test_jaccard_pairs_exact_matches_brute_force(ray_session):
+    """Prefix-filter exact join == brute-force all-pairs Jaccard, for
+    every (order, verify_exec) plan and several thresholds."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.functions.hashing import jaccard, shingle_hashes
+    from llm_food_ray.stages.dedup import jaccard_pairs_exact
+
+    rng = np.random.default_rng(7)
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{rng.integers(0, 200)}" for _ in range(30))}
+            for i in range(60)]
+    for i in range(0, 60, 10):       # planted near-dups
+        docs.append({"doc_id": 1000 + i, "text": docs[i]["text"] + " tail"})
+    docs.append({"doc_id": 9999, "text": ""})      # empty doc
+    ds = rd.from_items(docs)
+
+    sh = {d["doc_id"]: shingle_hashes(d["text"], 3) for d in docs}
+    ks = sorted(sh)
+    for th in (0.5, 0.8, 1.0):
+        truth = {(a, b, round(jaccard(sh[a], sh[b]), 6))
+                 for i, a in enumerate(ks) for b in ks[i + 1:]
+                 if jaccard(sh[a], sh[b]) >= th}
+        for kw in (dict(order="df"), dict(order="hash"),
+                   dict(order="df", verify_exec="semijoin",
+                        num_partitions=16),
+                   dict(order="hash", verify_exec="broadcast")):
+            got = {(r["a"], r["b"], round(r["sim"], 6)) for r in
+                   jaccard_pairs_exact(ds, threshold=th, **kw).take_all()}
+            assert got == truth, (th, kw)
+
+
+def test_jaccard_pairs_exact_agrees_with_lsh_exact_verify(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import (jaccard_pairs_exact,
+                                           minhash_candidate_pairs)
+
+    rng = np.random.default_rng(3)
+    docs = [{"doc_id": i,
+             "text": " ".join(f"t{rng.integers(0, 80)}" for _ in range(25))}
+            for i in range(40)]
+    docs += [{"doc_id": 100 + i, "text": docs[i]["text"] + " x"}
+             for i in range(8)]
+    ds = rd.from_items(docs)
+    exact = {(r["a"], r["b"], round(r["sim"], 9)) for r in
+             jaccard_pairs_exact(ds, threshold=0.8).take_all()}
+    lsh = {(r["a"], r["b"], round(r["sim"], 9)) for r in
+           minhash_candidate_pairs(ds, "doc_id", "text", threshold=0.8,
+                                   verify="exact", num_perm=128,
+                                   num_bands=64).take_all()}
+    assert exact == lsh and exact
+
+
+def test_jaccard_pairs_exact_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import jaccard_pairs_exact
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c d"}])
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_pairs_exact(ds, threshold=0.0)
+    with pytest.raises(ValueError, match="order"):
+        jaccard_pairs_exact(ds, order="bogus")
+    with pytest.raises(ValueError, match="broadcast budget"):
+        jaccard_pairs_exact(ds, order="df", broadcast_budget_bytes=1)
