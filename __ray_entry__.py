@@ -1129,6 +1129,35 @@ def q_welch_test(sf_dir: str):
                         side_a="even", side_b="odd")
 
 
+def q_fdr_correct(sf_dir: str):
+    """Benjamini-Hochberg FDR over a (source, lang) family of
+    deterministic pseudo-p-values (hash-uniform rationals of the
+    per-group doc_id sum — the SQL twin computes the identical
+    rationals) — the multiple-testing tail of the shift-test family.
+    Bit parity needs no snap: p*n/rank is two IEEE ops and the
+    suffix-min folds the same doubles on both engines."""
+    from ray.data.aggregate import Sum
+
+    from llm_food_ray.stages.textstats import bh_fdr
+
+    fam = (_docs(sf_dir, ["doc_id", "lang", "source"])
+           .groupby(["source", "lang"])
+           .aggregate(Sum("doc_id", alias_name="s")))
+
+    def to_p(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = ((s % 999983).astype(np.float64) + 1.0) / 999983.0
+        key = pc.binary_join_element_wise(
+            b.column("source"), b.column("lang"), "|")
+        return pa.table({"key": key, "p": pa.array(p)})
+
+    return bh_fdr(fam.map_batches(to_p, batch_format="pyarrow"),
+                  "p", "key", alpha=0.2)
+
+
 def q_chi2_terms(sf_dir: str):
     """Per-source chi-square keywords (top-10) — the margin-normalized
     sibling of distinctive_terms: exact int64 contingency margins, one
@@ -5092,6 +5121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
+        "fdr_correct": q_fdr_correct,
         "chi2_terms": q_chi2_terms,
         "llr_terms": q_llr_terms,
         "vocab_js": q_vocab_js,
@@ -7088,6 +7118,27 @@ FROM w GROUP BY lang
         # float expression tree as the engine finish (every cast and
         # op mirrored), snapped with the same floor(x*1e6+0.5) —
         # round-half-UP for negative t by design, never round()
+        # BH step-up: rank by (p, key), raw = p*n/rank, suffix-min from
+        # the largest rank, clamp 1 — identical IEEE expression tree as
+        # the Ray plan, so equality is bitwise with no snapping
+        "fdr_correct": """
+WITH fam AS (
+  SELECT source || '|' || lang AS key,
+         (CAST(sum(doc_id) % 999983 AS DOUBLE) + 1) / 999983.0 AS p
+  FROM documents GROUP BY source, lang
+), r AS (
+  SELECT key, p,
+         row_number() OVER (ORDER BY p, key) AS rnk,
+         count(*) OVER () AS n
+  FROM fam
+), a AS (
+  SELECT key, p, rnk,
+         least(1.0, min(p * n / rnk) OVER
+               (ORDER BY rnk DESC ROWS UNBOUNDED PRECEDING)) AS p_adj
+  FROM r
+)
+SELECT key, p, rnk AS rank, p_adj, p_adj <= 0.2 AS significant FROM a
+""",
         "welch_test": """
 WITH base AS (
   SELECT lang,

@@ -4903,3 +4903,94 @@ def para_lang_spans(ds, key_column: str = "doc_id",
             "lang_id": pa.array(langs, pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def bh_fdr(ds, p_column: str, key_column: str, *, alpha: float = 0.05):
+    """Benjamini-Hochberg step-up FDR adjustment over a family of
+    p-values — the multiple-testing tail of the shift-test family
+    (:func:`welch_t_test` / :func:`two_prop_test` / :func:`ks_test`
+    emit one statistic per group; when the family has hundreds of
+    hosts, raw per-test significance is inflated and BH is the
+    standard correction):
+
+        p_adj(i) = min(1, min_{j >= i} p_(j) * n / j),
+        significant = p_adj <= alpha
+
+    with ranks 1..n under ``ORDER BY (p, key)`` (``key_column`` must be
+    unique so the order — and thus the adjusted values on ties — is
+    total on both engines).  → (key, p, rank, p_adj, significant).
+
+    Bit parity: raw(i) = ``p * n / rank`` is two IEEE ops on
+    exactly-representable operands and the suffix-min folds the same
+    set of doubles on both engines, so NO snap is needed; the SQL twin
+    is ``least(1.0, min(p * n / rnk) OVER (ORDER BY rnk DESC ROWS
+    UNBOUNDED PRECEDING))``.
+
+    Scale shape: the family table is groups-sized (one row per
+    hypothesis), but the plan stays distributed anyway: ONE sort
+    (inside :func:`global_rank`, which also does the per-block
+    offset/driver-prefix-sum recipe), then per-block suffix-min
+    summaries — a driver fold over one row per BLOCK — and a second
+    streaming pass folding each block's interior suffix-min with the
+    min of all later blocks.  Nothing row-shaped lands on the driver."""
+    import numpy as np
+
+    proj = ds.select_columns([key_column, p_column])
+    ranked = global_rank(proj, p_column, tiebreak_column=key_column,
+                         rank_column="__r0").materialize()
+    n = ranked.count()
+    if n == 0:
+        import ray.data as rd
+        sch = proj.schema().base_schema
+        empty = pa.table({
+            key_column: pa.array([], sch.field(key_column).type),
+            p_column: pa.array([], sch.field(p_column).type),
+            "rank": pa.array([], pa.int64()),
+            "p_adj": pa.array([], pa.float64()),
+            "significant": pa.array([], pa.bool_())})
+        return rd.from_arrow(empty)
+    nf = float(n)
+
+    def raw_of(batch: pa.Table) -> np.ndarray:
+        p = np.asarray(batch.column(p_column), dtype=np.float64)
+        rnk = np.asarray(batch.column("__r0"), dtype=np.int64) + 1
+        return p * nf / rnk
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"r0": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64())})
+        return pa.table({
+            "r0": batch.column("__r0").slice(0, 1),
+            "mn": pa.array([float(raw_of(batch).min())])})
+
+    sm = (ranked.map_batches(summary, batch_format="pyarrow")
+          .to_pandas().sort_values("r0").reset_index(drop=True))
+    # min of raw over all blocks AFTER each block (suffix, exclusive)
+    later_min = np.concatenate([
+        np.minimum.accumulate(sm["mn"].to_numpy()[::-1])[::-1][1:],
+        [np.inf]])
+    later_by_first = {int(r): float(m)
+                      for r, m in zip(sm["r0"].tolist(), later_min)}
+
+    def adjust(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                key_column: batch.column(key_column),
+                p_column: batch.column(p_column),
+                "rank": pa.array([], pa.int64()),
+                "p_adj": pa.array([], pa.float64()),
+                "significant": pa.array([], pa.bool_())})
+        raw = raw_of(batch)
+        tail = later_by_first[int(batch.column("__r0")[0].as_py())]
+        adj = np.minimum.accumulate(np.minimum(raw, tail)[::-1])[::-1]
+        np.minimum(adj, 1.0, out=adj)
+        return pa.table({
+            key_column: batch.column(key_column),
+            p_column: batch.column(p_column),
+            "rank": pa.array(
+                np.asarray(batch.column("__r0"), np.int64) + 1),
+            "p_adj": pa.array(adj),
+            "significant": pa.array(adj <= alpha)})
+
+    return ranked.map_batches(adjust, batch_format="pyarrow")

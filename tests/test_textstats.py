@@ -1666,3 +1666,52 @@ def test_para_lang_spans_mixed_doc(ray_session):
     assert list(d2["para_ord"]) == [1] and list(d2["lang_id"]) == ["en"]
     assert list(out[out.doc_id == 3]["lang_id"]) == ["und"]
     assert len(out[out.doc_id == 4]) == 0
+
+
+def test_bh_fdr_matches_reference(ray_session):
+    """Distributed BH == the textbook step-up on the driver, across
+    many blocks (exercises the cross-block suffix-min fold)."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import bh_fdr
+
+    rng = np.random.default_rng(11)
+    n = 500
+    ps = np.round(rng.uniform(0.0, 1.0, n) ** 3, 6)   # skew small
+    ps[:5] = 0.00001                                   # clear rejections
+    keys = [f"k{i:04d}" for i in range(n)]
+    ds = rd.from_items([{"key": k, "p": float(p)}
+                        for k, p in zip(keys, ps)]).repartition(17)
+    out = (bh_fdr(ds, "p", "key", alpha=0.1).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+
+    order = sorted(range(n), key=lambda i: (ps[i], keys[i]))
+    raw = np.array([ps[i] * n / (r + 1) for r, i in enumerate(order)])
+    adj = np.minimum(np.minimum.accumulate(raw[::-1])[::-1], 1.0)
+    assert list(out["key"]) == [keys[i] for i in order]
+    assert list(out["rank"]) == list(range(1, n + 1))
+    np.testing.assert_array_equal(out["p_adj"].to_numpy(), adj)
+    np.testing.assert_array_equal(out["significant"].to_numpy(),
+                                  adj <= 0.1)
+    # monotone non-decreasing in rank, clamped at 1
+    assert (np.diff(out["p_adj"].to_numpy()) >= 0).all()
+    assert out["p_adj"].max() <= 1.0
+
+
+def test_bh_fdr_empty_and_single(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llm_food_ray.stages.textstats import bh_fdr
+
+    empty = rd.from_arrow(pa.table({"key": pa.array([], pa.string()),
+                                    "p": pa.array([], pa.float64())}))
+    out = bh_fdr(empty, "p", "key")
+    assert out.count() == 0
+    assert set(out.schema().base_schema.names) == {
+        "key", "p", "rank", "p_adj", "significant"}
+
+    one = rd.from_items([{"key": "a", "p": 0.04}])
+    row = bh_fdr(one, "p", "key", alpha=0.05).take_all()[0]
+    assert row["rank"] == 1 and row["p_adj"] == 0.04 and row["significant"]
