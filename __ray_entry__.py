@@ -378,6 +378,35 @@ def q_charset_normalize(sf_dir: str):
                                                 batch_format="pyarrow")
 
 
+def q_fix_mojibake(sf_dir: str):
+    """Mojibake recovery round-trip: every doc gets a multi-width
+    non-ascii suffix (2/3/4-byte utf-8 chars), then doc_id%3 picks 0,
+    1 or 2 rounds of utf-8-read-as-latin-1 damage; `repair_mojibake`
+    must restore the EXACT suffixed text and report the nesting depth,
+    so the oracle is pure SQL — the suffixed original plus the %3
+    rule."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.extract import repair_mojibake
+
+    def damage(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            s = (t or "") + " café – №42 \U0001f642"
+            for _ in range(d % 3):
+                s = s.encode("utf-8").decode("latin-1")
+            out.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    pages = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+             .map_batches(damage, batch_format="pyarrow"))
+    return repair_mojibake(pages)
+
+
 def q_warc_ingest(sf_dir: str):
     """WARC-shard ingestion → the SAME extraction pipeline as the
     crawl path: deterministic Common-Crawl-layout shards on disk
@@ -5009,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": q_distinctive_terms,
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
+        "fix_mojibake": q_fix_mojibake,
         "robots_parse": q_robots_parse,
         "page_meta": q_page_meta,
         "content_density": q_content_density,
@@ -6637,6 +6667,14 @@ FROM range(0, 10) t(k) WHERE k % 2 = 0
 """,
         # charset-sniff twin: label from the doc_id rule, markup
         # rebuilt with the same string concat
+        # repair restores the suffixed original exactly; rounds = the
+        # %3 damage-nesting rule the Ray side applied
+        "fix_mojibake": """
+SELECT doc_id,
+       text || ' café – №42 🙂' AS text,
+       CAST(doc_id % 3 AS BIGINT) AS mojibake_rounds
+FROM documents
+""",
         "charset_normalize": """
 SELECT doc_id,
        CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16'

@@ -73,3 +73,43 @@ def to_utf8(payload: bytes) -> tuple[bytes, str]:
     except UnicodeDecodeError:
         text = payload.decode(cs, errors="replace")
     return text.encode("utf-8"), cs
+
+
+def fix_mojibake(text: str, max_rounds: int = 3) -> tuple[str, int]:
+    """Repair utf-8-read-as-latin-1 double encoding ("café" displayed
+    as "cafÃ©") — the ftfy core case, restricted to a deterministic
+    provable-round-trip rule an oracle can reproduce.  One round
+    applies IFF:
+
+    (i)   every char is < U+0100 — the string COULD have come from a
+          single-byte latin-1 read of some byte stream;
+    (ii)  some char is ≥ U+0080 — there is something to fix; and
+    (iii) the latin-1 bytes decode as STRICT utf-8 — proof the bytes
+          were utf-8 all along.
+
+    Genuine latin-1-flavoured text ("café" → ..0x66 0xE9) fails (iii)
+    (0xE9 is a dangling utf-8 lead byte), so it is left alone; pure
+    ASCII is a fixed point by (ii).  Rounds repeat (bounded by
+    ``max_rounds``) so double-mojibake un-nests.  → (fixed, n_rounds).
+
+    Reference parity: llm_food decodes payloads utf-8
+    errors="ignore" (app.py:252-259) and silently keeps mojibake;
+    this operator is the recovery pass a crawl pipeline runs ahead
+    of it.  Whole-string rule only — a mixed clean/mojibake document
+    has chars ≥ U+0100 alongside the damage and is (conservatively)
+    untouched."""
+    rounds = 0
+    for _ in range(max_rounds):
+        if text.isascii():
+            break
+        try:
+            raw = text.encode("latin-1")      # fails if any char > 0xFF
+        except UnicodeEncodeError:
+            break
+        try:
+            decoded = raw.decode("utf-8")     # strict
+        except UnicodeDecodeError:
+            break
+        text = decoded
+        rounds += 1
+    return text, rounds

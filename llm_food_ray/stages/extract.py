@@ -130,6 +130,37 @@ def normalize_charset(pages_ds, payload_column: str = "html"):
     return pages_ds.map_batches(f, batch_format="pyarrow")
 
 
+def repair_mojibake(ds, text_column: str = "text",
+                    rounds_column: str = "mojibake_rounds"):
+    """Recovery stage for utf-8-read-as-latin-1 damage already baked
+    into a crawl's TEXT (the sibling of :func:`normalize_charset`,
+    which fixes raw PAYLOAD bytes before decoding): applies the
+    deterministic provable-round-trip rule of
+    :func:`..functions.charset.fix_mojibake` per row and appends how
+    many nesting levels were undone.
+
+    Scale shape: pure streaming map, codec work is C-level per row
+    with an ``isascii()`` fast path (the overwhelmingly common case
+    costs one C scan), no shuffle, no driver state."""
+    from ..functions.charset import fix_mojibake
+
+    def f(b: pa.Table) -> pa.Table:
+        fixed, rounds = [], []
+        for t in b.column(text_column).to_pylist():
+            if t:
+                u, r = fix_mojibake(t)
+            else:
+                u, r = t, 0
+            fixed.append(u)
+            rounds.append(r)
+        i = b.column_names.index(text_column)
+        return (b.set_column(i, text_column, pa.array(fixed, pa.string()))
+                 .append_column(rounds_column,
+                                pa.array(rounds, pa.int64())))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 class ExtractStage:
     """Callable class for ``map_batches`` (actor pool when concurrency is
     set; also valid as stateless tasks). Arrow in / Arrow out.

@@ -460,3 +460,48 @@ class TestCharsetNormalize:
         assert rows["u1"]["charset"] == "utf-16"
         assert rows["u1"]["html"].decode("utf-8") == "café"
         assert rows["u2"]["charset"] == ""
+
+
+class TestFixMojibake:
+    def test_round_trip_and_guards(self):
+        from llm_food_ray.functions.charset import fix_mojibake
+
+        orig = "café – №42 \U0001f642 plain"
+        m1 = orig.encode("utf-8").decode("latin-1")
+        m2 = m1.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(m1) == (orig, 1)
+        assert fix_mojibake(m2) == (orig, 2)          # un-nests
+        assert fix_mojibake(orig) == (orig, 0)        # >U+00FF: untouched
+        assert fix_mojibake("plain ascii") == ("plain ascii", 0)
+        # genuine latin-1-flavoured text: 0xE9 is a dangling utf-8
+        # lead byte, so condition (iii) rejects the repair
+        assert fix_mojibake("caf\xe9") == ("caf\xe9", 0)
+        assert fix_mojibake("") == ("", 0)
+
+    def test_max_rounds_bounds_unnesting(self):
+        from llm_food_ray.functions.charset import fix_mojibake
+
+        s = "é"
+        for _ in range(5):
+            s = s.encode("utf-8").decode("latin-1")
+        fixed, rounds = fix_mojibake(s, max_rounds=3)
+        assert rounds == 3 and fixed != "é"
+        assert fix_mojibake(fixed, max_rounds=3) == ("é", 2)
+
+    def test_repair_stage(self, ray_session):
+        import ray.data as rd
+
+        from llm_food_ray.stages.extract import repair_mojibake
+
+        orig = "naïve – done"
+        rows = [
+            {"url": "a", "text": orig.encode("utf-8").decode("latin-1")},
+            {"url": "b", "text": "clean ascii"},
+            {"url": "c", "text": None},
+        ]
+        got = {r["url"]: r for r in
+               repair_mojibake(rd.from_items(rows)).take_all()}
+        assert got["a"]["text"] == orig and got["a"]["mojibake_rounds"] == 1
+        assert got["b"]["text"] == "clean ascii"
+        assert got["b"]["mojibake_rounds"] == 0
+        assert got["c"]["text"] is None and got["c"]["mojibake_rounds"] == 0
