@@ -289,6 +289,61 @@ def q_page_meta(sf_dir: str):
     return pages_dataset(sf_dir).map_batches(meta, batch_format="pyarrow")
 
 
+def q_jsonld_extract(sf_dir: str):
+    """schema.org JSON-LD sidecar extraction: pages synthesized with
+    attribute-casing/quoting variants of the ld+json script block
+    (doc_id%3 rule: single Article / @graph pair / none, with a
+    malformed-JSON subset at doc_id%9==5 that must contribute nothing);
+    output = one (doc_id, ld_type, name) row per top-level object, so
+    the oracle is a three-way UNION over the %3 rule."""
+    import json
+
+    import ray.data as rd
+
+    from llm_food_ray.functions.html_md import extract_jsonld
+
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        ids_out, types, names = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            k = d % 3
+            if k == 0:
+                block = ('<script type="application/ld+json">'
+                         + json.dumps({"@context": "https://schema.org",
+                                       "@type": "Article",
+                                       "name": f"Doc {d}",
+                                       "author": {"@type": "Person",
+                                                  "name": f"A{d % 7}"}})
+                         + "</script>")
+            elif k == 1:
+                block = ("<script type='application/ld+json' async>\n"
+                         + json.dumps({"@context": "https://schema.org",
+                                       "@graph": [
+                                           {"@type": "NewsArticle",
+                                            "name": f"News {d}"},
+                                           {"@type": "Person",
+                                            "name": f"P{d % 5}"}]},
+                                      indent=1)
+                         + "\n</script >")
+            elif d % 9 == 5:
+                block = '<script type="application/ld+json">{broken</script>'
+            else:
+                block = '<script type="text/javascript">var x = 1</script>'
+            html = (f"<html><head><title>t</title>{block}</head>"
+                    f"<body><p>{(t or '')[:80]}</p></body></html>")
+            for obj in extract_jsonld(html):
+                ids_out.append(d)
+                types.append(obj.get("@type"))
+                names.append(obj.get("name"))
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "ld_type": pa.array(types, pa.string()),
+                         "name": pa.array(names, pa.string())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(build_and_extract, batch_format="pyarrow"))
+
+
 def q_robots_parse(sf_dir: str):
     """robots.txt BODY parsing: per-host robots text synthesized with
     agent groups, comments, unknown directives and the empty-Disallow
@@ -5028,17 +5083,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Window policy (round 5): the driver checks the FIRST 50 entries.
     # Slot 1 goes to distinctive_terms (the round-4 driver FAIL, fixed
     # via stages/joins.safe_join — the green row is the regression
-    # proof); the next 49 are drawn from the 76 queries that have never
-    # had a driver CORRECTNESS row (classifier-eval, graph, sketch,
-    # index, ANN families).  The ~27 never-checked entries that do not
-    # fit this window head the round-6 rotation; every displaced entry
-    # is r1-r4 driver-green and stays in the end-of-round local sweep
+    # proof); slots 2-6 are this round's brand-new operators (highest
+    # risk, so they get driver rows in their birth round); the rest are
+    # drawn from the 76 queries that have never had a driver
+    # CORRECTNESS row (classifier-eval, graph, sketch, index, ANN
+    # families).  Never-checked entries that do not fit this window
+    # head the round-6 rotation; every displaced entry is r1-r4
+    # driver-green and stays in the end-of-round local sweep
     # (tools/check_oracle.py).
     return {
         "distinctive_terms": q_distinctive_terms,
+        "jaccard_join": q_jaccard_join,
+        "fdr_correct": q_fdr_correct,
+        "fix_mojibake": q_fix_mojibake,
+        "dedup_near_indexed": q_dedup_near_indexed,
+        "jsonld_extract": q_jsonld_extract,
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
-        "fix_mojibake": q_fix_mojibake,
         "robots_parse": q_robots_parse,
         "page_meta": q_page_meta,
         "content_density": q_content_density,
@@ -5151,7 +5212,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "rank_test": q_rank_test,
         "welch_test": q_welch_test,
-        "fdr_correct": q_fdr_correct,
         "chi2_terms": q_chi2_terms,
         "llr_terms": q_llr_terms,
         "vocab_js": q_vocab_js,
@@ -5169,7 +5229,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_flatten": q_props_flatten,
         "para_lang": q_para_lang,
         "cluster_sizes": q_cluster_sizes,
-        "dedup_near_indexed": q_dedup_near_indexed,
         "kendall": q_kendall,
         "extract_files": q_extract_files,
         "jsonl_ingest": q_jsonl_ingest,
@@ -5238,7 +5297,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "jaccard_join": q_jaccard_join,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -6667,6 +6725,18 @@ FROM range(0, 10) t(k) WHERE k % 2 = 0
 """,
         # charset-sniff twin: label from the doc_id rule, markup
         # rebuilt with the same string concat
+        # one row per top-level JSON-LD object under the %3 synthesis
+        # rule; the malformed subset (%9==5) contributes nothing
+        "jsonld_extract": """
+SELECT doc_id, 'Article' AS ld_type, 'Doc ' || doc_id AS name
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'NewsArticle' AS ld_type, 'News ' || doc_id AS name
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'Person' AS ld_type, 'P' || (doc_id % 5) AS name
+FROM documents WHERE doc_id % 3 = 1
+""",
         # repair restores the suffixed original exactly; rounds = the
         # %3 damage-nesting rule the Ray side applied
         "fix_mojibake": """

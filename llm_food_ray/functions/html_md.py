@@ -599,3 +599,47 @@ def resolve_href(page_url: str, href: str) -> str:
         return origin + href
     base = path.rsplit("/", 1)[0] + "/"
     return origin + base + href
+
+
+# JSON-LD structured data lives in raw-text <script> blocks, which the
+# DOM builder deliberately DROPS (DROP_TAGS) — so extraction is a
+# dedicated raw scan over the markup, the same prescan style as
+# functions/charset.py's meta sniff.
+_JSONLD_RE = re.compile(
+    r"<script\b[^>]*\btype\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script\s*>",
+    re.I | re.S)
+
+
+def extract_jsonld(html: str) -> list[dict]:
+    """All top-level JSON-LD objects on a page (schema.org structured
+    data — the crawl-side metadata source for article/author/date
+    sidecar tables).  A top-level JSON array contributes each dict
+    element; an ``@graph`` wrapper is flattened one level (the wrapper
+    itself also counts when it carries its own ``@type``).  Malformed
+    JSON blocks are skipped — crawl reality, never an error.
+
+    Reference parity: llm_food's HTML path (app.py:231-259) feeds
+    markdown conversion only and discards script payloads; this is the
+    structured-data sidecar a web-scale pipeline extracts alongside."""
+    import json
+
+    out: list[dict] = []
+    for m in _JSONLD_RE.finditer(html):
+        try:
+            data = json.loads(m.group(1).strip())
+        except (ValueError, RecursionError):
+            continue
+        items = data if isinstance(data, list) else [data]
+        for it in items:
+            if not isinstance(it, dict):
+                continue
+            graph = it.get("@graph")
+            if isinstance(graph, list):
+                out.extend(g for g in graph if isinstance(g, dict))
+                rest = {k: v for k, v in it.items() if k != "@graph"}
+                if rest.get("@type"):
+                    out.append(rest)
+            else:
+                out.append(it)
+    return out

@@ -211,3 +211,39 @@ def test_extract_table_cells_structured():
         (1, 0, 0, "z"),
     ]
     assert extract_table_cells("<p>none</p>") == []
+
+
+class TestExtractJsonld:
+    def test_variants_and_robustness(self):
+        from llm_food_ray.functions.html_md import extract_jsonld
+
+        h = """<html><head>
+<script type="application/ld+json">{"@type": "Article", "name": "X"}</script>
+<script type='application/ld+json' async>
+[{"@type": "Person", "name": "P"}, 42, "str"]
+</script>
+<script TYPE="application/LD+JSON">{"@context": "c",
+ "@graph": [{"@type": "A"}, {"@type": "B"}, null]}</script>
+<script type="application/ld+json">{broken json</script>
+<script type="text/javascript">var x = {"@type": "No"}</script>
+</head><body>body</body></html>"""
+        got = extract_jsonld(h)
+        assert [g.get("@type") for g in got] == ["Article", "Person",
+                                                 "A", "B"]
+
+    def test_graph_wrapper_with_own_type_counts(self):
+        from llm_food_ray.functions.html_md import extract_jsonld
+
+        h = ('<script type="application/ld+json">'
+             '{"@type": "WebPage", "name": "w",'
+             ' "@graph": [{"@type": "Person", "name": "p"}]}'
+             "</script>")
+        got = extract_jsonld(h)
+        assert [(g["@type"], g["name"]) for g in got] == [
+            ("Person", "p"), ("WebPage", "w")]
+
+    def test_no_blocks(self):
+        from llm_food_ray.functions.html_md import extract_jsonld
+
+        assert extract_jsonld("<html><body>hi</body></html>") == []
+        assert extract_jsonld("") == []
