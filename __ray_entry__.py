@@ -344,6 +344,82 @@ def q_jsonld_extract(sf_dir: str):
             .map_batches(build_and_extract, batch_format="pyarrow"))
 
 
+def q_template_clusters(sf_dir: str):
+    """DOM template fingerprinting: three body skeletons (doc_id%3)
+    carry varying article text; the structural md5 must collapse each
+    class to ONE fingerprint regardless of content, so the oracle is
+    md5 over the literal expected tag sequence."""
+    import ray.data as rd
+
+    from llm_food_ray.functions.html_md import template_fingerprint
+
+    def build_and_fp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        out = []
+        for d, t in zip(ids, b.column("text").to_pylist()):
+            txt = (t or "").replace("<", " ")[:120]
+            k = d % 3
+            if k == 0:
+                html = (f"<html><body><div><h1>Doc {d}</h1>"
+                        f"<p>{txt}</p><p>tail</p></div></body></html>")
+            elif k == 1:
+                html = (f"<html><body><article><h2>H {d}</h2>"
+                        f"<ul><li>{txt}</li><li>b</li></ul>"
+                        f"</article></body></html>")
+            else:
+                html = (f"<html><body><table><tr><td>{txt}</td></tr>"
+                        f"</table><p>t</p></body></html>")
+            out.append(template_fingerprint(html)[0])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "template": pa.array(out, pa.string())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(build_and_fp, batch_format="pyarrow"))
+
+
+def q_link_rels(sf_dir: str):
+    """rel=canonical + robots-meta extraction under a doc_id%4
+    synthesis rule (none / canonical-to-predecessor with href-first
+    attribute order / self-canonical + noindex,nofollow / NONE
+    shorthand), reconstructed by a CASE oracle."""
+    import ray.data as rd
+
+    from llm_food_ray.functions.html_md import extract_link_rels
+
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        canon, noidx, nofol = [], [], []
+        for d in ids:
+            k = d % 4
+            if k == 0:
+                head = "<title>t</title>"
+            elif k == 1:
+                head = (f'<link href="https://ex.com/d{d - 1}" '
+                        'rel=canonical>'
+                        '<meta name=robots content="index, follow">')
+            elif k == 2:
+                head = (f"<link rel='canonical' "
+                        f"href='https://ex.com/d{d}'>"
+                        '<meta name="robots" '
+                        'content="noindex, nofollow">')
+            else:
+                head = "<meta NAME=robots CONTENT='NONE'>"
+            r = extract_link_rels(
+                f"<html><head>{head}</head><body>x</body></html>")
+            canon.append(r["canonical"])
+            noidx.append(r["noindex"])
+            nofol.append(r["nofollow"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "canonical": pa.array(canon, pa.string()),
+                         "noindex": pa.array(noidx, pa.bool_()),
+                         "nofollow": pa.array(nofol, pa.bool_())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+            .map_batches(build_and_extract, batch_format="pyarrow"))
+
+
 def q_robots_parse(sf_dir: str):
     """robots.txt BODY parsing: per-host robots text synthesized with
     agent groups, comments, unknown directives and the empty-Disallow
@@ -5098,6 +5174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fix_mojibake": q_fix_mojibake,
         "dedup_near_indexed": q_dedup_near_indexed,
         "jsonld_extract": q_jsonld_extract,
+        "template_clusters": q_template_clusters,
+        "link_rels": q_link_rels,
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
         "robots_parse": q_robots_parse,
@@ -6725,6 +6803,24 @@ FROM range(0, 10) t(k) WHERE k % 2 = 0
 """,
         # charset-sniff twin: label from the doc_id rule, markup
         # rebuilt with the same string concat
+        # structural md5 collapses each %3 template class to one
+        # fingerprint regardless of the article text it carries
+        "template_clusters": """
+SELECT doc_id,
+       md5(CASE doc_id % 3
+           WHEN 0 THEN 'html,body,div,h1,p,p'
+           WHEN 1 THEN 'html,body,article,h2,ul,li,li'
+           ELSE 'html,body,table,tr,td,p' END) AS template
+FROM documents
+""",
+        "link_rels": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 1 THEN 'https://ex.com/d' || (doc_id - 1)
+            WHEN 2 THEN 'https://ex.com/d' || doc_id END AS canonical,
+       doc_id % 4 IN (2, 3) AS noindex,
+       doc_id % 4 IN (2, 3) AS nofollow
+FROM documents
+""",
         # one row per top-level JSON-LD object under the %3 synthesis
         # rule; the malformed subset (%9==5) contributes nothing
         "jsonld_extract": """

@@ -643,3 +643,63 @@ def extract_jsonld(html: str) -> list[dict]:
             else:
                 out.append(it)
     return out
+
+
+def template_fingerprint(html: str) -> tuple[str, str]:
+    """→ (md5 hex, skeleton string) of a page's STRUCTURAL skeleton:
+    the pre-order tag sequence of the parsed DOM — content text,
+    attributes and the dropped head/script subtrees excluded — so
+    pages stamped from the same site template collide on the hash no
+    matter what article text they carry.  The host×template histogram
+    this keys is the standard scale signal for template/boilerplate
+    clustering (hash-partition by the 16-byte digest, never the
+    markup).  Deterministic: same parser, same drop rules, same walk
+    on every engine."""
+    import hashlib
+
+    tags: list[str] = []
+
+    def walk(n: Node) -> None:
+        if n.tag and n.tag != "#root":
+            tags.append(n.tag)
+        for c in n.children:
+            walk(c)
+
+    walk(parse_html(html))
+    skeleton = ",".join(tags)
+    return hashlib.md5(skeleton.encode("utf-8")).hexdigest(), skeleton
+
+
+# rel=canonical / robots-meta live in <head>, which the DOM builder
+# drops — raw prescan like the JSON-LD and charset sniffs.
+_LINK_CANON_RE = re.compile(
+    r"<link\b[^>]*\brel\s*=\s*[\"']?canonical[\"']?[^>]*>", re.I)
+_HREF_RE = re.compile(r"\bhref\s*=\s*[\"']?([^\s\"'>]+)", re.I)
+_META_ROBOTS_RE = re.compile(
+    r"<meta\b[^>]*\bname\s*=\s*[\"']?robots[\"']?[^>]*>", re.I)
+_CONTENT_VAL_RE = re.compile(r"\bcontent\s*=\s*[\"']([^\"']*)[\"']", re.I)
+
+
+def extract_link_rels(html: str) -> dict:
+    """Crawl-policy signals from the document head: the FIRST
+    ``<link rel="canonical">`` href (the canonical-URL dedup key — at
+    web scale the cheapest near-dup signal there is: the site tells
+    you the duplicate groups) and the union of ``<meta name=robots>``
+    noindex/nofollow directives (``none`` implies both, per the
+    robots-meta standard).  → {"canonical": str|None,
+    "noindex": bool, "nofollow": bool}."""
+    canonical = None
+    m = _LINK_CANON_RE.search(html)
+    if m:
+        h = _HREF_RE.search(m.group(0))
+        if h and h.group(1).lower() != "canonical":
+            canonical = h.group(1)
+    noindex = nofollow = False
+    for m in _META_ROBOTS_RE.finditer(html):
+        c = _CONTENT_VAL_RE.search(m.group(0))
+        if c:
+            vals = {v.strip().lower() for v in c.group(1).split(",")}
+            noindex = noindex or bool(vals & {"noindex", "none"})
+            nofollow = nofollow or bool(vals & {"nofollow", "none"})
+    return {"canonical": canonical, "noindex": noindex,
+            "nofollow": nofollow}

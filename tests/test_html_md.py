@@ -247,3 +247,60 @@ class TestExtractJsonld:
 
         assert extract_jsonld("<html><body>hi</body></html>") == []
         assert extract_jsonld("") == []
+
+
+class TestTemplateFingerprint:
+    def test_content_invariance(self):
+        from llm_food_ray.functions.html_md import template_fingerprint
+
+        a = template_fingerprint(
+            "<html><body><div class='x'><h1>A</h1><p>one</p></div>"
+            "</body></html>")
+        b = template_fingerprint(
+            "<html><body><div id='y'><h1>Other title</h1>"
+            "<p>completely different words</p></div></body></html>")
+        assert a == b
+        assert a[1] == "html,body,div,h1,p"
+
+    def test_structure_sensitivity_and_drops(self):
+        from llm_food_ray.functions.html_md import template_fingerprint
+
+        base = template_fingerprint(
+            "<html><body><p>x</p></body></html>")
+        extra = template_fingerprint(
+            "<html><body><p>x</p><p>y</p></body></html>")
+        assert base != extra
+        # script/head subtrees never contribute structure
+        with_noise = template_fingerprint(
+            "<html><head><title>t</title></head><body>"
+            "<script>var a=1</script><p>x</p></body></html>")
+        assert with_noise == base
+
+
+class TestExtractLinkRels:
+    def test_variants(self):
+        from llm_food_ray.functions.html_md import extract_link_rels
+
+        r = extract_link_rels(
+            '<head><link href="https://e.com/a" rel=canonical>'
+            '<meta name=robots content="index, follow"></head>')
+        assert r == {"canonical": "https://e.com/a", "noindex": False,
+                     "nofollow": False}
+        r = extract_link_rels(
+            "<head><link rel='canonical' href='/self'>"
+            '<meta name="robots" content="noindex, nofollow"></head>')
+        assert r == {"canonical": "/self", "noindex": True,
+                     "nofollow": True}
+        r = extract_link_rels("<head><meta NAME='ROBOTS' "
+                              "content='NONE'></head>")
+        assert r["noindex"] and r["nofollow"] and r["canonical"] is None
+
+    def test_union_across_tags_and_absence(self):
+        from llm_food_ray.functions.html_md import extract_link_rels
+
+        r = extract_link_rels(
+            '<meta name=robots content="noindex">'
+            '<meta name=robots content="nofollow">')
+        assert r["noindex"] and r["nofollow"]
+        assert extract_link_rels("<p>no head</p>") == {
+            "canonical": None, "noindex": False, "nofollow": False}
