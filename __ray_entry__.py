@@ -420,6 +420,49 @@ def q_link_rels(sf_dir: str):
             .map_batches(build_and_extract, batch_format="pyarrow"))
 
 
+def q_canonical_dedup(sf_dir: str):
+    """End-to-end canonical-group dedup: synthesized heads →
+    extract_link_rels → canonical_dedup.  doc_id%4 rule: 0 = no
+    canonical (self by coalesce), 1 = canonical→predecessor (group
+    {d-1, d} keeps d-1), 2 = self-canonical, 3 = DANGLING canonical
+    (shared offsite target per d%10 — group keeps its min-url member).
+    The oracle replays the keep rule with set SQL."""
+    import ray.data as rd
+
+    from llm_food_ray.functions.html_md import extract_link_rels
+    from llm_food_ray.stages.dedup import canonical_dedup
+
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        urls, canon = [], []
+        for d in ids:
+            k = d % 4
+            if k == 0:
+                head = "<title>t</title>"
+            elif k == 1:
+                head = (f'<link href="https://ex.com/d{d - 1}" '
+                        'rel=canonical>')
+            elif k == 2:
+                head = (f"<link rel='canonical' "
+                        f"href='https://ex.com/d{d}'>")
+            else:
+                head = (f'<link rel="canonical" '
+                        f'href="https://ex.com/missing{d % 10}">')
+            r = extract_link_rels(
+                f"<html><head>{head}</head><body>x</body></html>")
+            urls.append(f"https://ex.com/d{d}")
+            canon.append(r["canonical"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "canonical": pa.array(canon, pa.string())})
+
+    pages = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+             .map_batches(build_and_extract, batch_format="pyarrow"))
+    return (canonical_dedup(pages)
+            .select_columns(["doc_id", "url"]))
+
+
 def q_robots_parse(sf_dir: str):
     """robots.txt BODY parsing: per-host robots text synthesized with
     agent groups, comments, unknown directives and the empty-Disallow
@@ -5176,6 +5219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_extract": q_jsonld_extract,
         "template_clusters": q_template_clusters,
         "link_rels": q_link_rels,
+        "canonical_dedup": q_canonical_dedup,
         "warc_ingest": q_warc_ingest,
         "charset_normalize": q_charset_normalize,
         "robots_parse": q_robots_parse,
@@ -6812,6 +6856,30 @@ SELECT doc_id,
            WHEN 1 THEN 'html,body,article,h2,ul,li,li'
            ELSE 'html,body,table,tr,td,p' END) AS template
 FROM documents
+""",
+        # keep rule replay: self-canonical rows pass; dangling groups
+        # (declared canonical absent from the corpus) keep min(url)
+        "canonical_dedup": """
+WITH pages AS (
+  SELECT doc_id, 'https://ex.com/d' || doc_id AS url,
+         CASE doc_id % 4
+           WHEN 1 THEN 'https://ex.com/d' || (doc_id - 1)
+           WHEN 2 THEN 'https://ex.com/d' || doc_id
+           WHEN 3 THEN 'https://ex.com/missing' || (doc_id % 10)
+         END AS canonical
+  FROM documents
+), keyed AS (
+  SELECT doc_id, url, COALESCE(canonical, url) AS k FROM pages
+), selfs AS (
+  SELECT doc_id, url, k FROM keyed WHERE url = k
+), dang AS (
+  SELECT min(url) AS url FROM keyed
+  WHERE url <> k AND k NOT IN (SELECT k FROM selfs)
+  GROUP BY k
+)
+SELECT doc_id, url FROM selfs
+UNION ALL
+SELECT p.doc_id, p.url FROM pages p JOIN dang d ON p.url = d.url
 """,
         "link_rels": """
 SELECT doc_id,

@@ -3622,3 +3622,74 @@ def jaccard_pairs_exact(ds, key_column: str = "doc_id",
     return _verify_pairs_semijoin(
         pairs_fp, sig_ds, key_column, key_type, num_perm=128,
         threshold=t, verify="exact", num_partitions=num_partitions)
+
+
+def canonical_dedup(ds, url_column: str = "url",
+                    canonical_column: str = "canonical", *,
+                    num_partitions: int | None = None):
+    """Site-declared duplicate-group dedup over ``rel=canonical``
+    targets (the cheapest near-dup signal on the web: the site itself
+    names the duplicate groups; pair with
+    :func:`..functions.html_md.extract_link_rels`).  Group key =
+    ``coalesce(canonical, url)``; each group keeps its SELF-canonical
+    member (``url == key``); groups whose declared canonical is absent
+    from the corpus (dangling — offsite targets, 404'd masters) keep
+    their min-url member instead, so no content group vanishes.
+
+    Scale shape: self rows pass in a pure streaming filter (the
+    overwhelmingly common case — most pages are their own canonical —
+    moves NOTHING); only non-self rows (duplication mass) enter the
+    one (key → min(url)) exchange; the dangling decision is a
+    group-count-sized anti-join against self keys; dangling
+    representatives rejoin full rows through one LEFT SEMI.  All joins
+    via the empty-block-safe wrapper."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from .joins import safe_join
+
+    def keyed(b: pa.Table) -> pa.Table:
+        can = b.column(canonical_column)
+        if pa.types.is_null(can.type):
+            # an all-null block infers type null, which coalesce and
+            # Acero joins both reject — retype it to match the urls
+            can = can.cast(b.column(url_column).type)
+            b = b.set_column(b.column_names.index(canonical_column),
+                             canonical_column, can)
+        key = pc.coalesce(can, b.column(url_column))
+        return b.append_column("__k", key)
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def part(want_self: bool):
+        def f(b: pa.Table) -> pa.Table:
+            eq = pc.equal(b.column("__k"), b.column(url_column))
+            return b.filter(eq if want_self else pc.invert(eq))
+        return f
+
+    selfs = kds.map_batches(part(True), batch_format="pyarrow")
+    nonself = kds.map_batches(part(False), batch_format="pyarrow")
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__k"])
+
+    reps = (nonself.groupby("__k")
+            .aggregate(Min(url_column, alias_name="__minu")))
+    dang = safe_join(reps,
+                     selfs.map_batches(lambda b: b.select(["__k"]),
+                                       batch_format="pyarrow"),
+                     "left_anti", num_partitions, on=("__k",))
+    kept_selfs = selfs.map_batches(strip, batch_format="pyarrow")
+    if dang is None:
+        return kept_selfs
+    dang_rows = safe_join(
+        kds,
+        dang.map_batches(lambda b: b.select(["__minu"]),
+                         batch_format="pyarrow"),
+        "left_semi", num_partitions,
+        on=(url_column,), right_on=("__minu",))
+    if dang_rows is None:
+        return kept_selfs
+    return kept_selfs.union(
+        dang_rows.map_batches(strip, batch_format="pyarrow"))

@@ -1102,3 +1102,40 @@ def test_jaccard_pairs_exact_validation(ray_session):
         jaccard_pairs_exact(ds, order="bogus")
     with pytest.raises(ValueError, match="broadcast budget"):
         jaccard_pairs_exact(ds, order="df", broadcast_budget_bytes=1)
+
+
+def test_canonical_dedup_keep_rules(ray_session):
+    """Self-canonical member wins its group; dangling-canonical groups
+    keep their min-url member; no-canonical rows are their own group."""
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import canonical_dedup
+
+    rows = [
+        # group A: master + two variants pointing at it
+        {"url": "https://a/x", "canonical": None},
+        {"url": "https://a/x?utm=1", "canonical": "https://a/x"},
+        {"url": "https://a/x/amp", "canonical": "https://a/x"},
+        # group B: explicit self-canonical
+        {"url": "https://b/y", "canonical": "https://b/y"},
+        # group C: dangling shared canonical -> min url survives
+        {"url": "https://c/2", "canonical": "https://gone/master"},
+        {"url": "https://c/1", "canonical": "https://gone/master"},
+        # lone page, no canonical
+        {"url": "https://d/z", "canonical": None},
+    ]
+    kept = sorted(r["url"] for r in
+                  canonical_dedup(rd.from_items(rows)).take_all())
+    assert kept == ["https://a/x", "https://b/y", "https://c/1",
+                    "https://d/z"]
+
+
+def test_canonical_dedup_all_self_is_identity(ray_session):
+    import ray.data as rd
+
+    from llm_food_ray.stages.dedup import canonical_dedup
+
+    rows = [{"url": f"u{i}", "canonical": None} for i in range(10)]
+    out = canonical_dedup(rd.from_items(rows))
+    assert sorted(r["url"] for r in out.take_all()) == sorted(
+        r["url"] for r in rows)
